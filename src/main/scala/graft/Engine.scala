@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table-loading helpers shared by queries, Verify, Bench, tests.
+  *
+  * Design notes (100 TB target, see SURVEY.md §4):
+  *  - All readers are plain `spark.read.parquet` so Catalyst's
+  *    predicate-pushdown / column-pruning / partition-pruning apply
+  *    unmodified. Nothing here materializes on the driver.
+  *  - Sessions pin shuffle partitions to the core count for local runs;
+  *    on a real cluster AQE (`spark.sql.adaptive.enabled`, default on in
+  *    Spark 4) coalesces/splits post-shuffle partitions at runtime, so the
+  *    same code scales by only changing `--master` / executor conf.
+  */
+object Engine {
+
+  /** Default core count for local sessions (driver overrides via env). */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the fixture tables under `dir` (TESTDATA.md).
+    *
+    * `events.ts` is nanosecond-precision parquet, which Spark 4 cannot
+    * read natively; with `spark.sql.legacy.parquet.nanosAsLong` the
+    * column arrives as LongType nanos and is normalized here to a
+    * microsecond TimestampType by truncation — exactly what DuckDB does
+    * when it reads the same file (ns → µs), keeping oracle parity.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        // NTZ like every other fixture timestamp: the whole engine works
+        // in naive-UTC timestamps so parquet dumps compare 1:1 with the
+        // DuckDB oracle (no adjusted-to-UTC re-typing on read-back).
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+      case None => df
+    }
+  }
+}
+
+/** Convenience wrapper binding a SparkSession to a scale-factor dir. */
+final case class Tables(spark: SparkSession, dir: String) {
+  def apply(name: String): DataFrame = Engine.table(spark, dir, name)
+  def region: DataFrame     = apply("region")
+  def nation: DataFrame     = apply("nation")
+  def customer: DataFrame   = apply("customer")
+  def supplier: DataFrame   = apply("supplier")
+  def part: DataFrame       = apply("part")
+  def orders: DataFrame     = apply("orders")
+  def lineitem: DataFrame   = apply("lineitem")
+  def events: DataFrame     = apply("events")
+  def documents: DataFrame  = apply("documents")
+  def embeddings: DataFrame = apply("embeddings")
+}

@@ -11,12 +11,23 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Normalize any stray TIMESTAMP (LTZ) column to TIMESTAMP_NTZ so the
+    // dumped parquet carries naive-UTC timestamps, matching how DuckDB
+    // types the oracle side (session TZ is pinned UTC, values identical).
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+        else org.apache.spark.sql.functions.col(f.name)
+      }.toSeq: _*)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

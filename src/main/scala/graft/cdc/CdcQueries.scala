@@ -1,0 +1,182 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** CDC operator family (SURVEY.md §2.1–2.2) as driver-contract queries
+  * over the fixture tables, each with a DuckDB-equivalent oracle SQL.
+  */
+object CdcQueries {
+
+  private val F = ChangeFeed
+
+  /** Row payload schema used by the JSON envelope roundtrip. */
+  private val payloadSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Build a reference-shaped envelope DataFrame from the canonical feed:
+    * before = payload for deletes (full before-image via SUPPLEMENTAL LOG
+    * ALL, reference `scripts-db/set-up-orl.sql:216`), after = payload
+    * otherwise.
+    */
+  def envelopeOf(feed: DataFrame): DataFrame = {
+    val payload = struct(col("id"), col("event_type"), col("value"), col("props"))
+    feed.select(
+      when(col("op") === "d", payload).as("before"),
+      when(col("op") =!= "d", payload).as("after"),
+      col("op"),
+      unix_millis(col("ts").cast(TimestampType)).as("ts_ms"),
+      struct(
+        col("scn"),
+        col("id").cast("string").as("xid"),
+        lit(null).cast("string").as("rid"),
+        lit("ORACLE").as("db"),
+        lit("OLR_DB").as("schema"),
+        lit("PRODUCT").as("table")
+      ).as("source")
+    )
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_scan" -> ((s, dir) =>
+      F.fromEvents(s, dir)
+        .select("scn", "id", "op", "ts", "event_type", "value", "props")
+        .orderBy("scn")),
+
+    "snapshot_scan" -> ((s, dir) =>
+      Ops
+        .snapshot(Tables(s, dir).customer.select("c_custkey", "c_name", "c_acctbal"), scn = 0L)
+        .orderBy("c_custkey")),
+
+    "table_filter" -> ((s, dir) =>
+      F.fromEvents(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select("scn", "id", "op", "event_type", "value")
+        .orderBy("scn")),
+
+    "envelope_parse" -> ((s, dir) => {
+      // feed → envelope → JSON wire form → parse → flatten: the full
+      // §3.1 serialize/deserialize path; output equals the plain feed.
+      val raw = envelopeOf(F.fromEvents(s, dir)).select(to_json(struct(col("*"))).as("value"))
+      Ops
+        .envelopeParse(raw, "value", payloadSchema)
+        .select(
+          coalesce(col("after.id"), col("before.id")).as("id"),
+          coalesce(col("after.event_type"), col("before.event_type")).as("event_type"),
+          coalesce(col("after.value"), col("before.value")).as("value"),
+          coalesce(col("after.props"), col("before.props")).as("props"),
+          col("op"),
+          col("ts_ms"),
+          col("source.scn").as("scn")
+        )
+        .orderBy("scn")
+    }),
+
+    "unwrap" -> ((s, dir) =>
+      Ops
+        .unwrap(envelopeOf(F.fromEvents(s, dir)))
+        .select("id", "event_type", "value", "props", "__deleted", "scn", "op")
+        .orderBy("scn")),
+
+    "type_norm" -> ((s, dir) =>
+      F.fromEvents(s, dir).select(
+        col("scn"),
+        col("id").cast("string").as("id_str"),
+        col("value").cast(DecimalType(12, 2)).cast("string").as("value_str"),
+        unix_millis(col("ts").cast(TimestampType)).as("ts_ms")
+      ).orderBy("scn")),
+
+    "apply_changes" -> ((s, dir) =>
+      Ops
+        .applyChanges(F.fromEvents(s, dir), keys = Seq("id"), ordering = Seq("scn"))
+        .select("id", "scn", "op", "ts", "event_type", "value", "props")
+        .orderBy("id")),
+
+    "txn_group" -> ((s, dir) =>
+      Ops
+        .txnGroup(
+          F.fromEvents(s, dir).withColumn("xid", floor(col("scn") / 10).cast("long")),
+          xidCol = "xid", scnCol = "scn", opCol = "op")
+        .orderBy("xid")),
+
+    "agg_maxby" -> ((s, dir) =>
+      F.fromEvents(s, dir)
+        .groupBy(col("id"))
+        .agg(
+          max_by(col("event_type"), col("scn")).as("last_type"),
+          max_by(col("value"), col("scn")).as("last_value"),
+          max(col("scn")).as("last_scn"),
+          count(lit(1)).as("n_events")
+        )
+        .orderBy("id")),
+
+    "join_asof" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Ops
+        .asOfJoin(
+          left = F.fromEvents(s, dir).select("scn", "id", "ts"),
+          right = t.orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+          leftKey = "id",
+          rightKey = "o_custkey",
+          leftTs = "ts",
+          rightTs = "o_orderdate",
+          leftId = Seq("scn"),
+          rightPayload = Seq("o_orderkey", "o_orderdate"),
+          rightOrd = Seq("o_orderdate", "o_orderkey")
+        )
+        .select("scn", "id", "ts", "o_orderkey", "o_orderdate")
+        .orderBy("scn")
+    })
+  )
+
+  private val feedCte = ChangeFeed.sqlCte
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_scan" ->
+      s"$feedCte SELECT scn, id, op, ts, event_type, value, props FROM feed ORDER BY scn",
+    "snapshot_scan" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'r' AS op, CAST(0 AS BIGINT) AS scn
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "table_filter" ->
+      s"""$feedCte SELECT scn, id, op, event_type, value FROM feed
+         |WHERE event_type IN ('click','view') ORDER BY scn""".stripMargin,
+    "envelope_parse" ->
+      s"""$feedCte SELECT id, event_type, value, props, op, epoch_ms(ts) AS ts_ms, scn
+         |FROM feed ORDER BY scn""".stripMargin,
+    "unwrap" ->
+      s"""$feedCte SELECT id, event_type, value, props,
+         |  CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted, scn, op
+         |FROM feed ORDER BY scn""".stripMargin,
+    "type_norm" ->
+      s"""$feedCte SELECT scn, CAST(id AS VARCHAR) AS id_str,
+         |  CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str,
+         |  epoch_ms(ts) AS ts_ms
+         |FROM feed ORDER BY scn""".stripMargin,
+    "apply_changes" ->
+      s"""$feedCte SELECT id, scn, op, ts, event_type, value, props FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn FROM feed f
+         |) WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin,
+    "txn_group" ->
+      s"""$feedCte SELECT CAST(floor(scn/10) AS BIGINT) AS xid, count(*) AS n_events,
+         |  min(scn) AS first_scn, max(scn) AS last_scn, list_sort(list(op)) AS ops
+         |FROM feed GROUP BY 1 ORDER BY xid""".stripMargin,
+    "agg_maxby" ->
+      s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type,
+         |  arg_max(value, scn) AS last_value, max(scn) AS last_scn, count(*) AS n_events
+         |FROM feed GROUP BY id ORDER BY id""".stripMargin,
+    "join_asof" ->
+      s"""$feedCte SELECT scn, id, ts, o_orderkey, o_orderdate FROM (
+         |  SELECT f.scn, f.id, f.ts, o.o_orderkey, o.o_orderdate,
+         |         row_number() OVER (PARTITION BY f.scn
+         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+         |  FROM feed f JOIN orders o
+         |    ON o.o_custkey = f.id AND o.o_orderdate <= f.ts
+         |) WHERE rn = 1 ORDER BY scn""".stripMargin
+  )
+}

@@ -1,0 +1,152 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch CDC dataflow operators (SURVEY.md §2.2) — the reference's core
+  * "query", re-expressed as declarative Spark plans.
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - `applyChanges` uses `max_by(struct(payload), struct(ordering))`
+  *    instead of the textbook `row_number()` window. Both are one shuffle
+  *    on the key, but the aggregate gets a map-side partial (each input
+  *    partition reduces to ≤ |distinct keys in partition| rows before the
+  *    exchange), while a window must shuffle *every* change event and sort
+  *    each partition. On a change stream with many updates per key that is
+  *    the difference between shuffling |keys| rows and |events| rows.
+  *  - Everything is expression-only (no UDFs, no RDDs) so whole-stage
+  *    codegen applies end-to-end and filters push into the scan.
+  */
+object Ops {
+
+  /** Source-side table allowlist — the reference drops all redo except the
+    * configured schema/table before anything else runs
+    * (`scripts/OpenLogReplicator.json:32-39`). Expressed as a plain filter
+    * so Catalyst pushes it into the file scan (directory/row-group prune).
+    */
+  def tableFilter(env: DataFrame, schemaName: String, tableName: String): DataFrame =
+    env.filter(col("source.schema") === schemaName && col("source.table") === tableName)
+
+  /** Parse raw JSON change messages into the typed envelope
+    * (OLR `"format":{"type":"json"}`, `scripts/OpenLogReplicator.json:15`).
+    */
+  def envelopeParse(raw: DataFrame, jsonCol: String, rowSchema: StructType): DataFrame =
+    raw
+      .withColumn("v", from_json(col(jsonCol), Envelope.schema(rowSchema)))
+      .select(col("v.*"))
+
+  /** ExtractNewRecordState-equivalent (reference `README.md:844-848`):
+    * envelope → flat row. Deletes are REWRITTEN, not dropped
+    * (`delete.handling.mode=rewrite`): the row payload for op='d' comes
+    * from the before-image and `__deleted` is the string 'true'/'false',
+    * matching the observed auto-created sink table (FIXTURES.md A2).
+    */
+  def unwrap(env: DataFrame): DataFrame = {
+    val payload = when(col("op") === "d", col("before")).otherwise(col("after"))
+    val rowFields = env.schema("after").dataType.asInstanceOf[StructType].fieldNames
+    val cols = rowFields.map(f => payload.getField(f).as(f)) ++ Seq(
+      when(col("op") === "d", lit("true")).otherwise(lit("false")).as("__deleted"),
+      col("source.scn").as("scn"),
+      col("op")
+    )
+    env.select(cols.toSeq: _*)
+  }
+
+  /** Materialize a change stream into its current-state table: last event
+    * per key wins (ordered by `ordering`, e.g. scn then ts_ms), op='d'
+    * removes the row. The reference does this in the JDBC sink
+    * (`insert.mode=upsert` + `delete.enabled`, `README.md:840-845`); here
+    * it is a single aggregation with map-side combine.
+    *
+    * `payload` = the columns to carry into the materialized row (must not
+    * overlap `keys`); `ordering` must be a total order (add tiebreakers).
+    */
+  def applyChanges(
+      feed: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      opCol: String = "op",
+      payload: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val carry = if (payload.nonEmpty) payload else feed.columns.toSeq.diff(keys)
+    val ordKey = struct(ordering.map(col): _*)
+    val latest = feed
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(carry.map(col): _*), ordKey).as("__latest"))
+    latest
+      .select(keys.map(col) ++ carry.map(f => col(s"__latest.$f").as(f)): _*)
+      .filter(col(opCol) =!= "d")
+  }
+
+  /** Per-transaction grouping (OLR emits XID on every event,
+    * `scripts/OpenLogReplicator.json:26`; commit-boundary messages
+    * `message: 2` at `:20`): reassemble per-transaction batches with
+    * their SCN span. `collect_list` is wrapped in `array_sort` for
+    * deterministic output (SURVEY.md §7.5).
+    */
+  def txnGroup(feed: DataFrame, xidCol: String, scnCol: String, opCol: String): DataFrame =
+    feed
+      .groupBy(col(xidCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(scnCol)).as("first_scn"),
+        max(col(scnCol)).as("last_scn"),
+        array_sort(collect_list(col(opCol))).as("ops")
+      )
+
+  /** Tag a consistent batch read as snapshot records (`op='r'`,
+    * `snapshot.mode=initial`, reference `README.md:822`), ready to be
+    * unioned ahead of the live stream (§3.2 batch→stream handoff).
+    */
+  def snapshot(table: DataFrame, scn: Long): DataFrame =
+    table
+      .withColumn("op", lit("r"))
+      .withColumn("scn", lit(scn))
+
+  /** As-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` on equal keys — the CDC point-in-time lookup.
+    * Spark has no native as-of join; composed as equi-join (one shuffle,
+    * SMJ/broadcast picked by Catalyst) + `max_by` per left row, which
+    * keeps the map-side-combine property of `applyChanges`.
+    *
+    * `leftId` must uniquely identify left rows.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      leftId: Seq[String],
+      rightPayload: Seq[String],
+      rightOrd: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val ord = if (rightOrd.nonEmpty) rightOrd else Seq(rightTs)
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val joined = l.join(
+      r,
+      col(s"l.$leftKey") === col(s"r.$rightKey") && col(s"r.$rightTs") <= col(s"l.$leftTs"),
+      "inner"
+    )
+    val leftCols = left.columns.toSeq
+    joined
+      .groupBy(leftId.map(c => col(s"l.$c")): _*)
+      .agg(
+        max_by(
+          struct(
+            leftCols.filterNot(leftId.contains).map(c => col(s"l.$c")) ++
+              rightPayload.map(c => col(s"r.$c")): _*
+          ),
+          struct(ord.map(c => col(s"r.$c")): _*)
+        ).as("__m")
+      )
+      .select(
+        leftId.map(col) ++
+          (leftCols.filterNot(leftId.contains) ++ rightPayload)
+            .map(c => col(s"__m.$c").as(c)): _*
+      )
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** North-star LLM-pipeline text operators (SURVEY.md §2.12): text
+  * analysis, fingerprinting, exact + near dedup over `documents`.
+  *
+  * Scale notes: all operators are per-row expressions or key-shuffle
+  * aggregations — no driver-side loops, no UDFs; the MinHash-LSH pipeline
+  * (see [[NearDedup]]) keeps candidate generation at
+  * O(|docs| × bands) rows instead of O(|docs|²).
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "a", "of", "and")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_stats" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars2"),
+          size(col("words")).as("n_words"),
+          size(array_distinct(col("words"))).as("n_uniq"),
+          (length(translate(col("text"), " ", "")).cast("double") / size(col("words")))
+            .as("avg_word_len"),
+          (size(filter(col("words"), w => w.isin(stopEn: _*))).cast("double") /
+            size(col("words"))).as("stop_ratio"))
+        .orderBy("doc_id")),
+
+    "token_count" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        // BPE-ish pre-tokenizer: letter runs | digit runs | single punct
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("re_tokens")
+      ).orderBy("doc_id")),
+
+    "fingerprint" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("fp")
+      ).orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) => {
+      // n-gram/stopword-vote heuristic; deterministic priority tiebreak.
+      val d = Tables(s, dir).documents.withColumn("words", split(col("text"), " "))
+      def score(ws: Seq[String]) =
+        size(filter(col("words"), w => w.isin(ws: _*)))
+      d.select(
+        col("doc_id"),
+        col("lang"),
+        score(stopEn).as("s_en"),
+        score(Seq("le", "la", "et", "les")).as("s_fr"),
+        score(Seq("el", "los", "y", "que")).as("s_es"),
+        score(Seq("der", "die", "und", "das")).as("s_de"))
+        .withColumn("pred",
+          when(col("s_fr") > col("s_en"), "fr")
+            .when(col("s_es") > col("s_en"), "es")
+            .when(col("s_de") > col("s_en"), "de")
+            .otherwise("en"))
+        .select("doc_id", "lang", "s_en", "s_fr", "s_es", "s_de", "pred")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_exact" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), md5(col("text")).as("h"))
+        .orderBy("keep_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars2,
+        |  len(string_split(text,' ')) AS n_words,
+        |  len(list_distinct(string_split(text,' '))) AS n_uniq,
+        |  CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' ')) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS s_de
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_fr, s_es, s_de,
+        |  CASE WHEN s_fr > s_en THEN 'fr' WHEN s_es > s_en THEN 'es'
+        |       WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+  )
+}

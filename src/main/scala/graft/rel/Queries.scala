@@ -1,0 +1,579 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational query surface (SURVEY.md §2.3–2.9) over the fixture star
+  * schema, each query paired with a DuckDB oracle.
+  *
+  * Determinism rules (SURVEY.md §7.5), applied throughout:
+  *  - money doubles are exact 2-decimal values → cast to DECIMAL(18,2)
+  *    BEFORE summing, so aggregation is exact and order-independent in
+  *    both engines; final CAST AS DOUBLE normalizes the output type.
+  *  - every result carries a total ORDER BY on unique keys.
+  *  - collect_list is always array_sort'ed.
+  *
+  * Scale notes: all queries are single-pass declarative plans — filters
+  * and projections reach the parquet scan, aggregates get map-side
+  * partials, the dimension sides of joins are broadcast explicitly where
+  * we know they are small (nation/region/supplier), everything else is a
+  * key-shuffle Catalyst can re-plan under AQE.
+  */
+object Queries {
+
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.3 projections / filters --------------------------------
+    "project" -> ((s, dir) =>
+      Tables(s, dir).part.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        (col("p_size") + 1).as("size1"),
+        col("p_retailprice")
+      ).orderBy("p_partkey")),
+
+    "filter_eq" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "filter_range" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_quantity").between(10, 20))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_like" -> ((s, dir) =>
+      Tables(s, dir).part
+        .filter(col("p_name").like("%gear%") || col("p_name").like("small%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    "filter_in" -> ((s, dir) =>
+      Tables(s, dir).customer
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "filter_null" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .withColumn("st", expr("nullif(o_orderstatus, 'P')"))
+        .filter(col("st").isNull)
+        .select("o_orderkey", "st")
+        .orderBy("o_orderkey")),
+
+    // ---- §2.4 joins -------------------------------------------------
+    "join_broadcast" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    }),
+
+    "join_smj" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // hint("merge"): exercise the shuffle sort-merge path even at test
+      // scale (at 100 TB neither side broadcasts and SMJ is the plan).
+      t.orders.hint("merge")
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
+    "join_star" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name", "c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("r_name", "n_name", "c_mktsegment")
+    }),
+
+    "join_outer" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("total_spend"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_cross" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.region.select(col("r_name").as("a"))
+      val b = t.region.select(col("r_name").as("b"))
+      a.crossJoin(b).orderBy("a", "b")
+    }),
+
+    "join_range" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // equi on nation + range on acctbal: key-shuffle join with a
+      // residual range predicate (no cartesian blowup at scale).
+      t.supplier.alias("s")
+        .join(
+          t.customer.alias("c"),
+          col("s.s_nationkey") === col("c.c_nationkey") &&
+            col("c.c_acctbal").between(col("s.s_acctbal") - 10, col("s.s_acctbal") + 10))
+        .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+
+    // ---- §2.5 aggregations -----------------------------------------
+    "agg_count" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .agg(count(lit(1)).as("n_rows"), count(col("l_quantity")).as("n_qty"))),
+
+    "q1_agg" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base"),
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("double").as("sum_disc"),
+          (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_group" -> ((s, dir) =>
+      Tables(s, dir).customer
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec("c_acctbal")).cast("double").as("sum_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy("c_mktsegment")),
+
+    "agg_distinct" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "agg_approx" -> ((s, dir) =>
+      // HLL sketch — no exact DuckDB hash-match possible (SURVEY §2.5);
+      // verified by tolerance in ScalaTest, rows-only here.
+      Tables(s, dir).lineitem
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    "agg_rollup" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price"))
+        .orderBy("st", "pri")),
+
+    "agg_cube" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    "agg_collect" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_sort(collect_list(col("n_name"))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }),
+
+    // ---- §2.6 window functions -------------------------------------
+    "win_rownum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "rn")
+        .orderBy("user_id", "rn")
+    }),
+
+    "win_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+      Tables(s, dir).customer
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+        .orderBy("c_mktsegment", "rk", "c_custkey")
+    }),
+
+    "win_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir).events
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .select("user_id", "event_id", "value", "prev_value", "delta")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "win_running" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).lineitem
+        .withColumn("run_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "run_qty")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    }),
+
+    "win_range" -> ((s, dir) => {
+      // moving 1-hour sum per user; money in exact integer cents so the
+      // frame aggregation is order-independent in both engines.
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("win_cents", sum(col("cents")).over(w))
+        .select("user_id", "event_id", "ms", "win_cents")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.7 sorts / top-k ----------------------------------------
+    "sort_global" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    "topk" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)),
+
+    // ---- §2.8 set operations ---------------------------------------
+    "setop_union" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").as("nk"))
+        .union(t.supplier.select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    }),
+
+    "setop_except" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_custkey") < 100).select(col("c_custkey").as("k"))
+        .except(t.orders.select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+
+    "setop_intersect" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_custkey") < 100).select(col("c_custkey").as("k"))
+        .intersect(t.orders.select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+
+    // ---- §2.9 scalar functions -------------------------------------
+    "fn_string" -> ((s, dir) =>
+      Tables(s, dir).part.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 4).as("sub4"),
+        length(col("p_name")).as("len"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        lpad(col("p_brand"), 10, "*").as("padded"),
+        regexp_replace(col("p_name"), "a", "X").as("rexed")
+      ).orderBy("p_partkey")),
+
+    "fn_date" -> ((s, dir) =>
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("mon_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp_ntz")).as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms")
+      ).orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, dir) =>
+      Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        round(col("l_tax") * 100).cast("long").as("tax_pct"),
+        floor(col("l_quantity")).as("fl"),
+        ceil(col("l_quantity")).as("ce"),
+        sqrt(col("l_quantity")).as("rt"),
+        (col("l_quantity").cast("long") % 7).as("m7")
+      ).orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_cond" -> ((s, dir) =>
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(expr("nullif(o_orderstatus, 'P')"), lit("PENDING")).as("st")
+      ).orderBy("o_orderkey")),
+
+    "fn_json" -> ((s, dir) =>
+      Tables(s, dir).events.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        to_json(struct(col("event_id"), col("user_id"))).as("j")
+      ).orderBy("event_id")),
+
+    "fn_array" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("words")).as("n_words"),
+          element_at(col("words"), 1).as("first_word"),
+          array_contains(col("words"), "spark").as("has_spark"),
+          array_sort(array_distinct(col("words"))).as("uniq_words"))
+        .orderBy("doc_id")),
+
+    "fn_hash" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256")
+      ).orderBy("doc_id")),
+
+    // ---- §2.10 tumbling window (batch-equivalent form) -------------
+    "stream_tumble" -> ((s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("bucket"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "project" ->
+      """SELECT p_partkey, upper(p_name) AS name_up, p_brand || '/' || p_type AS brand_type,
+        |  p_size + 1 AS size1, p_retailprice FROM part ORDER BY p_partkey""".stripMargin,
+    "filter_eq" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
+    "filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity BETWEEN 10 AND 20 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_like" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE '%gear%' OR p_name LIKE 'small%' ORDER BY p_partkey""".stripMargin,
+    "filter_in" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY c_custkey""".stripMargin,
+    "filter_null" ->
+      """SELECT o_orderkey, nullif(o_orderstatus,'P') AS st FROM orders
+        |WHERE nullif(o_orderstatus,'P') IS NULL ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "join_smj" ->
+      """SELECT o_orderkey, o_totalprice, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin,
+    "join_star" ->
+      """SELECT r_name, n_name, c_mktsegment, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name, c_mktsegment ORDER BY r_name, n_name, c_mktsegment""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT a.r_name AS a, b.r_name AS b FROM region a CROSS JOIN region b ORDER BY a, b""",
+    "join_range" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    "agg_count" ->
+      "SELECT count(*) AS n_rows, count(l_quantity) AS n_qty FROM lineitem",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_group" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY st, pri""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "agg_collect" ->
+      """SELECT r_name, list_sort(list(n_name)) AS nations, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "win_rownum" ->
+      """SELECT user_id, event_id, event_type, rn FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "win_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rk
+        |  FROM customer) WHERE rk <= 5 ORDER BY c_mktsegment, rk, c_custkey""".stripMargin,
+    "win_lag" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+        |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "win_range" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS win_cents
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "sort_global" ->
+      "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+    "topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "setop_union" ->
+      """SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "setop_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_custkey < 100
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin,
+    "setop_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_custkey < 100
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY k""".stripMargin,
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 4) AS sub4, length(p_name) AS len,
+        |  trim('  ' || p_name || '  ') AS trimmed, lpad(p_brand, 10, '*') AS padded,
+        |  regexp_replace(p_name, 'a', 'X', 'g') AS rexed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom, date_trunc('month', o_orderdate) AS mon_start,
+        |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30, epoch_ms(o_orderdate) AS epoch_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_d,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS tax_pct, floor(l_quantity) AS fl,
+        |  ceil(l_quantity) AS ce, sqrt(l_quantity) AS rt,
+        |  CAST(l_quantity AS BIGINT) % 7 AS m7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_cond" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus,'P'), 'PENDING') AS st
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  to_json(struct_pack(event_id := event_id, user_id := user_id)) AS j
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |  string_split(text, ' ')[1] AS first_word,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  list_sort(list_distinct(string_split(text, ' '))) AS uniq_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_tumble" ->
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}
