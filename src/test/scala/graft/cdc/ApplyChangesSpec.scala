@@ -1,0 +1,83 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the materialization operator (SURVEY.md §5.2):
+  * (a) applyChanges ≡ an in-order row-by-row fold;
+  * (b) apply(prefix) then apply(suffix over result) ≡ apply(whole)
+  *     — checkpoint soundness;
+  * (c) delete-then-insert ≠ update (tombstone semantics);
+  * (d) idempotence under duplicate delivery.
+  *
+  * Generators are driven with fixed seeds (no scalatestplus bridge in
+  * the offline dependency set) — failures are reproducible by seed.
+  */
+case class Ev(scn: Long, id: Long, op: String, value: Double)
+
+class ApplyChangesSpec extends SparkSpec {
+
+  private def feedOf(evs: Seq[Ev]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    evs.toDF()
+  }
+
+  private def applied(evs: Seq[Ev]): Map[Long, (Long, String, Double)] =
+    Ops
+      .applyChanges(feedOf(evs), keys = Seq("id"), ordering = Seq("scn"))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("scn"), r.getAs[String]("op"), r.getAs[Double]("value"))))
+      .toMap
+
+  /** Reference semantics: fold events in scn order; 'd' removes the key. */
+  private def fold(evs: Seq[Ev]): Map[Long, (Long, String, Double)] =
+    evs.sortBy(_.scn).foldLeft(Map.empty[Long, (Long, String, Double)]) {
+      case (m, e) if e.op == "d" => m - e.id
+      case (m, e)                => m.updated(e.id, (e.scn, e.op, e.value))
+    }
+
+  private val genEvs: Gen[List[Ev]] = for {
+    n <- Gen.chooseNum(0, 60)
+    ops <- Gen.listOfN(n, for {
+      id <- Gen.chooseNum(0L, 7L)
+      op <- Gen.oneOf("c", "u", "d", "r")
+      v <- Gen.chooseNum(0, 10000).map(_ / 100.0)
+    } yield (id, op, v))
+  } yield ops.zipWithIndex.map { case ((id, op, v), i) => Ev(i.toLong, id, op, v) }
+
+  private def samples(n: Int): Seq[List[Ev]] =
+    (1 to n).flatMap(i => genEvs.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("(a) applyChanges equals the in-order fold") {
+    samples(25).foreach { evs =>
+      assert(applied(evs) == fold(evs), s"mismatch for ${evs.take(5)}...")
+    }
+  }
+
+  test("(b) prefix+suffix application equals whole-stream application") {
+    samples(15).zipWithIndex.foreach { case (evs, i) =>
+      val cut = if (evs.isEmpty) 0 else (i * 7) % (evs.size + 1)
+      val (pre, post) = evs.splitAt(cut)
+      // state after prefix, re-injected as feed rows ahead of the suffix
+      // (exactly what Stream.materialize does per micro-batch)
+      val preState = applied(pre).map { case (id, (scn, op, v)) => Ev(scn, id, op, v) }.toSeq
+      assert(applied(preState ++ post) == fold(evs), s"cut=$cut")
+    }
+  }
+
+  test("(c) delete-then-insert is not an update: tombstone removes history") {
+    val evs = Seq(Ev(1, 1, "c", 1.0), Ev(2, 1, "d", 1.0), Ev(3, 1, "c", 9.0))
+    assert(applied(evs) == Map(1L -> ((3L, "c", 9.0))))
+    assert(applied(evs :+ Ev(4, 1, "d", 9.0)) == Map.empty)
+  }
+
+  test("(d) idempotent under duplicate delivery") {
+    samples(15).foreach { evs =>
+      assert(applied(evs ++ evs) == applied(evs))
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** Streaming parity + exactly-once tests (SURVEY.md §5.2):
+  * the foreachBatch materialization over a file channel must equal the
+  * batch `apply_changes` over the same events, including across a
+  * stop/restart from checkpoint (reference's checkpoint/resume artifacts
+  * `olr-checkpoint/ORACLE-chkpt-*.json`).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private val events: Seq[Ev] = (0 until 200).map { i =>
+    val id = i % 17
+    val op = (i % 11) match {
+      case 0     => "c"
+      case 7     => "d"
+      case _     => "u"
+    }
+    Ev(i.toLong, id.toLong, op, (i * 37 % 1000) / 10.0)
+  }
+
+  private def writeBatchJson(dir: Path, evs: Seq[Ev], name: String): Unit = {
+    val lines = evs.map(e =>
+      s"""{"scn":${e.scn},"id":${e.id},"op":"${e.op}","value":${e.value}}""")
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+  }
+
+  private def batchState(evs: Seq[Ev]) = {
+    val s = spark
+    import s.implicits._
+    Ops
+      .applyChanges(evs.toDF(), keys = Seq("id"), ordering = Seq("scn"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("scn"), r.getAs[Double]("value")))
+      .toSet
+  }
+
+  private def readState(path: String) =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("scn"), r.getAs[Double]("value")))
+      .toSet
+
+  private val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scn", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+
+  private def startMaterialize(in: Path, state: Path, chk: Path) = {
+    val feed = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 2).json(in.toString)
+    Stream.materialize(feed, Seq("id"), Seq("scn"),
+      state.resolve("t").toString, chk.toString)
+  }
+
+  test("streaming materialization matches batch apply_changes") {
+    val (in, state, chk) = (tmp("in"), tmp("state"), tmp("chk"))
+    events.grouped(50).zipWithIndex.foreach { case (g, i) =>
+      writeBatchJson(in, g, s"part-$i.json")
+    }
+    val q = startMaterialize(in, state, chk)
+    q.awaitTermination()
+    assert(readState(state.resolve("t").toString) == batchState(events))
+  }
+
+  test("restart from checkpoint: no reprocessing, suffix applied exactly once") {
+    val (in, state, chk) = (tmp("in2"), tmp("state2"), tmp("chk2"))
+    val (first, second) = events.splitAt(120)
+    first.grouped(40).zipWithIndex.foreach { case (g, i) =>
+      writeBatchJson(in, g, s"a-$i.json")
+    }
+    val q1 = startMaterialize(in, state, chk)
+    q1.awaitTermination()
+    assert(readState(state.resolve("t").toString) == batchState(first))
+    // new files arrive while "down"; restart with the same checkpoint
+    second.grouped(40).zipWithIndex.foreach { case (g, i) =>
+      writeBatchJson(in, g, s"b-$i.json")
+    }
+    val q2 = startMaterialize(in, state, chk)
+    q2.awaitTermination()
+    assert(readState(state.resolve("t").toString) == batchState(events))
+  }
+
+  test("watermarked streaming dedup drops redelivered keys across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = Stream.dedupStream(input.toDF().toDF("k", "ts"), "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("k1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("k1", java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      // redelivery of k1 in a later micro-batch (at-least-once channel)
+      input.addData(
+        ("k1", java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+        ("k2", java.sql.Timestamp.valueOf("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val ks = s.table("dedup_t").select("k").as[String].collect().sorted.toSeq
+      assert(ks == Seq("k1", "k2"))
+    } finally q.stop()
+  }
+
+  test("session windows group by gap") {
+    val s = spark
+    import s.implicits._
+    val evs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),  // same session (gap 30m)
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),  // new session
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val out = Stream.sessionCounts(evs.toDF("user_id", "ts"), "ts", "1 minute", "30 minutes", "user_id")
+    val rows = out.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSet
+    assert(rows == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
