@@ -21,7 +21,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++
       rel.Queries.queries ++
-      llm.TextOps.queries
+      llm.TextOps.queries ++
+      llm.NearDedup.queries ++
+      llm.VectorOps.queries ++
+      llm.Multimodal.queries ++
+      sources.AvroCodec.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +33,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracleSql ++
       rel.Queries.oracleSql ++
-      llm.TextOps.oracleSql
+      llm.TextOps.oracleSql ++
+      llm.NearDedup.oracleSql ++
+      llm.VectorOps.oracleSql ++
+      llm.Multimodal.oracleSql ++
+      sources.AvroCodec.oracleSql
 }

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.12): media travel as opaque
+  * `binary` columns + typed metadata structs through every relational
+  * operator; decode / feature-extraction runs partition-wise so a real
+  * implementation can batch into a native decoder or accelerator.
+  *
+  * The decode step itself is a clearly-marked DETERMINISTIC STUB (this
+  * container ships no image/audio codecs): it derives fake features from
+  * the payload's md5. Everything around it — schema, encoders, batch
+  * iteration shape, partitioning — is the real production plumbing.
+  *
+  * Scale notes: payload bytes never pass through a shuffle here — the
+  * feature extractor is a narrow `mapPartitions` (no exchange), and
+  * downstream aggregations ship only the small feature vectors. That is
+  * the property that matters when payloads are MBs each at 100 TB total.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Float])
+
+  /** View the documents fixture as a binary media table (text bytes stand
+    * in for image/audio payloads; mime tagged by source).
+    */
+  def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        concat(lit("application/x-demo;source="), col("source")).as("mime"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-wise batched "decode + featurize".
+    *
+    * STUB: a real deployment replaces `decodeBatch` with an image/audio
+    * codec + model call (the batching shape below is what feeds a GPU
+    * efficiently); this container has no codec libs, so features are a
+    * deterministic function of the payload hash.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        decodeBatch(batch)
+      }
+    }
+  }
+
+  /** === STUB decode (see above) — deterministic fake features. === */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+      val feats = Array.tabulate(8)(i => (md(i & 15) & 0xff).toFloat / 255f)
+      MediaFeatures(r.doc_id, r.payload.length.toLong, feats)
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // oracle-checked: the binary-column plumbing itself (byte length +
+    // content hash survive the cast + dump round trip).
+    "mm_meta" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("payload_sha")
+      ).orderBy("doc_id")),
+
+    // rows-only: stubbed feature extraction through the real plumbing.
+    "mm_features" -> ((s, dir) => {
+      val feats = extractFeatures(asMedia(Tables(s, dir).documents))
+      feats.toDF().select("doc_id", "n_bytes", "features").orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  sha256(text) AS payload_sha
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity search (SURVEY.md §2.12) over
+  * `embeddings(vec_id, embedding: array<float>, label)`.
+  *
+  * Two paths, both pure codegen-friendly expressions (`zip_with` +
+  * `aggregate` — no UDFs, no driver-side math):
+  *  - brute-force cosine top-k: exact baseline. The query set is tiny and
+  *    broadcast; the candidate side streams — one pass over the corpus,
+  *    no shuffle of the embedding column beyond the top-k aggregation.
+  *  - LSH-bucketed ANN (random hyperplanes): the 100 TB path. Signatures
+  *    are H sign-bits of fixed random projections; the join is a
+  *    key-shuffle on (probe bucket), touching only colliding buckets.
+  *
+  * Float results are order-sensitive, so these query ids carry no DuckDB
+  * hash oracle (rows-only driver check); exactness is asserted in
+  * `SimilaritySpec` against an independent in-JVM computation.
+  */
+object VectorOps {
+
+  /** Cosine similarity between two array<float> columns, accumulated in
+    * double in array order (deterministic for a given pair).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, z) => acc + z)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: H planes × dim coefficients
+    * in [-1, 1), generated from a fixed-seed JVM RNG at plan time (tiny
+    * literal array — ships with the plan, not the data).
+    */
+  def hyperplanes(h: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(h, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** LSH bucket id: the H sign bits of plane·embedding as a bit-string. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { plane =>
+      val planeCol = array(plane.map(lit): _*)
+      val dot = aggregate(zip_with(emb, planeCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, z) => acc + z)
+      when(dot >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Brute-force exact top-k: broadcast the query set, scan the corpus. */
+  def simTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = broadcast(
+      emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    topkPerQuery(scored, k)
+  }
+
+  /** ANN via multi-table LSH: L independent tables of h sign-bits each;
+    * a pair is a candidate if it collides in ANY table (recall
+    * ≈ 1-(1-p^h)^L), and only candidates are cosine-scored. Per-table
+    * bucket join is a key-shuffle on (table, bucket) — the corpus is
+    * never all-pairs scanned, which is the property that matters at
+    * 100 TB / billions of vectors.
+    */
+  def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, h: Int = 4, tables: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(h * tables, dim)
+    val bucketCols = (0 until tables).map { t =>
+      lshBucket(col("embedding"), planes.slice(t * h, (t + 1) * h))
+    }
+    val withBuckets = emb
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+    val q = broadcast(
+      withBuckets.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("t"), col("bucket")))
+    val c = withBuckets.select(col("vec_id").as("c_id"), col("t"), col("bucket"))
+    // union of per-table collisions, deduped BEFORE the expensive scoring
+    val pairs = q.join(c, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(first(col("q_emb")).as("q_emb"))
+    val scored = pairs
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    topkPerQuery(scored, k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> ((s, dir) =>
+      simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
+    "ann_lsh" -> ((s, dir) =>
+      annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10))
+  )
+
+  /** Float-order-sensitive — no DuckDB hash oracle (rows-only check). */
+  def oracleSql: Map[String, String] = Map.empty
+}

