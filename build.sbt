@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g measured most stable: 8g GC-thrashed under 32 threads, 48g gave
+  // wild pause variance (fresh-page faulting / G1 young-gen ballooning).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput collector: short predictable pauses matter less than
+  // stable run-to-run timings for a batch engine benchmarked per-query.
+  "-XX:+UseParallelGC",
 )

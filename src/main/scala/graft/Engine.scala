@@ -16,7 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Engine {
 
   /** Default core count for local sessions (driver overrides via env). */
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  // 16 measured faster AND far more stable than 32 on this 32-vCPU box
+  // (hypervisor oversubscription: 32-way stages see wild steal-time
+  // variance); the driver can still override via SPARK_GRAFT_CPUS.
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
 
   def session(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
@@ -32,6 +35,17 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Spread a DataFrame across all cores by hash of `key`. The fixture
+    * parquet files are single-row-group (unsplittable), so everything
+    * upstream of the first exchange would otherwise run in ONE task;
+    * CPU-heavy derivations (shingling, hashing, JSON codec) repartition
+    * first. On a real cluster the scan itself supplies the parallelism
+    * and this is a cheap balanced exchange of the same shape.
+    */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
 
   /** Read one of the fixture tables under `dir` (TESTDATA.md).
     *

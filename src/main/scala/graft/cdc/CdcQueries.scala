@@ -63,7 +63,8 @@ object CdcQueries {
     "envelope_parse" -> ((s, dir) => {
       // feed → envelope → JSON wire form → parse → flatten: the full
       // §3.1 serialize/deserialize path; output equals the plain feed.
-      val raw = envelopeOf(F.fromEvents(s, dir)).select(to_json(struct(col("*"))).as("value"))
+      val raw = envelopeOf(graft.Engine.spread(F.fromEvents(s, dir), "scn"))
+        .select(to_json(struct(col("*"))).as("value"))
       Ops
         .envelopeParse(raw, "value", payloadSchema)
         .select(

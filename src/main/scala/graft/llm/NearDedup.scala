@@ -5,145 +5,167 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Near-duplicate detection (SURVEY.md §2.12): MinHash + LSH banding,
-  * word-set Jaccard verification, n-gram (3-word shingle) Jaccard, and
-  * SimHash signatures — all as pure Spark expressions (no UDFs) with
-  * engine-portable hashing (md5 hex strings) so every stage is mirrored
-  * exactly by a DuckDB oracle.
+  * shingle-set Jaccard verification, n-gram Jaccard, and SimHash — all as
+  * pure Spark expressions with engine-portable hashing (md5 hex strings)
+  * so every stage is mirrored exactly by a DuckDB oracle.
   *
-  * Scale design: the classic MinHash-LSH shape —
-  *   doc → distinct tokens → K salted min-hashes → B bands → bucket join
-  * Candidate generation is O(docs × B) rows and the join is a key-shuffle
-  * on (band, band_sig); only bucket-colliding pairs reach the exact
-  * Jaccard verifier, so there is no O(n²) all-pairs stage anywhere.
-  * Min-hash aggregation gets map-side partial aggregation (min is
-  * commutative), so the shuffle carries ≤ |docs|×K rows.
+  * Scale design — per-doc ARRAY representation + higher-order functions:
+  * shingles/signatures live as array columns and minhash/simhash/Jaccard
+  * are `transform`/`array_min`/`aggregate`/`array_intersect` projections,
+  * i.e. NARROW operations: one scan of the corpus, no row-explosion
+  * through a shuffle (the exploded formulation re-ran the scan+shingle
+  * pipeline 6× and shuffled |docs|×K rows; this one shuffles only the
+  * tiny (band_sig → doc_id) pairs). Candidate generation is the classic
+  * LSH shape — bucket by (band, band_sig), emit intra-bucket pairs — so
+  * there is no O(n²) all-pairs stage anywhere; only bucket-colliding
+  * pairs reach the exact Jaccard verifier.
   */
 object NearDedup {
 
   private val K = 8 // minhash functions (salts)
-  private val BANDROWS = 2 // rows per band → B = K/BANDROWS = 4 bands
+  private val B = 4 // bands (K/B = 2 rows per band)
 
-  /** doc_id → distinct words (the token-set view used by minhash+jaccard). */
-  def words(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+  /** doc_id → distinct 3-word shingle array (the unit of near-dup
+    * comparison; shingle sets are far more distinctive than word sets).
+    */
+  def shingleArrays(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    // zip_with over shifted slices, NOT transform+element_at: the latter
+    // inlines the split() into every lambda element (O(words²) re-split
+    // per doc — measured 10× slower). zip_with pads to the LONGER input,
+    // so the null-concat tail is cut by the final slice to size-2.
+    val zipped = zip_with(
+      zip_with(ws, slice(ws, lit(2), size(ws)), (a, b) => concat(a, lit(" "), b)),
+      slice(ws, lit(3), size(ws)),
+      (ab, c) => concat(ab, lit(" "), c))
+    graft.Engine.spread(docs, "doc_id")
+      .filter(size(ws) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(slice(zipped, lit(1), size(ws) - 2)).as("sh"))
+  }
 
-  /** Per-(doc, salt) minhash signature: min over md5(salt ':' word). */
-  def minhash(words: DataFrame): DataFrame =
-    words
-      .withColumn("salt", explode(sequence(lit(0), lit(K - 1))))
-      .groupBy(col("doc_id"), col("salt"))
-      .agg(min(md5(concat(col("salt").cast("string"), lit(":"), col("w")))).as("sig"))
+  /** doc_id → distinct word array (token-set view, used by simhash). */
+  def wordArrays(docs: DataFrame): DataFrame =
+    graft.Engine.spread(docs, "doc_id")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
 
-  /** LSH banding: concat the band's signatures in salt order. */
-  def bands(minhash: DataFrame): DataFrame =
-    minhash
-      .withColumn("band", floor(col("salt") / BANDROWS).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("salt"), col("sig")))),
-            x => x.getField("sig")),
-          ",").as("band_sig"))
+  /** Minhash signature k over an array column: min md5(salt ':' x). */
+  private def sig(arr: Column, salt: Int): Column =
+    array_min(transform(arr, x => md5(concat(lit(s"$salt:"), x))))
 
-  /** Candidate pairs = docs sharing any (band, band_sig) bucket. */
-  def candidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc1"))
-    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc2"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2")
+  /** doc_id, sh, band_0..band_{B-1} — banded LSH signatures, one narrow
+    * projection (bands concatenate their salts' minhashes in salt order,
+    * matching the oracle's `string_agg(sig, ',' ORDER BY salt)`).
+    */
+  def banded(arrs: DataFrame): DataFrame = {
+    val bandCols = (0 until B).map { b =>
+      concat_ws(",", (0 until K / B).map(r => sig(col("sh"), b * (K / B) + r)): _*)
+        .as(s"band_$b")
+    }
+    arrs.select(col("doc_id") +: col("sh") +: bandCols: _*)
+  }
+
+  /** Candidate pairs = docs sharing any (band, band_sig) bucket.
+    * One shuffle on (band, band_sig); pairs come from intra-bucket
+    * combination of the sorted doc list (doc1 < doc2 by construction).
+    */
+  def candidates(banded: DataFrame): DataFrame = {
+    val buckets = banded
+      .select(col("doc_id"),
+        posexplode(array((0 until B).map(b => col(s"band_$b")): _*))
+          .as(Seq("band", "band_sig")))
+      .groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    buckets
+      .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
+      .select(col("doc1"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
       .distinct()
   }
 
-  /** Exact token-set Jaccard for the candidate pairs only. */
-  def jaccard(cand: DataFrame, words: DataFrame): DataFrame = {
-    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
-    val w1 = words.select(col("doc_id").as("doc1"), col("w"))
-    val w2 = words.select(col("doc_id").as("doc2"), col("w"))
-    val common = cand
-      .join(w1, "doc1")
-      .join(w2, Seq("doc2", "w"))
-      .groupBy("doc1", "doc2")
-      .agg(count(lit(1)).as("com"))
-    common
-      .join(sizes.select(col("doc_id").as("doc1"), col("nw").as("n1")), "doc1")
-      .join(sizes.select(col("doc_id").as("doc2"), col("nw").as("n2")), "doc2")
-      .withColumn("jacc", col("com").cast("double") / (col("n1") + col("n2") - col("com")))
-  }
-
-  /** 3-word shingles (n-gram view for shingle-level Jaccard). */
-  def shingles(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(
-        col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("ws")) - 2),
-          i => concat_ws(" ",
-            element_at(col("ws"), i),
-            element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2))))).as("sh"))
-
-  /** Portable 32-bit SimHash from md5(word): per bit position, sum ±1
-    * votes over the document's distinct words; emit as a 32-char '0'/'1'
-    * string (no engine-specific integer bit ops anywhere).
+  /** Exact shingle-set Jaccard for candidate pairs via array_intersect —
+    * two hash-joins against the (small) per-doc array table, then a
+    * narrow intersection; no inverted-index blowup.
     */
-  def simhash(words: DataFrame): DataFrame = {
-    // ±1 vote for bit b of md5(w): hex digit → value via instr, → bit via
-    // floor/pow/% only (integer-division semantics via explicit floor so
-    // Spark and DuckDB agree; DuckDB CASTs double→int by rounding).
-    val vote = expr(
-      """(CAST(floor((instr('0123456789abcdef',
-        |                   substring(md5(w), CAST(floor(b/4) AS INT)+1, 1)) - 1)
-        |             / pow(2, 3 - b % 4)) AS BIGINT) % 2) * 2 - 1""".stripMargin)
-    words
-      .withColumn("b", explode(sequence(lit(0), lit(31))))
-      .withColumn("vote", vote)
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("b"),
-            when(col("v") > 0, "1").otherwise("0").as("bit")))),
-            x => x.getField("bit")),
-          "").as("sim_sig"))
+  def jaccard(pairs: DataFrame, arrs: DataFrame): DataFrame =
+    pairs
+      .join(arrs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(arrs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .select(
+        col("doc1"), col("doc2"),
+        size(col("sh1")).as("n1"),
+        size(col("sh2")).as("n2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("com"))
+      .withColumn("jacc",
+        col("com").cast("double") / (col("n1") + col("n2") - col("com")))
+
+  /** Portable 32-bit SimHash as ONE narrow projection: per doc,
+    * sum ±1 bit-votes of each word's md5 across the word array
+    * (`aggregate` + `zip_with`), then render the sign vector as a
+    * '0'/'1' string. No explode, no shuffle, no engine-specific bit ops
+    * (hex digit → value via ascii arithmetic; bit via floor/pow/%).
+    */
+  def simhash(arrs: DataFrame): DataFrame = {
+    val divs = array(lit(8), lit(4), lit(2), lit(1)) // 2^(3-j) for bit j
+    def votesOf(h: Column): Column =
+      flatten(transform(sequence(lit(0), lit(7)), d => {
+        val a = ascii(h.substr(d.cast("int") + 1, lit(1)))
+        val digit = when(a <= 57, a - 48).otherwise(a - 87) // 0-9 | a-f
+        transform(sequence(lit(0), lit(3)), j =>
+          (floor(digit / element_at(divs, j + 1)).cast("long") % 2) * 2 - 1)
+      }))
+    val votes = aggregate(
+      transform(col("sh"), w => md5(w)),
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, votesOf(h), (x, y) => x + y))
+    arrs.select(
+      col("doc_id"),
+      array_join(transform(votes, v => when(v > 0, "1").otherwise("0")), "")
+        .as("sim_sig"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_near" -> ((s, dir) => {
-      // minhash over 3-word shingles (shingle sets are far more
-      // distinctive than word sets, keeping LSH buckets selective —
-      // candidate count stays ~linear in |docs|, verified at sf0.1).
-      val sh = shingles(Tables(s, dir).documents).withColumnRenamed("sh", "w")
-      jaccard(candidates(bands(minhash(sh))), sh)
+      val arrs = shingleArrays(Tables(s, dir).documents)
+      jaccard(candidates(banded(arrs)), arrs)
         .filter(col("jacc") >= 0.5)
         .select("doc1", "doc2", "n1", "n2", "com", "jacc")
         .orderBy("doc1", "doc2")
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
-      // shingle-level (3-gram) Jaccard over pairs sharing ≥1 shingle —
-      // candidate generation via the shingle inverted index.
-      val sh = shingles(Tables(s, dir).documents)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nw"))
-      val s1 = sh.select(col("doc_id").as("doc1"), col("sh"))
-      val s2 = sh.select(col("doc_id").as("doc2"), col("sh"))
-      val common = s1.join(s2, "sh").filter(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("com"))
+      // full n-gram Jaccard over pairs sharing ≥1 shingle. The common
+      // count comes straight out of the inverted-index self-join as a
+      // counting hash-aggregate (map-side partials, whole-stage codegen)
+      // — no shingle arrays are carried through the ~1M pair rows, which
+      // is what makes this 10× cheaper than per-pair array intersection.
+      val arrs = shingleArrays(Tables(s, dir).documents)
+      val ex = arrs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // hint("shuffle_hash"): Catalyst's size estimate for the exploded
+      // side derives from the compressed parquet footprint and picks a
+      // broadcast build of ~1M rows; a partitioned hash join spreads the
+      // build across all cores instead.
+      val common = ex.select(col("doc_id").as("doc1"), col("shingle"))
+        .join(ex.select(col("doc_id").as("doc2"), col("shingle")).hint("shuffle_hash"), "shingle")
+        .filter(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(count(lit(1)).as("com"))
+      val sizes = arrs.select(col("doc_id"), size(col("sh")).as("nw"))
       common
-        .join(sizes.select(col("doc_id").as("doc1"), col("nw").as("n1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("nw").as("n2")), "doc2")
-        .withColumn("jacc", col("com").cast("double") / (col("n1") + col("n2") - col("com")))
+        .join(broadcast(sizes.select(col("doc_id").as("doc1"), col("nw").as("n1"))), "doc1")
+        .join(broadcast(sizes.select(col("doc_id").as("doc2"), col("nw").as("n2"))), "doc2")
+        .withColumn("jacc",
+          col("com").cast("double") / (col("n1") + col("n2") - col("com")))
         .filter(col("jacc") >= 0.5)
         .select("doc1", "doc2", "com", "jacc")
         .orderBy("doc1", "doc2")
     }),
 
     "dedup_simhash" -> ((s, dir) =>
-      simhash(words(Tables(s, dir).documents)).orderBy("doc_id"))
+      simhash(wordArrays(Tables(s, dir).documents)).orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
