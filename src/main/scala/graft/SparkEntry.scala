@@ -25,7 +25,8 @@ object SparkEntry {
       llm.NearDedup.queries ++
       llm.VectorOps.queries ++
       llm.Multimodal.queries ++
-      sources.AvroCodec.queries
+      sources.AvroCodec.queries ++
+      sources.CsvSpool.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       llm.NearDedup.oracleSql ++
       llm.VectorOps.oracleSql ++
       llm.Multimodal.oracleSql ++
-      sources.AvroCodec.oracleSql
+      sources.AvroCodec.oracleSql ++
+      sources.CsvSpool.oracleSql
 }

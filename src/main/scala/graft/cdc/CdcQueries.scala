@@ -117,6 +117,17 @@ object CdcQueries {
         )
         .orderBy("id")),
 
+    "agg_udaf_latest" -> ((s, dir) =>
+      // typed Aggregator surface (SURVEY §2.11): same semantics as
+      // max_by/arg_max, via the user-defined-aggregate path.
+      F.fromEvents(s, dir)
+        .groupBy(col("id"))
+        .agg(
+          graft.functions.LatestBy.latest_by_scn(col("scn"), col("event_type"))
+            .as("last_type"),
+          count(lit(1)).as("n_events"))
+        .orderBy("id")),
+
     "join_asof" -> ((s, dir) => {
       val t = Tables(s, dir)
       Ops
@@ -170,6 +181,9 @@ object CdcQueries {
     "agg_maxby" ->
       s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type,
          |  arg_max(value, scn) AS last_value, max(scn) AS last_scn, count(*) AS n_events
+         |FROM feed GROUP BY id ORDER BY id""".stripMargin,
+    "agg_udaf_latest" ->
+      s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type, count(*) AS n_events
          |FROM feed GROUP BY id ORDER BY id""".stripMargin,
     "join_asof" ->
       s"""$feedCte SELECT scn, id, ts, o_orderkey, o_orderdate FROM (

@@ -25,12 +25,18 @@ object VectorOps {
   /** Cosine similarity between two array<float> columns, accumulated in
     * double in array order (deterministic for a given pair).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
         lit(0.0), (acc, z) => acc + z)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
+
+  /** Native codegen'd Catalyst expression (bit-identical to
+    * [[cosineHof]]; see graft.functions.CosineSimilarity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
 
   /** Deterministic pseudo-random hyperplanes: H planes × dim coefficients
     * in [-1, 1), generated from a fixed-seed JVM RNG at plan time (tiny
@@ -65,6 +71,7 @@ object VectorOps {
 
   /** Brute-force exact top-k: broadcast the query set, scan the corpus. */
   def simTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
     val q = broadcast(
       emb.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
@@ -82,6 +89,7 @@ object VectorOps {
     * 100 TB / billions of vectors.
     */
   def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, h: Int = 4, tables: Int = 8): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
     val dim = 64
     val planes = hyperplanes(h * tables, dim)
     val bucketCols = (0 until tables).map { t =>
