@@ -106,11 +106,20 @@ object Ops {
 
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` on equal keys — the CDC point-in-time lookup.
-    * Spark has no native as-of join; composed as equi-join (one shuffle,
-    * SMJ/broadcast picked by Catalyst) + `max_by` per left row, which
-    * keeps the map-side-combine property of `applyChanges`.
     *
-    * `leftId` must uniquely identify left rows.
+    * Spark has no native as-of join. The naive composition (range
+    * equi-join + per-left-row aggregation) materializes every
+    * (left, earlier-right) match — O(|left| × versions-per-key)
+    * intermediate rows. This implementation is the scalable union+fold
+    * form instead: tag both sides, union, ONE shuffle on the key, sort
+    * each key by (ts, side, ordering) and carry the last-seen right
+    * payload forward with `last(..., ignoreNulls)` over a running frame.
+    * Right rows sort before left rows at equal ts (inclusive `<=`), and
+    * `rightOrd` breaks ties among same-ts right rows; inner-join
+    * semantics (left rows with no earlier right row are dropped).
+    *
+    * Cost: shuffle+sort of |left|+|right| rows — no match blowup. This is
+    * the plan shape a dedicated merge-scan as-of strategy would produce.
     */
   def asOfJoin(
       left: DataFrame,
@@ -123,30 +132,39 @@ object Ops {
       rightPayload: Seq[String],
       rightOrd: Seq[String] = Seq.empty
   ): DataFrame = {
-    val ord = if (rightOrd.nonEmpty) rightOrd else Seq(rightTs)
-    val l = left.alias("l")
-    val r = right.alias("r")
-    val joined = l.join(
-      r,
-      col(s"l.$leftKey") === col(s"r.$rightKey") && col(s"r.$rightTs") <= col(s"l.$leftTs"),
-      "inner"
-    )
+    import org.apache.spark.sql.expressions.Window
+    val ordCols = (if (rightOrd.nonEmpty) rightOrd else Seq(rightTs))
+      .filterNot(_ == rightTs)
     val leftCols = left.columns.toSeq
-    joined
-      .groupBy(leftId.map(c => col(s"l.$c")): _*)
-      .agg(
-        max_by(
-          struct(
-            leftCols.filterNot(leftId.contains).map(c => col(s"l.$c")) ++
-              rightPayload.map(c => col(s"r.$c")): _*
-          ),
-          struct(ord.map(c => col(s"r.$c")): _*)
-        ).as("__m")
-      )
-      .select(
-        leftId.map(col) ++
-          (leftCols.filterNot(leftId.contains) ++ rightPayload)
-            .map(c => col(s"__m.$c").as(c)): _*
-      )
+    // the whole right payload travels as ONE struct so the window fill
+    // can never mix fields from different right rows (null payload field
+    // safety), and null-struct marks "no right row yet" for the inner
+    // semantics filter.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
+    val lTagged = left.select(
+      col(leftKey).as("__key") +:
+        col(leftTs).as("__ts") +:
+        lit(1).as("__side") +:
+        leftCols.map(col) ++:
+        ordCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__ord_$c")) :+
+        lit(null).cast(rStructType).as("__r"): _*)
+    val rTagged = right.select(
+      col(rightKey).as("__key") +:
+        col(rightTs).cast(left.schema(leftTs).dataType).as("__ts") +:
+        lit(0).as("__side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        ordCols.map(c => col(c).as(s"__ord_$c")) :+
+        struct(rightPayload.map(col): _*).as("__r"): _*)
+    val w = Window
+      .partitionBy(col("__key"))
+      .orderBy((col("__ts").asc +: col("__side").asc +: ordCols.map(c => col(s"__ord_$c").asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lTagged.unionByName(rTagged).select(
+      col("__side") +: leftCols.map(col) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
+    filled
+      .filter(col("__side") === 1 && col("__r").isNotNull)
+      .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

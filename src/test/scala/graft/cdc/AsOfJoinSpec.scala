@@ -1,0 +1,49 @@
+package graft.cdc
+
+import graft.SparkSpec
+
+/** Edge semantics of the union+window-fold as-of join. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def asof(
+      lefts: Seq[(Long, Long, Long)],          // (lid, key, ts)
+      rights: Seq[(Long, Long, Option[String])] // (key, ts, payload v)
+  ) = {
+    val s = spark
+    import s.implicits._
+    val l = lefts.toDF("lid", "k", "t")
+    val r = rights.toDF("k2", "t2", "v")
+    Ops
+      .asOfJoin(l, r, leftKey = "k", rightKey = "k2", leftTs = "t", rightTs = "t2",
+        leftId = Seq("lid"), rightPayload = Seq("t2", "v"))
+      .collect()
+      .map(x => (x.getAs[Long]("lid"), x.getAs[Long]("t2"), Option(x.getAs[String]("v"))))
+      .toSet
+  }
+
+  test("picks the latest right row at-or-before the left timestamp") {
+    val res = asof(
+      lefts = Seq((1L, 7L, 50L), (2L, 7L, 10L), (3L, 7L, 20L)),
+      rights = Seq((7L, 20L, Some("a")), (7L, 40L, Some("b")), (7L, 60L, Some("c"))))
+    // left row at ts=10 has no earlier right row → dropped (inner)
+    assert(res == Set((1L, 40L, Some("b")), (3L, 20L, Some("a"))))
+    // left row exactly at a right ts includes it (<= semantics)
+    assert(res.contains((3L, 20L, Some("a"))))
+  }
+
+  test("null payload FIELDS don't leak values from older right rows") {
+    val res = asof(
+      lefts = Seq((1L, 7L, 100L)),
+      rights = Seq((7L, 10L, Some("old")), (7L, 50L, None)))
+    // latest right row (ts=50) has v=null; the fill must NOT substitute
+    // "old" from the ts=10 row
+    assert(res == Set((1L, 50L, None)))
+  }
+
+  test("keys never seen on the right produce no output") {
+    val res = asof(
+      lefts = Seq((1L, 1L, 100L)),
+      rights = Seq((2L, 10L, Some("x"))))
+    assert(res.isEmpty)
+  }
+}
