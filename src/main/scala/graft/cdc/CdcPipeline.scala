@@ -1,0 +1,44 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** The reference's "query compile" path (SURVEY.md §3.2): deploying the
+  * source connector runs an initial consistent snapshot
+  * (`snapshot.mode=initial`, README.md:822) and then hands off to the
+  * change stream at the snapshot SCN, with progress checkpointed.
+  *
+  * `start` reproduces exactly that lifecycle on Spark primitives:
+  *  1. batch-read the base table, tag `op='r'` at `snapshotScn`, and
+  *     materialize it as the initial current-state table;
+  *  2. start the streaming materialization over the change-event
+  *     directory with a checkpoint — `applyChanges` ordering by scn
+  *     makes the handoff seamless (stream events at scn > snapshot win,
+  *     late replays at scn ≤ snapshot lose — idempotent overlap).
+  */
+object CdcPipeline {
+
+  final case class Handle(initialState: DataFrame, stream: StreamingQuery)
+
+  def start(
+      spark: SparkSession,
+      baseTable: DataFrame,
+      keys: Seq[String],
+      snapshotScn: Long,
+      changeDir: String,
+      feedSchema: StructType,
+      statePath: String,
+      checkpointDir: String
+  ): Handle = {
+    // 1. snapshot phase: consistent batch read → op='r' rows → state.
+    val snap = Ops.snapshot(baseTable, snapshotScn)
+    val feedCols = feedSchema.fieldNames.toSeq
+    snap.select(feedCols.map(col): _*).write.mode("overwrite").parquet(statePath)
+    // 2. stream phase from the change directory; resumes via checkpoint.
+    val feed = spark.readStream.schema(feedSchema).json(changeDir)
+    val q = Stream.materialize(feed, keys, ordering = Seq("scn"), statePath, checkpointDir)
+    Handle(spark.read.parquet(statePath), q)
+  }
+}

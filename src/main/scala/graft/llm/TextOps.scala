@@ -68,6 +68,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "text_quality" -> ((s, dir) => {
+      // composite quality score from exact counts; all double arithmetic
+      // in a fixed order so DuckDB computes bit-identical values.
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val stopRatio = size(filter(words, w => w.isin(stopEn: _*))).cast("double") / nWords
+      val punctRatio =
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") / length(col("text"))
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          stopRatio.as("stop_ratio"),
+          punctRatio.as("punct_ratio"),
+          (least(lit(1.0), nWords / 100.0) * 0.5 + stopRatio * 0.3 +
+            (lit(1.0) - punctRatio) * 0.2).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Tables(s, dir).documents
         .groupBy(col("text"))
@@ -104,6 +123,17 @@ object TextOps {
         |  CASE WHEN s_fr > s_en THEN 'fr' WHEN s_es > s_en THEN 'es'
         |       WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_words,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' ')) AS stop_ratio,
+        |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+        |    + (CAST(len(list_filter(string_split(text,' '),
+        |         w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+        |    AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin

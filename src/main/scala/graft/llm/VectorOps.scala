@@ -114,11 +114,43 @@ object VectorOps {
     topkPerQuery(scored, k)
   }
 
+  /** Embedding-cosine near-dup: ALL-corpus candidate pairs from
+    * multi-table LSH bucket collisions (no query set — the dedup use),
+    * scored with the native cosine expression, kept above `threshold`.
+    * Same no-all-pairs property as the text MinHash pipeline.
+    */
+  def embedNearDup(emb: DataFrame, threshold: Double, h: Int = 6, tables: Int = 4): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
+    val dim = 64
+    val planes = hyperplanes(h * tables, dim)
+    val bucketCols = (0 until tables).map { t =>
+      lshBucket(col("embedding"), planes.slice(t * h, (t + 1) * h))
+    }
+    val withBuckets = emb.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+    val pairs = withBuckets
+      .groupBy("t", "bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(posexplode(col("vs")).as(Seq("i", "v1")), col("vs"))
+      .select(col("v1"), explode(slice(col("vs"), col("i") + 2, size(col("vs")))).as("v2"))
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+      .orderBy("v1", "v2")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, dir) =>
       simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
     "ann_lsh" -> ((s, dir) =>
-      annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10))
+      annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
+    "dedup_embed" -> ((s, dir) =>
+      embedNearDup(Tables(s, dir).embeddings, threshold = 0.6))
   )
 
   /** Float-order-sensitive — no DuckDB hash oracle (rows-only check). */

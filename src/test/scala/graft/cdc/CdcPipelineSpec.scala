@@ -1,0 +1,44 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** §3.2 lifecycle: snapshot → stream handoff with overlap idempotence. */
+class CdcPipelineSpec extends SparkSpec {
+
+  private val feedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("value", DoubleType),
+    StructField("op", StringType),
+    StructField("scn", LongType)))
+
+  test("snapshot state + change stream converge to the full-history fold") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("pipe")
+    val changeDir = dir.resolve("changes"); Files.createDirectories(changeDir)
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "value")
+
+    // change events: update id=1, delete id=2, insert id=4 (scn > 100),
+    // plus a LATE REPLAY of id=3 at scn=50 that must lose to the snapshot
+    val lines = Seq(
+      """{"id":1,"value":11.0,"op":"u","scn":101}""",
+      """{"id":2,"value":20.0,"op":"d","scn":102}""",
+      """{"id":4,"value":40.0,"op":"c","scn":103}""",
+      """{"id":3,"value":999.0,"op":"u","scn":50}""")
+    Files.write(changeDir.resolve("c0.json"), String.join("\n", lines: _*).getBytes)
+
+    val h = CdcPipeline.start(
+      s, base, keys = Seq("id"), snapshotScn = 100L,
+      changeDir = changeDir.toString, feedSchema = feedSchema,
+      statePath = dir.resolve("state").toString,
+      checkpointDir = dir.resolve("chk").toString)
+    assert(h.initialState.count() == 3) // snapshot materialized first
+    h.stream.awaitTermination()
+
+    val state = s.read.parquet(dir.resolve("state").toString)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+    assert(state == Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0))
+  }
+}
