@@ -69,7 +69,7 @@ object Multimodal {
     "mm_meta" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
-        length(col("text").cast("binary")).as("n_bytes"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
         sha2(col("text").cast("binary"), 256).as("payload_sha")
       ).orderBy("doc_id")),
 

@@ -95,9 +95,9 @@ object NearDedup {
       .join(arrs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
       .select(
         col("doc1"), col("doc2"),
-        size(col("sh1")).as("n1"),
-        size(col("sh2")).as("n2"),
-        size(array_intersect(col("sh1"), col("sh2"))).as("com"))
+        size(col("sh1")).cast("long").as("n1"),
+        size(col("sh2")).cast("long").as("n2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("com"))
       .withColumn("jacc",
         col("com").cast("double") / (col("n1") + col("n2") - col("com")))
 

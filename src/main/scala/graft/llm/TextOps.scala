@@ -23,9 +23,9 @@ object TextOps {
         .withColumn("words", split(col("text"), " "))
         .select(
           col("doc_id"),
-          length(col("text")).as("n_chars2"),
-          size(col("words")).as("n_words"),
-          size(array_distinct(col("words"))).as("n_uniq"),
+          length(col("text")).cast("long").as("n_chars2"),
+          size(col("words")).cast("long").as("n_words"),
+          size(array_distinct(col("words"))).cast("long").as("n_uniq"),
           (length(translate(col("text"), " ", "")).cast("double") / size(col("words")))
             .as("avg_word_len"),
           (size(filter(col("words"), w => w.isin(stopEn: _*))).cast("double") /
@@ -35,10 +35,10 @@ object TextOps {
     "token_count" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         // BPE-ish pre-tokenizer: letter runs | digit runs | single punct
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .as("re_tokens")
+          .cast("long").as("re_tokens")
       ).orderBy("doc_id")),
 
     "fingerprint" -> ((s, dir) =>
@@ -55,10 +55,10 @@ object TextOps {
       d.select(
         col("doc_id"),
         col("lang"),
-        score(stopEn).as("s_en"),
-        score(Seq("le", "la", "et", "les")).as("s_fr"),
-        score(Seq("el", "los", "y", "que")).as("s_es"),
-        score(Seq("der", "die", "und", "das")).as("s_de"))
+        score(stopEn).cast("long").as("s_en"),
+        score(Seq("le", "la", "et", "les")).cast("long").as("s_fr"),
+        score(Seq("el", "los", "y", "que")).cast("long").as("s_es"),
+        score(Seq("der", "die", "und", "das")).cast("long").as("s_de"))
         .withColumn("pred",
           when(col("s_fr") > col("s_en"), "fr")
             .when(col("s_es") > col("s_en"), "es")
@@ -79,7 +79,7 @@ object TextOps {
       Tables(s, dir).documents
         .select(
           col("doc_id"),
-          nWords.as("n_words"),
+          nWords.cast("long").as("n_words"),
           stopRatio.as("stop_ratio"),
           punctRatio.as("punct_ratio"),
           (least(lit(1.0), nWords / 100.0) * 0.5 + stopRatio * 0.3 +

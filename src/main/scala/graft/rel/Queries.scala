@@ -241,7 +241,7 @@ object Queries {
     "win_rownum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
       Tables(s, dir).events
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("user_id", "event_id", "event_type", "rn")
         .orderBy("user_id", "rn")
@@ -250,7 +250,7 @@ object Queries {
     "win_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
       Tables(s, dir).customer
-        .withColumn("rk", rank().over(w))
+        .withColumn("rk", rank().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
         .orderBy("c_mktsegment", "rk", "c_custkey")
@@ -333,7 +333,7 @@ object Queries {
         upper(col("p_name")).as("up"),
         lower(col("p_brand")).as("lo"),
         substring(col("p_name"), 1, 4).as("sub4"),
-        length(col("p_name")).as("len"),
+        length(col("p_name")).cast("long").as("len"),
         trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
         lpad(col("p_brand"), 10, "*").as("padded"),
         regexp_replace(col("p_name"), "a", "X").as("rexed")
@@ -342,11 +342,11 @@ object Queries {
     "fn_date" -> ((s, dir) =>
       Tables(s, dir).orders.select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mo"),
-        dayofmonth(col("o_orderdate")).as("dom"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
         date_trunc("month", col("o_orderdate")).as("mon_start"),
-        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp_ntz")).as("days_since"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp_ntz")).cast("long").as("days_since"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms")
       ).orderBy("o_orderkey")),
@@ -384,7 +384,7 @@ object Queries {
         .withColumn("words", split(col("text"), " "))
         .select(
           col("doc_id"),
-          size(col("words")).as("n_words"),
+          size(col("words")).cast("long").as("n_words"),
           element_at(col("words"), 1).as("first_word"),
           array_contains(col("words"), "spark").as("has_spark"),
           array_sort(array_distinct(col("words"))).as("uniq_words"))
@@ -516,9 +516,9 @@ object Queries {
         |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "win_range" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ms,
-        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
         |    ORDER BY epoch_ms(ts)
-        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS win_cents
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "sort_global" ->
       "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY o_totalprice DESC, o_orderkey",
@@ -547,8 +547,8 @@ object Queries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_d,
-        |  CAST(round(l_tax * 100) AS BIGINT) AS tax_pct, floor(l_quantity) AS fl,
-        |  ceil(l_quantity) AS ce, sqrt(l_quantity) AS rt,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS tax_pct, CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ce, sqrt(l_quantity) AS rt,
         |  CAST(l_quantity AS BIGINT) % 7 AS m7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_cond" ->
@@ -573,7 +573,7 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_tumble" ->
       """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }
