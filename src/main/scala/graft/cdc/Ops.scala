@@ -79,6 +79,27 @@ object Ops {
       .filter(col(opCol) =!= "d")
   }
 
+  /** Reference-faithful wire format (FIXTURES.md A1/A2, observed sink
+    * table `.idea/dataSources/d5573bb8-...xml:4132-4209`): every NUMBER
+    * column travels as a STRING (`decimal.handling.mode=string`,
+    * README.md:823 — including the scale-0 PK) and DATE/TIMESTAMP as
+    * epoch-millisecond INT64 (`time.precision.mode=adaptive`,
+    * README.md:824). Applied at the envelope boundary only — the engine
+    * computes on native types (SURVEY.md §1.2).
+    */
+  def toWireFormat(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType if f.name != "scn" =>
+          col(f.name).cast("string").as(f.name)
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_millis(col(f.name)).as(f.name)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_millis(col(f.name).cast("timestamp")).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+
   /** Per-transaction grouping (OLR emits XID on every event,
     * `scripts/OpenLogReplicator.json:26`; commit-boundary messages
     * `message: 2` at `:20`): reassemble per-transaction batches with

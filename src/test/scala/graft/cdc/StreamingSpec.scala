@@ -113,6 +113,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events from tumbling aggregation") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[java.sql.Timestamp]
+    val agg = Stream.tumblingCounts(input.toDF().toDF("ts"), "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumble_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: events up to 03:05 → watermark advances to 02:55
+      input.addData(
+        java.sql.Timestamp.valueOf("2024-01-01 01:30:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 03:05:00"))
+      q.processAllAvailable()
+      // batch 2: an hour-01 straggler INSIDE no-longer-open window (late
+      // beyond watermark → dropped) plus an on-time hour-03 event
+      input.addData(
+        java.sql.Timestamp.valueOf("2024-01-01 01:45:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 03:10:00"))
+      q.processAllAvailable()
+      // batch 3: advance watermark past 03:00 so hour windows 01,03 emit
+      input.addData(java.sql.Timestamp.valueOf("2024-01-01 06:00:00"))
+      q.processAllAvailable()
+      val rows = s.table("tumble_t")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("bucket").toString, r.getAs[Long]("n"))).toMap
+      // hour-01 count stays 1: the late straggler was dropped
+      assert(rows("2024-01-01 01:00:00.0") == 1L, rows.toString)
+      assert(rows("2024-01-01 03:00:00.0") == 2L, rows.toString)
+    } finally q.stop()
+  }
+
+  test("streaming tumbling aggregation matches the batch date_trunc form") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val times = (0 until 50).map(i => new java.sql.Timestamp(1704067200000L + i * 7 * 60000L))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[java.sql.Timestamp]
+    val agg = Stream.tumblingCounts(input.toDF().toDF("ts"), "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumble_p")
+      .outputMode("append").start()
+    try {
+      input.addData(times: _*)
+      q.processAllAvailable()
+      input.addData(new java.sql.Timestamp(1704067200000L + 24L * 3600000L)) // flush
+      q.processAllAvailable()
+      val stream = s.table("tumble_p").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("bucket") -> r.getAs[Long]("n")).toMap
+      val batch = times.toDF("ts")
+        .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("bucket"))
+        .count()
+        .collect().map(r => r.getAs[java.sql.Timestamp]("bucket") -> r.getAs[Long]("count")).toMap
+      assert(batch.forall { case (b, n) => stream.get(b).contains(n) },
+        s"stream=$stream batch=$batch")
+    } finally q.stop()
+  }
+
   test("session windows group by gap") {
     val s = spark
     import s.implicits._
