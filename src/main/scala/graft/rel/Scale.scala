@@ -1,0 +1,54 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques the 100 TB design point requires beyond what AQE
+  * gives for free (SURVEY.md §4, builder prompt "salting for skew,
+  * bucketing for co-located joins").
+  */
+object Scale {
+
+  /** Skew-salted equi-join: fact keys with pathological frequency make
+    * one shuffle partition a straggler in a plain key-shuffle join. The
+    * fact side gets a deterministic salt in [0, salts); the (smaller)
+    * build side is replicated `salts`× with every salt value; the join
+    * key becomes (key, salt), spreading each hot key over `salts`
+    * partitions. Semantically identical to `fact.join(dim, key)` for
+    * unique-keyed `dim` (asserted in SkewSpec).
+    *
+    * AQE's skew-join split handles sort-merge cases adaptively; explicit
+    * salting remains the tool when the skew is known and extreme, or the
+    * join is hash-based.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact
+      .join(replicatedDim, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Register `df` as a bucketed, sorted table: joins/aggregations on the
+    * bucket key between co-bucketed tables need NO exchange (verified at
+    * plan level in BucketingSpec). This is the pre-shuffle-once,
+    * join-many-times pattern for 100 TB fact tables.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

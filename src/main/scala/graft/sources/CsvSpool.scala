@@ -29,8 +29,9 @@ object CsvSpool {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_scan" -> ((s, dir) => {
+      // absolute path: the driver may launch Verify from any CWD
       val spoolDir =
-        s"target/csv_spool_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        s"/root/repo/target/csv_spool_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       spool(Tables(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey"), spoolDir)
       readSpool(s, spoolDir).orderBy("n_nationkey")
     })

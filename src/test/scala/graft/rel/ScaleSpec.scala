@@ -1,0 +1,44 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-technique specs: salting preserves join semantics under skew;
+  * co-bucketed joins run with NO exchange.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join equals plain join on a pathologically skewed fact") {
+    val s = spark
+    import s.implicits._
+    // 90% of fact rows share key 7
+    val fact = (0 until 20000)
+      .map(i => (if (i % 10 < 9) 7L else (i % 100).toLong, i.toLong))
+      .toDF("k", "payload")
+    val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = fact.join(dim, "k")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 20000)
+  }
+
+  test("co-bucketed join plans with no shuffle exchange") {
+    val s = spark
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = graft.Tables(s, sf("sf0.001"))
+      Scale.writeBucketed(
+        t.orders.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", 8)
+      Scale.writeBucketed(
+        t.lineitem.select("l_orderkey", "l_quantity")
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8)
+      val joined = Scale.bucketedJoin(s, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+      assert(joined.count() == t.lineitem.count())
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+}
