@@ -41,13 +41,23 @@ object Scale {
       table: String,
       bucketCol: String,
       buckets: Int
-  ): Unit =
+  ): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the in-memory catalog forgets tables across sessions but their
+    // warehouse directories survive — clear any stale location too
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    org.apache.hadoop.fs.FileSystem
+      .get(loc.toUri, spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)

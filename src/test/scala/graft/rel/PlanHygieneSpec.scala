@@ -1,0 +1,70 @@
+package graft.rel
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene, enforced (SURVEY.md §4): pushdown, pruning,
+  * join strategy selection, top-k specialization, map-side partials and
+  * whole-stage codegen must not silently regress.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+  }
+
+  test("filters push into the parquet scan") {
+    assert(planOf("q1_agg").contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(planOf("filter_eq").contains("EqualTo(o_orderstatus,O)"))
+  }
+
+  test("column pruning reaches the scan (q1 reads 6 of 11 lineitem cols)") {
+    val p = planOf("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      readSchema)
+  }
+
+  test("join strategies: broadcast for dims, sort-merge for fact-fact") {
+    val p = planOf("join_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("SortMergeJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort") {
+    assert(planOf("topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("apply_changes aggregates with map-side partials (partial_max_by)") {
+    assert(planOf("apply_changes").contains("partial_max_by"))
+  }
+
+  test("whole-stage codegen spans the hot path") {
+    val s = spark
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q1_agg", "apply_changes", "join_star", "sim_topk")) {
+        val cg = SparkEntry.queries(q)(s, sf("sf0.001"))
+          .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+        val found = "Found (\\d+) WholeStageCodegen".r
+          .findFirstMatchIn(cg).map(_.group(1).toInt).getOrElse(0)
+        assert(found > 0, s"$q has no codegen subtree")
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("partitioned writes prune partitions on read") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    graft.Tables(s, sf("sf0.001")).events
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = s.read.parquet(dir).filter(col("event_type") === "click")
+    val p = read.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    // only the matching partition directory is scanned
+    val files = read.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(files.nonEmpty && files.forall(_.contains("event_type=click")))
+  }
+}
