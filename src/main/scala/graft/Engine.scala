@@ -56,6 +56,10 @@ object Engine {
     * when it reads the same file (ns → µs), keeping oracle parity.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive: the DRIVER may call entry()/queries with a session it
+    // built itself (without this conf); nanos parquet would throw
+    // PARQUET_TYPE_ILLEGAL. It is a runtime-settable session conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
