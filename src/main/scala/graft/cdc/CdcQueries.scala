@@ -128,6 +128,22 @@ object CdcQueries {
           count(lit(1)).as("n_events"))
         .orderBy("id")),
 
+    "join_asof_native" -> ((s, dir) => {
+      // same semantics as join_asof, through the custom LogicalPlan +
+      // Strategy + merge-scan physical operator (graft.plans).
+      val t = Tables(s, dir)
+      graft.plans.AsOfJoinPlan
+        .asOf(
+          left = F.fromEvents(s, dir).select("scn", "id", "ts"),
+          right = t.orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+          leftKey = "id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          rightPayload = Seq("o_orderkey", "o_orderdate"),
+          rightTieBreak = Seq("o_orderkey"))
+        .select("scn", "id", "ts", "o_orderkey", "o_orderdate")
+        .orderBy("scn")
+    }),
+
     "join_asof" -> ((s, dir) => {
       val t = Tables(s, dir)
       Ops
@@ -185,6 +201,14 @@ object CdcQueries {
     "agg_udaf_latest" ->
       s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type, count(*) AS n_events
          |FROM feed GROUP BY id ORDER BY id""".stripMargin,
+    "join_asof_native" ->
+      s"""$feedCte SELECT scn, id, ts, o_orderkey, o_orderdate FROM (
+         |  SELECT f.scn, f.id, f.ts, o.o_orderkey, o.o_orderdate,
+         |         row_number() OVER (PARTITION BY f.scn
+         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+         |  FROM feed f JOIN orders o
+         |    ON o.o_custkey = f.id AND o.o_orderdate <= f.ts
+         |) WHERE rn = 1 ORDER BY scn""".stripMargin,
     "join_asof" ->
       s"""$feedCte SELECT scn, id, ts, o_orderkey, o_orderdate FROM (
          |  SELECT f.scn, f.id, f.ts, o.o_orderkey, o.o_orderdate,

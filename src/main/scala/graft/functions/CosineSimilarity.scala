@@ -105,9 +105,11 @@ object CosineSimilarity {
   * engine's native functions into any session at build time.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(
       (FunctionIdentifier(CosineSimilarity.functionName),
         new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.functionName),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+  }
 }
