@@ -397,6 +397,22 @@ object Queries {
         sha2(col("text"), 256).as("h_sha256")
       ).orderBy("doc_id")),
 
+    // ---- §2.10 session windows (batch-equivalent form) -------------
+    "stream_session" -> ((s, dir) =>
+      // gap-based sessionization; mirrored in the oracle by
+      // gaps-and-islands SQL (break when the gap is >= 30 min, matching
+      // session_window's exclusive [start, last+gap) end).
+      Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("sess_start"),
+          col("n"), col("cents"))
+        .orderBy("user_id", "sess_start")),
+
     // ---- §2.10 tumbling window (batch-equivalent form) -------------
     "stream_tumble" -> ((s, dir) =>
       Tables(s, dir).events
@@ -571,6 +587,20 @@ object Queries {
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sessioned AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM sessioned GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "stream_tumble" ->
       """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
