@@ -226,6 +226,31 @@ object Queries {
           col("sum_qty"), col("n"))
         .orderBy("rf", "ls")),
 
+    "agg_gsets" -> ((s, dir) => {
+      // explicit GROUPING SETS (beyond rollup/cube): per-status totals,
+      // per-priority totals, and the grand total in one pass.
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderstatus,'ALL') AS st,
+          |       coalesce(o_orderpriority,'ALL') AS pri,
+          |       count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY st, pri""".stripMargin)
+    }),
+
+    "agg_pivot" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
     "agg_collect" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.nation
@@ -238,6 +263,18 @@ object Queries {
     }),
 
     // ---- §2.6 window functions -------------------------------------
+    "win_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir).customer
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     "win_rownum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
       Tables(s, dir).events
@@ -505,6 +542,26 @@ object Queries {
       """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
         |  sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "agg_gsets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st,
+        |       coalesce(o_orderpriority,'ALL') AS pri, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "win_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "agg_collect" ->
       """SELECT r_name, list_sort(list(n_name)) AS nations, count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
