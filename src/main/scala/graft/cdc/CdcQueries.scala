@@ -117,6 +117,12 @@ object CdcQueries {
         )
         .orderBy("id")),
 
+    "apply_scd2" -> ((s, dir) =>
+      Ops
+        .applyChangesScd2(F.fromEvents(s, dir), keys = Seq("id"), scnCol = "scn", opCol = "op")
+        .select("id", "scn", "op", "value", "valid_from", "valid_to", "is_current")
+        .orderBy("id", "scn")),
+
     "agg_udaf_latest" -> ((s, dir) =>
       // typed Aggregator surface (SURVEY §2.11): same semantics as
       // max_by/arg_max, via the user-defined-aggregate path.
@@ -198,6 +204,11 @@ object CdcQueries {
       s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type,
          |  arg_max(value, scn) AS last_value, max(scn) AS last_scn, count(*) AS n_events
          |FROM feed GROUP BY id ORDER BY id""".stripMargin,
+    "apply_scd2" ->
+      s"""$feedCte SELECT id, scn, op, value, scn AS valid_from,
+         |  lead(scn) OVER (PARTITION BY id ORDER BY scn) AS valid_to,
+         |  (lead(scn) OVER (PARTITION BY id ORDER BY scn) IS NULL AND op <> 'd') AS is_current
+         |FROM feed ORDER BY id, scn""".stripMargin,
     "agg_udaf_latest" ->
       s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type, count(*) AS n_events
          |FROM feed GROUP BY id ORDER BY id""".stripMargin,

@@ -79,6 +79,27 @@ object Ops {
       .filter(col(opCol) =!= "d")
   }
 
+  /** Slowly-changing-dimension Type 2 materialization: instead of
+    * keeping only the latest row per key (`applyChanges`), keep EVERY
+    * version with its validity interval — `valid_from` = the event's scn,
+    * `valid_to` = the next event's scn (null while open), `is_current`
+    * for the open non-deleted version. The standard history-table
+    * consumption of a CDC stream; one window over (key, scn), no joins.
+    */
+  def applyChangesScd2(
+      feed: DataFrame,
+      keys: Seq[String],
+      scnCol: String,
+      opCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(scnCol))
+    feed
+      .withColumn("valid_from", col(scnCol))
+      .withColumn("valid_to", lead(col(scnCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull && col(opCol) =!= "d")
+  }
+
   /** Reference-faithful wire format (FIXTURES.md A1/A2, observed sink
     * table `.idea/dataSources/d5573bb8-...xml:4132-4209`): every NUMBER
     * column travels as a STRING (`decimal.handling.mode=string`,
