@@ -104,6 +104,9 @@ object CdcQueries {
         .txnGroup(
           F.fromEvents(s, dir).withColumn("xid", floor(col("scn") / 10).cast("long")),
           xidCol = "xid", scnCol = "scn", opCol = "op")
+        // canonical string at the query boundary — the operator keeps the
+        // typed array; the driver's pandas compare can't sort list cols.
+        .withColumn("ops", array_join(col("ops"), ","))
         .orderBy("xid")),
 
     "agg_maxby" -> ((s, dir) =>
@@ -198,7 +201,8 @@ object CdcQueries {
          |) WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin,
     "txn_group" ->
       s"""$feedCte SELECT CAST(floor(scn/10) AS BIGINT) AS xid, count(*) AS n_events,
-         |  min(scn) AS first_scn, max(scn) AS last_scn, list_sort(list(op)) AS ops
+         |  min(scn) AS first_scn, max(scn) AS last_scn,
+         |  array_to_string(list_sort(list(op)), ',') AS ops
          |FROM feed GROUP BY 1 ORDER BY xid""".stripMargin,
     "agg_maxby" ->
       s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type,

@@ -73,10 +73,19 @@ object Multimodal {
         sha2(col("text").cast("binary"), 256).as("payload_sha")
       ).orderBy("doc_id")),
 
-    // rows-only: stubbed feature extraction through the real plumbing.
+    // Stubbed feature extraction through the real plumbing. The stub is
+    // deterministic (features[i] = md5_byte[i]/255f), so the query projects
+    // the floats back to their md5-hex prefix at the boundary — both a
+    // driver-sortable canonical string (no list column) and a FULL DuckDB
+    // oracle: the float→byte roundtrip + batching plumbing are hash-checked.
     "mm_features" -> ((s, dir) => {
       val feats = extractFeatures(asMedia(Tables(s, dir).documents))
-      feats.toDF().select("doc_id", "n_bytes", "features").orderBy("doc_id")
+      feats.toDF().select(
+        col("doc_id"), col("n_bytes"),
+        lower(concat_ws("",
+          transform(col("features"),
+            f => lpad(hex(round(f * 255).cast("int")), 2, "0")))).as("features_hex"))
+        .orderBy("doc_id")
     })
   )
 
@@ -84,6 +93,10 @@ object Multimodal {
     "mm_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  sha256(text) AS payload_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  substring(md5(text), 1, 16) AS features_hex
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -257,7 +257,9 @@ object Queries {
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          array_sort(collect_list(col("n_name"))).as("nations"),
+          // canonical string at the query boundary: the driver's pandas
+          // compare cannot sort list columns (round-1 verdict item 1)
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
           count(lit(1)).as("n"))
         .orderBy("r_name")
     }),
@@ -424,7 +426,7 @@ object Queries {
           size(col("words")).cast("long").as("n_words"),
           element_at(col("words"), 1).as("first_word"),
           array_contains(col("words"), "spark").as("has_spark"),
-          array_sort(array_distinct(col("words"))).as("uniq_words"))
+          array_join(array_sort(array_distinct(col("words"))), ",").as("uniq_words"))
         .orderBy("doc_id")),
 
     "fn_hash" -> ((s, dir) =>
@@ -563,7 +565,7 @@ object Queries {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "agg_collect" ->
-      """SELECT r_name, list_sort(list(n_name)) AS nations, count(*) AS n
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations, count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "win_rownum" ->
@@ -639,7 +641,7 @@ object Queries {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |  string_split(text, ' ')[1] AS first_word,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
-        |  list_sort(list_distinct(string_split(text, ' '))) AS uniq_words
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS uniq_words
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
