@@ -69,15 +69,22 @@ object NearDedup {
   /** Candidate pairs = docs sharing any (band, band_sig) bucket.
     * One shuffle on (band, band_sig); pairs come from intra-bucket
     * combination of the sorted doc list (doc1 < doc2 by construction).
+    *
+    * `maxBucket` is the skew guard for the 100 TB design point: a bucket
+    * of k docs emits k(k-1)/2 pairs from ONE task, so a single
+    * boilerplate-driven mega-bucket would dominate the whole job.
+    * Oversized buckets are dropped (standard LSH practice — members that
+    * are genuine near-dups still collide in one of the other B-1 bands;
+    * mass-identical docs belong to exact dedup, which is O(n)).
     */
-  def candidates(banded: DataFrame): DataFrame = {
+  def candidates(banded: DataFrame, maxBucket: Int = 10000): DataFrame = {
     val buckets = banded
       .select(col("doc_id"),
         posexplode(array((0 until B).map(b => col(s"band_$b")): _*))
           .as(Seq("band", "band_sig")))
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
     buckets
       .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
       .select(col("doc1"),
@@ -144,12 +151,23 @@ object NearDedup {
       // is what makes this 10× cheaper than per-pair array intersection.
       val arrs = shingleArrays(Tables(s, dir).documents)
       val ex = arrs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // df-cap = the 100× guard: the inverted-index self-join emits
+      // df(s)·(df(s)-1)/2 pairs PER SHINGLE, so one high-document-
+      // frequency shingle (boilerplate, stop-phrases) is quadratic on a
+      // single key. Shingles in more than dfCap docs are dropped before
+      // the join — they carry ~zero Jaccard discrimination anyway (the
+      // oracle SQL mirrors the cap exactly, so the check stays exact).
+      val dfCap = 100
+      val keep = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select("shingle")
+      val exCapped = ex.join(keep.hint("shuffle_hash"), "shingle")
       // hint("shuffle_hash"): Catalyst's size estimate for the exploded
       // side derives from the compressed parquet footprint and picks a
       // broadcast build of ~1M rows; a partitioned hash join spreads the
       // build across all cores instead.
-      val common = ex.select(col("doc_id").as("doc1"), col("shingle"))
-        .join(ex.select(col("doc_id").as("doc2"), col("shingle")).hint("shuffle_hash"), "shingle")
+      val common = exCapped.select(col("doc_id").as("doc1"), col("shingle"))
+        .join(exCapped.select(col("doc_id").as("doc2"), col("shingle")).hint("shuffle_hash"), "shingle")
         .filter(col("doc1") < col("doc2"))
         .groupBy("doc1", "doc2")
         .agg(count(lit(1)).as("com"))
@@ -182,9 +200,12 @@ object NearDedup {
         |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
         |         string_agg(sig, ',' ORDER BY salt) AS band_sig
         |  FROM salted GROUP BY 1, 2),
+        |bucket_ok AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
-        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
         |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
         |common AS (
         |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
@@ -203,9 +224,11 @@ object NearDedup {
         |         string_split(text,' ')[i+2])) AS sh
         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
         |sizes AS (SELECT doc_id, count(*) AS nw FROM sh GROUP BY doc_id),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+        |capped AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
         |common AS (
         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS com
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc1, doc2, com,
         |       CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) AS jacc

@@ -119,7 +119,8 @@ object VectorOps {
     * scored with the native cosine expression, kept above `threshold`.
     * Same no-all-pairs property as the text MinHash pipeline.
     */
-  def embedNearDup(emb: DataFrame, threshold: Double, h: Int = 6, tables: Int = 4): DataFrame = {
+  def embedNearDup(emb: DataFrame, threshold: Double, h: Int = 6, tables: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
     val dim = 64
     val planes = hyperplanes(h * tables, dim)
@@ -128,10 +129,16 @@ object VectorOps {
     }
     val withBuckets = emb.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+    // `maxBucket` is the 100 TB skew guard: one dense cluster (near-dup
+    // corpora have exactly that) would otherwise make a single task hold
+    // a giant id array and emit O(k²) pairs. Oversized buckets are
+    // dropped — standard LSH practice; their members still pair up in
+    // the other `tables - 1` independent tables unless they are dense
+    // EVERYWHERE, i.e. true mass-duplicates better handled by exact dedup.
     val pairs = withBuckets
       .groupBy("t", "bucket")
       .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
-      .filter(size(col("vs")) > 1)
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= maxBucket)
       .select(posexplode(col("vs")).as(Seq("i", "v1")), col("vs"))
       .select(col("v1"), explode(slice(col("vs"), col("i") + 2, size(col("vs")))).as("v2"))
       .distinct()
@@ -149,8 +156,14 @@ object VectorOps {
       simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
     "ann_lsh" -> ((s, dir) =>
       annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
+    // threshold 0.4: the synthetic embeddings are near-orthogonal random
+    // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
+    // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4
+    // there are 59 true pairs at sf0.01 / 920 at sf0.1; even at the LSH
+    // recall this (h=6, L=4) config gives at that cosine (~0.23), the
+    // result is deterministically non-empty with wide margin.
     "dedup_embed" -> ((s, dir) =>
-      embedNearDup(Tables(s, dir).embeddings, threshold = 0.6))
+      embedNearDup(Tables(s, dir).embeddings, threshold = 0.4))
   )
 
   /** Float-order-sensitive — no DuckDB hash oracle (rows-only check). */

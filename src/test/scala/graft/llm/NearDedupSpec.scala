@@ -33,4 +33,46 @@ class NearDedupSpec extends SparkSpec {
 
   private def arrsHasShingles(arrs: org.apache.spark.sql.DataFrame, id: Long): Boolean =
     arrs.filter(col("doc_id") === id).count() == 1
+
+  test("pathological LSH bucket is capped: bounded candidate output") {
+    val s = spark
+    import s.implicits._
+    // 60 identical docs = one mega-bucket in EVERY band (same signature
+    // everywhere), plus 2 distinct near-dup docs that must survive.
+    val boiler = (1L to 60L).map(i => (i, "the same boilerplate text repeated " * 3))
+    val pairDocs = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val arrs = NearDedup.shingleArrays(docs)
+    val capped = NearDedup.candidates(NearDedup.banded(arrs), maxBucket = 10)
+    val pairs = capped.collect().map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")))
+    // the 60-doc bucket would emit 60*59/2 = 1770 pairs; the cap drops it
+    assert(!pairs.exists { case (a, b) => a <= 60 && b <= 60 },
+      "mega-bucket pairs leaked through the cap")
+    // the small genuine bucket is untouched
+    assert(pairs.contains((1001L, 1002L)), "capped run lost the genuine near-dup pair")
+    // and with the cap above the bucket size, the mega-bucket pairs appear
+    val uncapped = NearDedup.candidates(NearDedup.banded(arrs), maxBucket = 100)
+    assert(uncapped.count() >= 1770L)
+  }
+
+  test("embedding LSH bucket cap bounds output, keeps near-dup pair") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    // 40 identical vectors (one mega-bucket in every table) + one close
+    // pair elsewhere in space.
+    val v0 = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val base = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val near = base.map(x => x + rng.nextFloat() * 0.01f)
+    val rows = (1L to 40L).map(i => (i, v0.clone())) ++ Seq((101L, base), (102L, near))
+    val emb = rows.toDF("vec_id", "embedding")
+    val capped = VectorOps.embedNearDup(emb, threshold = 0.9, maxBucket = 10)
+    val got = capped.collect().map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    assert(!got.exists { case (a, b) => a <= 40 && b <= 40 })
+    assert(got.contains((101L, 102L)), "cap dropped the genuine embedding near-dup")
+    val uncapped = VectorOps.embedNearDup(emb, threshold = 0.9, maxBucket = 100)
+    assert(uncapped.count() >= (40L * 39 / 2))
+  }
 }
