@@ -33,16 +33,22 @@ object Bench {
         // inside whichever later query triggers it (measured 10x outliers).
         System.gc()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        // a failed run must NOT contribute its (near-zero) elapsed time —
+        // that would make a crashing query look fast instead of broken
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.min
+      val good = times.filterNot(_.isNaN)
+      name -> (if (good.nonEmpty) good.min else Double.NaN)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val failed = results.count(_._2.isNaN)
+    val total = results.map(_._2).filterNot(_.isNaN).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,10 +32,12 @@ object CdcPipeline {
       statePath: String,
       checkpointDir: String
   ): Handle = {
-    // 1. snapshot phase: consistent batch read → op='r' rows → state.
+    // 1. snapshot phase: consistent batch read → op='r' rows → state,
+    //    written directly in materialize's bucketed layout so the stream
+    //    phase starts incremental (no flat-state migration batch).
     val snap = Ops.snapshot(baseTable, snapshotScn)
     val feedCols = feedSchema.fieldNames.toSeq
-    snap.select(feedCols.map(col): _*).write.mode("overwrite").parquet(statePath)
+    Stream.writeState(snap.select(feedCols.map(col): _*), statePath, keys)
     // 2. stream phase from the change directory; resumes via checkpoint.
     val feed = spark.readStream.schema(feedSchema).json(changeDir)
     val q = Stream.materialize(feed, keys, ordering = Seq("scn"), statePath, checkpointDir)

@@ -69,7 +69,11 @@ object Ops {
       opCol: String = "op",
       payload: Seq[String] = Seq.empty
   ): DataFrame = {
-    val carry = if (payload.nonEmpty) payload else feed.columns.toSeq.diff(keys)
+    val requested = if (payload.nonEmpty) payload else feed.columns.toSeq.diff(keys)
+    // opCol is always carried INTERNALLY (the delete filter below needs
+    // it) and dropped from the output when the caller's payload omitted
+    // it — a payload without `op` used to fail at analysis.
+    val carry = if (requested.contains(opCol)) requested else requested :+ opCol
     val ordKey = struct(ordering.map(col): _*)
     val latest = feed
       .groupBy(keys.map(col): _*)
@@ -77,6 +81,7 @@ object Ops {
     latest
       .select(keys.map(col) ++ carry.map(f => col(s"__latest.$f").as(f)): _*)
       .filter(col(opCol) =!= "d")
+      .select(keys.map(col) ++ requested.map(col): _*)
   }
 
   /** Slowly-changing-dimension Type 2 materialization: instead of

@@ -39,6 +39,40 @@ object Stream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Hive-style key-hash partition column of the materialized state.
+    * Readers doing `spark.read.parquet(statePath)` see it as a normal
+    * partition column (and get partition pruning on key-hash for free).
+    */
+  val BucketCol = "state_bucket"
+
+  private def bucketDir(root: org.apache.hadoop.fs.Path, n: Any) =
+    new org.apache.hadoop.fs.Path(root, s"$BucketCol=$n")
+
+  /** Crash repair for the per-bucket swap below: finish or roll back any
+    * interrupted rename pair so a valid state always exists before the
+    * (re-run) batch reads it. `.`-prefixed names are invisible to Spark
+    * readers, so no torn state is ever observable.
+    */
+  private def repair(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(root)) return
+    fs.delete(new org.apache.hadoop.fs.Path(root, ".delta_tmp"), true)
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".old_")).foreach { st =>
+      val dst = bucketDir(root, st.getPath.getName.stripPrefix(".old_"))
+      if (!fs.exists(dst)) fs.rename(st.getPath, dst) // crashed mid-swap: roll back
+      else fs.delete(st.getPath, true)                // crashed post-swap: drop leftover
+    }
+  }
+
+  /** Write a full state table in the bucketed layout `materialize`
+    * maintains incrementally (bootstrap/snapshot path).
+    */
+  def writeState(df: DataFrame, statePath: String, keys: Seq[String],
+      stateBuckets: Int = 16): Unit =
+    df.withColumn(BucketCol,
+        pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(statePath)
+
   /** Continuously materialize a change-event stream into a current-state
     * parquet table at `statePath`, exactly-once via `checkpointDir`
     * (reference's checkpoint/resume, the `olr-checkpoint` JSON files).
@@ -46,6 +80,21 @@ object Stream {
     * Each micro-batch folds `applyChanges(previousState ∪ batch)`:
     * idempotent under redelivery (at-least-once file source + last-write-
     * wins by scn), so restart-from-checkpoint is exactly-once end to end.
+    *
+    * Scale design — per-batch cost is O(|delta state|), NOT O(|state|):
+    * state is laid out in `stateBuckets` key-hash partitions
+    * (`state_bucket=N/`) and a batch reads and rewrites ONLY the buckets
+    * containing its delta keys; untouched buckets' files are never
+    * opened. (A cluster deployment swaps this for MERGE into a
+    * transactional table format; the dataflow per bucket is identical.)
+    * Crash safety: each bucket swap is rename(dst→.old_N) +
+    * rename(tmp→dst) + delete(.old_N), repaired idempotently at batch
+    * start — combined with applyChanges' last-write-wins idempotence
+    * under redelivery, a crash at ANY point re-runs to the same state.
+    * A flat (unbucketed) bootstrap state is migrated in one O(|state|)
+    * rewrite on the first batch. Absent state = directory absence,
+    * checked explicitly — any OTHER read error fails the batch loudly
+    * instead of silently resetting state.
     */
   def materialize(
       feed: DataFrame,
@@ -53,31 +102,57 @@ object Stream {
       ordering: Seq[String],
       statePath: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      stateBuckets: Int = 16
   ): StreamingQuery = {
     val cols = feed.columns.toSeq
+    require(!cols.contains(BucketCol), s"feed must not have a '$BucketCol' column")
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val prev =
-          try Some(spark.read.parquet(statePath).select(cols.map(col): _*))
-          catch { case _: Throwable => None }
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        repair(fs, root)
+        val bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int")
+        val delta = batch.select(cols.map(col): _*)
+        // flat legacy/bootstrap layout (top-level parquet files) → fold the
+        // whole state once and emerge bucketed; steady state touches only
+        // the delta's buckets. The collect is ≤ stateBuckets ints — bounded
+        // by configuration, not data.
+        val flat = fs.exists(root) &&
+          fs.listStatus(root).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val affected: Seq[Int] =
+          if (flat) 0 until stateBuckets
+          else delta.select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSeq
+        val existing = affected.filter(n => fs.exists(bucketDir(root, n)))
         // previous state rows are already latest-per-key; union keeps
         // their (scn, op) so ordering vs the new delta stays correct.
-        val all = prev.fold(batch.select(cols.map(col): _*))(p =>
-          p.unionByName(batch.select(cols.map(col): _*)))
+        val prev: Option[DataFrame] =
+          if (flat) Some(spark.read.parquet(statePath).select(cols.map(col): _*))
+          else if (existing.nonEmpty)
+            Some(spark.read
+              .parquet(existing.map(n => bucketDir(root, n).toString): _*)
+              .select(cols.map(col): _*))
+          else None
+        val all = prev.fold(delta)(_.unionByName(delta))
         val next = Ops.applyChanges(all, keys, ordering)
-        // write-then-swap: parquet has no transactional MERGE; write to a
-        // temp dir and atomically rename so readers never see a torn state.
-        val tmp = statePath + "__tmp"
-        next.select(cols.map(col): _*).write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(statePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+          .withColumn(BucketCol, bucketExpr)
+          .filter(col(BucketCol).isin(affected: _*))
+        val tmpRoot = new org.apache.hadoop.fs.Path(root, ".delta_tmp")
+        next.write.mode("overwrite").partitionBy(BucketCol).parquet(tmpRoot.toString)
+        affected.foreach { n =>
+          val src = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$n")
+          val dst = bucketDir(root, n)
+          val old = new org.apache.hadoop.fs.Path(root, s".old_$n")
+          if (fs.exists(dst)) fs.rename(dst, old)
+          if (fs.exists(src)) fs.rename(src, dst) // absent src = bucket fully deleted
+          if (fs.exists(old)) fs.delete(old, true)
+        }
+        if (flat) // migration done: clear the old flat files
+          fs.listStatus(root).filter(_.isFile).foreach(st => fs.delete(st.getPath, false))
+        fs.delete(tmpRoot, true)
         ()
       }
       .start()

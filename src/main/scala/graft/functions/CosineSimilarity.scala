@@ -35,6 +35,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch (below), independent of child nullability
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override protected def withNewChildrenInternal(
@@ -44,16 +47,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val u = x.getFloat(i).toDouble
-      val v = y.getFloat(i).toDouble
-      dot += u * v; nx += u * u; ny += v * v
-      i += 1
+    // mismatched lengths → null, matching the zip_with/aggregate HOF
+    // formulation (its null-padded tail poisons the sum to null)
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val u = x.getFloat(i).toDouble
+        val v = y.getFloat(i).toDouble
+        dot += u * v; nx += u * u; ny += v * v
+        i += 1
+      }
+      dot / math.sqrt(nx) / math.sqrt(ny)
     }
-    dot / math.sqrt(nx) / math.sqrt(ny)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,14 +74,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val u = ctx.freshName("u")
       val v = ctx.freshName("v")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $u = (double) $a.getFloat($i);
-         |  double $v = (double) $b.getFloat($i);
-         |  $dot += $u * $v; $nx += $u * $u; $ny += $v * $v;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $u = (double) $a.getFloat($i);
+         |    double $v = (double) $b.getFloat($i);
+         |    $dot += $u * $v; $nx += $u * $u; $ny += $v * $v;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny);
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny);
        """.stripMargin
     })
 }

@@ -22,8 +22,14 @@ object Scale {
     * join is hash-based.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    // salt derived from ROW CONTENT, never monotonically_increasing_id():
+    // a nondeterministic salt re-assigns rows to different shuffle
+    // partitions on task retry after a fetch failure — the SPARK-23207
+    // class of silent duplicate/loss hazard on a real cluster. Fully
+    // identical rows share a salt (acceptable: hot KEYS almost always
+    // differ in their other fact columns).
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact

@@ -90,6 +90,47 @@ class StreamingSpec extends SparkSpec {
     assert(readState(state.resolve("t").toString) == batchState(events))
   }
 
+  test("incremental materialize: untouched buckets' files are byte-identical") {
+    val s = spark
+    import s.implicits._
+    val (in, state, chk) = (tmp("in3"), tmp("state3"), tmp("chk3"))
+    val statePath = state.resolve("t").toString
+    // batch 1: 60 keys spread across the 16 key-hash buckets
+    val first = (0 until 60).map(i => Ev(i.toLong, i.toLong, "c", i / 10.0))
+    writeBatchJson(in, first, "a-0.json")
+    val q1 = startMaterialize(in, state, chk)
+    q1.awaitTermination()
+    assert(readState(statePath) == batchState(first))
+    def bucketFiles(): Map[String, Map[String, String]] = {
+      val root = new java.io.File(statePath)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("state_bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.isFile).map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            f.getName -> md.map("%02x".format(_)).mkString
+          }.toMap
+        }.toMap
+    }
+    val before = bucketFiles()
+    // batch 2: delta touches exactly one key → one bucket
+    val deltaKey = 7L
+    val touched = Seq(Ev(1000L, deltaKey, "u", 99.9))
+    writeBatchJson(in, touched, "b-0.json")
+    val q2 = startMaterialize(in, state, chk)
+    q2.awaitTermination()
+    assert(readState(statePath) == batchState(first ++ touched))
+    val after = bucketFiles()
+    val hot = s.range(1).select(
+      pmod(xxhash64(lit(deltaKey)), lit(16)).cast("int")).as[Int].head()
+    val hotDir = s"state_bucket=$hot"
+    assert(after(hotDir) != before(hotDir), "delta bucket was not rewritten")
+    before.keys.filterNot(_ == hotDir).foreach { d =>
+      assert(after(d) == before(d), s"untouched bucket $d was rewritten")
+    }
+    assert(before.keys.filterNot(_ == hotDir).nonEmpty)
+  }
+
   test("watermarked streaming dedup drops redelivered keys across batches") {
     val s = spark
     import s.implicits._

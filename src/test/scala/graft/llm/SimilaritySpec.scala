@@ -65,6 +65,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.3, s"mean recall $mean too low: $recalls")
   }
 
+  test("native cosine returns null on mismatched lengths, like the HOF form") {
+    val s = spark
+    import s.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.cosine(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("native"),
+      VectorOps.cosineHof(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("hof")).collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == rows(0).getDouble(1))
+    assert(rows(1).isNullAt(0), "native must be null on length mismatch")
+    assert(rows(1).isNullAt(1), "HOF reference must be null on length mismatch")
+  }
+
   test("stubbed multimodal feature extraction is deterministic and schema-stable") {
     val media = Multimodal.asMedia(Tables(spark, sf("sf0.001")).documents)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
