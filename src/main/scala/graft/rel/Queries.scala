@@ -27,6 +27,29 @@ object Queries {
   private def dec(c: String): org.apache.spark.sql.Column =
     col(c).cast(DecimalType(18, 2))
 
+  /** Register fixture tables as temp views and run dialect-portable SQL
+    * through Spark's own parser/analyzer — the identical text serves as
+    * the DuckDB oracle, so what's under test is Catalyst's subquery
+    * decorrelation, not a hand-built join equivalent.
+    */
+  private def sqlBoth(s: SparkSession, dir: String, sql: String): DataFrame = {
+    val t = Tables(s, dir)
+    Seq("customer", "orders", "supplier").foreach(n => t(n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  private val subqScalarSql =
+    """SELECT c_custkey, c_acctbal,
+      |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT count(*) FROM orders) AS total_orders
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
+  private val subqInSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      |  AND c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.3 projections / filters --------------------------------
@@ -436,6 +459,31 @@ object Queries {
         sha2(col("text"), 256).as("h_sha256")
       ).orderBy("doc_id")),
 
+    // ---- §1.2 interval wire types ----------------------------------
+    // the reference configures interval-dts/interval-ytm columns
+    // (scripts/OpenLogReplicator.json:18-19); SURVEY §1.2 maps them to
+    // DayTimeIntervalType / YearMonthIntervalType. Arithmetic through
+    // both typed intervals, results projected to timestamp/long for the
+    // DuckDB compare.
+    "fn_interval" -> ((s, dir) =>
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        (col("o_orderdate") + make_ym_interval(lit(1), lit(2))).as("plus_1y2m"),
+        (col("o_orderdate") - make_ym_interval(lit(0), lit(3))).as("minus_3m"),
+        (col("o_orderdate") + make_dt_interval(lit(10), lit(5), lit(30), lit(1.5)))
+          .as("plus_dt"),
+        datediff(col("o_orderdate") + make_ym_interval(lit(1), lit(0)), col("o_orderdate"))
+          .cast("long").as("days_plus_1y")
+      ).orderBy("o_orderkey")),
+
+    // ---- §2.3 subqueries (Catalyst decorrelation) ------------------
+    // dialect-portable SQL: the EXACT oracle text runs through
+    // spark.sql() too, so the engine surface being checked is Spark's
+    // analyzer + decorrelation rules (correlated scalar → left outer
+    // aggregate join; IN/NOT IN → semi/anti join).
+    "subq_scalar" -> ((s, dir) => sqlBoth(s, dir, subqScalarSql)),
+    "subq_in" -> ((s, dir) => sqlBoth(s, dir, subqInSql)),
+
     // ---- §2.10 session windows (batch-equivalent form) -------------
     "stream_session" -> ((s, dir) =>
       // gap-based sessionization; mirrored in the oracle by
@@ -646,6 +694,15 @@ object Queries {
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL '1 year 2 months' AS plus_1y2m,
+        |  o_orderdate - INTERVAL '3 months' AS minus_3m,
+        |  o_orderdate + INTERVAL '10 days 5 hours 30 minutes 1.5 seconds' AS plus_dt,
+        |  date_diff('day', o_orderdate, o_orderdate + INTERVAL '1 year') AS days_plus_1y
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "subq_scalar" -> subqScalarSql,
+    "subq_in" -> subqInSql,
     "stream_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
