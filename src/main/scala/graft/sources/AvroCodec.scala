@@ -14,9 +14,9 @@ import graft.Tables
   * codec drives avro-core's GenericRecord binary coders partition-wise —
   * writer/reader instantiated once per partition, streaming rows through
   * a single reused binary encoder, which is the per-record cost profile
-  * of the reference's converter. Schema travels as its JSON string (the
-  * in-engine stand-in for a registry id); no Confluent 5-byte frame
-  * (documented delta, SURVEY.md §7.5).
+  * of the reference's converter. Messages carry the Confluent 5-byte
+  * frame (magic + big-endian schema id, [[SchemaFrame]]) resolved
+  * against the [[SchemaRegistry]] stand-in on decode.
   */
 object AvroCodec {
 
@@ -54,17 +54,56 @@ object AvroCodec {
     }
   }
 
+  /** Confluent-consumer read path: each framed message resolves its
+    * WRITER schema from the frame's id against the (broadcast) registry
+    * snapshot and is decoded with reader schema `readerJson` — Avro
+    * schema resolution bridges writer versions, so a stream carrying
+    * mixed schema versions decodes in one pass. Readers are cached per
+    * writer id within the partition (the per-record cost profile of the
+    * reference's converter).
+    */
+  def decodeFramedNation(
+      blobs: Iterator[Array[Byte]],
+      schemasById: Map[Int, String],
+      readerJson: String): Iterator[(Int, String, Int)] = {
+    val readerSchema = new Schema.Parser().parse(readerJson)
+    val readers = collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+    blobs.map { framed =>
+      val (id, payload) = SchemaFrame.unframe(framed)
+      val reader = readers.getOrElseUpdate(id, {
+        val writerJson = schemasById.getOrElse(id,
+          throw new IllegalStateException(s"unknown schema id $id"))
+        new GenericDatumReader[GenericRecord](
+          new Schema.Parser().parse(writerJson), readerSchema)
+      })
+      val dec = DecoderFactory.get().binaryDecoder(payload, null)
+      val rec = reader.read(null, dec)
+      (rec.get("n_nationkey").asInstanceOf[Int],
+        rec.get("n_name").toString,
+        rec.get("n_regionkey").asInstanceOf[Int])
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // serialize → binary wire form → deserialize; output equals the input
-    // table, proving lossless transport (the §3.1 stage-6 path).
+    // serialize → Confluent-framed binary wire form (magic + schema id +
+    // avro body, resolved against the registry) → deserialize; output
+    // equals the input table, proving lossless transport (the full §3.1
+    // stage-6 path including README.md:813-816's registry framing).
     "avro_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val schemaJson = nationSchemaJson
+      val reg = SchemaRegistry.open(
+        java.nio.file.Files.createTempDirectory("graft_registry").toString)
+      val schemaId = reg.register("nation-value", schemaJson)
+      // executors resolve writer schemas from a broadcast registry
+      // snapshot — the cluster-shaped read path (no driver round-trips)
+      val byId = s.sparkContext.broadcast(reg.schemasById)
       Tables(s, dir).nation
         .select("n_nationkey", "n_name", "n_regionkey")
         .as[(Int, String, Int)]
-        .mapPartitions(rows => encodeNation(rows, schemaJson))
-        .mapPartitions(blobs => decodeNation(blobs, schemaJson))
+        .mapPartitions(rows =>
+          encodeNation(rows, schemaJson).map(b => SchemaFrame.frame(schemaId, b)))
+        .mapPartitions(blobs => decodeFramedNation(blobs, byId.value, schemaJson))
         .toDF("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     })

@@ -1,0 +1,106 @@
+package graft.sources
+
+/** Schema-registry stand-in + schema history log (SURVEY.md §2.1 "Avro
+  * encode/decode + registry"; reference `README.md:813-817` — Confluent
+  * Schema Registry service at `docker-compose-main.yml:97-119` and the
+  * `schema.history.internal.kafka.topic` DDL history).
+  *
+  * Storage is an APPEND-ONLY directory of schema files, one per
+  * registered version, named `"%05d_<subject>.avsc".format(id)` with the
+  * raw Avro schema JSON as content. That single structure is both:
+  *  - the registry: id → schema resolution for framed messages
+  *    ([[SchemaFrame]]), subject → latest for producers;
+  *  - the schema HISTORY log: an ordered, replayable record of every
+  *    schema version ever registered (the Kafka-topic analog) — replay =
+  *    fold the files in id order, asserted in RegistrySpec.
+  *
+  * Registration is idempotent (re-registering a subject's existing
+  * schema returns its id — Confluent semantics). Single-writer by
+  * design, like the reference's one-connector-owns-the-topic layout; a
+  * cluster deployment swaps this for the actual registry service behind
+  * the same four methods.
+  */
+final class SchemaRegistry private (dir: java.nio.file.Path) {
+
+  import scala.jdk.CollectionConverters._
+
+  /** (id, subject, version, schemaJson) in registration order. */
+  private var entries: Vector[(Int, String, Int, String)] = replay()
+
+  private def replay(): Vector[(Int, String, Int, String)] = {
+    val files =
+      if (java.nio.file.Files.isDirectory(dir))
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.matches("\\d{5}_.*\\.avsc"))
+          .toVector.sortBy(_.getFileName.toString)
+      else Vector.empty
+    val versions = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    files.map { p =>
+      val name = p.getFileName.toString.stripSuffix(".avsc")
+      val id = name.take(5).toInt
+      val subject = name.drop(6)
+      versions(subject) += 1
+      (id, subject, versions(subject), new String(
+        java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Register (idempotently) and return the schema id. */
+  def register(subject: String, schemaJson: String): Int = synchronized {
+    require(subject.matches("[A-Za-z0-9._-]+"), s"unsafe subject name: $subject")
+    entries.find(e => e._2 == subject && e._4 == schemaJson) match {
+      case Some((id, _, _, _)) => id
+      case None =>
+        val id = entries.map(_._1).maxOption.getOrElse(0) + 1
+        val version = entries.count(_._2 == subject) + 1
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(
+          dir.resolve(f"$id%05d_$subject.avsc"),
+          schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        entries = entries :+ ((id, subject, version, schemaJson))
+        id
+    }
+  }
+
+  def byId(id: Int): Option[String] = entries.find(_._1 == id).map(_._4)
+
+  def latest(subject: String): Option[(Int, String)] =
+    entries.filter(_._2 == subject).lastOption.map(e => (e._1, e._4))
+
+  /** Full history of a subject, oldest first: (id, version, schema). */
+  def history(subject: String): Seq[(Int, Int, String)] =
+    entries.filter(_._2 == subject).map(e => (e._1, e._3, e._4))
+
+  /** Immutable id → schema snapshot, broadcast-friendly for executors. */
+  def schemasById: Map[Int, String] = entries.map(e => e._1 -> e._4).toMap
+}
+
+object SchemaRegistry {
+  def open(dir: String): SchemaRegistry =
+    new SchemaRegistry(java.nio.file.Paths.get(dir))
+}
+
+/** Confluent Avro wire framing (reference `README.md:813-816`): one
+  * magic byte 0x00, then the schema id as a 4-byte big-endian int, then
+  * the Avro binary payload. Layout asserted byte-for-byte in
+  * RegistrySpec.
+  */
+object SchemaFrame {
+
+  val Magic: Byte = 0x00
+
+  def frame(schemaId: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(5 + payload.length)
+    bb.put(Magic).putInt(schemaId).put(payload)
+    bb.array()
+  }
+
+  def unframe(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes.length >= 5, s"frame too short: ${bytes.length} bytes")
+    require(bytes(0) == Magic, f"bad magic byte 0x${bytes(0)}%02x")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 1, 4)
+    val id = bb.getInt
+    (id, java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Schema registry / history-log / Confluent-frame contract:
+  * frame layout is byte-exact, registration is idempotent and versioned,
+  * the on-disk log replays to identical state, and a mixed-version
+  * framed stream decodes through per-record writer-schema resolution.
+  */
+class RegistrySpec extends SparkSpec {
+
+  private val v1 = AvroCodec.nationSchemaJson
+  // evolution: added field with default — backward-compatible
+  private val v2 =
+    """{"type":"record","name":"nation","fields":[
+      |{"name":"n_nationkey","type":"int"},
+      |{"name":"n_name","type":"string"},
+      |{"name":"n_regionkey","type":"int"},
+      |{"name":"n_comment","type":"string","default":""}]}""".stripMargin
+
+  test("confluent frame layout: magic 0x00 + 4-byte big-endian id + payload") {
+    val payload = Array[Byte](7, 8, 9)
+    val framed = SchemaFrame.frame(0x01020304, payload)
+    assert(framed.length == 8)
+    assert(framed(0) == 0x00)
+    assert(framed.slice(1, 5).toSeq == Seq[Byte](0x01, 0x02, 0x03, 0x04)) // big-endian
+    assert(framed.slice(5, 8).toSeq == payload.toSeq)
+    val (id, body) = SchemaFrame.unframe(framed)
+    assert(id == 0x01020304 && body.toSeq == payload.toSeq)
+    intercept[IllegalArgumentException](SchemaFrame.unframe(Array[Byte](1, 0, 0, 0, 5)))
+    intercept[IllegalArgumentException](SchemaFrame.unframe(Array[Byte](0, 0)))
+  }
+
+  test("registration is idempotent, versions increment, history log replays") {
+    val dir = Files.createTempDirectory("reg").toString
+    val reg = SchemaRegistry.open(dir)
+    val id1 = reg.register("nation-value", v1)
+    val id2 = reg.register("nation-value", v2)
+    val idOther = reg.register("orders-value", """{"type":"record","name":"o","fields":[]}""")
+    assert(reg.register("nation-value", v1) == id1, "re-registration must return the same id")
+    assert(id1 != id2 && id2 != idOther)
+    assert(reg.history("nation-value").map(e => (e._1, e._2)) == Seq((id1, 1), (id2, 2)))
+    assert(reg.latest("nation-value").map(_._1).contains(id2))
+    // replay: a fresh instance over the same directory folds the
+    // append-only log back to identical state (the DDL-history analog)
+    val replayed = SchemaRegistry.open(dir)
+    assert(replayed.schemasById == reg.schemasById)
+    assert(replayed.history("nation-value") == reg.history("nation-value"))
+    assert(replayed.register("nation-value", v2) == id2)
+  }
+
+  test("mixed-version framed stream decodes via per-record writer resolution") {
+    val dir = Files.createTempDirectory("reg2").toString
+    val reg = SchemaRegistry.open(dir)
+    val id1 = reg.register("nation-value", v1)
+    val id2 = reg.register("nation-value", v2)
+    // one record written with v1, one with v2 (extra field on the wire)
+    val b1 = AvroCodec.encodeNation(Iterator((1, "FRANCE", 3)), v1).next()
+    val b2 = {
+      val schema = new org.apache.avro.Schema.Parser().parse(v2)
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("n_nationkey", 2); rec.put("n_name", "KENYA")
+      rec.put("n_regionkey", 0); rec.put("n_comment", "extra")
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema)
+        .write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val framed = Iterator(SchemaFrame.frame(id1, b1), SchemaFrame.frame(id2, b2))
+    // reader schema = v1: the v2 record's added field is dropped by Avro
+    // schema resolution — exactly the Confluent consumer behavior
+    val decoded = AvroCodec.decodeFramedNation(framed, reg.schemasById, v1).toList
+    assert(decoded == List((1, "FRANCE", 3), (2, "KENYA", 0)))
+    // unknown id fails loudly, not silently
+    val bad = Iterator(SchemaFrame.frame(999, b1))
+    intercept[IllegalStateException](
+      AvroCodec.decodeFramedNation(bad, reg.schemasById, v1).toList)
+  }
+}
