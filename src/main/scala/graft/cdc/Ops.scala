@@ -74,14 +74,28 @@ object Ops {
     // it) and dropped from the output when the caller's payload omitted
     // it — a payload without `op` used to fail at analysis.
     val carry = if (requested.contains(opCol)) requested else requested :+ opCol
-    val ordKey = struct(ordering.map(col): _*)
-    val latest = feed
-      .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(carry.map(col): _*), ordKey).as("__latest"))
-    latest
-      .select(keys.map(col) ++ carry.map(f => col(s"__latest.$f").as(f)): _*)
+    latestPerKey(feed, keys, ordering, carry)
       .filter(col(opCol) =!= "d")
       .select(keys.map(col) ++ requested.map(col): _*)
+  }
+
+  /** Latest event per key (deletes INCLUDED — the upsert-sink feed shape:
+    * op='d' rows become DELETE statements downstream, everything else an
+    * upsert). Same map-side-combine `max_by` aggregation as
+    * [[applyChanges]], which is this plus the tombstone filter.
+    */
+  def latestPerKey(
+      feed: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      carry: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val fields = if (carry.nonEmpty) carry else feed.columns.toSeq.diff(keys)
+    val ordKey = struct(ordering.map(col): _*)
+    feed
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(fields.map(col): _*), ordKey).as("__latest"))
+      .select(keys.map(col) ++ fields.map(f => col(s"__latest.$f").as(f)): _*)
   }
 
   /** Slowly-changing-dimension Type 2 materialization: instead of

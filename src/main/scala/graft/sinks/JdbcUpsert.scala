@@ -1,0 +1,170 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** JDBC upsert sink — the reference's flagship delivery path
+  * (`README.md:830-849`: Kafka-Connect JDBC sink with
+  * `insert.mode=upsert`, `pk.mode=record_key`, `delete.enabled=true`),
+  * re-expressed as an executor-side JDBC writer.
+  *
+  * Shape that matters on a cluster:
+  *  - `foreachPartition`: every partition opens ITS OWN connection and
+  *    writes its rows — N executors upsert in parallel, nothing funnels
+  *    through the driver.
+  *  - update-else-insert per row over a PreparedStatement pair (the
+  *    portable upsert Kafka-Connect uses for dialects without MERGE),
+  *    statements reused across the partition's rows.
+  *  - rows with `op='d'` become DELETEs (`delete.enabled` rewrite).
+  *
+  * Callers feeding a CDC stream should reduce to latest-per-key first
+  * ([[graft.cdc.Ops.latestPerKey]]) so per-key ordering is settled
+  * BEFORE rows spread across partitions — [[upsertStream]] does exactly
+  * that per micro-batch. Verified against embedded Derby (the JDBC
+  * implementation the Spark distribution ships) in JdbcUpsertSpec;
+  * swapping the URL re-targets any JDBC database.
+  */
+object JdbcUpsert {
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType         => "BIGINT"
+    case IntegerType      => "INTEGER"
+    case DoubleType       => "DOUBLE"
+    case FloatType        => "REAL"
+    case BooleanType      => "BOOLEAN"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType         => "DATE"
+    case d: DecimalType   => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType       => "VARCHAR(4096)"
+    case BinaryType       => "BLOB"
+    case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+  }
+
+  /** Create the sink table from the DataFrame schema if absent —
+    * Connect's `auto.create=true` analog (observed auto-created sink
+    * table, FIXTURES.md A2).
+    */
+  def ensureTable(url: String, table: String, schema: StructType, keys: Seq[String]): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val exists =
+        try { conn.getMetaData.getTables(null, null, table.toUpperCase, null).next() }
+        catch { case _: java.sql.SQLException => false }
+      if (!exists) {
+        val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+        val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.mkString(", ")})" else ""
+        conn.createStatement().execute(s"CREATE TABLE $table ($cols$pk)")
+      }
+    } finally conn.close()
+  }
+
+  /** Upsert `df` into `table`: per row, UPDATE by key, INSERT on zero
+    * rows updated; `deleteOp` rows are DELETEd instead. `df` must have
+    * at most one row per key (reduce with latestPerKey first).
+    *
+    * `ordCol` (e.g. scn) arms a last-write-wins guard: updates/deletes
+    * only apply over rows with `ordCol <=` the incoming value, and an
+    * insert racing a newer row loses on the PK and is skipped — so stale
+    * REDELIVERED data can never regress the sink. Like the reference's
+    * Connect sink (ordered Kafka partitions per key), a hard-DELETE
+    * followed by an even staler update can still resurrect a row if the
+    * channel reorders ACROSS batches; channels without per-key ordering
+    * should sink the `__deleted` rewrite column ([[graft.cdc.Ops.unwrap]])
+    * instead of hard deletes.
+    */
+  def upsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      opCol: Option[String] = None,
+      deleteOp: String = "d",
+      ordCol: Option[String] = None
+  ): Unit = {
+    val schema = df.schema
+    val dataCols = schema.fieldNames.toSeq.filterNot(c => keys.contains(c) || opCol.contains(c))
+    val allCols = keys ++ dataCols
+    val guard = ordCol.map(c => s" AND $c <= ?").getOrElse("")
+    val updateSql = s"UPDATE $table SET ${dataCols.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}$guard"
+    val insertSql = s"INSERT INTO $table (${allCols.mkString(", ")}) " +
+      s"VALUES (${allCols.map(_ => "?").mkString(", ")})"
+    val deleteSql =
+      s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}$guard"
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      conn.setAutoCommit(false)
+      try {
+        val up = conn.prepareStatement(updateSql)
+        val ins = conn.prepareStatement(insertSql)
+        val del = conn.prepareStatement(deleteSql)
+        def bind(st: java.sql.PreparedStatement, row: org.apache.spark.sql.Row,
+            cols: Seq[String], offset: Int = 0): Int = {
+          cols.zipWithIndex.foreach { case (c, i) =>
+            st.setObject(offset + i + 1, row.get(idx(c)))
+          }
+          offset + cols.length
+        }
+        rows.foreach { row =>
+          val isDelete = opCol.exists(c => row.getAs[String](c) == deleteOp)
+          if (isDelete) {
+            val n = bind(del, row, keys)
+            ordCol.foreach(c => del.setObject(n + 1, row.get(idx(c))))
+            del.executeUpdate()
+          } else {
+            val n = bind(up, row, keys, bind(up, row, dataCols))
+            ordCol.foreach(c => up.setObject(n + 1, row.get(idx(c))))
+            if (up.executeUpdate() == 0) {
+              bind(ins, row, allCols)
+              try ins.executeUpdate()
+              catch {
+                // PK collision with a NEWER row (guard blocked the
+                // update): stale redelivery, skip. Without ordCol there
+                // is no guard, so collisions are genuine errors.
+                case e: java.sql.SQLIntegrityConstraintViolationException =>
+                  if (ordCol.isEmpty) throw e
+              }
+            }
+          }
+        }
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally conn.close()
+    }
+  }
+
+  /** Streaming delivery: per micro-batch, reduce the delta to
+    * latest-per-key (ordering settled before rows fan out over
+    * partitions) and upsert it — the reference's end-to-end
+    * OLR→Kafka→JDBC-sink path as one `foreachBatch`. Idempotent under
+    * redelivery: re-upserting the same latest-per-key rows rewrites the
+    * same values.
+    */
+  def upsertStream(
+      feed: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      ordering: Seq[String],
+      checkpointDir: String,
+      opCol: String = "op",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    ensureTable(url, table,
+      StructType(feed.schema.filterNot(_.name == opCol)), keys)
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.cdc.Ops.latestPerKey(batch, keys, ordering)
+        upsert(latest, url, table, keys, opCol = Some(opCol),
+          ordCol = ordering.headOption)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.cdc.{Ev, Ops}
+import java.nio.file.Files
+
+/** JDBC upsert sink vs embedded Derby: the sink's update-else-insert +
+  * delete path must equal the engine's own applyChanges fold, batch and
+  * streaming, and stay idempotent under redelivery.
+  */
+class JdbcUpsertSpec extends SparkSpec {
+
+  System.setProperty("derby.system.home", Files.createTempDirectory("derby").toString)
+
+  private def newUrl(): String =
+    s"jdbc:derby:memory:db${java.util.UUID.randomUUID().toString.take(8)};create=true"
+
+  private val events: Seq[Ev] = (0 until 120).map { i =>
+    val op = if (i % 13 == 7) "d" else if (i < 17) "c" else "u"
+    Ev(i.toLong, (i % 17).toLong, op, (i * 31 % 997) / 10.0)
+  }
+
+  private def readTable(url: String, table: String) =
+    // Derby reports identifiers uppercased
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+      .collect().map(r => (r.getAs[Long]("ID"), r.getAs[Long]("SCN"), r.getAs[Double]("VALUE")))
+      .toSet
+
+  private def expected(evs: Seq[Ev]) = {
+    val s = spark
+    import s.implicits._
+    Ops.applyChanges(evs.toDF(), keys = Seq("id"), ordering = Seq("scn"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("scn"), r.getAs[Double]("value")))
+      .toSet
+  }
+
+  test("two upsert batches + redelivery equal the applyChanges fold") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    val (b1, b2) = events.splitAt(70)
+    val schema = org.apache.spark.sql.types.StructType(
+      b1.toDF().schema.filterNot(_.name == "op"))
+    JdbcUpsert.ensureTable(url, "sink_state", schema, keys = Seq("id"))
+    JdbcUpsert.upsert(Ops.latestPerKey(b1.toDF(), Seq("id"), Seq("scn")),
+      url, "sink_state", Seq("id"), opCol = Some("op"), ordCol = Some("scn"))
+    assert(readTable(url, "sink_state") == expected(b1))
+    val latest2 = Ops.latestPerKey(b2.toDF(), Seq("id"), Seq("scn"))
+    JdbcUpsert.upsert(latest2, url, "sink_state", Seq("id"), opCol = Some("op"),
+      ordCol = Some("scn"))
+    // NOTE: keys deleted in b2 but live in b1 must be gone; keys only in
+    // b1 must survive — the cross-batch CDC contract
+    assert(readTable(url, "sink_state") == expected(events))
+    // redelivery of the same reduced batch is a no-op (idempotence)
+    JdbcUpsert.upsert(latest2, url, "sink_state", Seq("id"), opCol = Some("op"),
+      ordCol = Some("scn"))
+    assert(readTable(url, "sink_state") == expected(events))
+  }
+
+  test("streaming upsertStream delivers the same state as batch fold") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    val (in, chk) = (Files.createTempDirectory("jin"), Files.createTempDirectory("jchk"))
+    events.grouped(40).zipWithIndex.foreach { case (g, i) =>
+      val lines = g.map(e =>
+        s"""{"scn":${e.scn},"id":${e.id},"op":"${e.op}","value":${e.value}}""")
+      val p = in.resolve(s"p-$i.json")
+      Files.write(p, String.join("\n", lines: _*).getBytes)
+      // the file channel stands in for Kafka, whose per-key ORDER the
+      // reference sink relies on: FileStreamSource orders by mtime, so
+      // give each file a distinct, increasing mtime (same-ms writes
+      // otherwise arrive in nondeterministic order)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
+    val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scn", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val feed = s.readStream.schema(feedSchema).option("maxFilesPerTrigger", 1).json(in.toString)
+    val q = JdbcUpsert.upsertStream(feed, url, "stream_state", Seq("id"), Seq("scn"),
+      chk.toString)
+    q.awaitTermination()
+    assert(readTable(url, "stream_state") == expected(events))
+  }
+}
