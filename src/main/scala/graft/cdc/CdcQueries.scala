@@ -35,7 +35,11 @@ object CdcQueries {
       struct(
         col("scn"),
         col("id").cast("string").as("xid"),
-        lit(null).cast("string").as("rid"),
+        // ROWID passthrough (OLR emits `rid` as an opaque string,
+        // scripts/OpenLogReplicator.json:21): deterministic ROWID-shaped
+        // value derived from scn, mirrored in the rid_passthrough oracle
+        concat(lit("AAAShYAAE"), lpad((col("scn") % 100000).cast("string"), 6, "0"))
+          .as("rid"),
         lit("ORACLE").as("db"),
         lit("OLR_DB").as("schema"),
         lit("PRODUCT").as("table")
@@ -90,8 +94,26 @@ object CdcQueries {
         col("scn"),
         col("id").cast("string").as("id_str"),
         col("value").cast(DecimalType(12, 2)).cast("string").as("value_str"),
-        unix_millis(col("ts").cast(TimestampType)).as("ts_ms")
+        unix_millis(col("ts").cast(TimestampType)).as("ts_ms"),
+        // unknown-type passthrough (OLR `"unknown":{"type":"string"}`,
+        // scripts/OpenLogReplicator.json:25): types without a wire
+        // mapping travel as their unmodified string form
+        col("props").as("props_raw")
       ).orderBy("scn")),
+
+    // ROWID through the full JSON envelope serialize→parse roundtrip
+    // (rid populated in envelopeOf; OLR scripts/OpenLogReplicator.json:21)
+    "rid_passthrough" -> ((s, dir) => {
+      val raw = envelopeOf(F.fromEvents(s, dir))
+        .select(to_json(struct(col("*"))).as("value"))
+      Ops
+        .envelopeParse(raw, "value", payloadSchema)
+        .select(
+          col("source.scn").as("scn"),
+          col("source.rid").as("rid"),
+          col("op"))
+        .orderBy("scn")
+    }),
 
     "apply_changes" -> ((s, dir) =>
       Ops
@@ -193,7 +215,11 @@ object CdcQueries {
     "type_norm" ->
       s"""$feedCte SELECT scn, CAST(id AS VARCHAR) AS id_str,
          |  CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str,
-         |  epoch_ms(ts) AS ts_ms
+         |  epoch_ms(ts) AS ts_ms, props AS props_raw
+         |FROM feed ORDER BY scn""".stripMargin,
+    "rid_passthrough" ->
+      s"""$feedCte SELECT scn,
+         |  'AAAShYAAE' || lpad(CAST(scn % 100000 AS VARCHAR), 6, '0') AS rid, op
          |FROM feed ORDER BY scn""".stripMargin,
     "apply_changes" ->
       s"""$feedCte SELECT id, scn, op, ts, event_type, value, props FROM (
