@@ -22,6 +22,7 @@ object SparkEntry {
     cdc.CdcQueries.queries ++
       rel.Queries.queries ++
       llm.TextOps.queries ++
+      llm.Sampling.queries ++
       llm.NearDedup.queries ++
       llm.VectorOps.queries ++
       llm.Multimodal.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     cdc.CdcQueries.oracleSql ++
       rel.Queries.oracleSql ++
       llm.TextOps.oracleSql ++
+      llm.Sampling.oracleSql ++
       llm.NearDedup.oracleSql ++
       llm.VectorOps.oracleSql ++
       llm.Multimodal.oracleSql ++

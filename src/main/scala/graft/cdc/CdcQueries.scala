@@ -104,7 +104,10 @@ object CdcQueries {
     // ROWID through the full JSON envelope serialize→parse roundtrip
     // (rid populated in envelopeOf; OLR scripts/OpenLogReplicator.json:21)
     "rid_passthrough" -> ((s, dir) => {
-      val raw = envelopeOf(F.fromEvents(s, dir))
+      // spread first: the fixture parquet is single-row-group
+      // (unsplittable), and the JSON serialize→parse roundtrip is the
+      // CPU cost here — without repartition it runs on ONE task
+      val raw = envelopeOf(graft.Engine.spread(F.fromEvents(s, dir), "scn"))
         .select(to_json(struct(col("*"))).as("value"))
       Ops
         .envelopeParse(raw, "value", payloadSchema)

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic corpus sampling / splitting / n-gram statistics — the
+  * training-data-pipeline operations a 100 TB run does constantly
+  * (SURVEY.md §2.12 family).
+  *
+  * Sampling here is HASH-based, never `rand()`: the md5 bucket of a
+  * stable id is reproducible across runs, engines, partitionings and
+  * retries (a nondeterministic sample re-executed after a task failure
+  * silently changes the dataset — same hazard class as SPARK-23207), and
+  * it is mirrorable 1:1 in the DuckDB oracle. Engine-portable md5 over
+  * engine-specific xxhash64 is a deliberate trade: sampling runs once
+  * per corpus build, auditability wins.
+  *
+  * Scale notes: every operator is one narrow projection + (for stats)
+  * one map-side-combinable aggregation; the split assignment never
+  * shuffles at all.
+  */
+object Sampling {
+
+  /** 16-bit md5 bucket (0..65535) of a stable id column. */
+  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Keep ~`permille`/65536 of rows, deterministically. */
+  def sampleByHash(df: DataFrame, idCol: String, threshold: Int): DataFrame =
+    df.withColumn("hb", hashBucket(col(idCol))).filter(col("hb") < threshold)
+
+  /** Reproducible train/val/test assignment by hash range (90/5/5 at the
+    * defaults) — the standard leakage-safe corpus split.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainTo: Int = 58982, valTo: Int = 62259): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(idCol)) < trainTo, "train")
+        .when(hashBucket(col(idCol)) < valTo, "val")
+        .otherwise("test"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ~10% deterministic sample: same rows every run, any partitioning
+    "sample_hash" -> ((s, dir) =>
+      sampleByHash(Tables(s, dir).documents, "doc_id", threshold = 6554)
+        .select("doc_id", "source", "hb")
+        .orderBy("doc_id")),
+
+    // split sizes per source — the audit query run after every split
+    "split_train_test" -> ((s, dir) =>
+      splitAssign(Tables(s, dir).documents, "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")),
+
+    // corpus-wide top trigram shingles by document frequency: narrow
+    // shingle projection → explode → ONE counting aggregate (map-side
+    // partials) → top-k. The boilerplate-detection companion to the
+    // df-cap in dedup_jaccard.
+    "ngram_topk" -> ((s, dir) =>
+      NearDedup.shingleArrays(Tables(s, dir).documents)
+        .select(explode(col("sh")).as("shingle"))
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)),
+
+    // per-source corpus statistics (doc count, token mass, mean length)
+    "corpus_stats" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+        .withColumn("avg_tokens",
+          col("total_tokens").cast("double") / col("n_docs"))
+        .orderBy("source"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT doc_id, source,
+        |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS BIGINT) AS hb
+        |FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) < 6554
+        |ORDER BY doc_id""".stripMargin,
+    "split_train_test" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN hb < 58982 THEN 'train' WHEN hb < 62259 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "ngram_topk" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT w AS shingle, count(*) AS df FROM words
+        |GROUP BY w ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    "corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
