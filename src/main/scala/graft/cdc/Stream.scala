@@ -158,6 +158,47 @@ object Stream {
       .start()
   }
 
+  /** Per-key current state maintained IN the stream via
+    * `flatMapGroupsWithState` (the §2.10 custom-state surface): each
+    * micro-batch folds its events into one state row per key, emits only
+    * events that ADVANCE their key (stale redeliveries are suppressed —
+    * at-least-once in, effectively-once changelog out), and drops a
+    * key's state on tombstone.
+    *
+    * This is the in-stream alternative to sink-side state
+    * ([[materialize]]): right when the keyspace is bounded (dimension
+    * tables — state is one row per key in the state store), wrong for
+    * the unbounded 100 TB fact case, which is exactly why `materialize`
+    * keeps its state in the partitioned sink instead.
+    */
+  def statefulLatest[K, E](
+      ds: org.apache.spark.sql.Dataset[E],
+      keyOf: E => K,
+      ordOf: E => Long,
+      isDelete: E => Boolean)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      ee: org.apache.spark.sql.Encoder[E]): org.apache.spark.sql.Dataset[E] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState[E, E](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, events: Iterator[E], state: GroupState[E]) =>
+          var cur = state.getOption
+          val out = collection.mutable.Buffer.empty[E]
+          events.toSeq.sortBy(ordOf).foreach { e =>
+            if (cur.forall(c => ordOf(c) < ordOf(e))) {
+              cur = Some(e)
+              out += e // tombstones are emitted too — downstream must see deletes
+            }
+          }
+          cur match {
+            case Some(c) if isDelete(c) => state.remove()
+            case Some(c)                => state.update(c)
+            case None                   => ()
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming dedup under at-least-once delivery (reference: Connect
     * restarts redeliver; SURVEY §2.10): watermark bounds the dedup state.
     */

@@ -131,6 +131,40 @@ class StreamingSpec extends SparkSpec {
     assert(before.keys.filterNot(_ == hotDir).nonEmpty)
   }
 
+  test("flatMapGroupsWithState latest-per-key: advances, suppresses stale, drops tombstoned") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val out = Stream.statefulLatest[Long, Ev](
+      input.toDS(), _.id, _.scn, _.op == "d")
+    val q = out.writeStream.format("memory").queryName("fmgws_t")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(1, 10, "c", 1.0), Ev(3, 10, "u", 3.0), Ev(2, 10, "u", 2.0), // in-batch order by scn
+        Ev(5, 20, "c", 5.0))
+      q.processAllAvailable()
+      // batch 2: stale redelivery (scn 2 ≤ state 3) suppressed; key 20
+      // tombstoned; key 30 created
+      input.addData(Ev(2, 10, "u", 2.0), Ev(6, 20, "d", 0.0), Ev(7, 30, "c", 7.0))
+      q.processAllAvailable()
+      // batch 3: key 20 re-created after tombstone (state was dropped);
+      // pre-tombstone scn for key 20 would ALSO be accepted after the
+      // drop — by design, state.remove() forgets the high-water mark
+      input.addData(Ev(8, 20, "c", 8.0))
+      q.processAllAvailable()
+      val emitted = s.table("fmgws_t").as[Ev].collect().map(e => (e.scn, e.id, e.op)).toSet
+      assert(emitted == Set(
+        (1L, 10L, "c"), (2L, 10L, "u"), (3L, 10L, "u"), (5L, 20L, "c"),
+        (6L, 20L, "d"), (7L, 30L, "c"), (8L, 20L, "c")),
+        s"emitted=$emitted")
+      // the stale (2,10,u) from batch 2 appears ONCE (from batch 1 only)
+      val n = s.table("fmgws_t").as[Ev].collect().count(e => e.scn == 2L)
+      assert(n == 1, s"stale redelivery emitted $n times")
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops redelivered keys across batches") {
     val s = spark
     import s.implicits._

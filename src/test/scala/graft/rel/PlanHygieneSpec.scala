@@ -54,6 +54,28 @@ class PlanHygieneSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("correlated subqueries decorrelate to joins (no per-row subplans)") {
+    val scalarPlan = planOf("subq_scalar")
+    // correlated scalar count → aggregate + (left) outer join, never a
+    // row-at-a-time subquery execution or a cartesian
+    assert(!scalarPlan.contains("CartesianProduct"), scalarPlan)
+    assert(scalarPlan.contains("Join LeftOuter") || scalarPlan.contains("SortMergeJoin LeftOuter")
+      || scalarPlan.contains("BroadcastHashJoin") , scalarPlan)
+    val inPlan = planOf("subq_in")
+    assert(inPlan.contains("LeftSemi"), inPlan)
+    assert(inPlan.contains("LeftAnti"), inPlan)
+    assert(!inPlan.contains("CartesianProduct"), inPlan)
+  }
+
+  test("sampling/ngram plans: no join stages, top-k specialization") {
+    // hash sampling is a pure scan-stage filter — joins/cartesians would
+    // mean the sample assignment left the row
+    val p = planOf("sample_hash")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(planOf("ngram_topk").contains("TakeOrderedAndProject"),
+      "corpus top-k must not globally sort")
+  }
+
   test("partitioned writes prune partitions on read") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
