@@ -27,6 +27,7 @@ object SparkEntry {
       llm.VectorOps.queries ++
       llm.Multimodal.queries ++
       sources.AvroCodec.queries ++
+      sources.JdbcSource.queries ++
       sources.CsvSpool.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       llm.VectorOps.oracleSql ++
       llm.Multimodal.oracleSql ++
       sources.AvroCodec.oracleSql ++
+      sources.JdbcSource.oracleSql ++
       sources.CsvSpool.oracleSql
 }

@@ -144,31 +144,31 @@ object NearDedup {
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
-      // full n-gram Jaccard over pairs sharing ≥1 shingle. The common
-      // count comes straight out of the inverted-index self-join as a
-      // counting hash-aggregate (map-side partials, whole-stage codegen)
-      // — no shingle arrays are carried through the ~1M pair rows, which
-      // is what makes this 10× cheaper than per-pair array intersection.
-      val arrs = shingleArrays(Tables(s, dir).documents)
-      val ex = arrs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      // df-cap = the 100× guard: the inverted-index self-join emits
-      // df(s)·(df(s)-1)/2 pairs PER SHINGLE, so one high-document-
-      // frequency shingle (boilerplate, stop-phrases) is quadratic on a
-      // single key. Shingles in more than dfCap docs are dropped before
-      // the join — they carry ~zero Jaccard discrimination anyway (the
-      // oracle SQL mirrors the cap exactly, so the check stays exact).
+      // full n-gram Jaccard over pairs sharing ≥1 shingle, via the
+      // inverted index as a POSTING-LIST aggregation (the LSH-candidates
+      // shape), not a self-join: ONE shuffle groups doc ids per shingle,
+      // pairs are emitted in-task from each posting list, one more
+      // shuffle counts per pair. The naive self-join shuffles the ~1M-row
+      // exploded table twice more for the same pair multiset.
+      //
+      // df-cap = the 100× guard: a posting list of df docs emits
+      // df·(df-1)/2 pairs, so one high-document-frequency shingle
+      // (boilerplate, stop-phrases) is quadratic on a single key.
+      // Shingles in more than dfCap docs are dropped — they carry ~zero
+      // Jaccard discrimination anyway (the oracle SQL mirrors the cap
+      // exactly, so the check stays exact; it also bounds in-task list
+      // memory to dfCap ids).
       val dfCap = 100
-      val keep = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap)
-        .select("shingle")
-      val exCapped = ex.join(keep.hint("shuffle_hash"), "shingle")
-      // hint("shuffle_hash"): Catalyst's size estimate for the exploded
-      // side derives from the compressed parquet footprint and picks a
-      // broadcast build of ~1M rows; a partitioned hash join spreads the
-      // build across all cores instead.
-      val common = exCapped.select(col("doc_id").as("doc1"), col("shingle"))
-        .join(exCapped.select(col("doc_id").as("doc2"), col("shingle")).hint("shuffle_hash"), "shingle")
-        .filter(col("doc1") < col("doc2"))
+      val arrs = shingleArrays(Tables(s, dir).documents)
+      val postings = arrs
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .groupBy("shingle")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, dfCap))
+      val common = postings
+        .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
+        .select(col("doc1"),
+          explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
         .groupBy("doc1", "doc2")
         .agg(count(lit(1)).as("com"))
       val sizes = arrs.select(col("doc_id"), size(col("sh")).as("nw"))

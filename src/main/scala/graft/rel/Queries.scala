@@ -274,6 +274,18 @@ object Queries {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy("o_orderpriority")),
 
+    // exact percentiles (sort-based, linear interpolation) — both
+    // engines implement the same continuous-quantile definition, so the
+    // result is hash-exact despite being "statistical"
+    "agg_percentile" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("qty_p50"),
+          percentile(col("l_quantity"), lit(0.9)).as("qty_p90"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("price_p50"))
+        .orderBy("l_returnflag")),
+
     "agg_collect" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.nation
@@ -612,6 +624,12 @@ object Queries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations, count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
