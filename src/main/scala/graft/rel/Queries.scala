@@ -274,6 +274,36 @@ object Queries {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy("o_orderpriority")),
 
+    // wide→long reshape: unpivot the pivoted counts back to rows (the
+    // melt operation feature pipelines use constantly); zero-count
+    // combinations survive the roundtrip
+    "agg_unpivot" -> ((s, dir) => {
+      val piv = Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+      piv.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "n")
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    "fn_bitwise" -> ((s, dir) =>
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("and255"),
+        col("o_orderkey").bitwiseOR(lit(16L)).as("or16"),
+        col("o_orderkey").bitwiseXOR(lit(85L)).as("xor85"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 3).as("shr3")
+      ).orderBy("o_orderkey")),
+
     // exact percentiles (sort-based, linear interpolation) — both
     // engines implement the same continuous-quantile definition, so the
     // result is hash-exact despite being "statistical"
@@ -624,6 +654,24 @@ object Queries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "agg_unpivot" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |s AS (SELECT unnest(['F','O','P']) AS status)
+        |SELECT p.o_orderpriority, s.status, coalesce(c.n, 0) AS n
+        |FROM p CROSS JOIN s
+        |LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority AND c.o_orderstatus = s.status
+        |ORDER BY p.o_orderpriority, s.status""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 16 AS or16,
+        |  xor(o_orderkey, 85) AS xor85,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 3 AS shr3
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS qty_p50,
