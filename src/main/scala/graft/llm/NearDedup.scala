@@ -133,7 +133,57 @@ object NearDedup {
         .as("sim_sig"))
   }
 
+  /** Connected components over an undirected pair list — the cluster
+    * step after near-dup detection (every doc in a dup cluster maps to
+    * the cluster's minimum doc_id, the canonical survivor).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels; converged when no
+    * label changes. Rounds = graph diameter (dup clusters are tiny and
+    * dense — a handful of rounds), each round ONE join + ONE aggregate,
+    * all distributed; the driver only checks the convergence counter.
+    * The fixpoint is unique (min reachable id) regardless of execution
+    * order, so the DuckDB recursive-CTE oracle matches exactly.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.alias("l")
+        .join(nbrMin.alias("n"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
+        .persist()
+      val changed = next.alias("x").join(labels.alias("y"), Seq("node"))
+        .filter(col("x.label") =!= col("y.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // near-dup pairs (the dedup_near pipeline) → dup clusters: each
+    // clustered doc with its canonical (minimum) doc id
+    "dedup_cluster" -> ((s, dir) => {
+      val arrs = shingleArrays(Tables(s, dir).documents)
+      val pairs = jaccard(candidates(banded(arrs)), arrs)
+        .filter(col("jacc") >= 0.5)
+        .select("doc1", "doc2")
+      connectedComponents(pairs).orderBy("doc_id")
+    }),
 
     "dedup_near" -> ((s, dir) => {
       val arrs = shingleArrays(Tables(s, dir).documents)
@@ -187,6 +237,43 @@ object NearDedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_cluster" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |salted AS (
+        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+        |bands AS (
+        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+        |  FROM salted GROUP BY 1, 2),
+        |bucket_ok AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY c.doc1, c.doc2),
+        |pairs AS (
+        |  SELECT doc1, doc2
+        |  FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |edges AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b)
+        |SELECT node AS doc_id, min(label) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_near" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),

@@ -34,6 +34,19 @@ class NearDedupSpec extends SparkSpec {
   private def arrsHasShingles(arrs: org.apache.spark.sql.DataFrame, id: Long): Boolean =
     arrs.filter(col("doc_id") === id).count() == 1
 
+  test("connected components: chains collapse to min-id clusters") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2, 2-3, 3-4 (diameter 3: needs multiple propagation
+    // rounds), separate pair 10-11, singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc1", "doc2")
+    val got = NearDedup.connectedComponents(pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("pathological LSH bucket is capped: bounded candidate output") {
     val s = spark
     import s.implicits._
