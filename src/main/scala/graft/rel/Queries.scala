@@ -549,7 +549,51 @@ object Queries {
         .agg(
           count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // sliding (overlapping) windows: every event lands in width/slide
+    // buckets; mirrored in the oracle by explicit offset expansion
+    "stream_sliding" -> ((s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("bucket")),
+
+    // window frame surface: first/last/nth over an explicit full frame
+    // (last_value over the default frame is the classic footgun — pinned
+    // here to unbounded following, mirrored exactly in the oracle)
+    "win_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).events.select(
+        col("user_id"), col("event_id"), col("value"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v")
+      ).orderBy("user_id", "event_id")
+    }),
+
+    // TPC-H Q3-shaped headline: selective dim filter → two fact joins →
+    // exact decimal revenue → top-k. The plan to want at 100 TB:
+    // broadcast nothing here (customer filter is still large), both
+    // joins key-shuffle with AQE free to re-plan, decimal-exact sum with
+    // map-side partials, TakeOrderedAndProject for the top 10
+    "q3_shipping" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val one = lit(1).cast(DecimalType(18, 2))
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec("l_extendedprice") * (one - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -786,6 +830,37 @@ object Queries {
     "stream_tumble" ->
       """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "stream_sliding" ->
+      """WITH expanded AS (
+        |  SELECT to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT))::TIMESTAMP
+        |           - k * INTERVAL 30 MINUTE AS bucket,
+        |         value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT bucket, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM expanded GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "win_first" ->
+      """SELECT user_id, event_id, value,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER w AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
   )
 }
