@@ -146,7 +146,8 @@ object NearDedup {
     * order, so the DuckDB recursive-CTE oracle matches exactly.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+    // pairs feeds the edge union twice (forward + reverse); Catalyst's
+    // exchange reuse dedups the upstream pair pipeline, so no persist
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .distinct().persist()
@@ -158,13 +159,14 @@ object NearDedup {
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.alias("l")
-        .join(nbrMin.alias("n"), Seq("node"), "left")
-        .select(col("node"),
-          least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
+      // carry the previous label through the projection so convergence is
+      // a filter on `next` itself — one action per round, no extra join
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("prev_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist()
-      val changed = next.alias("x").join(labels.alias("y"), Seq("node"))
-        .filter(col("x.label") =!= col("y.label")).count()
+      val changed = next.filter(col("label") =!= col("prev_label")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
