@@ -134,6 +134,21 @@ object CdcQueries {
         .withColumn("ops", array_join(col("ops"), ","))
         .orderBy("xid")),
 
+    // corrupt-record quarantine: every scn≡0 (mod 97) record's JSON is
+    // deterministically truncated mid-document; the dead-letter parse
+    // must route exactly those to 'dead' and parse the rest
+    "envelope_deadletter" -> ((s, dir) => {
+      val json = envelopeOf(graft.Engine.spread(F.fromEvents(s, dir), "scn"))
+        .select(to_json(struct(col("*"))).as("value"), col("source.scn").as("scn0"))
+      val corrupted = json.select(
+        when(pmod(col("scn0"), lit(97)) === 0, substring(col("value"), 1, 10))
+          .otherwise(col("value")).as("value"))
+      Ops.parseWithDeadLetter(corrupted, "value", payloadSchema)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     "agg_maxby" -> ((s, dir) =>
       F.fromEvents(s, dir)
         .groupBy(col("id"))
@@ -233,6 +248,10 @@ object CdcQueries {
          |  min(scn) AS first_scn, max(scn) AS last_scn,
          |  array_to_string(list_sort(list(op)), ',') AS ops
          |FROM feed GROUP BY 1 ORDER BY xid""".stripMargin,
+    "envelope_deadletter" ->
+      s"""$feedCte SELECT CASE WHEN scn % 97 = 0 THEN 'dead' ELSE 'ok' END AS status,
+         |  count(*) AS n
+         |FROM feed GROUP BY 1 ORDER BY status""".stripMargin,
     "agg_maxby" ->
       s"""$feedCte SELECT id, arg_max(event_type, scn) AS last_type,
          |  arg_max(value, scn) AS last_value, max(scn) AS last_scn, count(*) AS n_events

@@ -36,6 +36,21 @@ object Ops {
       .withColumn("v", from_json(col(jsonCol), Envelope.schema(rowSchema)))
       .select(col("v.*"))
 
+  /** Envelope parse with DEAD-LETTER routing: rows `from_json` cannot
+    * parse keep their raw payload under `status='dead'` instead of
+    * poisoning or aborting the pipeline; good rows flow on as
+    * `status='ok'`. The raw bytes are retained (the dead-letter-queue
+    * contract — corrupt input is data to quarantine and replay, not an
+    * exception), and the whole thing stays one narrow codegen'd
+    * projection. A valid envelope always carries `op`, so null-op after
+    * parse identifies corruption.
+    */
+  def parseWithDeadLetter(raw: DataFrame, jsonCol: String, rowSchema: StructType): DataFrame =
+    raw
+      .withColumn("v", from_json(col(jsonCol), Envelope.schema(rowSchema)))
+      .withColumn("status",
+        when(col("v").isNotNull && col("v.op").isNotNull, "ok").otherwise("dead"))
+
   /** ExtractNewRecordState-equivalent (reference `README.md:844-848`):
     * envelope → flat row. Deletes are REWRITTEN, not dropped
     * (`delete.handling.mode=rewrite`): the row payload for op='d' comes

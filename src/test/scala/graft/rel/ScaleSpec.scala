@@ -24,6 +24,28 @@ class ScaleSpec extends SparkSpec {
     assert(salted.size == 20000)
   }
 
+  test("range-clustered layout: key-range read touches 1 file, scattered layout touches all") {
+    val s = spark
+    import s.implicits._
+    val events = graft.Tables(s, sf("sf0.001")).events.select("event_id", "user_id", "value")
+    val clustered = java.nio.file.Files.createTempDirectory("rc").toString
+    val scattered = java.nio.file.Files.createTempDirectory("sc").toString
+    Scale.writeRangeClustered(events, clustered, "event_id", files = 8)
+    // scattered control: hash-partitioned on an unrelated key
+    events.repartition(8, col("user_id")).write.mode("overwrite").parquet(scattered)
+    def filesHit(dir: String): Long = {
+      val lo = 100L; val hi = 140L
+      s.read.parquet(dir)
+        .filter(col("event_id").between(lo, hi))
+        .select(input_file_name()).distinct().count()
+    }
+    // ≤ 2: the 40-key range spans at most one range-partition boundary
+    assert(filesHit(clustered) <= 2L,
+      "disjoint range files must confine a key-range read to a couple of files")
+    assert(filesHit(scattered) > 4L,
+      "control: scattered layout should spread the range over most files")
+  }
+
   test("co-bucketed join plans with no shuffle exchange") {
     val s = spark
     val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
