@@ -16,10 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Engine {
 
   /** Default core count for local sessions (driver overrides via env). */
-  // 16 measured faster AND far more stable than 32 on this 32-vCPU box
-  // (hypervisor oversubscription: 32-way stages see wild steal-time
-  // variance); the driver can still override via SPARK_GRAFT_CPUS.
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+  // Round 1 measured 16 faster than 32 on this oversubscribed box; by
+  // round-2 close (89 queries) 32 measured faster overall (33.5 s vs
+  // 40.8 s at sf0.1) and it matches the driver's cpus=32 — so 32 is the
+  // default and the BASELINE.md binding config. SPARK_GRAFT_CPUS overrides.
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def session(appName: String = "graft"): SparkSession = {
     val spark = SparkSession

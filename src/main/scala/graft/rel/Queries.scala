@@ -306,7 +306,12 @@ object Queries {
 
     // exact percentiles (sort-based, linear interpolation) — both
     // engines implement the same continuous-quantile definition, so the
-    // result is hash-exact despite being "statistical"
+    // result is hash-exact despite being "statistical". Scale note:
+    // exact percentile concentrates each group's values in one task
+    // (3 groups → 3 working cores regardless of cluster size); at 100 TB
+    // the right operator is approx_percentile (t-digest — mergeable
+    // map-side sketches, error-bounded). Exact is kept HERE because the
+    // oracle needs bit-equality; the swap is one function name.
     "agg_percentile" -> ((s, dir) =>
       Tables(s, dir).lineitem
         .groupBy("l_returnflag")
