@@ -31,6 +31,23 @@ object CdcPipeline {
       feedSchema: StructType,
       statePath: String,
       checkpointDir: String
+  ): Handle =
+    startOn(spark, baseTable, keys, snapshotScn,
+      graft.sources.FileChannel(changeDir), feedSchema, statePath, checkpointDir)
+
+  /** Channel-generic form: swap [[graft.sources.FileChannel]] for
+    * [[graft.sources.KafkaChannel]] to run against a broker — nothing
+    * else changes.
+    */
+  def startOn(
+      spark: SparkSession,
+      baseTable: DataFrame,
+      keys: Seq[String],
+      snapshotScn: Long,
+      channel: graft.sources.ChangeChannel,
+      feedSchema: StructType,
+      statePath: String,
+      checkpointDir: String
   ): Handle = {
     // 1. snapshot phase: consistent batch read → op='r' rows → state,
     //    written directly in materialize's bucketed layout so the stream
@@ -38,8 +55,12 @@ object CdcPipeline {
     val snap = Ops.snapshot(baseTable, snapshotScn)
     val feedCols = feedSchema.fieldNames.toSeq
     Stream.writeState(snap.select(feedCols.map(col): _*), statePath, keys)
-    // 2. stream phase from the change directory; resumes via checkpoint.
-    val feed = spark.readStream.schema(feedSchema).json(changeDir)
+    // 2. stream phase over the transport channel; resumes via checkpoint.
+    //    The wire rows are flat feed-schema JSON here (not the full
+    //    envelope): parse value → struct → columns.
+    val feed = channel.subscribe(spark)
+      .select(from_json(col("value"), feedSchema).as("r"))
+      .select(feedCols.map(c => col(s"r.$c")): _*)
     val q = Stream.materialize(feed, keys, ordering = Seq("scn"), statePath, checkpointDir)
     Handle(spark.read.parquet(statePath), q)
   }

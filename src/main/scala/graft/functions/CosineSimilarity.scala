@@ -123,5 +123,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.functionName),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => SimplifySelfCosine)
   }
 }

@@ -46,6 +46,43 @@ class ScaleSpec extends SparkSpec {
       "control: scattered layout should spread the range over most files")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.enabled" ->
+        s.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // production defaults (256 MB) scaled down to test-data sizes
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 100k-row fact, ~95% on one key; the pad must be INCOMPRESSIBLE —
+      // shuffle partition sizes are compressed bytes, and a constant pad
+      // deflates below the skew threshold
+      val fact = (0 until 100000)
+        .map { i =>
+          val pad = java.util.UUID.nameUUIDFromBytes(
+            BigInt(i).toByteArray).toString * 2
+          (if (i % 20 < 19) 7L else (i % 50).toLong, pad)
+        }
+        .toDF("k", "pad")
+      val dim = (0L until 50L).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // collect() drives THIS queryExecution (count() would plan its own)
+      assert(joined.collect().length == 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark/split the skewed partition:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("co-bucketed join plans with no shuffle exchange") {
     val s = spark
     val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
