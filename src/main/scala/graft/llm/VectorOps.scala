@@ -151,11 +151,102 @@ object VectorOps {
       .orderBy("v1", "v2")
   }
 
+  /** IVF coarse quantizer: k-means centroids trained with Lloyd
+    * iterations on a deterministic bounded SAMPLE, driver-side. That is
+    * the standard IVF shape (FAISS trains its quantizer on a sample
+    * too): the model is k×dim floats — kilobytes — while assignment and
+    * search below stay fully distributed; only the tiny centroid table
+    * ships with the plan. Deterministic: sample = lowest `sampleN`
+    * vec_ids, init = first k sample vectors, fixed iteration count.
+    */
+  def ivfTrain(emb: DataFrame, k: Int, iters: Int = 10, sampleN: Int = 512): Array[Array[Double]] = {
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell id column: argmin_c ‖emb − centroid_c‖² as a pure expression
+    * (expanding ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖², the argmin only needs
+    * v·c − ‖c‖²/2 per centroid — one fused dot product each).
+    */
+  def ivfCell(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = centroids.map { c =>
+      val cCol = array(c.map(lit): _*)
+      val dot = aggregate(zip_with(emb, cCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, z) => acc + z)
+      dot - lit(c.map(x => x * x).sum / 2)
+    }
+    // index of the max score = nearest centroid (1-based array_position)
+    (array_position(array(scores: _*), array_max(array(scores: _*))) - 1).cast("int")
+  }
+
+  /** IVF-nprobe ANN: corpus rows are assigned to their nearest-centroid
+    * cell (ONE narrow projection — at 100 TB this is the write-once
+    * partition/cluster key of the vector table); each query probes its
+    * `nprobe` nearest cells and scores only those cells' vectors. The
+    * candidate join is a key-shuffle on cell id — recall is tuned by
+    * nprobe, cost by k, and no all-pairs stage exists anywhere.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
+    val centroids = ivfTrain(emb, cells)
+    val assigned = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      ivfCell(col("embedding"), centroids).as("cell"))
+    // per-query probe list: nprobe best cells by the same score expr
+    val scores = centroids.map { c =>
+      val cCol = array(c.map(lit): _*)
+      val dot = aggregate(zip_with(col("q_emb"), cCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, z) => acc + z)
+      dot - lit(c.map(x => x * x).sum / 2)
+    }
+    val probes = broadcast(
+      emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("__scored",
+          array((0 until cells).map(i => struct(scores(i).as("s"), lit(i).as("c"))): _*))
+        .withColumn("cell",
+          explode(slice(reverse(array_sort(col("__scored"))), 1, nprobe).getField("c")))
+        .select("q_id", "q_emb", "cell"))
+    val scored = probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    topkPerQuery(scored, k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, dir) =>
       simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
     "ann_lsh" -> ((s, dir) =>
       annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
+    "ann_ivf" -> ((s, dir) =>
+      ivfTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4

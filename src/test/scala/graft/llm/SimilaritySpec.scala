@@ -65,6 +65,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.3, s"mean recall $mean too low: $recalls")
   }
 
+  test("IVF ANN reaches usable recall vs brute force") {
+    val k = 10
+    val qids = 0L until 8L
+    val ivf = VectorOps
+      .ivfTopK(Tables(spark, sf("sf0.001")).embeddings, qids, k)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("c_id")).toSet }
+    val recalls = qids.map { q =>
+      val t = truth(q, k).toSet
+      ivf.get(q).map(a => (a intersect t).size.toDouble / k).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=4 of 16 cells: expect well above random (k/n ≈ 0.02)
+    assert(mean > 0.3, s"mean IVF recall $mean too low: $recalls")
+  }
+
   test("native cosine returns null on mismatched lengths, like the HOF form") {
     val s = spark
     import s.implicits._
