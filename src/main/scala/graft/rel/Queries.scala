@@ -321,6 +321,33 @@ object Queries {
           percentile(col("l_extendedprice"), lit(0.5)).as("price_p50"))
         .orderBy("l_returnflag")),
 
+    // the 100 TB percentile path (see agg_percentile): mergeable
+    // error-bounded sketches with map-side partials. Sketch internals are
+    // engine-specific → rows-only for the driver; accuracy vs the exact
+    // form is asserted in ApproxSpec
+    "agg_approx_pct" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("qty_p50"),
+          approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("price_p90"))
+        .orderBy("l_returnflag")),
+
+    // map-typed column surface: construct, look up, reshape — outputs
+    // projected to scalars so the driver compare stays portable
+    "fn_map" -> ((s, dir) =>
+      Tables(s, dir).part
+        .withColumn("m", map(
+          lit("brand"), col("p_brand"),
+          lit("type"), col("p_type")))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "brand").as("brand"),
+          element_at(col("m"), "type").as("type_"),
+          size(col("m")).cast("long").as("m_size"),
+          array_join(map_keys(col("m")), ",").as("keys"))
+        .orderBy("p_partkey")),
+
     "agg_collect" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.nation
@@ -721,6 +748,13 @@ object Queries {
         |  o_orderkey << 2 AS shl2,
         |  o_orderkey >> 3 AS shr3
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_map" ->
+      """SELECT p_partkey,
+        |  map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand,
+        |  map(['brand','type'], [p_brand, p_type])['type'][1] AS type_,
+        |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS m_size,
+        |  array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS keys
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS qty_p50,
