@@ -92,7 +92,41 @@ object TextOps {
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"), md5(col("text")).as("h"))
-        .orderBy("keep_id"))
+        .orderBy("keep_id")),
+
+    // the capstone composition — a full corpus-curation pass as ONE
+    // declarative plan: quality filter → language filter → exact dedup
+    // (min-id survivor) → leakage-safe hash split → audit counts.
+    // Narrow projections → one window (dedup) → one aggregation; every
+    // stage is an operator proven bit-identical above, so the whole
+    // pipeline stays hash-exact vs the oracle.
+    "corpus_clean" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      def score(ws: Seq[String]) = size(filter(words, w => w.isin(ws: _*)))
+      val stopRatio = score(stopEn).cast("double") / nWords
+      val punctRatio =
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") / length(col("text"))
+      val quality = least(lit(1.0), nWords / 100.0) * 0.5 + stopRatio * 0.3 +
+        (lit(1.0) - punctRatio) * 0.2
+      val sEn = score(stopEn)
+      val pred = when(score(Seq("le", "la", "et", "les")) > sEn, "fr")
+        .when(score(Seq("el", "los", "y", "que")) > sEn, "es")
+        .when(score(Seq("der", "die", "und", "das")) > sEn, "de")
+        .otherwise("en")
+      val kept = Tables(s, dir).documents
+        .filter(quality >= 0.5 && pred === "en")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      val deduped = kept
+        .withColumn("keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep"))
+      Sampling.splitAssign(deduped, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nWords).cast("long").as("total_tokens"))
+        .orderBy("source", "split")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -136,6 +170,40 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "corpus_clean" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, text,
+        |    least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+        |      + (CAST(len(list_filter(string_split(text,' '),
+        |           w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        |         / len(string_split(text,' '))) * 0.3
+        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |         / length(text)) * 0.2 AS quality,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS s_de
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source, text FROM q
+        |  WHERE quality >= 0.5
+        |    AND (CASE WHEN s_fr > s_en THEN 'fr' WHEN s_es > s_en THEN 'es'
+        |              WHEN s_de > s_en THEN 'de' ELSE 'en' END) = 'en'),
+        |deduped AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep FROM kept)
+        |  WHERE doc_id = keep),
+        |sp AS (
+        |  SELECT source, text,
+        |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) < 58982
+        |           THEN 'train'
+        |         WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) < 62259
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM deduped)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   )
 }
