@@ -321,6 +321,20 @@ object Queries {
           percentile(col("l_extendedprice"), lit(0.5)).as("price_p50"))
         .orderBy("l_returnflag")),
 
+    // statistical moments + correlation. Merge order of the partial
+    // aggregates makes the low bits run-dependent, so no hash oracle —
+    // rows-only for the driver; values asserted against closed-form
+    // two-pass computations (with tolerance) in ApproxSpec
+    "agg_stats" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          stddev_samp(col("l_quantity")).as("qty_sd"),
+          var_samp(col("l_quantity")).as("qty_var"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_cov"))
+        .orderBy("l_returnflag")),
+
     // the 100 TB percentile path (see agg_percentile): mergeable
     // error-bounded sketches with map-side partials. Sketch internals are
     // engine-specific → rows-only for the driver; accuracy vs the exact

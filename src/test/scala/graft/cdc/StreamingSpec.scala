@@ -131,6 +131,47 @@ class StreamingSpec extends SparkSpec {
     assert(before.keys.filterNot(_ == hotDir).nonEmpty)
   }
 
+  test("bucket-swap crash repair: interrupted renames roll forward/back to a valid state") {
+    val s = spark
+    import s.implicits._
+    val (in, state, chk) = (tmp("in4"), tmp("state4"), tmp("chk4"))
+    val statePath = state.resolve("t").toString
+    val first = (0 until 40).map(i => Ev(i.toLong, i.toLong, "c", i.toDouble))
+    writeBatchJson(in, first, "a-0.json")
+    val q1 = startMaterialize(in, state, chk)
+    q1.awaitTermination()
+    val before = readState(statePath)
+    val root = new java.io.File(statePath)
+    def dirOf(n: String) = new java.io.File(root, n)
+    // simulate a crash BETWEEN rename(dst→.old_N) and rename(tmp→dst):
+    // bucket dir missing, .old_N holds the data
+    val someBucket = root.listFiles().filter(_.getName.startsWith("state_bucket=")).head
+    val n = someBucket.getName.stripPrefix("state_bucket=")
+    assert(someBucket.renameTo(dirOf(s".old_$n")))
+    // plus a stale tmp dir from the same doomed batch
+    assert(dirOf(".delta_tmp").mkdir())
+    // next batch (any delta) must repair first: state equals before+delta
+    val touched = Seq(Ev(1000L, 3L, "u", 99.0))
+    writeBatchJson(in, touched, "b-0.json")
+    val q2 = startMaterialize(in, state, chk)
+    q2.awaitTermination()
+    assert(readState(statePath) == batchState(first ++ touched))
+    assert(!dirOf(s".old_$n").exists() && !dirOf(".delta_tmp").exists(),
+      "repair must clear crash leftovers")
+    // and the crash-after-swap variant: .old_N beside a LIVE bucket dir
+    val live = root.listFiles().filter(_.getName.startsWith("state_bucket=")).head
+    val m = live.getName.stripPrefix("state_bucket=")
+    val oldDir = dirOf(s".old_$m")
+    assert(oldDir.mkdir())
+    java.nio.file.Files.write(oldDir.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val touched2 = Seq(Ev(1001L, 5L, "u", 77.0))
+    writeBatchJson(in, touched2, "c-0.json")
+    val q3 = startMaterialize(in, state, chk)
+    q3.awaitTermination()
+    assert(readState(statePath) == batchState(first ++ touched ++ touched2))
+    assert(!oldDir.exists(), "post-swap leftover .old_ dir must be deleted")
+  }
+
   test("flatMapGroupsWithState latest-per-key: advances, suppresses stale, drops tombstoned") {
     val s = spark
     import s.implicits._

@@ -22,6 +22,34 @@ class ApproxSpec extends SparkSpec {
       s"HLL too far off: exact=$exact approx=$approx")
   }
 
+  test("agg_stats matches closed-form two-pass moments") {
+    val s = spark
+    val li = Tables(s, sf("sf0.001")).lineitem
+      .select(col("l_returnflag").as("f"),
+        col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val byFlag = li.groupBy(_._1)
+    val got = SparkEntry.queries("agg_stats")(s, sf("sf0.001"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    byFlag.foreach { case (flag, rows) =>
+      val qs = rows.map(_._2); val ps = rows.map(_._3)
+      val n = qs.length.toDouble
+      val mq = qs.sum / n; val mp = ps.sum / n
+      val varQ = qs.map(x => (x - mq) * (x - mq)).sum / (n - 1)
+      val cov = qs.zip(ps).map { case (x, y) => (x - mq) * (y - mp) }.sum / (n - 1)
+      val varP = ps.map(x => (x - mp) * (x - mp)).sum / (n - 1)
+      val corrQP = cov / math.sqrt(varQ * varP)
+      val (gSd, gVar, gCorr, gCov) = got(flag)
+      def close(a: Double, b: Double) = math.abs(a - b) / math.max(math.abs(b), 1e-9) < 1e-6
+      assert(close(gVar, varQ), s"$flag var: $gVar vs $varQ")
+      assert(close(gSd, math.sqrt(varQ)), s"$flag sd")
+      assert(close(gCov, cov), s"$flag cov")
+      assert(close(gCorr, corrQP), s"$flag corr")
+    }
+  }
+
   test("approx_percentile within 5% relative error of exact percentile") {
     val exact = SparkEntry.queries("agg_percentile")(spark, sf("sf0.001"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

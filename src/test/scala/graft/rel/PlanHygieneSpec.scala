@@ -76,6 +76,14 @@ class PlanHygieneSpec extends SparkSpec {
       "corpus top-k must not globally sort")
   }
 
+  test("q3 headline: filters pushed, no cartesian, top-k specialized") {
+    val p = planOf("q3_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      "customer segment filter must reach the scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partitioned writes prune partitions on read") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
