@@ -134,6 +134,17 @@ object CdcQueries {
         .withColumn("ops", array_join(col("ops"), ","))
         .orderBy("xid")),
 
+    // Kafka-record routing: topic name + record key from the envelope
+    // (README.md:805,841-842 — topic.prefix, pk.mode=record_key)
+    "route_topic" -> ((s, dir) =>
+      Ops.route(envelopeOf(F.fromEvents(s, dir)), "olr", keyFields = Seq("id"))
+        .select(
+          col("source.scn").as("scn"),
+          col("topic"),
+          col("key.id").as("key_id"),
+          col("op"))
+        .orderBy("scn")),
+
     // corrupt-record quarantine: every scn≡0 (mod 97) record's JSON is
     // deterministically truncated mid-document; the dead-letter parse
     // must route exactly those to 'dead' and parse the rest
@@ -248,6 +259,9 @@ object CdcQueries {
          |  min(scn) AS first_scn, max(scn) AS last_scn,
          |  array_to_string(list_sort(list(op)), ',') AS ops
          |FROM feed GROUP BY 1 ORDER BY xid""".stripMargin,
+    "route_topic" ->
+      s"""$feedCte SELECT scn, 'olr.OLR_DB.PRODUCT' AS topic, id AS key_id, op
+         |FROM feed ORDER BY scn""".stripMargin,
     "envelope_deadletter" ->
       s"""$feedCte SELECT CASE WHEN scn % 97 = 0 THEN 'dead' ELSE 'ok' END AS status,
          |  count(*) AS n

@@ -171,6 +171,20 @@ object Ops {
         array_sort(collect_list(col(opCol))).as("ops")
       )
 
+  /** Kafka-record shaping: key = PK struct (`pk.mode=record_key`,
+    * `pk.fields=ID`, reference `README.md:841-842`), topic =
+    * `prefix.SCHEMA.TABLE` (`topic.prefix` `README.md:805`). In Spark
+    * terms the topic is a routing column and the key the partitioning
+    * column — `repartition(col("key.*"))` reproduces Kafka's per-key
+    * ordering domain.
+    */
+  def route(env: DataFrame, topicPrefix: String, keyFields: Seq[String]): DataFrame = {
+    val payload = when(col("op") === "d", col("before")).otherwise(col("after"))
+    env.withColumn("topic",
+        concat_ws(".", lit(topicPrefix), col("source.schema"), col("source.table")))
+      .withColumn("key", struct(keyFields.map(f => payload.getField(f).as(f)): _*))
+  }
+
   /** Tag a consistent batch read as snapshot records (`op='r'`,
     * `snapshot.mode=initial`, reference `README.md:822`), ready to be
     * unioned ahead of the live stream (§3.2 batch→stream handoff).
