@@ -20,6 +20,10 @@ import graft.Tables
 object JdbcSource {
 
   private def seeded(s: SparkSession, dir: String): String = {
+    // keep Derby's log out of the caller's CWD (driver runs from anywhere)
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
     // per-dir in-memory database; seeding is idempotent (PK upsert)
     val url = s"jdbc:derby:memory:src${math.abs(dir.hashCode)};create=true"
     val nation = Tables(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey")
