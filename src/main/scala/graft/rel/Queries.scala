@@ -321,6 +321,16 @@ object Queries {
           percentile(col("l_extendedprice"), lit(0.5)).as("price_p50"))
         .orderBy("l_returnflag")),
 
+    // boolean/conditional aggregates
+    "agg_bool" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_totalprice") > 400000).as("any_huge"))
+        .orderBy("o_orderpriority")),
+
     // statistical moments + correlation. Merge order of the partial
     // aggregates makes the low bits run-dependent, so no hash oracle —
     // rows-only for the driver; values asserted against closed-form
@@ -762,6 +772,12 @@ object Queries {
         |  o_orderkey << 2 AS shl2,
         |  o_orderkey >> 3 AS shr3
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_totalprice > 400000) AS any_huge
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "fn_map" ->
       """SELECT p_partkey,
         |  map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand,
