@@ -145,7 +145,7 @@ object NearDedup {
     * The fixpoint is unique (min reachable id) regardless of execution
     * order, so the DuckDB recursive-CTE oracle matches exactly.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // pairs feeds the edge union twice (forward + reverse); Catalyst's
     // exchange reuse dedups the upstream pair pipeline, so no persist
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
@@ -154,18 +154,32 @@ object NearDedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).persist()
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
+      // rounds = graph diameter for min-label propagation; dup clusters
+      // are near-cliques (diameter ≤ a handful), so a run that reaches
+      // maxIters signals a pathological input (or an upstream bug emitting
+      // a giant chain) — fail loudly instead of spinning the driver.
+      if (round > maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            "(pathological long-chain graph? raise maxIters explicitly)")
       val nbrMin = edges
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
       // carry the previous label through the projection so convergence is
       // a filter on `next` itself — one action per round, no extra join
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
+      // every 5th round, cut lineage with an eager localCheckpoint:
+      // persist alone caches DATA but each round's plan still nests the
+      // previous round's, so analysis/optimization cost (and failure
+      // recovery depth) grows linearly with rounds otherwise
+      val next = if (round % 5 == 0) stepped.localCheckpoint() else stepped.persist()
       val changed = next.filter(col("label") =!= col("prev_label")).count()
       labels.unpersist()
       labels = next
@@ -175,12 +189,27 @@ object NearDedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The shingle pipeline (scan → split → zip_with → array_distinct, the
+    * md5-heavy CPU core of every near-dup query), persisted: each pipeline
+    * references it 3× (LSH banding + both sides of the Jaccard verify, or
+    * postings + both size lookups) and Catalyst's exchange reuse does NOT
+    * cover it — the references sit under different exchanges (and two of
+    * them under broadcast builds), so without an explicit persist the
+    * whole shingle projection re-executes per reference (measured 3.7×
+    * on dedup_jaccard in the round-2 driver bench). MEMORY_AND_DISK:
+    * at 100 TB the per-doc shingle table is ~corpus-sized, so it must be
+    * allowed to spill rather than OOM or silently recompute.
+    */
+  private def shingled(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // near-dup pairs (the dedup_near pipeline) → dup clusters: each
     // clustered doc with its canonical (minimum) doc id
     "dedup_cluster" -> ((s, dir) => {
-      val arrs = shingleArrays(Tables(s, dir).documents)
+      val arrs = shingled(Tables(s, dir).documents)
       val pairs = jaccard(candidates(banded(arrs)), arrs)
         .filter(col("jacc") >= 0.5)
         .select("doc1", "doc2")
@@ -188,7 +217,7 @@ object NearDedup {
     }),
 
     "dedup_near" -> ((s, dir) => {
-      val arrs = shingleArrays(Tables(s, dir).documents)
+      val arrs = shingled(Tables(s, dir).documents)
       jaccard(candidates(banded(arrs)), arrs)
         .filter(col("jacc") >= 0.5)
         .select("doc1", "doc2", "n1", "n2", "com", "jacc")
@@ -211,7 +240,7 @@ object NearDedup {
       // exactly, so the check stays exact; it also bounds in-task list
       // memory to dfCap ids).
       val dfCap = 100
-      val arrs = shingleArrays(Tables(s, dir).documents)
+      val arrs = shingled(Tables(s, dir).documents)
       val postings = arrs
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
         .groupBy("shingle")

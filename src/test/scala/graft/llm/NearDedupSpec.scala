@@ -47,6 +47,23 @@ class NearDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: long chain converges within the cap, past it fails loudly") {
+    val s = spark
+    import s.implicits._
+    // planted 13-node chain (diameter 12): min-label propagation needs
+    // ~diameter rounds, so this exercises the localCheckpoint path
+    // (every 5th round) AND converges well inside the default cap
+    val chain = (1L to 12L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = NearDedup.connectedComponents(chain)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got.keySet == (1L to 13L).toSet && got.values.forall(_ == 1L))
+    // and a cap below the diameter fails loudly instead of spinning
+    val e = intercept[IllegalStateException] {
+      NearDedup.connectedComponents(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("pathological LSH bucket is capped: bounded candidate output") {
     val s = spark
     import s.implicits._
