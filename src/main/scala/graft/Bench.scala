@@ -48,7 +48,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isNaN)
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // The round-2 driver log captured only the TAIL of stdout and lost the
+    // head of this (single, long) line. Persist the full JSON to a file
+    // first so it can always be read whole, then print it.
+    val out = java.nio.file.Paths.get("bench_out.json")
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Streaming-path throughput bench: drive the sf dir's full `events`
+  * change feed through `Stream.materialize` (file channel, AvailableNow,
+  * several micro-batches) and report events/sec end-to-end — source scan,
+  * envelope fold, bucketed state rewrite, checkpoint commits included.
+  *
+  * Prints ONE JSON line (and writes it to stream_bench_out.json) so the
+  * driver/BASELINE.md get a regression guard for the CDC streaming path
+  * itself, which the per-query Bench (batch plans only) doesn't cover.
+  *
+  * Feed generation (events → JSON change files) is SETUP and untimed;
+  * the timer covers only the streaming query start→drain.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Engine.session("graft-stream-bench")
+    val feedDf = cdc.ChangeFeed.fromEvents(spark, sfDir)
+    val n = feedDf.count()
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-bench")
+    val feedDir = work.resolve("feed").toString
+    // 20 files × maxFilesPerTrigger=4 → 5 micro-batches: exercises the
+    // incremental bucketed-state path, not one giant batch. The channel
+    // must be ordered ACROSS batches per key (the Kafka key→partition
+    // contract the sinks assume; a delete is dropped from state, so a
+    // staler cross-batch redelivery would resurrect the key): range-
+    // partition by scn so file-name order IS scn order, then give files
+    // distinct ascending mtimes — the file source orders same-mtime
+    // files nondeterministically.
+    feedDf.repartitionByRange(20, col("scn")).write.mode("overwrite").json(feedDir)
+    val files = new java.io.File(feedDir).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - files.length * 1000L
+    files.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+    val stream = spark.readStream
+      .schema(feedDf.schema)
+      .option("maxFilesPerTrigger", 4)
+      .json(feedDir)
+    val t0 = System.nanoTime()
+    val q = cdc.Stream.materialize(
+      stream,
+      keys = Seq("id"),
+      ordering = Seq("scn"),
+      statePath = work.resolve("state").toString,
+      checkpointDir = work.resolve("chk").toString)
+    q.awaitTermination()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val stateRows = spark.read.parquet(work.resolve("state").toString).count()
+    // sanity: the materialized state must be the batch fold of the feed
+    val expect = cdc.Ops.applyChanges(feedDf, Seq("id"), Seq("scn")).count()
+    require(stateRows == expect, s"state rows $stateRows != batch fold $expect")
+    val eps = n / elapsed
+    val json =
+      s"""{"metric":"stream_materialize_eps","value":$eps,"unit":"events/sec","events":$n,""" +
+        s""""elapsed_sec":$elapsed,"state_rows":$stateRows,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("stream_bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

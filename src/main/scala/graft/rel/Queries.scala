@@ -332,17 +332,19 @@ object Queries {
         .orderBy("o_orderpriority")),
 
     // statistical moments + correlation. Merge order of the partial
-    // aggregates makes the low bits run-dependent, so no hash oracle —
-    // rows-only for the driver; values asserted against closed-form
+    // aggregates makes the LOW bits run-dependent; rounding to 6 decimals
+    // (orders of magnitude above the ~1e-10 merge noise) makes the result
+    // hash-stable, so this IS oracle-checked — the oracle SQL rounds
+    // identically. Unrounded values are asserted against closed-form
     // two-pass computations (with tolerance) in ApproxSpec
     "agg_stats" -> ((s, dir) =>
       Tables(s, dir).lineitem
         .groupBy("l_returnflag")
         .agg(
-          stddev_samp(col("l_quantity")).as("qty_sd"),
-          var_samp(col("l_quantity")).as("qty_var"),
-          corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
-          covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_cov"))
+          round(stddev_samp(col("l_quantity")), 6).as("qty_sd"),
+          round(var_samp(col("l_quantity")), 6).as("qty_var"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_cov"))
         .orderBy("l_returnflag")),
 
     // the 100 TB percentile path (see agg_percentile): mergeable
@@ -653,6 +655,13 @@ object Queries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS qty_sd,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_cov
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "project" ->
       """SELECT p_partkey, upper(p_name) AS name_up, p_brand || '/' || p_type AS brand_type,
         |  p_size + 1 AS size1, p_retailprice FROM part ORDER BY p_partkey""".stripMargin,

@@ -53,22 +53,41 @@ final case class KafkaChannel(
 
   override def subscribe(spark: SparkSession): DataFrame =
     spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .format(KafkaChannel.Format)
+      .options(KafkaChannel.readerOptions(bootstrapServers, topic, startingOffsets, batch = false))
       .load()
       .select(col("value").cast("string").as("value"))
 
   override def replay(spark: SparkSession): DataFrame =
     spark.read
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("endingOffsets", "latest")
+      .format(KafkaChannel.Format)
+      .options(KafkaChannel.readerOptions(bootstrapServers, topic, startingOffsets = "earliest", batch = true))
       .load()
       .select(col("value").cast("string").as("value"))
+}
+
+object KafkaChannel {
+
+  /** The stable data-source name the spark-sql-kafka connector registers
+    * under — a string contract, so a typo would only surface at runtime;
+    * `ChannelSpec` pins it (and proves it reaches Spark's data-source
+    * resolution) without needing the connector on the classpath.
+    */
+  val Format = "kafka"
+
+  /** The full reader option map, as a pure function so tests can assert
+    * the exact wire contract: `kafka.bootstrap.servers` + `subscribe` +
+    * `startingOffsets` for streams; batch replay additionally bounds the
+    * read with `endingOffsets=latest` (streaming reads reject that key).
+    */
+  def readerOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String, batch: Boolean): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
+    if (batch) base + ("endingOffsets" -> "latest") else base
+  }
 }
 
 object ChangeChannel {

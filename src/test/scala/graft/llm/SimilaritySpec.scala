@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpec {
       .simTopK(Tables(spark, sf("sf0.001")).embeddings, queryIds = 0L until 4L, k = 10)
       .collect()
       .groupBy(_.getAs[Long]("q_id"))
-      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("c_id")).toSeq }
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("c_id")).toSeq }
     (0L until 4L).foreach { q =>
       assert(got(q) == truth(q, 10), s"query $q")
     }
@@ -80,6 +80,22 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     // nprobe=4 of 16 cells: expect well above random (k/n ≈ 0.02)
     assert(mean > 0.3, s"mean IVF recall $mean too low: $recalls")
+  }
+
+  test("IVF quantizer trains once per dataset, not per query") {
+    val emb = Tables(spark, sf("sf0.001")).embeddings
+    val m1 = VectorOps.ivfModel(emb, cells = 16, datasetKey = sf("sf0.001"))
+    val before = VectorOps.trainCount.get()
+    val m2 = VectorOps.ivfModel(emb, cells = 16, datasetKey = sf("sf0.001"))
+    assert(m2 eq m1, "second lookup must reuse the trained model instance")
+    assert(VectorOps.trainCount.get() == before, "no re-training on cache hit")
+    // and two query invocations through the public id share the model
+    val q = graft.SparkEntry.queries("ann_ivf")
+    q(spark, sf("sf0.001")).collect()
+    val afterFirst = VectorOps.trainCount.get()
+    q(spark, sf("sf0.001")).collect()
+    assert(VectorOps.trainCount.get() == afterFirst,
+      "ann_ivf must not retrain on a repeated run over the same dataset")
   }
 
   test("native cosine returns null on mismatched lengths, like the HOF form") {

@@ -42,7 +42,12 @@ class ApproxSpec extends SparkSpec {
       val varP = ps.map(x => (x - mp) * (x - mp)).sum / (n - 1)
       val corrQP = cov / math.sqrt(varQ * varP)
       val (gSd, gVar, gCorr, gCov) = got(flag)
-      def close(a: Double, b: Double) = math.abs(a - b) / math.max(math.abs(b), 1e-9) < 1e-6
+      // the query rounds to 6 decimals for oracle hash-stability, so
+      // allow 5e-7 absolute (half an ulp of the rounding) on top of the
+      // relative merge-noise tolerance
+      def close(a: Double, b: Double) =
+        math.abs(a - b) < 5.000001e-7 ||
+          math.abs(a - b) / math.max(math.abs(b), 1e-9) < 1e-6
       assert(close(gVar, varQ), s"$flag var: $gVar vs $varQ")
       assert(close(gSd, math.sqrt(varQ)), s"$flag sd")
       assert(close(gCov, cov), s"$flag cov")

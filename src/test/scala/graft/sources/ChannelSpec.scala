@@ -58,4 +58,37 @@ class ChannelSpec extends SparkSpec {
       assert(envelopeTriples(spark.table("chan_t")) == expected)
     } finally q.stop()
   }
+
+  // The spark-sql-kafka connector jar (and a broker) are absent in this
+  // environment, so KafkaChannel cannot EXECUTE here. These two tests pin
+  // everything short of that: the exact reader option map of the
+  // documented contract, and that the channel's construction really
+  // reaches Spark's data-source resolution under the name "kafka" (a
+  // format-string typo would change the thrown lookup error).
+  test("kafka channel option map matches the documented reader contract") {
+    val stream = KafkaChannel.readerOptions("b1:9092,b2:9092", "olr.events",
+      startingOffsets = "latest", batch = false)
+    assert(stream == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "olr.events",
+      "startingOffsets" -> "latest"))
+    val batch = KafkaChannel.readerOptions("b1:9092", "olr.events",
+      startingOffsets = "earliest", batch = true)
+    assert(batch == Map(
+      "kafka.bootstrap.servers" -> "b1:9092",
+      "subscribe" -> "olr.events",
+      "startingOffsets" -> "earliest",
+      "endingOffsets" -> "latest"))
+    assert(KafkaChannel.Format == "kafka")
+  }
+
+  test("kafka channel reaches data-source resolution under format 'kafka'") {
+    val chan = KafkaChannel("localhost:9092", "olr.events")
+    val streamErr = intercept[Exception](chan.subscribe(spark))
+    assert(streamErr.getMessage.toLowerCase.contains("kafka"),
+      s"subscribe failed before format lookup: ${streamErr.getMessage}")
+    val batchErr = intercept[Exception](chan.replay(spark))
+    assert(batchErr.getMessage.toLowerCase.contains("kafka"),
+      s"replay failed before format lookup: ${batchErr.getMessage}")
+  }
 }
