@@ -186,8 +186,15 @@ object NearDedup {
       converged = changed == 0
     }
     edges.unpersist()
+    lastCcRounds.set(round)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Rounds the last [[connectedComponents]] run took (observability —
+    * the loop's cost is rounds × fixed job overhead, so this is the
+    * number to look at when the query's wall time moves).
+    */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The shingle pipeline (scan → split → zip_with → array_distinct, the
     * md5-heavy CPU core of every near-dup query), persisted: each pipeline
