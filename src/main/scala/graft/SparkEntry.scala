@@ -22,6 +22,7 @@ object SparkEntry {
     cdc.CdcQueries.queries ++
       rel.Queries.queries ++
       llm.TextOps.queries ++
+      llm.Curation.queries ++
       llm.Sampling.queries ++
       llm.NearDedup.queries ++
       llm.VectorOps.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     cdc.CdcQueries.oracleSql ++
       rel.Queries.oracleSql ++
       llm.TextOps.oracleSql ++
+      llm.Curation.oracleSql ++
       llm.Sampling.oracleSql ++
       llm.NearDedup.oracleSql ++
       llm.VectorOps.oracleSql ++

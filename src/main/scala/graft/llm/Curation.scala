@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators beyond the dedup/sampling families
+  * (SURVEY.md §2.12): eval-set decontamination, stratified per-group
+  * sampling, and intra-document repetition scoring — the remaining
+  * standard passes of a large-scale training-data build.
+  *
+  * Scale notes:
+  *  - `decontaminate` is the classic n-gram–overlap test-set scrub:
+  *    train-side shingles semi-join eval-side shingles, then an anti-join
+  *    back to train docs. Both joins are key-shuffles on the shingle /
+  *    doc id (no all-pairs anywhere); a production eval suite is tiny, so
+  *    AQE turns the semi-join's eval side into a broadcast automatically —
+  *    the plan needs no hint to degrade gracefully when it is NOT tiny
+  *    (here it is 5% of the corpus).
+  *  - `stratified_sample` is one window per group partition — the shuffle
+  *    is on the stratum key, and only rank ≤ k rows survive the filter.
+  *  - `text_repetition` is explode → two map-side-combinable aggregations;
+  *    the 2-gram multiset never exists as a corpus-wide blowup beyond the
+  *    one counting shuffle.
+  */
+object Curation {
+
+  /** Per-doc 2-gram ARRAY (with multiplicity — repetition is the point),
+    * same zip_with-over-shifted-slices shape as
+    * [[NearDedup.shingleArrays]] (reference for why not
+    * transform+element_at).
+    */
+  private[llm] def bigrams(text: org.apache.spark.sql.Column) = {
+    val ws = split(text, " ")
+    slice(zip_with(ws, slice(ws, lit(2), size(ws)), (a, b) => concat(a, lit(" "), b)),
+      lit(1), size(ws) - 1)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // test-set decontamination: drop every train doc sharing ANY 3-word
+    // shingle with the held-out ('test') split. Survivors = clean train.
+    "decontaminate" -> ((s, dir) => {
+      val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
+      val train = sp.filter(col("split") === "train")
+      val evalSide = sp.filter(col("split") === "test")
+      val trainNg = NearDedup.shingleArrays(train)
+        .select(col("doc_id"), explode(col("sh")).as("ng"))
+      val evalNg = NearDedup.shingleArrays(evalSide)
+        .select(explode(col("sh")).as("ng")).distinct()
+      val contaminated = trainNg
+        .join(evalNg, Seq("ng"), "left_semi")
+        .select("doc_id").distinct()
+      train.select("doc_id", "source")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
+    // k docs per stratum (source), chosen by deterministic hash order —
+    // the per-domain quota pass of a corpus mix. Never rand(): the md5
+    // order is stable across runs/retries/engines (same rationale as
+    // Sampling.hashBucket).
+    "stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir).documents
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    }),
+
+    // intra-doc repetition (Gopher-style quality rule): the share of the
+    // doc's 2-gram mass taken by its most repeated 2-gram. Boilerplate
+    // and generated spam score high; docs under 2 words have no 2-grams
+    // and are excluded (mirrored in the oracle).
+    "text_repetition" -> ((s, dir) =>
+      graft.Engine.spread(Tables(s, dir).documents, "doc_id")
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(bigrams(col("text"))).as("g"))
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("n")).cast("long").as("n_2grams"),
+          max(col("n")).cast("long").as("max_rep"))
+        .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_2grams"))
+        .orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, text,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
+        |  FROM documents),
+        |train AS (SELECT doc_id, source, text FROM h WHERE hb < 58982),
+        |ev AS (SELECT text FROM h WHERE hb >= 62259),
+        |tng AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS ng
+        |  FROM train WHERE len(string_split(text,' ')) >= 3),
+        |eng AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS ng
+        |  FROM ev WHERE len(string_split(text,' ')) >= 3),
+        |bad AS (SELECT DISTINCT t.doc_id FROM tng t JOIN eng e ON t.ng = e.ng)
+        |SELECT doc_id, source FROM train
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |cnt AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams, max(n) AS max_rep,
+        |       CAST(max(n) AS DOUBLE) / sum(n) AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

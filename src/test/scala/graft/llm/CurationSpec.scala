@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the curation passes on planted inputs (the sf oracles
+  * prove engine parity; these prove the operators do the RIGHT thing).
+  */
+class CurationSpec extends SparkSpec {
+
+  test("decontaminate drops exactly the train docs overlapping the eval split") {
+    val s = spark
+    import s.implicits._
+    // find one real test-split doc at sf0.001, plant its text onto a
+    // train-split doc id, and check that doc id is scrubbed
+    val sp = Sampling.splitAssign(graft.Tables(s, sf("sf0.001")).documents, "doc_id")
+    val evalDoc = sp.filter(col("split") === "test")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("text").as[String].head()
+    val trainIds = sp.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val plantedId = trainIds.head
+    val docs = sp.select("doc_id", "source", "text")
+      .withColumn("text", when(col("doc_id") === plantedId, evalDoc).otherwise(col("text")))
+    // rebuild the pipeline over the planted corpus (same logic as the id)
+    val train = Sampling.splitAssign(docs, "doc_id").filter(col("split") === "train")
+    val ev = Sampling.splitAssign(docs, "doc_id").filter(col("split") === "test")
+    val trainNg = NearDedup.shingleArrays(train)
+      .select(col("doc_id"), explode(col("sh")).as("ng"))
+    val evalNg = NearDedup.shingleArrays(ev).select(explode(col("sh")).as("ng")).distinct()
+    val contaminated = trainNg.join(evalNg, Seq("ng"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(contaminated.contains(plantedId), "planted eval copy must be flagged")
+    val clean = train.select("doc_id")
+      .join(trainNg.join(evalNg, Seq("ng"), "left_semi").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti").as[Long].collect().toSet
+    assert(!clean.contains(plantedId))
+    assert((clean ++ contaminated) == trainIds, "survivors + flagged must partition train")
+  }
+
+  test("stratified sample takes at most k per stratum, deterministically") {
+    val q = graft.SparkEntry.queries("stratified_sample")
+    val a = q(spark, sf("sf0.001")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = q(spark, sf("sf0.001")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b), "must be run-deterministic")
+    a.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 5, s"stratum $src over quota")
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length), s"ranks not dense in $src")
+    }
+  }
+
+  test("text_repetition scores a repeated doc above a diverse one") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),     // one bigram repeated 5x
+      (2L, "one two three four five six"),        // all bigrams distinct
+      (3L, "single")                              // no bigrams -> excluded
+    ).toDF("doc_id", "text")
+    val got = graft.Engine.spread(docs, "doc_id")
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(Curation.bigrams(col("text"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).cast("long").as("n_2grams"), max(col("n")).cast("long").as("max_rep"))
+      .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_2grams"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((5L, 1L, 0.2)))
+    assert(!got.contains(3L))
+  }
+}
