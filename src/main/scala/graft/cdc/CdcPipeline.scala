@@ -52,16 +52,42 @@ object CdcPipeline {
     // 1. snapshot phase: consistent batch read → op='r' rows → state,
     //    written directly in materialize's bucketed layout so the stream
     //    phase starts incremental (no flat-state migration batch).
+    //
+    //    Snapshot-at-SCN consistency is the SOURCE's contract (the
+    //    reference takes a flashback-consistent read AS OF `snapshotScn`,
+    //    scripts-db/set-up-orl.sql:228; an in-engine batch read has no
+    //    MVCC to verify it against). What the ENGINE guarantees is the
+    //    overlap-idempotence contract at the handoff, made total by
+    //    `__src_rank` (snapshot=0 < stream=1) as the scn tiebreaker:
+    //      scn < snapshotScn  → replayed event loses to the snapshot;
+    //      scn = snapshotScn  → the stream event wins DETERMINISTICALLY
+    //                           (for a consistent source its after-image
+    //                           equals the snapshot row, so this is a
+    //                           no-op; for a drifted source the stream —
+    //                           the log of record — wins, never a
+    //                           partition-order coin flip);
+    //      scn > snapshotScn  → the stream event wins on scn alone.
+    //    Pinned by CdcPipelineSpec's boundary-SCN test.
     val snap = Ops.snapshot(baseTable, snapshotScn)
     val feedCols = feedSchema.fieldNames.toSeq
-    Stream.writeState(snap.select(feedCols.map(col): _*), statePath, keys)
+    Stream.writeState(
+      snap.select(feedCols.map(col): _*).withColumn(SrcRankCol, lit(0)),
+      statePath, keys)
     // 2. stream phase over the transport channel; resumes via checkpoint.
     //    The wire rows are flat feed-schema JSON here (not the full
     //    envelope): parse value → struct → columns.
     val feed = channel.subscribe(spark)
       .select(from_json(col("value"), feedSchema).as("r"))
       .select(feedCols.map(c => col(s"r.$c")): _*)
-    val q = Stream.materialize(feed, keys, ordering = Seq("scn"), statePath, checkpointDir)
+      .withColumn(SrcRankCol, lit(1))
+    val q = Stream.materialize(feed, keys, ordering = Seq("scn", SrcRankCol),
+      statePath, checkpointDir)
     Handle(spark.read.parquet(statePath), q)
   }
+
+  /** Snapshot-vs-stream provenance rank carried through the state (0 =
+    * snapshot row, 1 = stream event) — the scn tiebreaker that makes the
+    * handoff ordering total.
+    */
+  val SrcRankCol = "__src_rank"
 }

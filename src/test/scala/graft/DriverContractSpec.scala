@@ -28,9 +28,9 @@ class DriverContractSpec extends AnyFunSuite {
   test("query ids are unique across modules (no silent map overwrites)") {
     val all = Seq(
       cdc.CdcQueries.queries, rel.Queries.queries, llm.TextOps.queries,
-      llm.Sampling.queries, llm.NearDedup.queries, llm.VectorOps.queries,
-      llm.Multimodal.queries, sources.AvroCodec.queries, sources.JdbcSource.queries,
-      sources.CsvSpool.queries)
+      llm.Curation.queries, llm.Sampling.queries, llm.NearDedup.queries,
+      llm.VectorOps.queries, llm.Multimodal.queries, sources.AvroCodec.queries,
+      sources.JdbcSource.queries, sources.CsvSpool.queries)
     val ids = all.flatMap(_.keys)
     val dupes = ids.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query ids: $dupes")

@@ -41,4 +41,40 @@ class CdcPipelineSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
     assert(state == Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0))
   }
+
+  test("boundary-SCN overlap is idempotent and deterministically stream-wins") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("pipeb")
+    val changeDir = dir.resolve("changes"); Files.createDirectories(changeDir)
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "value")
+
+    // events AT the snapshot SCN (=100): a redelivered update of id=1
+    // whose after-image equals the snapshot row (consistent source —
+    // must be a no-op), and a delete of id=2 that a drifted snapshot
+    // still contains (the stream, being the log of record, must win the
+    // tie and remove the row — never a partition-order coin flip)
+    val lines = Seq(
+      """{"id":1,"value":10.0,"op":"u","scn":100}""",
+      """{"id":2,"value":20.0,"op":"d","scn":100}""")
+    Files.write(changeDir.resolve("c0.json"), String.join("\n", lines: _*).getBytes)
+
+    val h = CdcPipeline.start(
+      s, base, keys = Seq("id"), snapshotScn = 100L,
+      changeDir = changeDir.toString, feedSchema = feedSchema,
+      statePath = dir.resolve("state").toString,
+      checkpointDir = dir.resolve("chk").toString)
+    h.stream.awaitTermination()
+
+    val state = s.read.parquet(dir.resolve("state").toString)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("value"), r.getAs[String]("op"), r.getAs[Int](CdcPipeline.SrcRankCol))))
+      .toMap
+    // id=1: value unchanged, but provenance shows the STREAM row won the tie
+    assert(state(1L) == ((10.0, "u", 1)))
+    // id=2: boundary delete applied; id=3: untouched snapshot row
+    assert(!state.contains(2L))
+    assert(state(3L) == ((30.0, "r", 0)))
+  }
 }

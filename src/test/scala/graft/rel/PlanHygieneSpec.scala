@@ -84,6 +84,45 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // THE 100 TB join strategy: write both fact tables bucketed on the
+    // join key, and the sort-merge join consumes the bucket layout
+    // directly — zero Exchange in the plan, so the biggest join in the
+    // pipeline moves no bytes between executors at read time.
+    val s = spark
+    val t = graft.Tables(s, sf("sf0.001"))
+    s.sql("DROP TABLE IF EXISTS li_bucketed")
+    s.sql("DROP TABLE IF EXISTS ord_bucketed")
+    t.lineitem.select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    t.orders.select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.table("li_bucketed")
+        .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val n = j.collect().length // collect: the final adaptive plan
+      assert(n > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // same join over plain parquet DOES shuffle — the layout is what
+      // removed it, not the data size
+      val unbucketed = t.lineitem.select("l_orderkey", "l_quantity")
+        .join(t.orders.select("o_orderkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+      unbucketed.collect()
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.sql("DROP TABLE IF EXISTS li_bucketed")
+      s.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("partitioned writes prune partitions on read") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
