@@ -71,6 +71,28 @@ object Curation {
         .orderBy("source", "rk")
     }),
 
+    // sequence packing: assign docs to fixed-capacity (512-token) training
+    // bins by cumulative token count within each source shard — the
+    // deterministic, shuffle-light approximation of greedy sample packing
+    // (exact first-fit is inherently sequential; cumulative binning is
+    // one window per shard and reproducible across engines). bin/offset
+    // tell the tokenizer stage exactly where each doc starts.
+    "seq_pack" -> ((s, dir) => {
+      val cap = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / cap).cast("long"))
+        .withColumn("bin_offset", (col("cum") - col("n_tokens")) % cap)
+        .select("source", "doc_id", "n_tokens", "bin", "bin_offset")
+        .orderBy("source", "doc_id")
+    }),
+
     // intra-doc repetition (Gopher-style quality rule): the share of the
     // doc's 2-gram mass taken by its most repeated 2-gram. Boilerplate
     // and generated spam score high; docs under 2 words have no 2-grams
@@ -118,6 +140,18 @@ object Curation {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "seq_pack" ->
+      """WITH c AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text,' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
