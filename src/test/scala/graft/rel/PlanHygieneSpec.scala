@@ -84,6 +84,18 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("curation plans: decontaminate is semi+anti join, seq_pack is one window") {
+    val d = planOf("decontaminate")
+    // the scrub must be set-membership joins, never a pair blowup
+    assert(d.contains("LeftSemi"), d)
+    assert(d.contains("LeftAnti"), d)
+    assert(!d.contains("CartesianProduct"), d)
+    val p = planOf("seq_pack")
+    // cumulative binning is a window over the shard — no join stage at all
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // THE 100 TB join strategy: write both fact tables bucketed on the
     // join key, and the sort-merge join consumes the bucket layout
