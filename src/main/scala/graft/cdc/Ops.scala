@@ -151,6 +151,11 @@ object Ops {
           unix_millis(col(f.name)).as(f.name)
         case org.apache.spark.sql.types.TimestampNTZType =>
           unix_millis(col(f.name).cast("timestamp")).as(f.name)
+        case org.apache.spark.sql.types.DateType =>
+          // adaptive time mode sends DATE as the epoch-DAY integer (the
+          // fixtures carry only timestamps, but a DATE source column must
+          // not leak through as a native date)
+          datediff(col(f.name), lit("1970-01-01")).cast("long").as(f.name)
         case _ => col(f.name)
       }
     }.toSeq: _*)

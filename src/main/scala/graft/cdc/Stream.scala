@@ -62,16 +62,73 @@ object Stream {
       if (!fs.exists(dst)) fs.rename(st.getPath, dst) // crashed mid-swap: roll back
       else fs.delete(st.getPath, true)                // crashed post-swap: drop leftover
     }
+    // Flat→bucketed migration repair. A crash can leave flat *.parquet
+    // files AND state_bucket=N dirs side by side — a layout Spark's
+    // partition discovery rejects ("conflicting directory structures"),
+    // which unrepaired would brick every subsequent batch. The MigratedMark
+    // file is the migration's commit point:
+    //   mixed, no mark  → crashed BEFORE commit: the bucket dirs are the
+    //                     incomplete write — drop them, keep the intact
+    //                     flat state, and the re-run batch redoes the
+    //                     migration from scratch;
+    //   mixed, mark     → crashed DURING flat cleanup: the buckets are
+    //                     complete — finish deleting the flat files;
+    //   mark, no flat   → crashed before dropping the mark: drop it.
+    val mark = new org.apache.hadoop.fs.Path(root, MigratedMark)
+    val flatFiles = fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (flatFiles.nonEmpty && fs.exists(mark))
+      flatFiles.foreach(st => fs.delete(st.getPath, false))
+    else if (flatFiles.nonEmpty)
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+        .foreach(st => fs.delete(st.getPath, true))
+    if (fs.exists(mark)) fs.delete(mark, false)
+  }
+
+  /** Commit marker of the flat→bucketed state migration (see repair). */
+  private val MigratedMark = "_MIGRATED"
+
+  /** Bucket-count metadata file: pmod(key, N) only addresses rows written
+    * with the SAME N, so a writer running with a different `stateBuckets`
+    * than the layout would read the wrong buckets and silently duplicate
+    * keys (old rows stranded in never-read buckets). The count is
+    * recorded at first write and every subsequent writer must match it —
+    * fail loudly, never corrupt.
+    */
+  private val BucketsMeta = "_state_buckets"
+
+  private def checkOrRecordBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(root, BucketsMeta)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val recorded =
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      require(recorded == n,
+        s"state at $root is bucketed with stateBuckets=$recorded but this " +
+          s"writer was configured with $n — matching counts are required " +
+          "(a mismatch would strand rows in never-read buckets)")
+    } else {
+      val out = fs.create(meta, true)
+      try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Write a full state table in the bucketed layout `materialize`
     * maintains incrementally (bootstrap/snapshot path).
     */
   def writeState(df: DataFrame, statePath: String, keys: Seq[String],
-      stateBuckets: Int = 16): Unit =
+      stateBuckets: Int = 16): Unit = {
     df.withColumn(BucketCol,
         pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int"))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    checkOrRecordBuckets(
+      root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration),
+      root, stateBuckets)
+  }
 
   /** Continuously materialize a change-event stream into a current-state
     * parquet table at `statePath`, exactly-once via `checkpointDir`
@@ -115,6 +172,7 @@ object Stream {
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         repair(fs, root)
+        if (fs.exists(root)) checkOrRecordBuckets(fs, root, stateBuckets)
         val bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int")
         val delta = batch.select(cols.map(col): _*)
         // flat legacy/bootstrap layout (top-level parquet files) → fold the
@@ -150,8 +208,17 @@ object Stream {
           if (fs.exists(src)) fs.rename(src, dst) // absent src = bucket fully deleted
           if (fs.exists(old)) fs.delete(old, true)
         }
-        if (flat) // migration done: clear the old flat files
-          fs.listStatus(root).filter(_.isFile).foreach(st => fs.delete(st.getPath, false))
+        if (flat) {
+          // migration commit point: mark FIRST, then clear the flat files
+          // (only *.parquet — never the mark itself), then drop the mark;
+          // repair() resolves a crash in any of these windows
+          val mark = new org.apache.hadoop.fs.Path(root, MigratedMark)
+          fs.create(mark, true).close()
+          fs.listStatus(root)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .foreach(st => fs.delete(st.getPath, false))
+          fs.delete(mark, false)
+        }
         fs.delete(tmpRoot, true)
         ()
       }

@@ -185,9 +185,16 @@ object NearDedup {
       labels = next
       converged = changed == 0
     }
-    edges.unpersist()
     lastCcRounds.set(round)
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // eagerly materialize the (small) result so every loop cache can be
+    // released NOW — returning a plan over the persisted `labels` would
+    // leak one cache entry per invocation with no way to unpersist it
+    val result = labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    result
   }
 
   /** Rounds the last [[connectedComponents]] run took (observability —
@@ -206,17 +213,26 @@ object NearDedup {
     * on dedup_jaccard in the round-2 driver bench). MEMORY_AND_DISK:
     * at 100 TB the per-doc shingle table is ~corpus-sized, so it must be
     * allowed to spill rather than OOM or silently recompute.
+    *
+    * Memoized per (session, dir) like [[VectorOps.ivfModel]]: the shingle
+    * table is a per-corpus artifact shared by the whole dedup family, and
+    * a fresh persist per invocation would leak one never-unpersisted
+    * cache entry per run.
     */
-  private def shingled(docs: DataFrame): DataFrame =
-    shingleArrays(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent((s, dir), _ =>
+      shingleArrays(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // near-dup pairs (the dedup_near pipeline) → dup clusters: each
     // clustered doc with its canonical (minimum) doc id
     "dedup_cluster" -> ((s, dir) => {
-      val arrs = shingled(Tables(s, dir).documents)
+      val arrs = shingled(s, dir)
       val pairs = jaccard(candidates(banded(arrs)), arrs)
         .filter(col("jacc") >= 0.5)
         .select("doc1", "doc2")
@@ -224,7 +240,7 @@ object NearDedup {
     }),
 
     "dedup_near" -> ((s, dir) => {
-      val arrs = shingled(Tables(s, dir).documents)
+      val arrs = shingled(s, dir)
       jaccard(candidates(banded(arrs)), arrs)
         .filter(col("jacc") >= 0.5)
         .select("doc1", "doc2", "n1", "n2", "com", "jacc")
@@ -247,7 +263,7 @@ object NearDedup {
       // exactly, so the check stays exact; it also bounds in-task list
       // memory to dfCap ids).
       val dfCap = 100
-      val arrs = shingled(Tables(s, dir).documents)
+      val arrs = shingled(s, dir)
       val postings = arrs
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
         .groupBy("shingle")

@@ -32,6 +32,16 @@ case class AsOfJoinNode(
     rightTieBreak: Seq[Expression],
     rightPayload: Seq[Attribute]
 ) extends BinaryNode {
+  // the merge scan compares key-vs-key and ts-vs-ts with ONE ordering
+  // built from the LEFT types (AsOfJoinExec), so mismatched right types
+  // would ClassCastException deep inside an executor task (or worse,
+  // compare wrong for representation-compatible types) — reject at plan
+  // construction instead. DataFrame-API callers cast explicitly; the
+  // union+window twin (cdc.Ops.asOfJoin) casts rightTs for the same reason.
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] = left.output ++ rightPayload
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -93,7 +103,6 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
       // latest right row seen for the CURRENT key run
       var heldKey: Any = null
-      var heldTs: Any = null
       var held: InternalRow = null
 
       lIter.flatMap { lRow =>
@@ -117,7 +126,6 @@ case class AsOfJoinExec(
                 // deep-copy: for non-primitive keys rk may point into the
                 // consumed row's reused buffer
                 heldKey = InternalRow.copyValue(rk)
-                heldTs = rt
               } else advancing = false
             }
           }

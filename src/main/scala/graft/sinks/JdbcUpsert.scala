@@ -49,8 +49,13 @@ object JdbcUpsert {
   def ensureTable(url: String, table: String, schema: StructType, keys: Seq[String]): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
+      // Probe with a no-row SELECT instead of getTables metadata: each
+      // database folds unquoted identifiers differently (Derby/Oracle
+      // upper-case, Postgres lower-case), so a cased metadata lookup
+      // misses existing tables and re-attempts CREATE. The SELECT goes
+      // through the same identifier resolution the writes will use.
       val exists =
-        try { conn.getMetaData.getTables(null, null, table.toUpperCase, null).next() }
+        try { conn.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
         catch { case _: java.sql.SQLException => false }
       if (!exists) {
         val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
@@ -85,6 +90,9 @@ object JdbcUpsert {
   ): Unit = {
     val schema = df.schema
     val dataCols = schema.fieldNames.toSeq.filterNot(c => keys.contains(c) || opCol.contains(c))
+    require(dataCols.nonEmpty,
+      s"upsert into $table needs at least one non-key payload column " +
+        s"(got keys=$keys, op=$opCol only) — a keys-only feed has nothing to SET")
     val allCols = keys ++ dataCols
     val guard = ordCol.map(c => s" AND $c <= ?").getOrElse("")
     val updateSql = s"UPDATE $table SET ${dataCols.map(c => s"$c = ?").mkString(", ")} " +
@@ -124,7 +132,14 @@ object JdbcUpsert {
                 // PK collision with a NEWER row (guard blocked the
                 // update): stale redelivery, skip. Without ordCol there
                 // is no guard, so collisions are genuine errors.
-                case e: java.sql.SQLIntegrityConstraintViolationException =>
+                // Matched by SQLState class 23 (integrity violation), not
+                // exception subclass: Derby throws the standard
+                // SQLIntegrityConstraintViolationException but the
+                // PostgreSQL/MySQL drivers throw plain SQLExceptions with
+                // SQLState 23505/23000 — class-only matching would turn a
+                // routine stale redelivery into a poison batch there.
+                case e: java.sql.SQLException
+                    if Option(e.getSQLState).exists(_.startsWith("23")) =>
                   if (ordCol.isEmpty) throw e
               }
             }

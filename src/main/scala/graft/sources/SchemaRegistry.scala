@@ -29,20 +29,33 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
 
   private def replay(): Vector[(Int, String, Int, String)] = {
     val files =
-      if (java.nio.file.Files.isDirectory(dir))
-        java.nio.file.Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.matches("\\d{5}_.*\\.avsc"))
-          .toVector.sortBy(_.getFileName.toString)
-      else Vector.empty
+      if (java.nio.file.Files.isDirectory(dir)) {
+        // Files.list holds a directory handle until closed — draining the
+        // iterator does NOT release it, and a long-lived process re-opening
+        // registries would leak descriptors
+        val stream = java.nio.file.Files.list(dir)
+        try stream.iterator().asScala
+          // %05d zero-pads SMALL ids; past 99999 the prefix simply grows,
+          // so match any digit run and order by the PARSED id (name order
+          // would sort 100000_ before 99999_)
+          .filter(_.getFileName.toString.matches("\\d{5,}_.*\\.avsc"))
+          .toVector
+        finally stream.close()
+      } else Vector.empty
     val versions = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    files.map { p =>
-      val name = p.getFileName.toString.stripSuffix(".avsc")
-      val id = name.take(5).toInt
-      val subject = name.drop(6)
-      versions(subject) += 1
-      (id, subject, versions(subject), new String(
-        java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
-    }
+    files
+      .map { p =>
+        val name = p.getFileName.toString.stripSuffix(".avsc")
+        val id = name.takeWhile(_.isDigit).toInt
+        val subject = name.drop(name.indexOf('_') + 1)
+        (id, subject, p)
+      }
+      .sortBy(_._1)
+      .map { case (id, subject, p) =>
+        versions(subject) += 1
+        (id, subject, versions(subject), new String(
+          java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+      }
   }
 
   /** Register (idempotently) and return the schema id. */
