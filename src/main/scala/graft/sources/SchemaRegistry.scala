@@ -87,11 +87,49 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
 
   /** Immutable id → schema snapshot, broadcast-friendly for executors. */
   def schemasById: Map[Int, String] = entries.map(e => e._1 -> e._4).toMap
+
+  /** Register with a Confluent-style compatibility gate against the
+    * subject's LATEST version (the registry service's default check):
+    * BACKWARD = consumers on the NEW schema can read data written with
+    * the old one; FORWARD = the reverse; FULL = both. Compatibility is
+    * decided by Avro's own resolution rules
+    * ([[org.apache.avro.SchemaCompatibility]] — e.g. adding a field is
+    * BACKWARD-compatible only if it has a default), not a re-derived
+    * approximation. Incompatible registrations throw; nothing is written.
+    */
+  def registerChecked(subject: String, schemaJson: String,
+      mode: SchemaRegistry.Compatibility = SchemaRegistry.Backward): Int = synchronized {
+    latest(subject).foreach { case (_, prevJson) =>
+      if (entries.exists(e => e._2 == subject && e._4 == schemaJson)) ()
+      else {
+        val parser = () => new org.apache.avro.Schema.Parser()
+        val prev = parser().parse(prevJson)
+        val next = parser().parse(schemaJson)
+        def readable(reader: org.apache.avro.Schema, writer: org.apache.avro.Schema) =
+          org.apache.avro.SchemaCompatibility
+            .checkReaderWriterCompatibility(reader, writer)
+            .getType == org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
+        val ok = mode match {
+          case SchemaRegistry.Backward => readable(next, prev)
+          case SchemaRegistry.Forward  => readable(prev, next)
+          case SchemaRegistry.Full     => readable(next, prev) && readable(prev, next)
+        }
+        require(ok,
+          s"schema for subject '$subject' is not $mode-compatible with its latest version")
+      }
+    }
+    register(subject, schemaJson)
+  }
 }
 
 object SchemaRegistry {
   def open(dir: String): SchemaRegistry =
     new SchemaRegistry(java.nio.file.Paths.get(dir))
+
+  sealed trait Compatibility
+  case object Backward extends Compatibility
+  case object Forward extends Compatibility
+  case object Full extends Compatibility
 }
 
 /** Confluent Avro wire framing (reference `README.md:813-816`): one

@@ -50,6 +50,50 @@ class RegistrySpec extends SparkSpec {
     assert(replayed.register("nation-value", v2) == id2)
   }
 
+  test("compatibility gate: Avro resolution rules decide what registers") {
+    val dir = Files.createTempDirectory("reg-compat").toString
+    val reg = SchemaRegistry.open(dir)
+    val id1 = reg.registerChecked("nation-value", v1)
+    // adding a field WITH a default: new readers resolve old data → BACKWARD ok
+    val id2 = reg.registerChecked("nation-value", v2)
+    assert(id2 > id1)
+    // re-registering an existing version skips the check and is idempotent
+    assert(reg.registerChecked("nation-value", v1) == id1)
+    // adding a NEW field WITHOUT a default (absent from the latest
+    // version, so the new reader cannot fill it from old data) →
+    // BACKWARD-incompatible, rejected, nothing written. (n_comment
+    // without a default would be ADMITTED here — latest v2 carries the
+    // field in its data — which is exactly the checks-against-latest
+    // semantics of the real registry.)
+    val v3bad =
+      """{"type":"record","name":"nation","fields":[
+        |{"name":"n_nationkey","type":"int"},
+        |{"name":"n_name","type":"string"},
+        |{"name":"n_regionkey","type":"int"},
+        |{"name":"n_comment","type":"string","default":""},
+        |{"name":"n_extra","type":"string"}]}""".stripMargin
+    val before = reg.history("nation-value").size
+    val e = intercept[IllegalArgumentException] {
+      reg.registerChecked("nation-value", v3bad)
+    }
+    assert(e.getMessage.contains("not Backward-compatible"))
+    assert(reg.history("nation-value").size == before, "rejected schema must not be written")
+    // the same evolution IS FORWARD-compatible (old readers ignore the
+    // new field), so the forward gate admits it
+    assert(reg.registerChecked("nation-value", v3bad, SchemaRegistry.Forward) > id2)
+    // FULL requires both directions: this narrowing drops the
+    // default-less n_extra (the v3 reader can't fill it) → rejected.
+    // NOTE: it must differ textually from every registered version, or
+    // the idempotent-skip path would (correctly) admit it unchecked.
+    val v4 =
+      """{"type":"record","name":"nation","fields":[
+        |{"name":"n_nationkey","type":"int"},
+        |{"name":"n_name","type":"string"}]}""".stripMargin
+    intercept[IllegalArgumentException] {
+      reg.registerChecked("nation-value", v4, SchemaRegistry.Full)
+    }
+  }
+
   test("mixed-version framed stream decodes via per-record writer resolution") {
     val dir = Files.createTempDirectory("reg2").toString
     val reg = SchemaRegistry.open(dir)
