@@ -25,6 +25,24 @@ class DriverContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("hash-sensitive queries are run-to-run deterministic") {
+    // the driver's correctness check hashes sorted values, so ANY
+    // nondeterminism (rand(), partition-order ties, unsorted collects)
+    // flips a green id red intermittently. Exercise the ids whose
+    // construction is most at risk — hashing/sampling/windows/
+    // iterative — twice and demand identical rows.
+    val s = SparkSpec.session
+    val risky = Seq("sample_hash", "split_train_test", "stratified_sample",
+      "seq_pack", "dedup_near", "dedup_cluster", "dedup_simhash",
+      "agg_collect", "win_rownum", "agg_maxby", "txn_group", "sim_topk")
+    for (q <- risky) {
+      val fn = SparkEntry.queries(q)
+      val a = fn(s, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+      val b = fn(s, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+      assert(a == b, s"$q returned different rows across two identical runs")
+    }
+  }
+
   test("query ids are unique across modules (no silent map overwrites)") {
     val all = Seq(
       cdc.CdcQueries.queries, rel.Queries.queries, llm.TextOps.queries,
