@@ -40,16 +40,27 @@ object Curation {
 
     // test-set decontamination: drop every train doc sharing ANY 3-word
     // shingle with the held-out ('test') split. Survivors = clean train.
+    // The overlap join keys on a 56-bit md5-derived hash of the shingle,
+    // not the string: at corpus scale the semi-join shuffles 8-byte longs
+    // instead of ~20-char strings (severalfold fewer shuffle bytes), the
+    // collision rate at 2^-56 per pair is negligible — and the oracle
+    // mirrors the hash exactly, so even a collision cannot diverge. 14
+    // hex digits, not 16: both engines must stay inside a SIGNED 64-bit
+    // positive range for the cast to agree.
     "decontaminate" -> ((s, dir) => {
+      def ngHash(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 14), 16, 10).cast("long")
       val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
       val train = sp.filter(col("split") === "train")
       val evalSide = sp.filter(col("split") === "test")
       val trainNg = NearDedup.shingleArrays(train)
         .select(col("doc_id"), explode(col("sh")).as("ng"))
+        .select(col("doc_id"), ngHash(col("ng")).as("h"))
       val evalNg = NearDedup.shingleArrays(evalSide)
-        .select(explode(col("sh")).as("ng")).distinct()
+        .select(explode(col("sh")).as("ng"))
+        .select(ngHash(col("ng")).as("h")).distinct()
       val contaminated = trainNg
-        .join(evalNg, Seq("ng"), "left_semi")
+        .join(evalNg, Seq("h"), "left_semi")
         .select("doc_id").distinct()
       train.select("doc_id", "source")
         .join(contaminated, Seq("doc_id"), "left_anti")
@@ -129,7 +140,10 @@ object Curation {
         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
         |         string_split(text,' ')[i+2])) AS ng
         |  FROM ev WHERE len(string_split(text,' ')) >= 3),
-        |bad AS (SELECT DISTINCT t.doc_id FROM tng t JOIN eng e ON t.ng = e.ng)
+        |bad AS (
+        |  SELECT DISTINCT t.doc_id FROM tng t JOIN eng e
+        |  ON CAST('0x' || substring(md5(t.ng),1,14) AS BIGINT)
+        |   = CAST('0x' || substring(md5(e.ng),1,14) AS BIGINT))
         |SELECT doc_id, source FROM train
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
