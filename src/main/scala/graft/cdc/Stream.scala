@@ -266,6 +266,27 @@ object Stream {
       }
   }
 
+  /** Stream-stream interval join (§2.10): pair each left event with the
+    * right events on the same key inside `(leftTs, leftTs + within]`'s
+    * closed window. Both sides carry watermarks, which is what lets
+    * Spark BOUND the join state: a buffered left row can be dropped once
+    * the right watermark passes leftTs + within (and vice versa) — the
+    * required shape for an unbounded 100 TB stream, where an unwatermarked
+    * stream-stream join would buffer forever. Batch-equivalent semantics
+    * are the oracle-checked `stream_join` query id; row parity is proven
+    * in StreamingSpec.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
+        s"r.$rightTs <= l.$leftTs + interval $within"))
+  }
+
   /** Streaming dedup under at-least-once delivery (reference: Connect
     * restarts redeliver; SURVEY §2.10): watermark bounds the dedup state.
     */

@@ -609,6 +609,26 @@ object Queries {
           sum(round(col("value") * 100).cast("long")).as("cents"))
         .orderBy("bucket")),
 
+    // ---- §2.10 stream-stream interval join (batch-equivalent form):
+    // clicks paired with a same-user error inside the following hour.
+    // The streaming twin (Stream.intervalJoin — watermarks bound both
+    // sides' state) is proven row-identical in StreamingSpec; this batch
+    // form is the oracle-checked semantics. Scale shape: ONE key-shuffle
+    // on user_id with the time bound as a residual predicate — never a
+    // time-cross-product
+    "stream_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+      clicks.join(errors, Seq("user_id"))
+        .filter(col("err_ts") >= col("click_ts") &&
+          col("err_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+        .select("user_id", "click_id", "err_id")
+        .orderBy("user_id", "click_id", "err_id")
+    }),
+
     // sliding (overlapping) windows: every event lands in width/slide
     // buckets; mirrored in the oracle by explicit offset expansion
     "stream_sliding" -> ((s, dir) =>
@@ -909,6 +929,13 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
     "stream_sliding" ->
       """WITH expanded AS (
         |  SELECT to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT))::TIMESTAMP

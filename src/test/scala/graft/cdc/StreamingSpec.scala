@@ -340,6 +340,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join, state bounded by watermarks") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1704067200000L
+    def t(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    // clicks for 6 users every 11 min; errors every 17 min for half of them
+    val clicks = (0 until 30).map(i => (i.toLong, (i % 6).toLong, t(i * 11)))
+    val errors = (0 until 20).map(i => (100L + i, (i % 3).toLong, t(i * 17)))
+    val cIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val eIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = Stream.intervalJoin(
+      cIn.toDF().toDF("click_id", "user_id", "click_ts"),
+      eIn.toDF().toDF("err_id", "user_id", "err_ts"),
+      key = "user_id", leftTs = "click_ts", rightTs = "err_ts",
+      within = "30 minutes", watermark = "10 minutes")
+      .select($"l.user_id", $"click_id", $"err_id")
+    val q = joined.writeStream.format("memory").queryName("sj_t")
+      .outputMode("append").start()
+    try {
+      // two deliveries + a flush event far in the future to close state
+      cIn.addData(clicks.take(15): _*); eIn.addData(errors.take(10): _*)
+      q.processAllAvailable()
+      cIn.addData(clicks.drop(15): _*); eIn.addData(errors.drop(10): _*)
+      q.processAllAvailable()
+      cIn.addData((9999L, 0L, t(10000))); eIn.addData((9998L, 0L, t(10000)))
+      q.processAllAvailable()
+      val got = s.table("sj_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filterNot(p => p._2 == 9999L || p._3 == 9998L).toSet
+      val want = clicks.toDF("click_id", "user_id", "click_ts")
+        .join(errors.toDF("err_id", "user_id", "err_ts"), Seq("user_id"))
+        .filter($"err_ts" >= $"click_ts" &&
+          $"err_ts" <= $"click_ts" + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+        .select("user_id", "click_id", "err_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty, "vacuous parity check")
+      assert(got == want, s"stream=$got batch=$want")
+    } finally q.stop()
+  }
+
   test("session windows group by gap") {
     val s = spark
     import s.implicits._
