@@ -552,6 +552,26 @@ object Queries {
           array_join(array_sort(array_distinct(col("words"))), ",").as("uniq_words"))
         .orderBy("doc_id")),
 
+    // higher-order array functions as a first-class surface (they power
+    // the whole dedup/vector family): lambda transform/filter/exists/
+    // forall/fold/zip — all codegen-free but NARROW expressions, mirrored
+    // by DuckDB's list lambdas. The fold keeps left-to-right order so the
+    // double sum is bit-identical across engines.
+    "fn_hof" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          array_join(transform(ws, w => upper(w)), ",").as("upper_words"),
+          size(filter(ws, w => length(w) > 4)).cast("long").as("n_long"),
+          exists(ws, w => w === "spark").as("has_spark"),
+          forall(ws, w => length(w) <= 10).as("all_short"),
+          aggregate(ws, lit(0.0), (acc, w) => acc + length(w)).as("len_sum"),
+          array_join(zip_with(ws, slice(ws, lit(2), size(ws)),
+            (a, b) => concat_ws("-", a, b)), ",").as("zipped"))
+        .orderBy("doc_id")
+    }),
+
     "fn_hash" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
@@ -898,6 +918,18 @@ object Queries {
         |  string_split(text, ' ')[1] AS first_word,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS uniq_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_hof" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text,' '), w -> upper(w)), ',') AS upper_words,
+        |  len(list_filter(string_split(text,' '), w -> length(w) > 4)) AS n_long,
+        |  len(list_filter(string_split(text,' '), w -> w = 'spark')) > 0 AS has_spark,
+        |  len(list_filter(string_split(text,' '), w -> length(w) > 10)) = 0 AS all_short,
+        |  CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS DOUBLE) AS len_sum,
+        |  array_to_string(list_transform(range(1, len(string_split(text,' ')) + 1),
+        |    i -> CASE WHEN i < len(string_split(text,' '))
+        |         THEN string_split(text,' ')[i] || '-' || string_split(text,' ')[i+1]
+        |         ELSE string_split(text,' ')[i] END), ',') AS zipped
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
