@@ -63,6 +63,49 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.payload.length.toLong, feats)
     }
 
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      out_w: Int, out_h: Int, frame_sig: String)
+
+  /** Frame sampling + resize planning through the same partition-wise
+    * batched shape as [[extractFeatures]] — the video path of the
+    * pipeline: per media record, a uniform k-frame schedule over the
+    * container duration plus the aspect-preserving resize target each
+    * decoded frame would be scaled to (max side 224, floor — never
+    * round: Spark rounds half-up, DuckDB half-even).
+    *
+    * STUB boundary (no codecs in this container): duration and source
+    * dimensions are deterministic functions of the payload (length×10 ms;
+    * dims from the payload md5), and the per-frame "content" is an md5
+    * fingerprint of payload+index — so the ENTIRE schedule/resize math is
+    * mirrored by a DuckDB oracle while the decode call site stays exactly
+    * where a real demuxer would run.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], k: Int = 4, batchSize: Int = 64): Dataset[FrameSample] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => frameBatch(b, k))
+    }
+  }
+
+  /** === STUB demux/probe (see sampleFrames) — deterministic. === */
+  private def frameBatch(batch: Seq[MediaRecord], k: Int): Seq[FrameSample] =
+    batch.flatMap { r =>
+      val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+      val durMs = r.payload.length.toLong * 10
+      val w = 16 + (md(0) & 0xff)
+      val h = 16 + (md(1) & 0xff)
+      val maxSide = math.max(w, h)
+      val outW = math.floor(w * 224.0 / maxSide).toInt
+      val outH = math.floor(h * 224.0 / maxSide).toInt
+      (0 until k).map { i =>
+        val sig = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.payload ++ s"#$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 12)
+        FrameSample(r.doc_id, i, durMs * i / k, outW, outH, sig)
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // oracle-checked: the binary-column plumbing itself (byte length +
     // content hash survive the cast + dump round trip).
@@ -86,7 +129,13 @@ object Multimodal {
           transform(col("features"),
             f => lpad(hex(round(f * 255).cast("int")), 2, "0")))).as("features_hex"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // video-path plumbing: uniform frame schedule + resize targets,
+    // hash-checked end to end (see sampleFrames for the stub boundary)
+    "mm_frames" -> ((s, dir) =>
+      sampleFrames(asMedia(Tables(s, dir).documents))
+        .toDF().orderBy("doc_id", "frame_idx"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -97,6 +146,22 @@ object Multimodal {
     "mm_features" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  substring(md5(text), 1, 16) AS features_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text,
+        |    octet_length(CAST(text AS BLOB)) * 10 AS dur_ms,
+        |    16 + CAST('0x' || substring(md5(text), 1, 2) AS INTEGER) AS w,
+        |    16 + CAST('0x' || substring(md5(text), 3, 2) AS INTEGER) AS h
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, text, dur_ms, w, h, unnest(range(4)) AS i FROM dims)
+        |SELECT doc_id,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(dur_ms * i // 4 AS BIGINT) AS frame_ts_ms,
+        |  CAST(floor(w * 224.0 / greatest(w, h)) AS INTEGER) AS out_w,
+        |  CAST(floor(h * 224.0 / greatest(w, h)) AS INTEGER) AS out_h,
+        |  substring(md5(text || '#' || CAST(i AS VARCHAR)), 1, 12) AS frame_sig
+        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
