@@ -124,4 +124,19 @@ class SimilaritySpec extends SparkSpec {
     // batch size must not change results (pure per-record stub)
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
+
+  test("frame sampling: k frames per doc, monotone schedule, batch-invariant, resize bounded") {
+    val media = Multimodal.asMedia(Tables(spark, sf("sf0.001")).documents)
+    val f1 = Multimodal.sampleFrames(media).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val f2 = Multimodal.sampleFrames(media, batchSize = 7).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(f1.length == 500 * 4)
+    assert(f1.toSeq == f2.toSeq, "batch size must not change the schedule")
+    f1.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).toSeq == (0 until 4), s"doc $id frame indices")
+      val ts = fs.sortBy(_.frame_idx).map(_.frame_ts_ms)
+      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b }, s"doc $id schedule not monotone")
+      assert(fs.forall(f => math.max(f.out_w, f.out_h) == 224), s"doc $id resize must pin max side")
+      assert(fs.forall(f => f.out_w >= 1 && f.out_h >= 1))
+    }
+  }
 }
