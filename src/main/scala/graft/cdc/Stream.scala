@@ -267,8 +267,9 @@ object Stream {
   }
 
   /** Stream-stream interval join (§2.10): pair each left event with the
-    * right events on the same key inside `(leftTs, leftTs + within]`'s
-    * closed window. Both sides carry watermarks, which is what lets
+    * right events on the same key inside the CLOSED window
+    * `[leftTs, leftTs + within]` (equal timestamps match — same as the
+    * oracle-checked batch twin). Both sides carry watermarks, which is what lets
     * Spark BOUND the join state: a buffered left row can be dropped once
     * the right watermark passes leftTs + within (and vice versa) — the
     * required shape for an unbounded 100 TB stream, where an unwatermarked

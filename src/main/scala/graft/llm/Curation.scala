@@ -40,16 +40,14 @@ object Curation {
 
     // test-set decontamination: drop every train doc sharing ANY 3-word
     // shingle with the held-out ('test') split. Survivors = clean train.
-    // The overlap join keys on a 56-bit md5-derived hash of the shingle,
-    // not the string: at corpus scale the semi-join shuffles 8-byte longs
-    // instead of ~20-char strings (severalfold fewer shuffle bytes), the
-    // collision rate at 2^-56 per pair is negligible — and the oracle
-    // mirrors the hash exactly, so even a collision cannot diverge. 14
-    // hex digits, not 16: both engines must stay inside a SIGNED 64-bit
-    // positive range for the cast to agree.
+    // The overlap join keys on a 56-bit md5-derived hash of the shingle
+    // (Sampling.hashBucket at 14 hex digits), not the string: at corpus
+    // scale the semi-join shuffles 8-byte longs instead of ~20-char
+    // strings (severalfold fewer shuffle bytes), the collision rate at
+    // 2^-56 per pair is negligible — and the oracle mirrors the hash
+    // exactly, so even a collision cannot diverge.
     "decontaminate" -> ((s, dir) => {
-      def ngHash(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+      def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
       val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
       val train = sp.filter(col("split") === "train")
       val evalSide = sp.filter(col("split") === "test")

@@ -91,7 +91,14 @@ object Multimodal {
   /** === STUB demux/probe (see sampleFrames) — deterministic. === */
   private def frameBatch(batch: Seq[MediaRecord], k: Int): Seq[FrameSample] =
     batch.flatMap { r =>
-      val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+      // hash the payload ONCE and clone the digest state per frame: the
+      // payloads are the multi-MB objects of this pipeline, and the naive
+      // `md5(payload ++ suffix)` form would copy + re-hash all of them
+      // k+1 times per record
+      val base = java.security.MessageDigest.getInstance("MD5")
+      base.update(r.payload)
+      def cloned() = base.clone().asInstanceOf[java.security.MessageDigest]
+      val md = cloned().digest()
       val durMs = r.payload.length.toLong * 10
       val w = 16 + (md(0) & 0xff)
       val h = 16 + (md(1) & 0xff)
@@ -99,9 +106,9 @@ object Multimodal {
       val outW = math.floor(w * 224.0 / maxSide).toInt
       val outH = math.floor(h * 224.0 / maxSide).toInt
       (0 until k).map { i =>
-        val sig = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.payload ++ s"#$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 12)
+        val d = cloned()
+        d.update(s"#$i".getBytes("UTF-8"))
+        val sig = d.digest().map("%02x".format(_)).mkString.substring(0, 12)
         FrameSample(r.doc_id, i, durMs * i / k, outW, outH, sig)
       }
     }

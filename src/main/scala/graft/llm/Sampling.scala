@@ -22,9 +22,18 @@ import graft.Tables
   */
 object Sampling {
 
-  /** 16-bit md5 bucket (0..65535) of a stable id column. */
-  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+  /** md5-derived hash of a stable column: the first `hexDigits` hex
+    * digits of md5 as a long — the engine's ONE portable-hash idiom
+    * (mirrored in DuckDB as `CAST('0x' || substring(md5(x),1,N) AS
+    * BIGINT)`). `hexDigits` must stay ≤ 15: 15 digits = 60 bits keeps
+    * both engines inside the signed-64-bit positive range (16 could set
+    * the sign bit and the engines disagree on the wrap). Default 4 =
+    * the 16-bit sampling bucket (0..65535).
+    */
+  def hashBucket(id: org.apache.spark.sql.Column, hexDigits: Int = 4): org.apache.spark.sql.Column = {
+    require(hexDigits >= 1 && hexDigits <= 15, s"hexDigits out of portable range: $hexDigits")
+    conv(substring(md5(id.cast("string")), 1, hexDigits), 16, 10).cast("long")
+  }
 
   /** Keep ~`permille`/65536 of rows, deterministically. */
   def sampleByHash(df: DataFrame, idCol: String, threshold: Int): DataFrame =

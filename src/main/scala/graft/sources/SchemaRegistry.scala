@@ -99,12 +99,29 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
     */
   def registerChecked(subject: String, schemaJson: String,
       mode: SchemaRegistry.Compatibility = SchemaRegistry.Backward): Int = synchronized {
+    val parser = () => new org.apache.avro.Schema.Parser()
+    // the NEW schema must parse regardless of subject history — a first
+    // registration (no latest to compare against) or a text-identical
+    // re-registration would otherwise skip the gate entirely and admit
+    // garbage that poisons every LATER checked registration at the
+    // parse-the-previous step
+    val next =
+      try parser().parse(schemaJson)
+      catch { case e: org.apache.avro.SchemaParseException =>
+        throw new IllegalArgumentException(
+          s"schema for subject '$subject' is not valid Avro: ${e.getMessage}", e)
+      }
     latest(subject).foreach { case (_, prevJson) =>
       if (entries.exists(e => e._2 == subject && e._4 == schemaJson)) ()
       else {
-        val parser = () => new org.apache.avro.Schema.Parser()
-        val prev = parser().parse(prevJson)
-        val next = parser().parse(schemaJson)
+        val prev =
+          try parser().parse(prevJson)
+          catch { case e: org.apache.avro.SchemaParseException =>
+            throw new IllegalStateException(
+              s"stored latest schema for subject '$subject' does not parse " +
+                "(registered through the unchecked register()?) — " +
+                "compatibility cannot be decided", e)
+          }
         def readable(reader: org.apache.avro.Schema, writer: org.apache.avro.Schema) =
           org.apache.avro.SchemaCompatibility
             .checkReaderWriterCompatibility(reader, writer)

@@ -94,8 +94,10 @@ class PlanHygieneSpec extends SparkSpec {
     // cumulative binning is a window over the shard — no join stage at all
     assert(p.contains("Window"), p)
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
-    // the interval join must stay an equi-join on user_id with the time
-    // bound as residual — a cartesian would explode at stream scale
+  }
+
+  test("interval join stays an equi-join with residual time bound") {
+    // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
     assert(!sj.contains("CartesianProduct") && !sj.contains("BroadcastNestedLoopJoin"), sj)
   }

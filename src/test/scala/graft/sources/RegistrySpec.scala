@@ -94,6 +94,17 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("checked path rejects unparseable schemas even for a fresh subject") {
+    val reg = SchemaRegistry.open(Files.createTempDirectory("reg-garbage").toString)
+    val e = intercept[IllegalArgumentException] {
+      reg.registerChecked("fresh-subject", "{ this is not avro")
+    }
+    assert(e.getMessage.contains("not valid Avro"))
+    assert(reg.latest("fresh-subject").isEmpty, "garbage must not be written")
+    // and the subject is NOT poisoned: a valid first version still lands
+    assert(reg.registerChecked("fresh-subject", v1) > 0)
+  }
+
   test("mixed-version framed stream decodes via per-record writer resolution") {
     val dir = Files.createTempDirectory("reg2").toString
     val reg = SchemaRegistry.open(dir)
