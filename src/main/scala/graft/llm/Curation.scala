@@ -102,6 +102,28 @@ object Curation {
         .orderBy("source", "doc_id")
     }),
 
+    // corpus mixing by TOKEN budget per domain (the data-mix recipe step;
+    // stratified_sample is its count-based sibling): each source shard
+    // admits docs in deterministic md5 order until the shard's token
+    // budget fills. One window per shard — the admitted set is stable
+    // across runs/engines, and the budget bounds each domain's token
+    // mass, which is what a mix recipe actually specifies.
+    "corpus_mix" -> ((s, dir) => {
+      val budget = 500L // tokens per source shard
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "doc_id")
+    }),
+
     // intra-doc repetition (Gopher-style quality rule): the share of the
     // doc's 2-gram mass taken by its most repeated 2-gram. Boilerplate
     // and generated spam score high; docs under 2 words have no 2-grams
@@ -152,6 +174,17 @@ object Curation {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "corpus_mix" ->
+      """WITH c AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text,' '))) OVER (
+        |      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 500
+        |ORDER BY source, doc_id""".stripMargin,
     "seq_pack" ->
       """WITH c AS (
         |  SELECT source, doc_id,

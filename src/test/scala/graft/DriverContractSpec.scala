@@ -33,7 +33,7 @@ class DriverContractSpec extends AnyFunSuite {
     // iterative — twice and demand identical rows.
     val s = SparkSpec.session
     val risky = Seq("sample_hash", "split_train_test", "stratified_sample",
-      "seq_pack", "dedup_near", "dedup_cluster", "dedup_simhash",
+      "seq_pack", "corpus_mix", "dedup_near", "dedup_cluster", "dedup_simhash",
       "agg_collect", "win_rownum", "agg_maxby", "txn_group", "sim_topk")
     for (q <- risky) {
       val fn = SparkEntry.queries(q)

@@ -49,6 +49,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("corpus_mix honors the per-shard token budget and admits a hash-order prefix") {
+    val s = spark
+    import s.implicits._
+    val got = graft.SparkEntry.queries("corpus_mix")(s, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._4).max <= 500L, s"shard $src exceeded its token budget")
+      // admitted docs must be a PREFIX of the shard's md5 order: the
+      // maximum admitted cum equals the sum of admitted tokens
+      assert(rows.map(_._3).sum == rows.map(_._4).max, s"shard $src admitted a non-prefix")
+    }
+    // and every source shard with at least one doc under budget is represented
+    val docs = graft.Tables(s, sf("sf0.001")).documents
+      .select(col("source")).distinct().as[String].collect().toSet
+    assert(got.map(_._1).toSet.subsetOf(docs))
+  }
+
   test("text_repetition scores a repeated doc above a diverse one") {
     val s = spark
     import s.implicits._
