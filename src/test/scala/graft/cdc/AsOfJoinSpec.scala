@@ -46,4 +46,42 @@ class AsOfJoinSpec extends SparkSpec {
       rights = Seq((2L, 10L, Some("x"))))
     assert(res.isEmpty)
   }
+
+  test("randomized: union+window and native merge-scan both equal brute force") {
+    val s = spark
+    import s.implicits._
+    // fixed-seed random histories: duplicate timestamps, sparse keys,
+    // left rows before/after/between right versions — the shapes the
+    // hand-written cases can't enumerate
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val lefts = (1 to 120).map(i =>
+        (i.toLong, rng.nextInt(9).toLong, rng.nextInt(40).toLong))
+      val rights = (1 to 80).map(i =>
+        (rng.nextInt(9).toLong, rng.nextInt(40).toLong, i.toLong))
+      val l = lefts.toDF("lid", "k", "t")
+      val r = rights.toDF("k2", "t2", "rv")
+      // brute force: per left row, max-(t2, rv) right row with t2 <= t
+      val want = lefts.flatMap { case (lid, k, t) =>
+        val cands = rights.filter(rr => rr._1 == k && rr._2 <= t)
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(rr => (rr._2, rr._3))
+          Some((lid, best._2, best._3))
+        }
+      }.toSet
+      val viaWindow = Ops
+        .asOfJoin(l, r, "k", "k2", "t", "t2",
+          leftId = Seq("lid"), rightPayload = Seq("t2", "rv"), rightOrd = Seq("rv"))
+        .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("t2"), x.getAs[Long]("rv")))
+        .toSet
+      assert(viaWindow == want, s"trial $trial: union+window diverged from brute force")
+      val viaNative = graft.plans.AsOfJoinPlan
+        .asOf(l, r, "k", "k2", "t", "t2",
+          rightPayload = Seq("t2", "rv"), rightTieBreak = Seq("rv"))
+        .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("t2"), x.getAs[Long]("rv")))
+        .toSet
+      assert(viaNative == want, s"trial $trial: native merge-scan diverged from brute force")
+    }
+  }
 }
