@@ -552,6 +552,19 @@ object Queries {
           array_join(array_sort(array_distinct(col("words"))), ",").as("uniq_words"))
         .orderBy("doc_id")),
 
+    // regex surface (the workhorse of text cleaning): extract with a
+    // capture group, replace-ALL (Spark's default — the DuckDB mirror
+    // needs the explicit 'g' flag), occurrence count, boolean match
+    "fn_regex" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          regexp_replace(col("text"), "spark", "SPARK").as("replaced"),
+          regexp_count(col("text"), lit("spark")).cast("long").as("n_spark"),
+          col("text").rlike("table .*scan").as("has_pattern"))
+        .orderBy("doc_id")),
+
     // higher-order array functions as a first-class surface (they power
     // the whole dedup/vector family): lambda transform/filter/exists/
     // forall/fold/zip — all codegen-free but NARROW expressions, mirrored
@@ -918,6 +931,13 @@ object Queries {
         |  string_split(text, ' ')[1] AS first_word,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS uniq_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  regexp_replace(text, 'spark', 'SPARK', 'g') AS replaced,
+        |  len(regexp_extract_all(text, 'spark')) AS n_spark,
+        |  regexp_matches(text, 'table .*scan') AS has_pattern
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_hof" ->
       """SELECT doc_id,
