@@ -48,7 +48,7 @@ object StreamBench {
       checkpointDir = work.resolve("chk").toString)
     q.awaitTermination()
     val elapsed = (System.nanoTime() - t0) / 1e9
-    val stateRows = spark.read.parquet(work.resolve("state").toString).count()
+    val stateRows = cdc.Stream.readCurrentState(spark, work.resolve("state").toString).count()
     // sanity: the materialized state must be the batch fold of the feed
     val expect = cdc.Ops.applyChanges(feedDf, Seq("id"), Seq("scn")).count()
     require(stateRows == expect, s"state rows $stateRows != batch fold $expect")

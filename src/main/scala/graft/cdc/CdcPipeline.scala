@@ -68,11 +68,26 @@ object CdcPipeline {
     //                           partition-order coin flip);
     //      scn > snapshotScn  → the stream event wins on scn alone.
     //    Pinned by CdcPipelineSpec's boundary-SCN test.
-    val snap = Ops.snapshot(baseTable, snapshotScn)
     val feedCols = feedSchema.fieldNames.toSeq
-    Stream.writeState(
-      snap.select(feedCols.map(col): _*).withColumn(SrcRankCol, lit(0)),
-      statePath, keys)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Bootstrap ONCE: the snapshot is written only when no state exists.
+    // On a restart the checkpoint makes the stream skip already-committed
+    // files, so re-writing the snapshot here would silently roll the
+    // folded state back to day zero (reverting every applied change and
+    // resurrecting every delete) with nothing ever replaying the gap.
+    val initial: DataFrame =
+      if (!fs.exists(root)) {
+        val snapDf = Ops.snapshot(baseTable, snapshotScn)
+          .select(feedCols.map(col): _*).withColumn(SrcRankCol, lit(0))
+        Stream.writeState(snapDf, statePath, keys)
+        snapDf
+      } else {
+        // resuming: hand back the CURRENT state, materialized eagerly —
+        // a lazy read of statePath would race the first micro-batch's
+        // bucket swaps when the caller finally evaluates it
+        Stream.readCurrentState(spark, statePath).localCheckpoint()
+      }
     // 2. stream phase over the transport channel; resumes via checkpoint.
     //    The wire rows are flat feed-schema JSON here (not the full
     //    envelope): parse value → struct → columns.
@@ -82,7 +97,7 @@ object CdcPipeline {
       .withColumn(SrcRankCol, lit(1))
     val q = Stream.materialize(feed, keys, ordering = Seq("scn", SrcRankCol),
       statePath, checkpointDir)
-    Handle(spark.read.parquet(statePath), q)
+    Handle(initial, q)
   }
 
   /** Snapshot-vs-stream provenance rank carried through the state (0 =

@@ -214,7 +214,6 @@ object CdcQueries {
           rightKey = "o_custkey",
           leftTs = "ts",
           rightTs = "o_orderdate",
-          leftId = Seq("scn"),
           rightPayload = Seq("o_orderkey", "o_orderdate"),
           rightOrd = Seq("o_orderdate", "o_orderkey")
         )

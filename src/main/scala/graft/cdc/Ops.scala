@@ -223,11 +223,18 @@ object Ops {
       rightKey: String,
       leftTs: String,
       rightTs: String,
-      leftId: Seq[String],
       rightPayload: Seq[String],
       rightOrd: Seq[String] = Seq.empty
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // SQL join semantics: NULL keys/timestamps never match. The window
+    // partitionBy below would otherwise group null-keyed rows TOGETHER
+    // (null-safe grouping), pairing null-key left rows with null-key
+    // right payloads — rows the equivalent SQL join (and the DuckDB
+    // oracle) never emits. The native AsOfJoinExec skips nulls in its
+    // scan for the same reason.
+    val leftF = left.filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
+    val rightF = right.filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
     val ordCols = (if (rightOrd.nonEmpty) rightOrd else Seq(rightTs))
       .filterNot(_ == rightTs)
     val leftCols = left.columns.toSeq
@@ -237,14 +244,14 @@ object Ops {
     // semantics filter.
     val rStructType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => right.schema(c).copy(name = c)))
-    val lTagged = left.select(
+    val lTagged = leftF.select(
       col(leftKey).as("__key") +:
         col(leftTs).as("__ts") +:
         lit(1).as("__side") +:
         leftCols.map(col) ++:
         ordCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__ord_$c")) :+
         lit(null).cast(rStructType).as("__r"): _*)
-    val rTagged = right.select(
+    val rTagged = rightF.select(
       col(rightKey).as("__key") +:
         col(rightTs).cast(left.schema(leftTs).dataType).as("__ts") +:
         lit(0).as("__side") +:

@@ -134,9 +134,13 @@ object Stream {
     * parquet table at `statePath`, exactly-once via `checkpointDir`
     * (reference's checkpoint/resume, the `olr-checkpoint` JSON files).
     *
-    * Each micro-batch folds `applyChanges(previousState ∪ batch)`:
-    * idempotent under redelivery (at-least-once file source + last-write-
-    * wins by scn), so restart-from-checkpoint is exactly-once end to end.
+    * Each micro-batch folds `latestPerKey(previousState ∪ batch)` with
+    * tombstones RETAINED (op='d' rows stay in the state and win the
+    * last-write-wins fold, like a compacted Kafka topic — so a late
+    * replay older than a delete can never resurrect the key); consumers
+    * read the live view via [[readCurrentState]]. Idempotent under
+    * redelivery (at-least-once file source + last-write-wins by scn), so
+    * restart-from-checkpoint is exactly-once end to end.
     *
     * Scale design — per-batch cost is O(|delta state|), NOT O(|state|):
     * state is laid out in `stateBuckets` key-hash partitions
@@ -174,63 +178,95 @@ object Stream {
         repair(fs, root)
         if (fs.exists(root)) checkOrRecordBuckets(fs, root, stateBuckets)
         val bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int")
+        // the batch input is scanned twice (affected-bucket ids, then the
+        // fold) — cache it so JSON parsing is paid once per batch
         val delta = batch.select(cols.map(col): _*)
-        // flat legacy/bootstrap layout (top-level parquet files) → fold the
-        // whole state once and emerge bucketed; steady state touches only
-        // the delta's buckets. The collect is ≤ stateBuckets ints — bounded
-        // by configuration, not data.
-        val flat = fs.exists(root) &&
-          fs.listStatus(root).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        val affected: Seq[Int] =
-          if (flat) 0 until stateBuckets
-          else delta.select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSeq
-        val existing = affected.filter(n => fs.exists(bucketDir(root, n)))
-        // previous state rows are already latest-per-key; union keeps
-        // their (scn, op) so ordering vs the new delta stays correct.
-        val prev: Option[DataFrame] =
-          if (flat) Some(spark.read.parquet(statePath).select(cols.map(col): _*))
-          else if (existing.nonEmpty)
-            Some(spark.read
-              .parquet(existing.map(n => bucketDir(root, n).toString): _*)
-              .select(cols.map(col): _*))
-          else None
-        val all = prev.fold(delta)(_.unionByName(delta))
-        val next = Ops.applyChanges(all, keys, ordering)
-          .withColumn(BucketCol, bucketExpr)
-          .filter(col(BucketCol).isin(affected: _*))
-        val tmpRoot = new org.apache.hadoop.fs.Path(root, ".delta_tmp")
-        next.write.mode("overwrite").partitionBy(BucketCol).parquet(tmpRoot.toString)
-        affected.foreach { n =>
-          val src = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$n")
-          val dst = bucketDir(root, n)
-          val old = new org.apache.hadoop.fs.Path(root, s".old_$n")
-          if (fs.exists(dst)) fs.rename(dst, old)
-          if (fs.exists(src)) fs.rename(src, dst) // absent src = bucket fully deleted
-          if (fs.exists(old)) fs.delete(old, true)
-        }
-        if (flat) {
-          // migration commit point: mark FIRST, then clear the flat files
-          // (only *.parquet — never the mark itself), then drop the mark;
-          // repair() resolves a crash in any of these windows
-          val mark = new org.apache.hadoop.fs.Path(root, MigratedMark)
-          fs.create(mark, true).close()
-          fs.listStatus(root)
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .foreach(st => fs.delete(st.getPath, false))
-          fs.delete(mark, false)
-        }
-        fs.delete(tmpRoot, true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // flat legacy/bootstrap layout (top-level parquet files) → fold the
+          // whole state once and emerge bucketed; steady state touches only
+          // the delta's buckets. The collect is ≤ stateBuckets ints — bounded
+          // by configuration, not data.
+          val flat = fs.exists(root) &&
+            fs.listStatus(root).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          val affected: Seq[Int] =
+            if (flat) 0 until stateBuckets
+            else delta.select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSeq
+          val existing = affected.filter(n => fs.exists(bucketDir(root, n)))
+          // previous state rows are already latest-per-key; union keeps
+          // their (scn, op) so ordering vs the new delta stays correct.
+          val prev: Option[DataFrame] =
+            if (flat) Some(spark.read.parquet(statePath).select(cols.map(col): _*))
+            else if (existing.nonEmpty)
+              Some(spark.read
+                .parquet(existing.map(n => bucketDir(root, n).toString): _*)
+                .select(cols.map(col): _*))
+            else None
+          val all = prev.fold(delta: DataFrame)(_.unionByName(delta))
+          // latestPerKey, NOT applyChanges: tombstones are RETAINED in the
+          // state (op='d' rows participate in last-write-wins like a
+          // compacted Kafka topic) — dropping them would let any late
+          // replay older than the delete resurrect the key. Consumers read
+          // the current VIEW through readCurrentState (filters deletes);
+          // production purges tombstones older than the channel's maximum
+          // lateness the same way compaction retention does.
+          val next = Ops.latestPerKey(all, keys, ordering)
+            .withColumn(BucketCol, bucketExpr)
+            .filter(col(BucketCol).isin(affected: _*))
+          val tmpRoot = new org.apache.hadoop.fs.Path(root, ".delta_tmp")
+          next.write.mode("overwrite").partitionBy(BucketCol).parquet(tmpRoot.toString)
+          // every rename result is CHECKED: Hadoop FileSystem reports most
+          // failures by returning false, not throwing — an unchecked false
+          // here would commit the checkpoint with a stale bucket and lose
+          // the delta silently
+          def mustRename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+            require(fs.rename(src, dst), s"rename $src -> $dst failed; failing the batch")
+          affected.foreach { n =>
+            val src = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$n")
+            val dst = bucketDir(root, n)
+            val old = new org.apache.hadoop.fs.Path(root, s".old_$n")
+            if (fs.exists(dst)) mustRename(dst, old)
+            if (fs.exists(src)) mustRename(src, dst) // absent src = bucket fully deleted
+            if (fs.exists(old)) fs.delete(old, true)
+          }
+          if (flat) {
+            // migration commit point: mark FIRST, then clear the flat files
+            // (only *.parquet — never the mark itself), then drop the mark;
+            // repair() resolves a crash in any of these windows
+            val mark = new org.apache.hadoop.fs.Path(root, MigratedMark)
+            fs.create(mark, true).close()
+            fs.listStatus(root)
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .foreach(st => fs.delete(st.getPath, false))
+            fs.delete(mark, false)
+          }
+          fs.delete(tmpRoot, true)
+          // record the layout's bucket count even when THIS batch created
+          // the layout (the entry check only runs when root pre-exists; a
+          // restart with a different stateBuckets must fail loudly, not
+          // re-record)
+          checkOrRecordBuckets(fs, root, stateBuckets)
+        } finally delta.unpersist()
         ()
       }
       .start()
   }
 
+  /** Current-state VIEW of a materialized state table: the state retains
+    * tombstones (op='d' rows win last-write-wins so late replays cannot
+    * resurrect deleted keys); consumers read through this filter.
+    */
+  def readCurrentState(spark: SparkSession, statePath: String,
+      opCol: String = "op", deleteOp: String = "d"): DataFrame =
+    spark.read.parquet(statePath).filter(col(opCol) =!= deleteOp)
+
   /** Per-key current state maintained IN the stream via
     * `flatMapGroupsWithState` (the §2.10 custom-state surface): each
     * micro-batch folds its events into one state row per key, emits only
     * events that ADVANCE their key (stale redeliveries are suppressed —
-    * at-least-once in, effectively-once changelog out), and drops a
-    * key's state on tombstone.
+    * at-least-once in, effectively-once changelog out), and retains a
+    * deleted key's tombstone as its suppression floor (so a stale
+    * pre-delete redelivery in a later batch cannot resurrect the key).
     *
     * This is the in-stream alternative to sink-side state
     * ([[materialize]]): right when the keyspace is bounded (dimension
@@ -257,11 +293,13 @@ object Stream {
               out += e // tombstones are emitted too — downstream must see deletes
             }
           }
-          cur match {
-            case Some(c) if isDelete(c) => state.remove()
-            case Some(c)                => state.update(c)
-            case None                   => ()
-          }
+          // tombstones are RETAINED as the key's suppression floor: with
+          // state.remove() a stale pre-delete redelivery in a later batch
+          // would be accepted as fresh and resurrect the deleted key.
+          // Bounded-keyspace assumption (this operator's documented use)
+          // makes keeping one tombstone row per deleted key acceptable —
+          // the unbounded case belongs to materialize's sink-side state.
+          cur.foreach(state.update)
           out.iterator
       }
   }
@@ -289,10 +327,16 @@ object Stream {
   }
 
   /** Streaming dedup under at-least-once delivery (reference: Connect
-    * restarts redeliver; SURVEY §2.10): watermark bounds the dedup state.
+    * restarts redeliver; SURVEY §2.10): `dropDuplicatesWithinWatermark`,
+    * NOT plain `dropDuplicates(keys)` — Spark only evicts dedup state
+    * when the event-time column is part of the dedup key, so the plain
+    * form would grow state forever on an unbounded key domain (the exact
+    * failure a watermark exists to prevent). The WithinWatermark variant
+    * dedups by key and drops each key's state once the watermark passes
+    * its last occurrence.
     */
   def dedupStream(feed: DataFrame, eventTime: String, watermark: String, keys: Seq[String]): DataFrame =
-    feed.withWatermark(eventTime, watermark).dropDuplicates(keys)
+    feed.withWatermark(eventTime, watermark).dropDuplicatesWithinWatermark(keys)
 
   /** Tumbling/sliding window aggregation over an event-time stream. */
   def tumblingCounts(feed: DataFrame, eventTime: String, watermark: String, width: String): DataFrame =

@@ -15,7 +15,7 @@ class AsOfJoinSpec extends SparkSpec {
     val r = rights.toDF("k2", "t2", "v")
     Ops
       .asOfJoin(l, r, leftKey = "k", rightKey = "k2", leftTs = "t", rightTs = "t2",
-        leftId = Seq("lid"), rightPayload = Seq("t2", "v"))
+        rightPayload = Seq("t2", "v"))
       .collect()
       .map(x => (x.getAs[Long]("lid"), x.getAs[Long]("t2"), Option(x.getAs[String]("v"))))
       .toSet
@@ -72,7 +72,7 @@ class AsOfJoinSpec extends SparkSpec {
       }.toSet
       val viaWindow = Ops
         .asOfJoin(l, r, "k", "k2", "t", "t2",
-          leftId = Seq("lid"), rightPayload = Seq("t2", "rv"), rightOrd = Seq("rv"))
+          rightPayload = Seq("t2", "rv"), rightOrd = Seq("rv"))
         .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("t2"), x.getAs[Long]("rv")))
         .toSet
       assert(viaWindow == want, s"trial $trial: union+window diverged from brute force")

@@ -37,9 +37,41 @@ class CdcPipelineSpec extends SparkSpec {
     assert(h.initialState.count() == 3) // snapshot materialized first
     h.stream.awaitTermination()
 
-    val state = s.read.parquet(dir.resolve("state").toString)
+    val state = Stream.readCurrentState(s, dir.resolve("state").toString)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
     assert(state == Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
+  test("restart does not re-apply the snapshot: folded changes survive") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("piper")
+    val changeDir = dir.resolve("changes"); Files.createDirectories(changeDir)
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "value")
+    Files.write(changeDir.resolve("c0.json"), String.join("\n",
+      """{"id":1,"value":11.0,"op":"u","scn":101}""",
+      """{"id":2,"value":20.0,"op":"d","scn":102}""").getBytes)
+    def run() = CdcPipeline.start(
+      s, base, keys = Seq("id"), snapshotScn = 100L,
+      changeDir = changeDir.toString, feedSchema = feedSchema,
+      statePath = dir.resolve("state").toString,
+      checkpointDir = dir.resolve("chk").toString)
+    run().stream.awaitTermination()
+    def current() = Stream.readCurrentState(s, dir.resolve("state").toString)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+    assert(current() == Map(1L -> 11.0))
+    // restart with the SAME paths and a new change file: the checkpoint
+    // skips committed files, so re-writing the snapshot here would revert
+    // id=1 and resurrect deleted id=2 — the state must instead carry on
+    Files.write(changeDir.resolve("c1.json"), String.join("\n",
+      """{"id":3,"value":30.0,"op":"c","scn":103}""").getBytes)
+    val h2 = run()
+    h2.stream.awaitTermination()
+    assert(current() == Map(1L -> 11.0, 3L -> 30.0),
+      "restart lost folded changes or resurrected a deleted key")
+    // initialState on resume reflects the CURRENT state, not the snapshot
+    val init = h2.initialState.collect().map(_.getAs[Long]("id")).toSet
+    assert(!init.contains(2L))
   }
 
   test("boundary-SCN overlap is idempotent and deterministically stream-wins") {
@@ -66,7 +98,7 @@ class CdcPipelineSpec extends SparkSpec {
       checkpointDir = dir.resolve("chk").toString)
     h.stream.awaitTermination()
 
-    val state = s.read.parquet(dir.resolve("state").toString)
+    val state = Stream.readCurrentState(s, dir.resolve("state").toString)
       .collect()
       .map(r => r.getAs[Long]("id") ->
         ((r.getAs[Double]("value"), r.getAs[String]("op"), r.getAs[Int](CdcPipeline.SrcRankCol))))

@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   private def readState(path: String) =
-    spark.read.parquet(path).collect()
+    Stream.readCurrentState(spark, path).collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[Long]("scn"), r.getAs[Double]("value")))
       .toSet
 
@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
     val q2 = startMaterialize(in, state, chk)
     q2.awaitTermination()
     assert(readState(state.resolve("t").toString) == batchState(events))
+  }
+
+  test("late replay older than a delete cannot resurrect the key (tombstone retention)") {
+    val (in, state, chk) = (tmp("in7"), tmp("state7"), tmp("chk7"))
+    val statePath = state.resolve("t").toString
+    // batch 1: create then delete id=1
+    writeBatchJson(in, Seq(Ev(1L, 1L, "c", 1.0), Ev(10L, 1L, "d", 0.0),
+      Ev(2L, 2L, "c", 2.0)), "a-0.json")
+    val q1 = startMaterialize(in, state, chk)
+    q1.awaitTermination()
+    assert(readState(statePath) == Set((2L, 2L, 2.0)))
+    // batch 2: a STALE pre-delete update of id=1 arrives late (cross-batch
+    // disorder — the case a dropped tombstone would resurrect)
+    writeBatchJson(in, Seq(Ev(5L, 1L, "u", 5.0)), "b-0.json")
+    val q2 = startMaterialize(in, state, chk)
+    q2.awaitTermination()
+    assert(readState(statePath) == Set((2L, 2L, 2.0)),
+      "stale pre-delete replay must lose to the retained tombstone")
   }
 
   test("incremental materialize: untouched buckets' files are byte-identical") {
@@ -227,7 +245,7 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("stateBuckets=16")), e.getMessage)
   }
 
-  test("flatMapGroupsWithState latest-per-key: advances, suppresses stale, drops tombstoned") {
+  test("flatMapGroupsWithState latest-per-key: advances, suppresses stale, retains tombstones") {
     val s = spark
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -245,10 +263,11 @@ class StreamingSpec extends SparkSpec {
       // tombstoned; key 30 created
       input.addData(Ev(2, 10, "u", 2.0), Ev(6, 20, "d", 0.0), Ev(7, 30, "c", 7.0))
       q.processAllAvailable()
-      // batch 3: key 20 re-created after tombstone (state was dropped);
-      // pre-tombstone scn for key 20 would ALSO be accepted after the
-      // drop — by design, state.remove() forgets the high-water mark
-      input.addData(Ev(8, 20, "c", 8.0))
+      // batch 3: key 20 re-created after tombstone with a NEWER scn (the
+      // retained tombstone is the suppression floor: scn 8 > 6 advances,
+      // while the stale pre-delete scn 4 must be swallowed — a dropped
+      // tombstone would have resurrected it)
+      input.addData(Ev(4, 20, "u", 4.0), Ev(8, 20, "c", 8.0))
       q.processAllAvailable()
       val emitted = s.table("fmgws_t").as[Ev].collect().map(e => (e.scn, e.id, e.op)).toSet
       assert(emitted == Set(

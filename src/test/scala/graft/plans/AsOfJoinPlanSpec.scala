@@ -23,7 +23,7 @@ class AsOfJoinPlanSpec extends SparkSpec {
       .map(x => (x.getAs[Long]("lid"), x.getAs[Long]("ord"), x.getAs[String]("v")))
       .toSet
     val composed = Ops
-      .asOfJoin(l, r, "k", "k2", "t", "t2", leftId = Seq("lid"),
+      .asOfJoin(l, r, "k", "k2", "t", "t2",
         rightPayload = Seq("ord", "v"), rightOrd = Seq("t2", "ord"))
       .collect()
       .map(x => (x.getAs[Long]("lid"), x.getAs[Long]("ord"), x.getAs[String]("v")))
