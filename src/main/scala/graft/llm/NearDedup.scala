@@ -155,7 +155,8 @@ object NearDedup {
       .withColumn("label", col("node")).persist()
     var converged = false
     var round = 0
-    while (!converged) {
+    try {
+      while (!converged) {
       round += 1
       // rounds = graph diameter for min-label propagation; dup clusters
       // are near-cliques (diameter ≤ a handful), so a run that reaches
@@ -179,22 +180,26 @@ object NearDedup {
       // persist alone caches DATA but each round's plan still nests the
       // previous round's, so analysis/optimization cost (and failure
       // recovery depth) grows linearly with rounds otherwise
-      val next = if (round % 5 == 0) stepped.localCheckpoint() else stepped.persist()
-      val changed = next.filter(col("label") =!= col("prev_label")).count()
+        val next = if (round % 5 == 0) stepped.localCheckpoint() else stepped.persist()
+        val changed = next.filter(col("label") =!= col("prev_label")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+      }
+      lastCcRounds.set(round)
+      // eagerly materialize the (small) result so every loop cache can be
+      // released NOW — returning a plan over the persisted `labels` would
+      // leak one cache entry per invocation with no way to unpersist it
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint()
+    } finally {
+      // release caches on BOTH the success and the maxIters-failure path —
+      // a caller that catches the non-convergence exception must not
+      // inherit orphaned cache entries it has no handle to free
       labels.unpersist()
-      labels = next
-      converged = changed == 0
+      edges.unpersist()
     }
-    lastCcRounds.set(round)
-    // eagerly materialize the (small) result so every loop cache can be
-    // released NOW — returning a plan over the persisted `labels` would
-    // leak one cache entry per invocation with no way to unpersist it
-    val result = labels
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .localCheckpoint()
-    labels.unpersist()
-    edges.unpersist()
-    result
   }
 
   /** Rounds the last [[connectedComponents]] run took (observability —
@@ -222,10 +227,18 @@ object NearDedup {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    // evict entries of STOPPED sessions on every access: the map would
+    // otherwise pin dead sessions (and their plans) forever in a JVM that
+    // cycles sessions, e.g. repeated test suites. Limitation (documented,
+    // matching the fixtures' immutability): rewriting the parquet under
+    // `dir` within one LIVE session keeps serving the cached shingles —
+    // production would key by (path, snapshot/commit version) instead.
+    shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     shingleCache.computeIfAbsent((s, dir), _ =>
       shingleArrays(Tables(s, dir).documents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -275,10 +288,15 @@ object NearDedup {
           explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
         .groupBy("doc1", "doc2")
         .agg(count(lit(1)).as("com"))
+      // no broadcast hint on sizes: it is one row per corpus DOCUMENT, so
+      // forcing a broadcast would collect the whole corpus's size table to
+      // the driver at the 100 TB design point. Un-hinted, AQE broadcasts
+      // it exactly when it is actually small (this fixture) and shuffles
+      // otherwise.
       val sizes = arrs.select(col("doc_id"), size(col("sh")).as("nw"))
       common
-        .join(broadcast(sizes.select(col("doc_id").as("doc1"), col("nw").as("n1"))), "doc1")
-        .join(broadcast(sizes.select(col("doc_id").as("doc2"), col("nw").as("n2"))), "doc2")
+        .join(sizes.select(col("doc_id").as("doc1"), col("nw").as("n1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("nw").as("n2")), "doc2")
         .withColumn("jacc",
           col("com").cast("double") / (col("n1") + col("n2") - col("com")))
         .filter(col("jacc") >= 0.5)

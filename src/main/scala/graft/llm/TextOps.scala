@@ -16,6 +16,43 @@ object TextOps {
 
   private val stopEn = Seq("the", "a", "of", "and")
 
+  private def stopScore(words: org.apache.spark.sql.Column, ws: Seq[String]) =
+    size(filter(words, w => w.isin(ws: _*)))
+
+  /** (n_words, stop_ratio, punct_ratio, quality) for a text column — ONE
+    * definition shared by `text_quality` and the `corpus_clean` capstone
+    * (two inline copies would silently de-synchronize the capstone from
+    * the oracle-checked single operator on the next tweak). The punct
+    * denominator is nullif-guarded: Spark's non-ANSI x/0 yields NULL
+    * while DuckDB yields IEEE NaN/inf, so an empty text would otherwise
+    * be a latent cross-engine hash mismatch — with the guard both
+    * engines agree on NULL unconditionally (the oracle mirrors nullif).
+    */
+  private[llm] def qualitySignals(text: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val words = split(text, " ")
+    val nWords = size(words)
+    val stopRatio = stopScore(words, stopEn).cast("double") / nWords
+    val punctRatio = length(regexp_replace(text, "[a-z ]", "")).cast("double") /
+      nullif(length(text), lit(0))
+    val q = least(lit(1.0), nWords / 100.0) * 0.5 + stopRatio * 0.3 +
+      (lit(1.0) - punctRatio) * 0.2
+    (nWords, stopRatio, punctRatio, q)
+  }
+
+  /** Stopword-vote language prediction — shared by `lang_id` and
+    * `corpus_clean` for the same single-definition reason.
+    */
+  private[llm] def langPred(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = split(text, " ")
+    val sEn = stopScore(words, stopEn)
+    when(stopScore(words, Seq("le", "la", "et", "les")) > sEn, "fr")
+      .when(stopScore(words, Seq("el", "los", "y", "que")) > sEn, "es")
+      .when(stopScore(words, Seq("der", "die", "und", "das")) > sEn, "de")
+      .otherwise("en")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -50,40 +87,28 @@ object TextOps {
     "lang_id" -> ((s, dir) => {
       // n-gram/stopword-vote heuristic; deterministic priority tiebreak.
       val d = Tables(s, dir).documents.withColumn("words", split(col("text"), " "))
-      def score(ws: Seq[String]) =
-        size(filter(col("words"), w => w.isin(ws: _*)))
       d.select(
         col("doc_id"),
         col("lang"),
-        score(stopEn).cast("long").as("s_en"),
-        score(Seq("le", "la", "et", "les")).cast("long").as("s_fr"),
-        score(Seq("el", "los", "y", "que")).cast("long").as("s_es"),
-        score(Seq("der", "die", "und", "das")).cast("long").as("s_de"))
-        .withColumn("pred",
-          when(col("s_fr") > col("s_en"), "fr")
-            .when(col("s_es") > col("s_en"), "es")
-            .when(col("s_de") > col("s_en"), "de")
-            .otherwise("en"))
-        .select("doc_id", "lang", "s_en", "s_fr", "s_es", "s_de", "pred")
+        stopScore(col("words"), stopEn).cast("long").as("s_en"),
+        stopScore(col("words"), Seq("le", "la", "et", "les")).cast("long").as("s_fr"),
+        stopScore(col("words"), Seq("el", "los", "y", "que")).cast("long").as("s_es"),
+        stopScore(col("words"), Seq("der", "die", "und", "das")).cast("long").as("s_de"),
+        langPred(col("text")).as("pred"))
         .orderBy("doc_id")
     }),
 
     "text_quality" -> ((s, dir) => {
       // composite quality score from exact counts; all double arithmetic
       // in a fixed order so DuckDB computes bit-identical values.
-      val words = split(col("text"), " ")
-      val nWords = size(words)
-      val stopRatio = size(filter(words, w => w.isin(stopEn: _*))).cast("double") / nWords
-      val punctRatio =
-        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") / length(col("text"))
+      val (nWords, stopRatio, punctRatio, quality) = qualitySignals(col("text"))
       Tables(s, dir).documents
         .select(
           col("doc_id"),
           nWords.cast("long").as("n_words"),
           stopRatio.as("stop_ratio"),
           punctRatio.as("punct_ratio"),
-          (least(lit(1.0), nWords / 100.0) * 0.5 + stopRatio * 0.3 +
-            (lit(1.0) - punctRatio) * 0.2).as("quality"))
+          quality.as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -101,21 +126,9 @@ object TextOps {
     // stage is an operator proven bit-identical above, so the whole
     // pipeline stays hash-exact vs the oracle.
     "corpus_clean" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      val nWords = size(words)
-      def score(ws: Seq[String]) = size(filter(words, w => w.isin(ws: _*)))
-      val stopRatio = score(stopEn).cast("double") / nWords
-      val punctRatio =
-        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") / length(col("text"))
-      val quality = least(lit(1.0), nWords / 100.0) * 0.5 + stopRatio * 0.3 +
-        (lit(1.0) - punctRatio) * 0.2
-      val sEn = score(stopEn)
-      val pred = when(score(Seq("le", "la", "et", "les")) > sEn, "fr")
-        .when(score(Seq("el", "los", "y", "que")) > sEn, "es")
-        .when(score(Seq("der", "die", "und", "das")) > sEn, "de")
-        .otherwise("en")
+      val (nWords, _, _, quality) = qualitySignals(col("text"))
       val kept = Tables(s, dir).documents
-        .filter(quality >= 0.5 && pred === "en")
+        .filter(quality >= 0.5 && langPred(col("text")) === "en")
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
       val deduped = kept
         .withColumn("keep", min(col("doc_id")).over(w))
@@ -161,11 +174,11 @@ object TextOps {
       """SELECT doc_id, len(string_split(text,' ')) AS n_words,
         |  CAST(len(list_filter(string_split(text,' '),
         |       w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' ')) AS stop_ratio,
-        |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
         |  least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
         |    + (CAST(len(list_filter(string_split(text,' '),
         |         w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
-        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
         |    AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
@@ -179,7 +192,7 @@ object TextOps {
         |           w -> w IN ('the','a','of','and'))) AS DOUBLE)
         |         / len(string_split(text,' '))) * 0.3
         |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
-        |         / length(text)) * 0.2 AS quality,
+        |         / nullif(length(text), 0)) * 0.2 AS quality,
         |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
         |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS s_fr,
         |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS s_es,

@@ -47,6 +47,20 @@ object VectorOps {
     Array.fill(h, dim)(rng.nextDouble() * 2 - 1)
   }
 
+  /** Embedding dimensionality probed from the data (one single-row job).
+    * The LSH plane width MUST match the real dim: `zip_with` pads the
+    * shorter side with nulls, a null product nulls the whole dot, and
+    * `when(dot >= 0, ...)` maps null to "0" — so a wrong hardcoded dim
+    * would silently put EVERY vector in the all-zeros bucket of every
+    * table, degrading the candidate join to an all-pairs blowup with no
+    * error raised.
+    */
+  private def probeDim(emb: DataFrame): Int = {
+    val head = emb.select(size(col("embedding")).as("d")).head(1)
+    require(head.nonEmpty, "cannot probe embedding dim of an empty table")
+    head(0).getInt(0)
+  }
+
   /** LSH bucket id: the H sign bits of plane·embedding as a bit-string. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { plane =>
@@ -92,7 +106,7 @@ object VectorOps {
     */
   def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, h: Int = 4, tables: Int = 8): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val dim = 64
+    val dim = probeDim(emb)
     val planes = hyperplanes(h * tables, dim)
     val bucketCols = (0 until tables).map { t =>
       lshBucket(col("embedding"), planes.slice(t * h, (t + 1) * h))
@@ -124,7 +138,7 @@ object VectorOps {
   def embedNearDup(emb: DataFrame, threshold: Double, h: Int = 6, tables: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val dim = 64
+    val dim = probeDim(emb)
     val planes = hyperplanes(h * tables, dim)
     val bucketCols = (0 until tables).map { t =>
       lshBucket(col("embedding"), planes.slice(t * h, (t + 1) * h))
@@ -241,7 +255,11 @@ object VectorOps {
     val centroids = model.getOrElse(ivfTrain(emb, cells))
     val assigned = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       ivfCell(col("embedding"), centroids).as("cell"))
-    // per-query probe list: nprobe best cells by the same score expr
+    // per-query probe list: nprobe best cells by the same score expr.
+    // Index by centroids.indices, NOT (0 until cells): a small corpus (or
+    // a caller-supplied model) can legitimately carry FEWER centroids
+    // than the requested cell count (ivfTrain seeds from sample.take(k)),
+    // and indexing past the model crashed at plan build.
     val scores = centroids.map { c =>
       val cCol = array(c.map(lit): _*)
       val dot = aggregate(zip_with(col("q_emb"), cCol, (x, p) => x.cast("double") * p),
@@ -252,9 +270,10 @@ object VectorOps {
       emb.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .withColumn("__scored",
-          array((0 until cells).map(i => struct(scores(i).as("s"), lit(i).as("c"))): _*))
+          array(centroids.indices.map(i => struct(scores(i).as("s"), lit(i).as("c"))): _*))
         .withColumn("cell",
-          explode(slice(reverse(array_sort(col("__scored"))), 1, nprobe).getField("c")))
+          explode(slice(reverse(array_sort(col("__scored"))), 1,
+            math.min(nprobe, centroids.length)).getField("c")))
         .select("q_id", "q_emb", "cell"))
     val scored = probes.join(assigned, "cell")
       .filter(col("q_id") =!= col("c_id"))
