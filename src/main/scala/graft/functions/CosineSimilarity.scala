@@ -55,6 +55,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
+        // a null ELEMENT nulls the whole result, exactly like the HOF
+        // form (null product poisons the aggregate); ArrayData.getFloat
+        // on a null slot would silently read 0.0 and emit a wrong
+        // non-null similarity
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val u = x.getFloat(i).toDouble
         val v = y.getFloat(i).toDouble
         dot += u * v; nx += u * u; ny += v * v
@@ -80,11 +85,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $u = (double) $a.getFloat($i);
          |    double $v = (double) $b.getFloat($i);
          |    $dot += $u * $v; $nx += $u * $u; $ny += $v * $v;
          |  }
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny);
+         |  }
          |}
        """.stripMargin
     })
@@ -94,9 +102,9 @@ object CosineSimilarity {
 
   val functionName = "cosine_sim"
 
-  private val info = new ExpressionInfo(classOf[CosineSimilarity].getName, functionName)
+  private[functions] val info = new ExpressionInfo(classOf[CosineSimilarity].getName, functionName)
 
-  private def builder(exprs: Seq[Expression]): Expression = {
+  private[functions] def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"$functionName expects 2 arguments")
     CosineSimilarity(exprs.head, exprs(1))
   }
@@ -118,11 +126,18 @@ object CosineSimilarity {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    // the ONE builder (with its arity require) — a re-implemented inline
+    // builder used to accept cosine_sim(a,b,c) silently and throw raw
+    // IndexOutOfBounds on cosine_sim(a)
     e.injectFunction(
       (FunctionIdentifier(CosineSimilarity.functionName),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.functionName),
-        (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+        CosineSimilarity.info, CosineSimilarity.builder _))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
-    e.injectOptimizerRule(_ => SimplifySelfCosine)
+    // SimplifySelfCosine is deliberately NOT injected by default: it is a
+    // semantics-RELAXING rewrite (see its scaladoc — the emitted 1.0
+    // differs from the unoptimized double result by a final rounding, and
+    // NaN/zero-vector corners flip), so it must be an explicit per-session
+    // opt-in via experimental.extraOptimizations or a custom extension,
+    // never a surprise bundled with the function registrations.
   }
 }

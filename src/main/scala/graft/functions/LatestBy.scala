@@ -12,12 +12,19 @@ import org.apache.spark.sql.functions.udaf
   */
 object LatestBy {
 
-  /** (scn, payload) → payload of max scn; null-safe empty buffer. */
-  val latestByScn: Aggregator[(Long, String), (Long, String), String] =
-    new Aggregator[(Long, String), (Long, String), String] {
+  /** (scn, payload) → payload of max scn; null-safe empty buffer. The
+    * input scn is a BOXED Long: `max_by` SKIPS rows whose ordering value
+    * is null, and this aggregator must match — with a primitive input
+    * encoder a null scn crashed the whole job at deserialization
+    * ("Null value appeared in non-nullable field") instead.
+    */
+  val latestByScn: Aggregator[(java.lang.Long, String), (Long, String), String] =
+    new Aggregator[(java.lang.Long, String), (Long, String), String] {
       override def zero: (Long, String) = (Long.MinValue, null)
-      override def reduce(b: (Long, String), a: (Long, String)): (Long, String) =
-        if (a._1 >= b._1) a else b
+      override def reduce(b: (Long, String), a: (java.lang.Long, String)): (Long, String) =
+        if (a._1 == null) b // null ordering: skip, like max_by
+        else if (a._1.longValue >= b._1) (a._1.longValue, a._2)
+        else b
       override def merge(b1: (Long, String), b2: (Long, String)): (Long, String) =
         if (b1._1 >= b2._1) b1 else b2
       override def finish(r: (Long, String)): String = r._2

@@ -15,13 +15,18 @@ import org.apache.spark.sql.types.DoubleType
   * columns; the original evaluates a full O(dim) fused loop per row, the
   * rewrite is a null check.
   *
-  * Domain assumption, stated plainly: for an ALL-ZERO vector the
-  * original yields NaN (0/0) while the rewrite yields 1.0. Embedding
-  * columns are non-zero by construction (L2-normalized or near-), and
-  * cosine of the zero vector is undefined anyway, so the rule trades
-  * that undefined corner for a per-row O(dim) saving. Remove the rule
-  * from [[GraftExtensions]] if exact NaN propagation on zero vectors
-  * ever matters.
+  * This is a semantics-RELAXING rewrite (the fast-math class of
+  * optimization), stated plainly:
+  *  - for ordinary non-zero vectors the unoptimized double arithmetic
+  *    computes nx/√nx/√nx, which is NOT exactly 1.0 (two roundings —
+  *    e.g. nx=5 → 0.9999999999999998); the rewrite emits exactly 1.0,
+  *    so enabling the rule can change low bits of query output;
+  *  - an ALL-ZERO vector yields NaN (0/0) unoptimized vs 1.0 rewritten,
+  *    and NaN/Inf elements likewise collapse to 1.0.
+  * For that reason the rule is NOT injected by [[GraftExtensions]] —
+  * sessions opt in explicitly (experimental.extraOptimizations) when the
+  * per-row O(dim) saving matters more than bit-exactness, the same
+  * consent model as ANSI/fast-float flags.
   */
 object SimplifySelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =

@@ -81,6 +81,14 @@ case class AsOfJoinExec(
     (Seq(rightKey, rightTs) ++ rightTieBreak).map(e =>
       SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
+  // the merge scan consumes the left child one-to-one per partition, so
+  // its clustering and (key, ts) sort order survive to the output —
+  // without these overrides the default UnknownPartitioning forces a
+  // redundant re-shuffle in the common asOf-then-aggregate-on-key shape
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -155,9 +163,20 @@ object AsOfJoinPlan {
     val spark = left.sparkSession
     GraftStrategyRegistrar.ensure(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // ALWAYS re-alias the right side: a self (or shared-lineage) as-of
+    // join carries the same exprIds on both children, and downstream
+    // attribute binding resolves each id to its FIRST occurrence — the
+    // left position — silently substituting the left row's own values
+    // for the matched right payload. A fresh projection mints new
+    // exprIds, like the analyzer's own DeduplicateRelations does for
+    // built-in joins.
+    val rPlan = right.select(right.columns.map(c => right(c).as(c)): _*)
+      .queryExecution.analyzed
+    // resolve names with the session's resolver (case-insensitive by
+    // default), matching DataFrame column resolution everywhere else
+    val resolver = spark.sessionState.conf.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(sys.error(s"no column $n"))
+      p.output.find(a => resolver(a.name, n)).getOrElse(sys.error(s"no column $n"))
     val node = AsOfJoinNode(
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),

@@ -22,6 +22,11 @@ object Scale {
     * join is hash-based.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts " +
+      "(pmod by 0 nulls every salt and sequence(0,-1) fabricates a -1 salt)")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already have a __salt column — it would be " +
+        "silently clobbered and dropped from the output")
     // salt derived from ROW CONTENT, never monotonically_increasing_id():
     // a nondeterministic salt re-assigns rows to different shuffle
     // partitions on task retry after a fetch failure — the SPARK-23207
@@ -49,6 +54,13 @@ object Scale {
       buckets: Int
   ): Unit = {
     val spark = df.sparkSession
+    // simple lowercase identifiers only: the stale-location cleanup below
+    // derives the path as <warehouse>/<table>, which is wrong for
+    // database-qualified names (<warehouse>/<db>.db/<table>) and for
+    // mixed case (the catalog lower-cases) — reject rather than silently
+    // no-op the cleanup for exactly the names it exists to handle
+    require(table.matches("[a-z_][a-z0-9_]*"),
+      s"writeBucketed needs a simple lowercase table name, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // the in-memory catalog forgets tables across sessions but their
     // warehouse directories survive — clear any stale location too

@@ -98,6 +98,25 @@ class SimilaritySpec extends SparkSpec {
       "ann_ivf must not retrain on a repeated run over the same dataset")
   }
 
+  test("native cosine nulls on a null ELEMENT, like the HOF form") {
+    val s = spark
+    import s.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(1f), Some(2f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(1f), Some(2f))))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorOps.cosine(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("native"),
+      VectorOps.cosineHof(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("hof")).collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == rows(0).getDouble(1))
+    assert(rows(1).isNullAt(0),
+      "a null element must null the native result, not read as 0.0")
+    assert(rows(1).isNullAt(1), "HOF reference must also be null")
+  }
+
   test("native cosine returns null on mismatched lengths, like the HOF form") {
     val s = spark
     import s.implicits._

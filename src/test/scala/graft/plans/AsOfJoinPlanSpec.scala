@@ -53,6 +53,25 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("shared-lineage as-of join returns the RIGHT payload, not the left row's own values") {
+    val s = spark
+    import s.implicits._
+    // right = a filtered view of the SAME DataFrame — without the fresh
+    // right-side aliasing the duplicated exprIds would bind the payload
+    // to the left positions and silently echo the left row's own column
+    val df = Seq(
+      (1L, 7L, 10L, "early"),
+      (2L, 7L, 20L, "mid"),
+      (3L, 7L, 30L, "late")).toDF("rid", "k", "t", "v")
+    val out = graft.plans.AsOfJoinPlan
+      .asOf(df, df.filter($"t" < 25), "k", "k", "t", "t", rightPayload = Seq("v"))
+      .collect()
+      .map(r => r.getAs[Long]("rid") -> r.getString(4)) // index 4 = right v
+      .toMap
+    // rid=3 (t=30, own v="late") must get the matched right payload "mid"
+    assert(out == Map(1L -> "early", 2L -> "mid", 3L -> "mid"), out.toString)
+  }
+
   test("the custom exec node appears in the physical plan") {
     val s = spark
     import s.implicits._
