@@ -57,14 +57,26 @@ object EsSink {
   def write(df: DataFrame, nodes: String, index: String, idColumn: String,
       deletedCol: String = "__deleted"): Unit = {
     val hasDeleted = df.columns.contains(deletedCol)
-    val live = if (hasDeleted) df.filter(col(deletedCol) === "false").drop(deletedCol) else df
-    live.write.format(Format)
-      .options(writerOptions(nodes, index, idColumn))
-      .mode("append").save()
-    if (hasDeleted)
-      df.filter(col(deletedCol) === "true").select(idColumn)
-        .write.format(Format)
-        .options(deleteOptions(nodes, index, idColumn))
+    if (!hasDeleted) {
+      df.write.format(Format)
+        .options(writerOptions(nodes, index, idColumn))
         .mode("append").save()
+    } else {
+      // cache across the two passes: the upsert and delete writes would
+      // otherwise each recompute the full upstream lineage (channel →
+      // parse → unwrap → latest-per-key), and a changing source between
+      // the two jobs would even split one batch into inconsistent halves
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cached.filter(col(deletedCol) === "false").drop(deletedCol)
+          .write.format(Format)
+          .options(writerOptions(nodes, index, idColumn))
+          .mode("append").save()
+        cached.filter(col(deletedCol) === "true").select(idColumn)
+          .write.format(Format)
+          .options(deleteOptions(nodes, index, idColumn))
+          .mode("append").save()
+      } finally cached.unpersist()
+    }
   }
 }

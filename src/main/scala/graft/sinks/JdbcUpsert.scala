@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   */
 object JdbcUpsert {
 
-  private def sqlType(dt: DataType): String = dt match {
+  private def sqlType(dt: DataType, isKey: Boolean): String = dt match {
     case LongType         => "BIGINT"
     case IntegerType      => "INTEGER"
     case DoubleType       => "DOUBLE"
@@ -37,9 +37,26 @@ object JdbcUpsert {
     case TimestampType | TimestampNTZType => "TIMESTAMP"
     case DateType         => "DATE"
     case d: DecimalType   => s"DECIMAL(${d.precision},${d.scale})"
-    case StringType       => "VARCHAR(4096)"
+    // key strings must be indexable → bounded VARCHAR; payload strings are
+    // CLOB so an oversized CDC text field cannot 22001-truncate-error the
+    // batch into a checkpoint-retried poison loop
+    case StringType       => if (isKey) "VARCHAR(4096)" else "CLOB"
     case BinaryType       => "BLOB"
     case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType         => java.sql.Types.BIGINT
+    case IntegerType      => java.sql.Types.INTEGER
+    case DoubleType       => java.sql.Types.DOUBLE
+    case FloatType        => java.sql.Types.REAL
+    case BooleanType      => java.sql.Types.BOOLEAN
+    case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+    case DateType         => java.sql.Types.DATE
+    case _: DecimalType   => java.sql.Types.DECIMAL
+    case StringType       => java.sql.Types.VARCHAR
+    case BinaryType       => java.sql.Types.BLOB
+    case _                => java.sql.Types.OTHER
   }
 
   /** Create the sink table from the DataFrame schema if absent —
@@ -58,7 +75,8 @@ object JdbcUpsert {
         try { conn.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
         catch { case _: java.sql.SQLException => false }
       if (!exists) {
-        val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+        val cols = schema.fields
+          .map(f => s"${f.name} ${sqlType(f.dataType, keys.contains(f.name))}").mkString(", ")
         val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.mkString(", ")})" else ""
         conn.createStatement().execute(s"CREATE TABLE $table ($cols$pk)")
       }
@@ -79,6 +97,33 @@ object JdbcUpsert {
     * should sink the `__deleted` rewrite column ([[graft.cdc.Ops.unwrap]])
     * instead of hard deletes.
     */
+  /** Lexicographic ordering guard over the FULL composite ordering:
+    * `(c1 < ? OR (c1 = ? AND (c2 <= ?)))` etc. Guarding on only the head
+    * column would let a stale redelivery that TIES on it (same scn,
+    * older ts) overwrite newer sink state.
+    */
+  private def guardSql(cols: Seq[String]): String = cols match {
+    case Seq(c)    => s"$c <= ?"
+    case c +: rest => s"($c < ? OR ($c = ? AND ${guardSql(rest)}))"
+  }
+
+  /** Bind-parameter column sequence matching [[guardSql]]'s ? order. */
+  private def guardBindCols(cols: Seq[String]): Seq[String] = cols match {
+    case Seq(c)    => Seq(c)
+    case c +: rest => Seq(c, c) ++ guardBindCols(rest)
+  }
+
+  /** A unique/PK violation specifically — SQLState 23505 (standard,
+    * Derby, Postgres) or MySQL's catch-all 23000 with a duplicate/unique
+    * message. The broader "class 23" match would also swallow NOT NULL /
+    * FK / CHECK violations and silently drop genuinely bad rows.
+    */
+  private def isUniqueViolation(e: java.sql.SQLException): Boolean = {
+    val st = Option(e.getSQLState).getOrElse("")
+    val msg = Option(e.getMessage).getOrElse("").toLowerCase
+    st == "23505" || (st == "23000" && (msg.contains("unique") || msg.contains("duplicate")))
+  }
+
   def upsert(
       df: DataFrame,
       url: String,
@@ -86,7 +131,7 @@ object JdbcUpsert {
       keys: Seq[String],
       opCol: Option[String] = None,
       deleteOp: String = "d",
-      ordCol: Option[String] = None
+      ordCols: Seq[String] = Seq.empty
   ): Unit = {
     val schema = df.schema
     val dataCols = schema.fieldNames.toSeq.filterNot(c => keys.contains(c) || opCol.contains(c))
@@ -94,7 +139,8 @@ object JdbcUpsert {
       s"upsert into $table needs at least one non-key payload column " +
         s"(got keys=$keys, op=$opCol only) — a keys-only feed has nothing to SET")
     val allCols = keys ++ dataCols
-    val guard = ordCol.map(c => s" AND $c <= ?").getOrElse("")
+    val guard = if (ordCols.nonEmpty) s" AND ${guardSql(ordCols)}" else ""
+    val guardCols = if (ordCols.nonEmpty) guardBindCols(ordCols) else Seq.empty
     val updateSql = s"UPDATE $table SET ${dataCols.map(c => s"$c = ?").mkString(", ")} " +
       s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}$guard"
     val insertSql = s"INSERT INTO $table (${allCols.mkString(", ")}) " +
@@ -102,17 +148,23 @@ object JdbcUpsert {
     val deleteSql =
       s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}$guard"
     val idx = schema.fieldNames.zipWithIndex.toMap
+    val types = schema.fields.map(f => f.name -> jdbcType(f.dataType)).toMap
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conn = java.sql.DriverManager.getConnection(url)
-      conn.setAutoCommit(false)
       try {
+        conn.setAutoCommit(false) // inside try: a broken connection here must still close()
         val up = conn.prepareStatement(updateSql)
         val ins = conn.prepareStatement(insertSql)
         val del = conn.prepareStatement(deleteSql)
         def bind(st: java.sql.PreparedStatement, row: org.apache.spark.sql.Row,
             cols: Seq[String], offset: Int = 0): Int = {
           cols.zipWithIndex.foreach { case (c, i) =>
-            st.setObject(offset + i + 1, row.get(idx(c)))
+            val v = row.get(idx(c))
+            // typed null binding: the JDBC spec leaves untyped
+            // setObject(i, null) driver-dependent (Oracle rejects it);
+            // setNull with the declared type is the portable form
+            if (v == null) st.setNull(offset + i + 1, types(c))
+            else st.setObject(offset + i + 1, v)
           }
           offset + cols.length
         }
@@ -120,34 +172,34 @@ object JdbcUpsert {
           val isDelete = opCol.exists(c => row.getAs[String](c) == deleteOp)
           if (isDelete) {
             val n = bind(del, row, keys)
-            ordCol.foreach(c => del.setObject(n + 1, row.get(idx(c))))
+            bind(del, row, guardCols, n)
             del.executeUpdate()
           } else {
             val n = bind(up, row, keys, bind(up, row, dataCols))
-            ordCol.foreach(c => up.setObject(n + 1, row.get(idx(c))))
+            bind(up, row, guardCols, n)
             if (up.executeUpdate() == 0) {
               bind(ins, row, allCols)
               try ins.executeUpdate()
               catch {
-                // PK collision with a NEWER row (guard blocked the
-                // update): stale redelivery, skip. Without ordCol there
-                // is no guard, so collisions are genuine errors.
-                // Matched by SQLState class 23 (integrity violation), not
-                // exception subclass: Derby throws the standard
-                // SQLIntegrityConstraintViolationException but the
-                // PostgreSQL/MySQL drivers throw plain SQLExceptions with
-                // SQLState 23505/23000 — class-only matching would turn a
-                // routine stale redelivery into a poison batch there.
-                case e: java.sql.SQLException
-                    if Option(e.getSQLState).exists(_.startsWith("23")) =>
-                  if (ordCol.isEmpty) throw e
+                // PK collision with a NEWER row (the guard blocked the
+                // update): stale redelivery, skip. Without ordCols there
+                // is no guard, so collisions are genuine errors — and
+                // ONLY unique violations are ever swallowed (a NOT NULL /
+                // FK / CHECK failure is a bad row, not a redelivery).
+                case e: java.sql.SQLException if isUniqueViolation(e) =>
+                  if (ordCols.isEmpty) throw e
               }
             }
           }
         }
         conn.commit()
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable =>
+          // rollback on a dead connection can itself throw — never let it
+          // mask the root cause
+          try conn.rollback()
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
       } finally conn.close()
     }
   }
@@ -176,8 +228,10 @@ object JdbcUpsert {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val latest = graft.cdc.Ops.latestPerKey(batch, keys, ordering)
-        upsert(latest, url, table, keys, opCol = Some(opCol),
-          ordCol = ordering.headOption)
+        // the cross-batch guard uses the FULL composite ordering — the
+        // head column alone would let a redelivery tying on it regress
+        // the sink
+        upsert(latest, url, table, keys, opCol = Some(opCol), ordCols = ordering)
         ()
       }
       .start()

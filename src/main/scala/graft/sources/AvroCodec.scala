@@ -29,13 +29,19 @@ object AvroCodec {
   def encodeNation(rows: Iterator[(Int, String, Int)], schemaJson: String): Iterator[Array[Byte]] = {
     val schema = new Schema.Parser().parse(schemaJson)
     val writer = new GenericDatumWriter[GenericRecord](schema)
+    // one buffer + one encoder per PARTITION, reset/reused per record —
+    // the per-record cost profile the class doc promises (a fresh
+    // BAOS + BinaryEncoder per record is pure GC churn on the hot path;
+    // EncoderFactory's `reuse` parameter exists for exactly this)
+    val out = new java.io.ByteArrayOutputStream()
+    var enc = EncoderFactory.get().binaryEncoder(out, null)
     rows.map { case (k, name, rk) =>
       val rec = new GenericData.Record(schema)
       rec.put("n_nationkey", k)
       rec.put("n_name", name)
       rec.put("n_regionkey", rk)
-      val out = new java.io.ByteArrayOutputStream()
-      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      out.reset()
+      enc = EncoderFactory.get().binaryEncoder(out, enc)
       writer.write(rec, enc)
       enc.flush()
       out.toByteArray
@@ -45,8 +51,9 @@ object AvroCodec {
   def decodeNation(blobs: Iterator[Array[Byte]], schemaJson: String): Iterator[(Int, String, Int)] = {
     val schema = new Schema.Parser().parse(schemaJson)
     val reader = new GenericDatumReader[GenericRecord](schema)
+    var dec: org.apache.avro.io.BinaryDecoder = null
     blobs.map { bytes =>
-      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      dec = DecoderFactory.get().binaryDecoder(bytes, dec) // reuse decoder state
       val rec = reader.read(null, dec)
       (rec.get("n_nationkey").asInstanceOf[Int],
         rec.get("n_name").toString,
@@ -68,6 +75,7 @@ object AvroCodec {
       readerJson: String): Iterator[(Int, String, Int)] = {
     val readerSchema = new Schema.Parser().parse(readerJson)
     val readers = collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+    var dec: org.apache.avro.io.BinaryDecoder = null
     blobs.map { framed =>
       val (id, payload) = SchemaFrame.unframe(framed)
       val reader = readers.getOrElseUpdate(id, {
@@ -76,13 +84,16 @@ object AvroCodec {
         new GenericDatumReader[GenericRecord](
           new Schema.Parser().parse(writerJson), readerSchema)
       })
-      val dec = DecoderFactory.get().binaryDecoder(payload, null)
+      dec = DecoderFactory.get().binaryDecoder(payload, dec) // reuse decoder state
       val rec = reader.read(null, dec)
       (rec.get("n_nationkey").asInstanceOf[Int],
         rec.get("n_name").toString,
         rec.get("n_regionkey").asInstanceOf[Int])
     }
   }
+
+  private val regCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (Int, org.apache.spark.broadcast.Broadcast[Map[Int, String]])]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // serialize → Confluent-framed binary wire form (magic + schema id +
@@ -92,12 +103,19 @@ object AvroCodec {
     "avro_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val schemaJson = nationSchemaJson
-      val reg = SchemaRegistry.open(
-        java.nio.file.Files.createTempDirectory("graft_registry").toString)
-      val schemaId = reg.register("nation-value", schemaJson)
-      // executors resolve writer schemas from a broadcast registry
-      // snapshot — the cluster-shaped read path (no driver round-trips)
-      val byId = s.sparkContext.broadcast(reg.schemasById)
+      // one registry + one broadcast snapshot per SESSION (evicting
+      // stopped sessions): a fresh temp dir + broadcast per invocation
+      // littered /tmp and the driver block manager across a long run
+      regCache.keySet.removeIf(k => k.sparkContext.isStopped)
+      val (schemaId, byId) = regCache.computeIfAbsent(s, _ => {
+        val regDir = java.nio.file.Files.createTempDirectory("graft_registry")
+        regDir.toFile.deleteOnExit()
+        val reg = SchemaRegistry.open(regDir.toString)
+        val id = reg.register("nation-value", schemaJson)
+        // executors resolve writer schemas from a broadcast registry
+        // snapshot — the cluster-shaped read path (no driver round-trips)
+        (id, s.sparkContext.broadcast(reg.schemasById))
+      })
       Tables(s, dir).nation
         .select("n_nationkey", "n_name", "n_regionkey")
         .as[(Int, String, Int)]

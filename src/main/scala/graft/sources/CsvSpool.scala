@@ -29,11 +29,16 @@ object CsvSpool {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_scan" -> ((s, dir) => {
-      // absolute path: the driver may launch Verify from any CWD
-      val spoolDir =
-        s"/root/repo/target/csv_spool_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
-      spool(Tables(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey"), spoolDir)
-      readSpool(s, spoolDir).orderBy("n_nationkey")
+      // a fresh per-invocation temp dir (deleteOnExit), not a path
+      // derived from `dir`: the old lossy sanitization could collide two
+      // distinct dataset dirs onto one spool path, and two concurrent
+      // processes racing the same overwrite-then-read directory could
+      // each read the other's half-written spool
+      val spoolDir = java.nio.file.Files.createTempDirectory("graft_csv_spool")
+      spoolDir.toFile.deleteOnExit()
+      spool(Tables(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey"),
+        spoolDir.toString)
+      readSpool(s, spoolDir.toString).orderBy("n_nationkey")
     })
   )
 

@@ -24,8 +24,12 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
 
   import scala.jdk.CollectionConverters._
 
-  /** (id, subject, version, schemaJson) in registration order. */
-  private var entries: Vector[(Int, String, Int, String)] = replay()
+  /** (id, subject, version, schemaJson) in registration order. @volatile:
+    * writes happen under `synchronized` (register) but the read surface
+    * (byId/latest/history/schemasById) is lock-free — without the barrier
+    * a reader thread could legally see the pre-registration vector.
+    */
+  @volatile private var entries: Vector[(Int, String, Int, String)] = replay()
 
   private def replay(): Vector[(Int, String, Int, String)] = {
     val files =

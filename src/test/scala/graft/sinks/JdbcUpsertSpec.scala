@@ -43,18 +43,58 @@ class JdbcUpsertSpec extends SparkSpec {
       b1.toDF().schema.filterNot(_.name == "op"))
     JdbcUpsert.ensureTable(url, "sink_state", schema, keys = Seq("id"))
     JdbcUpsert.upsert(Ops.latestPerKey(b1.toDF(), Seq("id"), Seq("scn")),
-      url, "sink_state", Seq("id"), opCol = Some("op"), ordCol = Some("scn"))
+      url, "sink_state", Seq("id"), opCol = Some("op"), ordCols = Seq("scn"))
     assert(readTable(url, "sink_state") == expected(b1))
     val latest2 = Ops.latestPerKey(b2.toDF(), Seq("id"), Seq("scn"))
     JdbcUpsert.upsert(latest2, url, "sink_state", Seq("id"), opCol = Some("op"),
-      ordCol = Some("scn"))
+      ordCols = Seq("scn"))
     // NOTE: keys deleted in b2 but live in b1 must be gone; keys only in
     // b1 must survive — the cross-batch CDC contract
     assert(readTable(url, "sink_state") == expected(events))
     // redelivery of the same reduced batch is a no-op (idempotence)
     JdbcUpsert.upsert(latest2, url, "sink_state", Seq("id"), opCol = Some("op"),
-      ordCol = Some("scn"))
+      ordCols = Seq("scn"))
     assert(readTable(url, "sink_state") == expected(events))
+  }
+
+  test("null and oversized string payloads survive the sink (typed nulls + CLOB)") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    val big = "x" * 10000 // larger than any sane VARCHAR default
+    val df = Seq(
+      (1L, Option("short"), 1L, "c"),
+      (2L, None: Option[String], 2L, "c"), // null payload: typed setNull, not untyped setObject
+      (3L, Option(big), 3L, "c")
+    ).toDF("id", "txt", "scn", "op")
+    JdbcUpsert.ensureTable(url, "clob_t",
+      org.apache.spark.sql.types.StructType(df.schema.filterNot(_.name == "op")), Seq("id"))
+    JdbcUpsert.upsert(df, url, "clob_t", Seq("id"), opCol = Some("op"), ordCols = Seq("scn"))
+    val got = s.read.format("jdbc").option("url", url).option("dbtable", "clob_t").load()
+      .collect().map(r => r.getAs[Long]("ID") -> Option(r.getAs[String]("TXT"))).toMap
+    assert(got(1L).contains("short"))
+    assert(got(2L).isEmpty, "null payload must round-trip as NULL")
+    assert(got(3L).exists(_.length == 10000), "oversized text must not truncate or poison the batch")
+  }
+
+  test("composite ordering guard: a redelivery tying on the head column cannot regress") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    val mk = (scn: Long, ts: Long, v: String) => (1L, scn, ts, v, "c")
+    val df0 = Seq(mk(5L, 10L, "new")).toDF("id", "scn", "ts2", "v", "op")
+    JdbcUpsert.ensureTable(url, "guard_t",
+      org.apache.spark.sql.types.StructType(df0.schema.filterNot(_.name == "op")), Seq("id"))
+    JdbcUpsert.upsert(df0, url, "guard_t", Seq("id"), opCol = Some("op"),
+      ordCols = Seq("scn", "ts2"))
+    // stale redelivery TIES on scn but is older on the tiebreak column —
+    // a head-only guard (scn <= 5) would have let it overwrite
+    val stale = Seq(mk(5L, 3L, "old")).toDF("id", "scn", "ts2", "v", "op")
+    JdbcUpsert.upsert(stale, url, "guard_t", Seq("id"), opCol = Some("op"),
+      ordCols = Seq("scn", "ts2"))
+    val v = s.read.format("jdbc").option("url", url).option("dbtable", "guard_t").load()
+      .collect().map(_.getAs[String]("V")).head
+    assert(v == "new", s"stale tie-on-head redelivery regressed the sink to '$v'")
   }
 
   test("streaming upsertStream delivers the same state as batch fold") {
