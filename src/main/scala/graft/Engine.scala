@@ -58,9 +58,13 @@ object Engine {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive: the DRIVER may call entry()/queries with a session it
-    // built itself (without this conf); nanos parquet would throw
-    // PARQUET_TYPE_ILLEGAL. It is a runtime-settable session conf.
+    // built itself (without these confs). nanos parquet would throw
+    // PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would shift
+    // the ts normalization below (timestamp_micros → NTZ renders LOCAL
+    // wall-clock) by the host offset against the DuckDB oracle. Both are
+    // runtime-settable session confs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>

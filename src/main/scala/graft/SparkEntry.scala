@@ -17,33 +17,48 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     cdc.CdcQueries.queries("apply_changes")(spark, "/root/testdata/sf0.001")
 
+  /** Merge family maps, failing LOUDLY on a duplicate id: `++` alone
+    * would let a later family silently shadow an earlier one's query —
+    * the shadowed operator would simply stop being run or verified.
+    */
+  private def merged[V](parts: Seq[Map[String, V]], what: String): Map[String, V] = {
+    val all = parts.reduce(_ ++ _)
+    require(all.size == parts.map(_.size).sum, {
+      val dupes = parts.flatMap(_.keys).groupBy(identity).filter(_._2.size > 1).keys
+      s"duplicate $what ids across family maps: ${dupes.mkString(", ")}"
+    })
+    all
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries ++
-      rel.Queries.queries ++
-      llm.TextOps.queries ++
-      llm.Curation.queries ++
-      llm.Sampling.queries ++
-      llm.NearDedup.queries ++
-      llm.VectorOps.queries ++
-      llm.Multimodal.queries ++
-      sources.AvroCodec.queries ++
-      sources.JdbcSource.queries ++
-      sources.CsvSpool.queries
+    merged(Seq(
+      cdc.CdcQueries.queries,
+      rel.Queries.queries,
+      llm.TextOps.queries,
+      llm.Curation.queries,
+      llm.Sampling.queries,
+      llm.NearDedup.queries,
+      llm.VectorOps.queries,
+      llm.Multimodal.queries,
+      sources.AvroCodec.queries,
+      sources.JdbcSource.queries,
+      sources.CsvSpool.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracleSql ++
-      rel.Queries.oracleSql ++
-      llm.TextOps.oracleSql ++
-      llm.Curation.oracleSql ++
-      llm.Sampling.oracleSql ++
-      llm.NearDedup.oracleSql ++
-      llm.VectorOps.oracleSql ++
-      llm.Multimodal.oracleSql ++
-      sources.AvroCodec.oracleSql ++
-      sources.JdbcSource.oracleSql ++
-      sources.CsvSpool.oracleSql
+    merged(Seq(
+      cdc.CdcQueries.oracleSql,
+      rel.Queries.oracleSql,
+      llm.TextOps.oracleSql,
+      llm.Curation.oracleSql,
+      llm.Sampling.oracleSql,
+      llm.NearDedup.oracleSql,
+      llm.VectorOps.oracleSql,
+      llm.Multimodal.oracleSql,
+      sources.AvroCodec.oracleSql,
+      sources.JdbcSource.oracleSql,
+      sources.CsvSpool.oracleSql), "oracle")
 }

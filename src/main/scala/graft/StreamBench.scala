@@ -60,5 +60,15 @@ object StreamBench {
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
+    // clean the working dir (full serialized feed + state + checkpoint —
+    // repeated rounds would otherwise accumulate gigabytes in /tmp)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rm(_)) finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(work)
   }
 }

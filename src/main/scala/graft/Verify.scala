@@ -5,16 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2, s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ONE session builder for all mains (this file had kept a stale
+    // private copy with cpus=16 while Engine/Bench documented 32 as the
+    // baseline config — three diverging builders is how that happens)
+    val spark = Engine.session("graft-verify")
     new java.io.File(outDir).mkdirs()
     // Normalize any stray TIMESTAMP (LTZ) column to TIMESTAMP_NTZ so the
     // dumped parquet carries naive-UTC timestamps, matching how DuckDB
