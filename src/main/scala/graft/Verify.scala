@@ -5,8 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      s"usage: graft.Verify <sfDir> <outDir> [onlyIdsCsv] (got ${args.length} args)")
+    val Array(sfDir, outDir) = args.take(2)
+    // dev-only narrowing for local parity iteration; the driver always
+    // calls with 2 args and gets the full dump
+    val only: Option[Set[String]] =
+      if (args.length == 3) Some(args(2).split(",").toSet) else None
     // ONE session builder for all mains (this file had kept a stale
     // private copy with cpus=16 while Engine/Bench documented 32 as the
     // baseline config — three diverging builders is how that happens)
@@ -22,7 +27,9 @@ object Verify {
             .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
         else org.apache.spark.sql.functions.col(f.name)
       }.toSeq: _*)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

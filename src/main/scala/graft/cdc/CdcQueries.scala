@@ -204,6 +204,66 @@ object CdcQueries {
         .orderBy("scn")
     }),
 
+    // two-schema feed through the auto.evolve seam (README.md:839): rows
+    // below the scn midpoint arrive WITHOUT props (pre-DDL schema), the
+    // rest with; by-name union null-backfills and apply_changes folds the
+    // mixed feed. Streaming parity (materialize across a restart with the
+    // widened schema) is proven in SchemaEvolveSpec.
+    "schema_evolve_apply" -> ((s, dir) => {
+      val f = F.fromEvents(s, dir)
+      val th = f.agg(floor(max(col("scn")) / 2).cast("long").as("__th"))
+      val tagged = f.join(broadcast(th))
+      val v1 = tagged.filter(col("scn") < col("__th")).drop("__th", "props")
+      val v2 = tagged.filter(col("scn") >= col("__th")).drop("__th")
+      Ops.applyChanges(v1.unionByName(v2, allowMissingColumns = true),
+          keys = Seq("id"), ordering = Seq("scn"))
+        .select("id", "scn", "op", "ts", "event_type", "value", "props")
+        .orderBy("id")
+    }),
+
+    // flashback / point-in-time state (scripts-db/set-up-orl.sql:228
+    // FLASHBACK grant): state AS OF 3/4 of the scn range via the SCD2
+    // history's validity intervals. stateAsOf(max scn) ≡ apply_changes
+    // is asserted in ApplyChangesSpec.
+    "state_asof" -> ((s, dir) => {
+      val f = F.fromEvents(s, dir)
+      val th = f.agg(floor(max(col("scn")) * 3 / 4).cast("long").as("__asof"))
+      Ops.stateAsOf(f.join(broadcast(th)),
+          keys = Seq("id"), scnCol = "scn", opCol = "op", asOf = col("__asof"))
+        .select("id", "scn", "op", "ts", "event_type", "value", "props")
+        .orderBy("id")
+    }),
+
+    // one mixed feed carrying two tables (reference: per-table topics
+    // `prefix.SCHEMA.TABLE`, README.md:805) folded to per-table current
+    // state — the batch twin of Stream.materializeMulti (streaming
+    // fan-out + restart proven in StreamingSpec).
+    "multi_table_apply" -> ((s, dir) => {
+      val f = F.fromEvents(s, dir).withColumn("tbl",
+        when(pmod(col("id"), lit(2)) === 0, "T_EVEN").otherwise("T_ODD"))
+      Ops.applyChanges(f, keys = Seq("tbl", "id"), ordering = Seq("scn"))
+        .select("tbl", "id", "scn", "op", "event_type", "value")
+        .orderBy("tbl", "id")
+    }),
+
+    // incremental aggregate-view maintenance: history below the scn
+    // midpoint is pre-folded into a state; the rest arrives as a delta
+    // and the per-event_type view is updated by retraction (−old/+new),
+    // never rescanning history. Oracle = the full recompute, so equality
+    // IS the maintenance proof; the delta-only plan shape is asserted in
+    // IncrementalAggSpec.
+    "agg_incremental" -> ((s, dir) => {
+      val f = F.fromEvents(s, dir)
+      val th = f.agg(floor(max(col("scn")) / 2).cast("long").as("__th"))
+      val tagged = f.join(broadcast(th))
+      val hist = tagged.filter(col("scn") <= col("__th")).drop("__th")
+      val delta = tagged.filter(col("scn") > col("__th")).drop("__th")
+      val state0 = Ops.applyChanges(hist, keys = Seq("id"), ordering = Seq("scn"))
+      Ops.incrementalAgg(state0, delta, keys = Seq("id"), ordering = Seq("scn"),
+          groupCol = "event_type", valueCol = "value")
+        .orderBy("event_type")
+    }),
+
     "join_asof" -> ((s, dir) => {
       val t = Tables(s, dir)
       Ops
@@ -285,6 +345,36 @@ object CdcQueries {
          |  FROM feed f JOIN orders o
          |    ON o.o_custkey = f.id AND o.o_orderdate <= f.ts
          |) WHERE rn = 1 ORDER BY scn""".stripMargin,
+    "schema_evolve_apply" ->
+      s"""$feedCte, evolved AS (
+         |  SELECT scn, id, op, ts, event_type, value,
+         |    CASE WHEN scn < (SELECT CAST(floor(max(scn) / 2) AS BIGINT) FROM feed)
+         |         THEN NULL ELSE props END AS props
+         |  FROM feed
+         |)
+         |SELECT id, scn, op, ts, event_type, value, props FROM (
+         |  SELECT e.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+         |  FROM evolved e
+         |) WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin,
+    "state_asof" ->
+      s"""$feedCte SELECT id, scn, op, ts, event_type, value, props FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+         |  FROM feed f
+         |  WHERE scn <= (SELECT CAST(floor(max(scn) * 3 / 4) AS BIGINT) FROM feed)
+         |) WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin,
+    "multi_table_apply" ->
+      s"""$feedCte SELECT tbl, id, scn, op, event_type, value FROM (
+         |  SELECT f.*, CASE WHEN id % 2 = 0 THEN 'T_EVEN' ELSE 'T_ODD' END AS tbl,
+         |         row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+         |  FROM feed f
+         |) WHERE rn = 1 AND op <> 'd' ORDER BY tbl, id""".stripMargin,
+    "agg_incremental" ->
+      s"""$feedCte SELECT event_type, count(*) AS cnt,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+         |  FROM feed f
+         |) WHERE rn = 1 AND op <> 'd' GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_asof" ->
       s"""$feedCte SELECT scn, id, ts, o_orderkey, o_orderdate FROM (
          |  SELECT f.scn, f.id, f.ts, o.o_orderkey, o.o_orderdate,

@@ -134,6 +134,76 @@ object Ops {
       .withColumn("is_current", col("valid_to").isNull && col(opCol) =!= "d")
   }
 
+  /** Point-in-time state query — flashback/snapshot-SCN semantics (the
+    * reference's snapshot reads run AS OF SCN under the FLASHBACK grant,
+    * `scripts-db/set-up-orl.sql:228`): the current state as it stood at
+    * `asOf`, i.e. the latest event per key with `scn <= asOf`, deletes
+    * applied. Composed from the SCD2 history ([[applyChangesScd2]]):
+    * ONE window builds every version's validity interval, then any
+    * point-in-time read is a plain filter over it — the right shape when
+    * history is materialized once and probed at many SCNs (vs re-folding
+    * the feed per probe). `stateAsOf(max scn) ≡ applyChanges` by
+    * construction (proven in ApplyChangesSpec).
+    */
+  def stateAsOf(
+      feed: DataFrame,
+      keys: Seq[String],
+      scnCol: String,
+      opCol: String,
+      asOf: Column
+  ): DataFrame =
+    applyChangesScd2(feed, keys, scnCol, opCol)
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf) &&
+        col(opCol) =!= "d")
+      .drop("valid_from", "valid_to", "is_current")
+
+  /** Incremental aggregate-view maintenance: update `view0 = state0
+    * grouped by groupCol` under a change-feed `delta` WITHOUT recomputing
+    * from history — retract the touched keys' old contributions (−),
+    * add their post-delta ones (+), and merge additively. Correct for
+    * self-inverse aggregates (count, sum); exact because the measure is
+    * integral (`centsOf` below). At 100 TB the win is the plan shape:
+    * the feed's history is never rescanned — only `state0` (semi-joined
+    * down to the delta's keys, i.e. bucket-prunable) and the delta move,
+    * so per-batch cost is O(|delta| + |touched state|), not O(|history|)
+    * (proven plan-level in IncrementalAggSpec).
+    *
+    * `state0` must be an [[applyChanges]]-shaped current state carrying
+    * `keys`, `ordering`, `opCol` and `groupCol`/`valueCol`; returns the
+    * updated view `(groupCol, cnt, cents)`.
+    */
+  def incrementalAgg(
+      state0: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    // integral measure: exact under retraction (a double sum would drift
+    // against the recompute by addition order)
+    def centsOf(df: DataFrame): Column =
+      sum(round(df(valueCol) * 100).cast("long"))
+    def viewOf(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy(df(groupCol)).agg(
+        (count(lit(1)) * sign).as("cnt"),
+        (centsOf(df) * sign).as("cents"))
+    val view0 = viewOf(state0, 1)
+    // the delta's key set is small — broadcast the semi-join so touching
+    // state0 costs a pruned probe, not a shuffle of the full state
+    val touched = state0.join(
+      broadcast(delta.select(keys.map(col): _*).distinct()), keys, "left_semi")
+    val after = applyChanges(touched.unionByName(delta.select(touched.columns.map(col).toSeq: _*)),
+      keys, ordering)
+    view0
+      .unionByName(viewOf(touched, -1))
+      .unionByName(viewOf(after, 1))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("cents")).as("cents"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Reference-faithful wire format (FIXTURES.md A1/A2, observed sink
     * table `.idea/dataSources/d5573bb8-...xml:4132-4209`): every NUMBER
     * column travels as a STRING (`decimal.handling.mode=string`,

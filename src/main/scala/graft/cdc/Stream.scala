@@ -130,6 +130,143 @@ object Stream {
       root, stateBuckets)
   }
 
+  /** One micro-batch of the bucketed state fold — the shared engine of
+    * [[materialize]] (one state table) and [[materializeMulti]] (per-table
+    * fan-out). Folds `latestPerKey(previousState ∪ batch)` into the
+    * key-hash-bucketed layout at `statePath`; see [[materialize]] for the
+    * full semantics/scale contract.
+    *
+    * Schema evolution (`auto.evolve=true` parity, reference
+    * `README.md:839`): the previous state and the batch are aligned BY
+    * NAME with missing columns null-backfilled
+    * (`unionByName(allowMissingColumns)`), so a feed that gained a column
+    * mid-stream (DDL captured by the history topic) just keeps working —
+    * old state rows read as null in the new column, exactly how the
+    * reference's JDBC sink ALTERs the table and backfills. Only the
+    * delta's buckets are rewritten widened; untouched buckets keep their
+    * old file schema until next touched, and state reads merge schemas
+    * (the reason every state read here and in [[readCurrentState]] sets
+    * `mergeSchema`). Type CHANGES are not auto-evolved — the union fails
+    * loudly, matching the sink connector, which only ever adds columns.
+    *
+    * Tombstone retention (`tombstoneRetention`): when set, op='d' rows
+    * whose `ordering.head` (must cast to long, e.g. scn) is older than
+    * `batchHighWatermark - retention` are dropped during the bucket
+    * rewrite — the analog of Kafka compaction's `delete.retention.ms`
+    * (reference `README.md:847`: `drop.tombstones=false` + broker
+    * retention). Contract: a replay that late would ALSO be older than
+    * the channel's max lateness, so only out-of-contract replays can
+    * resurrect. Purge happens only in rewritten buckets (like compaction,
+    * which only purges when a segment is compacted); unset = retain
+    * forever (the pre-round-5 behavior).
+    */
+  private[cdc] def foldBatch(
+      batch: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      statePath: String,
+      stateBuckets: Int,
+      tombstoneRetention: Option[Long] = None,
+      opCol: String = "op",
+      deleteOp: String = "d"
+  ): Unit = {
+    val spark = batch.sparkSession
+    require(!batch.columns.contains(BucketCol),
+      s"feed must not have a '$BucketCol' column")
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repair(fs, root)
+    if (fs.exists(root)) checkOrRecordBuckets(fs, root, stateBuckets)
+    val bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int")
+    // the batch input is scanned several times (affected-bucket ids, purge
+    // watermark, then the fold) — cache it so JSON parsing is paid once
+    val delta = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // flat legacy/bootstrap layout (top-level parquet files) → fold the
+      // whole state once and emerge bucketed; steady state touches only
+      // the delta's buckets. The collect is ≤ stateBuckets ints — bounded
+      // by configuration, not data.
+      val flat = fs.exists(root) &&
+        fs.listStatus(root).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val affected: Seq[Int] =
+        if (flat) 0 until stateBuckets
+        else delta.select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSeq
+      val existing = affected.filter(n => fs.exists(bucketDir(root, n)))
+      // previous state rows are already latest-per-key; union keeps
+      // their (scn, op) so ordering vs the new delta stays correct.
+      // mergeSchema: bucket files may carry different schema VERSIONS
+      // after an evolution (only rewritten buckets widen).
+      val prev: Option[DataFrame] =
+        if (flat)
+          Some(spark.read.option("mergeSchema", "true").parquet(statePath))
+        else if (existing.nonEmpty)
+          Some(spark.read.option("mergeSchema", "true")
+            .parquet(existing.map(n => bucketDir(root, n).toString): _*))
+        else None
+      // by-NAME alignment with null backfill = the schema-evolution seam
+      // (see Scaladoc above); same-schema batches reduce to plain unionByName
+      val all = prev.fold(delta: DataFrame)(p =>
+        p.drop(BucketCol).unionByName(delta, allowMissingColumns = true))
+      // latestPerKey, NOT applyChanges: tombstones are RETAINED in the
+      // state (op='d' rows participate in last-write-wins like a
+      // compacted Kafka topic) — dropping them would let any late
+      // replay older than the delete resurrect the key. Consumers read
+      // the current VIEW through readCurrentState (filters deletes);
+      // tombstoneRetention purges them once older than the channel's
+      // maximum lateness the same way compaction retention does.
+      val folded = Ops.latestPerKey(all, keys, ordering)
+      val next0 = tombstoneRetention match {
+        case Some(ret) =>
+          // high-watermark from THIS batch (stream time advances with the
+          // data; an all-stale batch purges nothing — safe direction).
+          // One-row collect, bounded by construction.
+          val hwm = delta.agg(max(col(ordering.head).cast("long"))).collect()(0)
+          if (hwm.isNullAt(0)) folded
+          else folded.filter(
+            !(col(opCol) === deleteOp &&
+              col(ordering.head).cast("long") < lit(hwm.getLong(0) - ret)))
+        case None => folded
+      }
+      val next = next0
+        .withColumn(BucketCol, bucketExpr)
+        .filter(col(BucketCol).isin(affected: _*))
+      val tmpRoot = new org.apache.hadoop.fs.Path(root, ".delta_tmp")
+      next.write.mode("overwrite").partitionBy(BucketCol).parquet(tmpRoot.toString)
+      // every rename result is CHECKED: Hadoop FileSystem reports most
+      // failures by returning false, not throwing — an unchecked false
+      // here would commit the checkpoint with a stale bucket and lose
+      // the delta silently
+      def mustRename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(src, dst), s"rename $src -> $dst failed; failing the batch")
+      affected.foreach { n =>
+        val src = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$n")
+        val dst = bucketDir(root, n)
+        val old = new org.apache.hadoop.fs.Path(root, s".old_$n")
+        if (fs.exists(dst)) mustRename(dst, old)
+        if (fs.exists(src)) mustRename(src, dst) // absent src = bucket fully deleted
+        if (fs.exists(old)) fs.delete(old, true)
+      }
+      if (flat) {
+        // migration commit point: mark FIRST, then clear the flat files
+        // (only *.parquet — never the mark itself), then drop the mark;
+        // repair() resolves a crash in any of these windows
+        val mark = new org.apache.hadoop.fs.Path(root, MigratedMark)
+        fs.create(mark, true).close()
+        fs.listStatus(root)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach(st => fs.delete(st.getPath, false))
+        fs.delete(mark, false)
+      }
+      fs.delete(tmpRoot, true)
+      // record the layout's bucket count even when THIS batch created
+      // the layout (the entry check only runs when root pre-exists; a
+      // restart with a different stateBuckets must fail loudly, not
+      // re-record)
+      checkOrRecordBuckets(fs, root, stateBuckets)
+    } finally { delta.unpersist(); () }
+  }
+
   /** Continuously materialize a change-event stream into a current-state
     * parquet table at `statePath`, exactly-once via `checkpointDir`
     * (reference's checkpoint/resume, the `olr-checkpoint` JSON files).
@@ -140,7 +277,11 @@ object Stream {
     * replay older than a delete can never resurrect the key); consumers
     * read the live view via [[readCurrentState]]. Idempotent under
     * redelivery (at-least-once file source + last-write-wins by scn), so
-    * restart-from-checkpoint is exactly-once end to end.
+    * restart-from-checkpoint is exactly-once end to end. Schema evolution
+    * and tombstone retention semantics are documented on [[foldBatch]]:
+    * a restart with a WIDER feed schema (auto.evolve) keeps working
+    * against old state (null backfill), and `tombstoneRetention` purges
+    * tombstones older than the channel's max lateness during rewrites.
     *
     * Scale design — per-batch cost is O(|delta state|), NOT O(|state|):
     * state is laid out in `stateBuckets` key-hash partitions
@@ -164,90 +305,63 @@ object Stream {
       statePath: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      stateBuckets: Int = 16
+      stateBuckets: Int = 16,
+      tombstoneRetention: Option[Long] = None
   ): StreamingQuery = {
-    val cols = feed.columns.toSeq
-    require(!cols.contains(BucketCol), s"feed must not have a '$BucketCol' column")
+    require(!feed.columns.contains(BucketCol), s"feed must not have a '$BucketCol' column")
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(statePath)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        repair(fs, root)
-        if (fs.exists(root)) checkOrRecordBuckets(fs, root, stateBuckets)
-        val bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int")
-        // the batch input is scanned twice (affected-bucket ids, then the
-        // fold) — cache it so JSON parsing is paid once per batch
-        val delta = batch.select(cols.map(col): _*)
+        foldBatch(batch, keys, ordering, statePath, stateBuckets, tombstoneRetention)
+      }
+      .start()
+  }
+
+  /** Multi-table pipeline fan-out (reference deployment shape: ONE
+    * connector feed carries per-table topics `prefix.SCHEMA.TABLE`,
+    * `README.md:805`; each topic upserts into its own sink table). One
+    * streaming query consumes a mixed feed and maintains one bucketed
+    * state per distinct `tableCol` value under `stateRoot/table=<name>/`,
+    * each with the same exactly-once fold as [[materialize]].
+    *
+    * Per-table keys come from `keysFor` (Debezium: each table has its own
+    * PK — `pk.fields` per topic). The distinct-table collect is bounded
+    * by the table COUNT (a config-scale number, not data-scale); the
+    * batch is cached so the JSON parse is paid once, and each table's
+    * slice prunes to its own buckets as in the single-table path. A
+    * restart replays the whole batch into every table idempotently
+    * (last-write-wins), so the multi-state commit needs no cross-table
+    * atomicity: a crash mid-fan-out re-runs to the same states.
+    */
+  def materializeMulti(
+      feed: DataFrame,
+      tableCol: String,
+      keysFor: String => Seq[String],
+      ordering: Seq[String],
+      stateRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      stateBuckets: Int = 16,
+      tombstoneRetention: Option[Long] = None
+  ): StreamingQuery = {
+    require(!feed.columns.contains(BucketCol), s"feed must not have a '$BucketCol' column")
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // flat legacy/bootstrap layout (top-level parquet files) → fold the
-          // whole state once and emerge bucketed; steady state touches only
-          // the delta's buckets. The collect is ≤ stateBuckets ints — bounded
-          // by configuration, not data.
-          val flat = fs.exists(root) &&
-            fs.listStatus(root).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          val affected: Seq[Int] =
-            if (flat) 0 until stateBuckets
-            else delta.select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSeq
-          val existing = affected.filter(n => fs.exists(bucketDir(root, n)))
-          // previous state rows are already latest-per-key; union keeps
-          // their (scn, op) so ordering vs the new delta stays correct.
-          val prev: Option[DataFrame] =
-            if (flat) Some(spark.read.parquet(statePath).select(cols.map(col): _*))
-            else if (existing.nonEmpty)
-              Some(spark.read
-                .parquet(existing.map(n => bucketDir(root, n).toString): _*)
-                .select(cols.map(col): _*))
-            else None
-          val all = prev.fold(delta: DataFrame)(_.unionByName(delta))
-          // latestPerKey, NOT applyChanges: tombstones are RETAINED in the
-          // state (op='d' rows participate in last-write-wins like a
-          // compacted Kafka topic) — dropping them would let any late
-          // replay older than the delete resurrect the key. Consumers read
-          // the current VIEW through readCurrentState (filters deletes);
-          // production purges tombstones older than the channel's maximum
-          // lateness the same way compaction retention does.
-          val next = Ops.latestPerKey(all, keys, ordering)
-            .withColumn(BucketCol, bucketExpr)
-            .filter(col(BucketCol).isin(affected: _*))
-          val tmpRoot = new org.apache.hadoop.fs.Path(root, ".delta_tmp")
-          next.write.mode("overwrite").partitionBy(BucketCol).parquet(tmpRoot.toString)
-          // every rename result is CHECKED: Hadoop FileSystem reports most
-          // failures by returning false, not throwing — an unchecked false
-          // here would commit the checkpoint with a stale bucket and lose
-          // the delta silently
-          def mustRename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-            require(fs.rename(src, dst), s"rename $src -> $dst failed; failing the batch")
-          affected.foreach { n =>
-            val src = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$n")
-            val dst = bucketDir(root, n)
-            val old = new org.apache.hadoop.fs.Path(root, s".old_$n")
-            if (fs.exists(dst)) mustRename(dst, old)
-            if (fs.exists(src)) mustRename(src, dst) // absent src = bucket fully deleted
-            if (fs.exists(old)) fs.delete(old, true)
+          val tables = cached.select(col(tableCol)).distinct()
+            .collect().map(_.getString(0)).sorted // bounded: one per table
+          tables.foreach { t =>
+            foldBatch(
+              cached.filter(col(tableCol) === t).drop(tableCol),
+              keysFor(t), ordering,
+              s"$stateRoot/table=$t", stateBuckets, tombstoneRetention)
           }
-          if (flat) {
-            // migration commit point: mark FIRST, then clear the flat files
-            // (only *.parquet — never the mark itself), then drop the mark;
-            // repair() resolves a crash in any of these windows
-            val mark = new org.apache.hadoop.fs.Path(root, MigratedMark)
-            fs.create(mark, true).close()
-            fs.listStatus(root)
-              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-              .foreach(st => fs.delete(st.getPath, false))
-            fs.delete(mark, false)
-          }
-          fs.delete(tmpRoot, true)
-          // record the layout's bucket count even when THIS batch created
-          // the layout (the entry check only runs when root pre-exists; a
-          // restart with a different stateBuckets must fail loudly, not
-          // re-record)
-          checkOrRecordBuckets(fs, root, stateBuckets)
-        } finally delta.unpersist()
-        ()
+        } finally { cached.unpersist(); () }
       }
       .start()
   }
@@ -255,10 +369,14 @@ object Stream {
   /** Current-state VIEW of a materialized state table: the state retains
     * tombstones (op='d' rows win last-write-wins so late replays cannot
     * resurrect deleted keys); consumers read through this filter.
+    * `mergeSchema`: after a schema evolution only rewritten buckets carry
+    * the widened file schema — merging presents the union with nulls in
+    * not-yet-rewritten buckets' missing columns (see [[foldBatch]]).
     */
   def readCurrentState(spark: SparkSession, statePath: String,
       opCol: String = "op", deleteOp: String = "d"): DataFrame =
-    spark.read.parquet(statePath).filter(col(opCol) =!= deleteOp)
+    spark.read.option("mergeSchema", "true").parquet(statePath)
+      .filter(col(opCol) =!= deleteOp)
 
   /** Per-key current state maintained IN the stream via
     * `flatMapGroupsWithState` (the §2.10 custom-state surface): each

@@ -80,4 +80,24 @@ class ApplyChangesSpec extends SparkSpec {
       assert(applied(evs ++ evs) == applied(evs))
     }
   }
+
+  private def stateAsOfMap(evs: Seq[Ev], asOf: Long): Map[Long, (Long, String, Double)] =
+    Ops.stateAsOf(feedOf(evs), keys = Seq("id"), scnCol = "scn", opCol = "op",
+        asOf = org.apache.spark.sql.functions.lit(asOf))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("scn"), r.getAs[String]("op"), r.getAs[Double]("value"))))
+      .toMap
+
+  test("(e) stateAsOf(max scn) ≡ applyChanges; earlier SCNs ≡ fold of the prefix") {
+    samples(15).foreach { evs =>
+      if (evs.nonEmpty) {
+        val maxScn = evs.map(_.scn).max
+        assert(stateAsOfMap(evs, maxScn) == applied(evs), "as-of max must equal apply_changes")
+        // flashback to the midpoint = folding only events at or before it
+        val mid = maxScn / 2
+        assert(stateAsOfMap(evs, mid) == fold(evs.filter(_.scn <= mid)), s"as-of $mid")
+      }
+    }
+  }
 }

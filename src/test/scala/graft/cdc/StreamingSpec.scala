@@ -245,6 +245,109 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("stateBuckets=16")), e.getMessage)
   }
 
+  test("multi-table fan-out: one query maintains per-table states, restart-safe") {
+    val (in, state, chk) = (tmp("mt-in"), tmp("mt-st"), tmp("mt-chk"))
+    val stateRoot = state.resolve("r").toString
+    val schema = org.apache.spark.sql.types.StructType(
+      feedSchema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("tbl", org.apache.spark.sql.types.StringType))
+    // one mixed feed: same ids live independently in tables A and B
+    def line(e: Ev, t: String) =
+      s"""{"scn":${e.scn},"id":${e.id},"op":"${e.op}","value":${e.value},"tbl":"$t"}"""
+    val a1 = Seq(Ev(1, 1, "c", 1.0), Ev(2, 2, "c", 2.0), Ev(3, 1, "u", 1.5))
+    val b1 = Seq(Ev(1, 1, "c", 10.0), Ev(2, 3, "c", 30.0), Ev(4, 1, "d", 0.0))
+    Files.write(in.resolve("x-0.json"), String.join("\n",
+      (a1.map(line(_, "A")) ++ b1.map(line(_, "B"))): _*).getBytes)
+    def run(): Unit = {
+      val feed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).json(in.toString)
+      Stream.materializeMulti(feed, "tbl", _ => Seq("id"), Seq("scn"),
+        stateRoot, chk.toString).awaitTermination()
+    }
+    run()
+    assert(readState(s"$stateRoot/table=A") == batchState(a1))
+    assert(readState(s"$stateRoot/table=B") == batchState(b1))
+    // restart with new files for both tables, same checkpoint
+    val a2 = Seq(Ev(5, 2, "d", 0.0))
+    val b2 = Seq(Ev(5, 1, "c", 11.0), Ev(6, 3, "u", 33.0))
+    Files.write(in.resolve("y-0.json"), String.join("\n",
+      (a2.map(line(_, "A")) ++ b2.map(line(_, "B"))): _*).getBytes)
+    run()
+    assert(readState(s"$stateRoot/table=A") == batchState(a1 ++ a2))
+    assert(readState(s"$stateRoot/table=B") == batchState(b1 ++ b2))
+  }
+
+  /** Raw state rows (tombstones INCLUDED) — what retention purges. */
+  private def rawOps(path: String): Set[(Long, Long, String)] =
+    spark.read.option("mergeSchema", "true").parquet(path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("scn"), r.getAs[String]("op"))).toSet
+
+  /** An id ≠ `key` landing in the same state bucket (so a later batch
+    * rewrites — and can purge — the tombstone's bucket).
+    */
+  private def sameBucketKey(key: Long, buckets: Int = 16): Long = {
+    val s = spark
+    import s.implicits._
+    def bucketOf(k: Long) = s.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(buckets)).cast("int")).as[Int].head()
+    val want = bucketOf(key)
+    (key + 1 to key + 200).find(bucketOf(_) == want).get
+  }
+
+  test("tombstone retention: purged on rewrite after the watermark passes, resurrection only beyond retention") {
+    val (in, state, chk) = (tmp("tr-in"), tmp("tr-st"), tmp("tr-chk"))
+    val statePath = state.resolve("t").toString
+    def run(): Unit = {
+      val feed = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 2).json(in.toString)
+      Stream.materialize(feed, Seq("id"), Seq("scn"), statePath, chk.toString,
+        tombstoneRetention = Some(50L)).awaitTermination()
+    }
+    // batch 1: create+delete id=1; id=2 lives on
+    writeBatchJson(in, Seq(Ev(1, 1, "c", 1.0), Ev(10, 1, "d", 0.0),
+      Ev(2, 2, "c", 2.0)), "a-0.json")
+    run()
+    assert(rawOps(statePath).contains((1L, 10L, "d")),
+      "tombstone retained while inside retention")
+    // batch 2: stream time advances to scn 200 IN id=1's bucket → the
+    // rewrite purges the tombstone (10 < 200 - 50)
+    val neighbor = sameBucketKey(1L)
+    writeBatchJson(in, Seq(Ev(200, neighbor, "c", 9.0)), "b-0.json")
+    run()
+    assert(!rawOps(statePath).exists(_._3 == "d"),
+      "tombstone older than retention must be purged on bucket rewrite")
+    // batch 3: a replay OLDER than retention (the out-of-contract case)
+    // now resurrects — the documented compaction trade-off
+    writeBatchJson(in, Seq(Ev(5, 1, "u", 5.0)), "c-0.json")
+    run()
+    assert(readState(statePath).contains((1L, 5L, 5.0)),
+      "beyond-retention replay resurrects (compaction contract)")
+  }
+
+  test("tombstone retention: within-retention replay still suppressed, untouched buckets keep tombstones") {
+    val (in, state, chk) = (tmp("tr2-in"), tmp("tr2-st"), tmp("tr2-chk"))
+    val statePath = state.resolve("t").toString
+    def run(): Unit = {
+      val feed = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 2).json(in.toString)
+      Stream.materialize(feed, Seq("id"), Seq("scn"), statePath, chk.toString,
+        tombstoneRetention = Some(1000L)).awaitTermination()
+    }
+    writeBatchJson(in, Seq(Ev(1, 1, "c", 1.0), Ev(10, 1, "d", 0.0),
+      Ev(2, 2, "c", 2.0)), "a-0.json")
+    run()
+    // advance to scn 200 in the tombstone's bucket: 10 > 200 - 1000 → kept
+    writeBatchJson(in, Seq(Ev(200, sameBucketKey(1L), "c", 9.0)), "b-0.json")
+    run()
+    assert(rawOps(statePath).contains((1L, 10L, "d")),
+      "tombstone inside retention must survive the rewrite")
+    // stale pre-delete replay loses to the retained tombstone
+    writeBatchJson(in, Seq(Ev(5, 1, "u", 5.0)), "c-0.json")
+    run()
+    assert(!readState(statePath).exists(_._1 == 1L),
+      "within-retention replay must stay suppressed")
+  }
+
   test("flatMapGroupsWithState latest-per-key: advances, suppresses stale, retains tombstones") {
     val s = spark
     import s.implicits._
