@@ -24,12 +24,17 @@ object Bench {
     spark.catalog.clearCache()
     // noop sink: forces full evaluation of every output column (a bare
     // count() would let Catalyst prune the computed columns away and
-    // under-measure), with zero write-side cost. Best-of-2 per query:
-    // this VM shows sporadic hypervisor-steal outliers; the minimum of
-    // two runs is the engine's actual cost.
+    // under-measure), with zero write-side cost. Median-of-3 per query:
+    // this VM shows sporadic hypervisor-steal outliers; the median of
+    // three runs rejects a single stolen run in EITHER direction (a
+    // best-of-N would still report an impossibly-lucky minimum), and the
+    // per-query spread (max-min of the good runs) makes the noise floor
+    // visible so a round-over-round delta smaller than the spread is
+    // never mistaken for a regression or a win.
+    val timedRuns = 3
     val firstRuns = collection.mutable.Buffer.empty[Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to timedRuns).map { _ =>
         // Collect prior queries' garbage (dropped broadcasts, shuffle
         // state) OUTSIDE the timer: otherwise their full-GC debt lands
         // inside whichever later query triggers it (measured 10x outliers).
@@ -43,8 +48,13 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
       firstRuns += times.head
-      val good = times.filterNot(_.isNaN)
-      name -> (if (good.nonEmpty) good.min else Double.NaN)
+      val good = times.filterNot(_.isNaN).sorted
+      val median =
+        if (good.isEmpty) Double.NaN
+        else if (good.size % 2 == 1) good(good.size / 2)
+        else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
+      val spread = if (good.isEmpty) Double.NaN else good.last - good.head
+      (name, median, spread)
     }
     // JSON escape (same guard Verify has): a quote/backslash/control char
     // in a query id or SPARK_GRAFT_SF_DIR must not corrupt the one line
@@ -55,19 +65,25 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) =>
-      q(k) + ":" + (if (v.isNaN) "null" else v.toString)
-    }.mkString("{", ",", "}")
+    def num(v: Double): String = if (v.isNaN) "null" else v.toString
+    val qs = results.map { case (k, v, _) => q(k) + ":" + num(v) }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => q(k) + ":" + num(s) }
+      .mkString("{", ",", "}")
     val failed = results.count(_._2.isNaN)
     val total = results.map(_._2).filterNot(_.isNaN).sum
+    val totalSpread = results.map(_._3).filterNot(_.isNaN).sum
     // first_run_total: sum of each query's FIRST timed run. The headline
-    // total is best-of-2 (steady-state, cache-warm), which by design
+    // total is median-of-3 (steady-state, cache-warm), which by design
     // excludes one-time per-corpus cache builds (the dedup family's
     // shingle table); this companion number keeps that build cost visible
     // to the regression guard instead of silently vanishing from both.
     val firstTotal = firstRuns.filterNot(_.isNaN).sum
+    // "value" = sum of per-query medians; "spread" = sum of per-query
+    // (max-min) — an upper bound on how much of the total is noise.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
-      s""""first_run_total":$firstTotal,"queries":$qs,"sf":${q(sfDir)}}"""
+      s""""median_of":$timedRuns,"spread":$totalSpread,""" +
+      s""""first_run_total":$firstTotal,"queries":$qs,"spreads":$spreads,"sf":${q(sfDir)}}"""
     // The round-2 driver log captured only the TAIL of stdout and lost the
     // head of this (single, long) line. Persist the full JSON to a file
     // first so it can always be read whole, then print it.

@@ -152,7 +152,32 @@ object Ops {
       opCol: String,
       asOf: Column
   ): DataFrame =
+    probeState(stateHistory(feed, keys, scnCol, opCol), opCol, asOf)
+
+  /** The materialize-once half of the N-probe flashback shape: the full
+    * SCD2 validity-interval history, built with ONE window over the feed.
+    * Callers probing many SCNs persist (or write out) this result and run
+    * [[probeState]] per probe — each probe is then a plain filter over
+    * the materialized intervals, no window re-run (asserted plan-level in
+    * ApplyChangesSpec). At 100 TB the history is written once per
+    * snapshot cadence and every flashback query is a pruned scan.
+    */
+  def stateHistory(
+      feed: DataFrame,
+      keys: Seq[String],
+      scnCol: String,
+      opCol: String
+  ): DataFrame =
     applyChangesScd2(feed, keys, scnCol, opCol)
+
+  /** One point-in-time probe over a [[stateHistory]] result: the version
+    * whose validity interval covers `asOf`, deletes applied. Pure filter +
+    * projection — composes with a persisted/stored history so k probes
+    * cost k scans (bucket/partition-prunable on the interval columns),
+    * not k window jobs.
+    */
+  def probeState(history: DataFrame, opCol: String, asOf: Column): DataFrame =
+    history
       .filter(col("valid_from") <= asOf &&
         (col("valid_to").isNull || col("valid_to") > asOf) &&
         col(opCol) =!= "d")
@@ -172,6 +197,19 @@ object Ops {
     * `state0` must be an [[applyChanges]]-shaped current state carrying
     * `keys`, `ordering`, `opCol` and `groupCol`/`valueCol`; returns the
     * updated view `(groupCol, cnt, cents)`.
+    *
+    * PRECONDITION (in-order delta): every delta event's ordering value
+    * must exceed the point state0 was folded to. applyChanges-shaped
+    * state DROPS tombstones, so a stale delta event older than a delete
+    * already folded into state0 would win the re-fold and resurrect the
+    * key here while a full recompute (which still sees the tombstone)
+    * suppresses it. This holds by construction when the delta is the
+    * exactly-once channel's next batch (the reference's checkpoint
+    * protocol guarantees monotone SCN hand-off); a pipeline that can
+    * replay across the fold point must instead feed a
+    * [[latestPerKey]]-shaped state0 (tombstones retained — the
+    * materialize sink's format) and filter op='d' only in the view
+    * stages.
     */
   def incrementalAgg(
       state0: DataFrame,

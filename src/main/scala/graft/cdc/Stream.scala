@@ -222,10 +222,17 @@ object Stream {
           // data; an all-stale batch purges nothing — safe direction).
           // One-row collect, bounded by construction.
           val hwm = delta.agg(max(col(ordering.head).cast("long"))).collect()(0)
+          // the purge conjunct requires a NON-NULL castable ordering value:
+          // a null (or non-castable) ordering would make the whole
+          // predicate null and `filter` would DROP the row — purging the
+          // tombstone immediately regardless of retention and re-enabling
+          // resurrection. Null-ordering tombstones are retained instead
+          // (safe direction: retention is an optimization, not a right).
+          val ord = col(ordering.head).cast("long")
           if (hwm.isNullAt(0)) folded
           else folded.filter(
-            !(col(opCol) === deleteOp &&
-              col(ordering.head).cast("long") < lit(hwm.getLong(0) - ret)))
+            !(col(opCol) === deleteOp && ord.isNotNull &&
+              ord < lit(hwm.getLong(0) - ret)))
         case None => folded
       }
       val next = next0
@@ -353,8 +360,17 @@ object Stream {
         val cached = batch
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val tables = cached.select(col(tableCol)).distinct()
-            .collect().map(_.getString(0)).sorted // bounded: one per table
+          val tRows = cached.select(col(tableCol)).distinct()
+            .collect() // bounded: one per table
+          // a null table name would NPE in the sort below and (worse)
+          // `col(tableCol) === null` slices to empty, so the rows would be
+          // silently consumed-and-dropped. Fail with a routing instruction
+          // instead: malformed envelopes belong in the dead-letter path.
+          require(!tRows.exists(_.isNullAt(0)),
+            s"materializeMulti: batch has rows with null '$tableCol'; " +
+              "route malformed envelopes to a dead-letter sink " +
+              "(Ops.parseEnvelope's bad-row side) before fan-out")
+          val tables = tRows.map(_.getString(0)).sorted
           tables.foreach { t =>
             foldBatch(
               cached.filter(col(tableCol) === t).drop(tableCol),

@@ -147,15 +147,41 @@ object NearDedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // pairs feeds the edge union twice (forward + reverse); Catalyst's
-    // exchange reuse dedups the upstream pair pipeline, so no persist
+    // exchange reuse dedups the upstream pair pipeline, so no persist.
+    // No distinct(): min-aggregation is duplicate-insensitive, so paying
+    // a whole shuffle to dedup edges buys nothing (candidates() output is
+    // unique (doc1<doc2) pairs anyway — forward and reverse can't collide).
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
-      .distinct().persist()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      .persist()
+    // Fused round 1: label = min(self, direct neighbors) in ONE aggregate
+    // over the edges — identical to initializing label=self and running
+    // one propagation round, but without the init-distinct, the edge⋈label
+    // join, or the label-update join (3 stages saved on the biggest round,
+    // the one that touches the whole graph).
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("label"))
+      .persist()
+    // Convergence early-exit (frontier propagation): a node's label can
+    // only drop this round if a NEIGHBOR's label dropped last round, so
+    // only last round's changed nodes (the frontier) need to push labels
+    // through the edge join. Round 1's frontier is every node the fused
+    // init lowered; after it, near-clique dup clusters leave a tiny
+    // frontier (already-minimal nodes are done), so rounds 2..d join
+    // |frontier| rows against the edges instead of the full label table —
+    // the full-graph work happens once, not once per round. Fixpoint is
+    // unchanged (same min-label lattice, delta-stepped; duplicate edges
+    // and delta ordering can't change a min), converged ⇔ frontier empty.
+    var frontier = labels.filter(col("label") =!= col("node"))
     var converged = false
-    var round = 0
+    var round = 1 // the fused init IS round 1
     try {
+      // materialize the fused round (edges + labels caches) and its
+      // frontier in one action; empty frontier = isolated-free graph of
+      // self-minimal nodes only (possible only with no edges at all here,
+      // but the generic API keeps the check)
+      converged = frontier.count() == 0
       while (!converged) {
       round += 1
       // rounds = graph diameter for min-label propagation; dup clusters
@@ -167,7 +193,7 @@ object NearDedup {
           s"connectedComponents did not converge in $maxIters rounds " +
             "(pathological long-chain graph? raise maxIters explicitly)")
       val nbrMin = edges
-        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .join(frontier.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
       // carry the previous label through the projection so convergence is
@@ -181,9 +207,14 @@ object NearDedup {
       // previous round's, so analysis/optimization cost (and failure
       // recovery depth) grows linearly with rounds otherwise
         val next = if (round % 5 == 0) stepped.localCheckpoint() else stepped.persist()
-        val changed = next.filter(col("label") =!= col("prev_label")).count()
+        // the next frontier is a filter over the PERSISTED `next`, so
+        // referencing it in the next round's join replays from cache
+        val newFrontier = next.filter(col("label") =!= col("prev_label"))
+          .select("node", "label")
+        val changed = newFrontier.count()
         labels.unpersist()
         labels = next
+        frontier = newFrontier
         converged = changed == 0
       }
       lastCcRounds.set(round)

@@ -1,0 +1,32 @@
+package graft.tools
+
+/** Dev utility: time individual query ids outside the full bench.
+  *
+  * Usage: sbt "runMain graft.tools.QTime <sfDir> <id1,id2,...> [runs]"
+  *
+  * Same measurement hygiene as [[graft.Bench]] (noop sink, System.gc()
+  * outside the timer, median-of-N) but scoped to the named ids so a
+  * single-query iteration loop doesn't pay the whole suite.
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val ids = args(1).split(",").toSeq
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = graft.Engine.session("graft-qtime")
+    val qs = graft.SparkEntry.queries
+    ids.foreach { id =>
+      val fn = qs.getOrElse(id, sys.error(s"unknown query id: $id"))
+      val times = (1 to runs).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sorted = times.sorted
+      val median = sorted(sorted.size / 2)
+      println(f"[qtime] $id%-20s median=$median%.3f s  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -100,4 +100,36 @@ class ApplyChangesSpec extends SparkSpec {
       }
     }
   }
+
+  test("(f) stateHistory materialized once serves k probes with NO window re-run, ≡ stateAsOf") {
+    import org.apache.spark.sql.functions.lit
+    val evs = samples(3).flatten
+    // materialize-once: the SCD2 window runs during THIS persist+count,
+    // never again for any probe
+    val history = Ops.stateHistory(feedOf(evs), keys = Seq("id"),
+      scnCol = "scn", opCol = "op").persist()
+    try {
+      history.count()
+      val probes = Seq(0L, evs.map(_.scn).max / 2, evs.map(_.scn).max)
+      probes.foreach { asOf =>
+        val probe = Ops.probeState(history, "op", lit(asOf))
+        // plan-level: the probe over the materialized history must be a
+        // scan+filter — a Window node ABOVE the cache boundary would mean
+        // the history recomputed per probe (the InMemoryRelation's stored
+        // description still shows the window that BUILT the cache; only
+        // the plan above it executes per probe)
+        val plan = probe.queryExecution.executedPlan.toString
+        val aboveCache = plan.split("InMemoryRelation")(0)
+        assert(aboveCache.contains("InMemoryTableScan"),
+          s"probe at $asOf did not read the materialized history:\n$plan")
+        assert(!aboveCache.contains("Window"),
+          s"probe at $asOf re-ran the window:\n$plan")
+        val got = probe.collect()
+          .map(r => r.getAs[Long]("id") ->
+            ((r.getAs[Long]("scn"), r.getAs[String]("op"), r.getAs[Double]("value"))))
+          .toMap
+        assert(got == fold(evs.filter(_.scn <= asOf)), s"probe at $asOf")
+      }
+    } finally { history.unpersist(); () }
+  }
 }

@@ -277,6 +277,76 @@ class StreamingSpec extends SparkSpec {
     assert(readState(s"$stateRoot/table=B") == batchState(b1 ++ b2))
   }
 
+  test("composition: multi-table fan-out + mid-stream schema widening + tombstone retention across restarts") {
+    // All three round-5 features share foldBatch; this drives their
+    // pairwise seams together: per-TABLE purge watermarks (one table's
+    // hwm advance must not purge the other's tombstone), tombstone purge
+    // during a WIDENED bucket rewrite, and a narrower-than-state replay
+    // after the evolution. Each phase is a stop/restart from the same
+    // checkpoint — phase 2 restarts mid-evolution with the wider schema.
+    val (in, state, chk) = (tmp("cmp-in"), tmp("cmp-st"), tmp("cmp-chk"))
+    val stateRoot = state.resolve("r").toString
+    val v1 = org.apache.spark.sql.types.StructType(
+      feedSchema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("tbl", org.apache.spark.sql.types.StringType))
+    val v2 = org.apache.spark.sql.types.StructType(
+      v1.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType))
+    def run(schema: org.apache.spark.sql.types.StructType): Unit = {
+      val feed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).json(in.toString)
+      Stream.materializeMulti(feed, "tbl", _ => Seq("id"), Seq("scn"),
+        stateRoot, chk.toString, tombstoneRetention = Some(50L))
+        .awaitTermination()
+    }
+    def line(e: Ev, t: String) =
+      s"""{"scn":${e.scn},"id":${e.id},"op":"${e.op}","value":${e.value},"tbl":"$t"}"""
+    // phase 1 (v1 schema): both tables create+delete id=1 and keep one
+    // live key — two independent tombstones at scn 10 (A) and 12 (B)
+    Files.write(in.resolve("p1-0.json"), String.join("\n",
+      Seq(line(Ev(1, 1, "c", 1.0), "A"), line(Ev(10, 1, "d", 0.0), "A"),
+        line(Ev(2, 2, "c", 2.0), "A"),
+        line(Ev(1, 1, "c", 10.0), "B"), line(Ev(12, 1, "d", 0.0), "B"),
+        line(Ev(3, 3, "c", 30.0), "B")): _*).getBytes)
+    run(v1)
+    assert(rawOps(s"$stateRoot/table=A").contains((1L, 10L, "d")))
+    assert(rawOps(s"$stateRoot/table=B").contains((1L, 12L, "d")))
+    // phase 2 (restart, v2 schema adds `note`): new keys land in id=1's
+    // BUCKET in both tables, so both tombstone buckets are rewritten
+    // widened — but only A's per-table watermark (200) passes retention
+    // (10 < 200-50); B's (60) does not (12 > 60-50), so B's tombstone
+    // must survive ITS widened rewrite. The purge watermark is read off
+    // the evolved batch, exercising the widened-ordering seam.
+    val nbr = sameBucketKey(1L)
+    Files.write(in.resolve("p2-0.json"), String.join("\n",
+      s"""{"scn":200,"id":$nbr,"op":"c","value":9.0,"tbl":"A","note":"wide-a"}""",
+      s"""{"scn":60,"id":$nbr,"op":"c","value":6.0,"tbl":"B","note":"wide-b"}""").getBytes)
+    run(v2)
+    assert(!rawOps(s"$stateRoot/table=A").exists(_._3 == "d"),
+      "A's tombstone older than A's retention must purge in the widened rewrite")
+    assert(rawOps(s"$stateRoot/table=B").contains((1L, 12L, "d")),
+      "B's tombstone is inside B's OWN watermark — A's advance must not purge it")
+    def notes(t: String): Map[Long, Option[String]] =
+      Stream.readCurrentState(spark, s"$stateRoot/table=$t").collect()
+        .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("note"))).toMap
+    assert(notes("A") == Map(2L -> None, nbr -> Some("wide-a")), notes("A").toString)
+    assert(notes("B") == Map(3L -> None, nbr -> Some("wide-b")), notes("B").toString)
+    // phase 3 (restart, back to the NARROW v1 schema — a pre-DDL payload
+    // after evolution): the same stale pre-delete replay hits both
+    // tables; A (purged) resurrects per the compaction contract, B
+    // (tombstone retained) keeps suppressing it.
+    Files.write(in.resolve("p3-0.json"), String.join("\n",
+      line(Ev(5, 1, "u", 5.0), "A"), line(Ev(5, 1, "u", 5.0), "B")).getBytes)
+    run(v1)
+    val aState = readState(s"$stateRoot/table=A")
+    assert(aState.contains((1L, 5L, 5.0)),
+      "beyond-retention replay resurrects in the purged table (documented)")
+    assert(!readState(s"$stateRoot/table=B").exists(_._1 == 1L),
+      "retained tombstone still suppresses the replay after evolution")
+    // and the resurrected narrow-payload row reads null in the widened column
+    assert(notes("A").get(1L).contains(None), notes("A").toString)
+  }
+
   /** Raw state rows (tombstones INCLUDED) — what retention purges. */
   private def rawOps(path: String): Set[(Long, Long, String)] =
     spark.read.option("mergeSchema", "true").parquet(path).collect()
@@ -346,6 +416,53 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(!readState(statePath).exists(_._1 == 1L),
       "within-retention replay must stay suppressed")
+  }
+
+  test("tombstone with null ordering value is retained by the purge, not dropped") {
+    // the purge predicate must be null-safe: a delete row whose ordering
+    // value is null would make the whole filter conjunct null, and
+    // filter() drops null rows — purging the tombstone immediately
+    val (in, state, chk) = (tmp("trn-in"), tmp("trn-st"), tmp("trn-chk"))
+    val statePath = state.resolve("t").toString
+    def run(): Unit = {
+      val feed = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 2).json(in.toString)
+      Stream.materialize(feed, Seq("id"), Seq("scn"), statePath, chk.toString,
+        tombstoneRetention = Some(50L)).awaitTermination()
+    }
+    // id=1's tombstone arrives with NO scn (malformed ordering)
+    Files.write(in.resolve("a-0.json"), String.join("\n",
+      s"""{"id":1,"op":"d","value":0.0}""",
+      s"""{"scn":2,"id":2,"op":"c","value":2.0}""").getBytes)
+    run()
+    // advance stream time far past retention IN id=1's bucket
+    writeBatchJson(in, Seq(Ev(500, sameBucketKey(1L), "c", 9.0)), "b-0.json")
+    run()
+    val raw = spark.read.option("mergeSchema", "true").parquet(statePath)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("op"))).toSet
+    assert(raw.contains((1L, "d")),
+      "null-ordering tombstone must be retained (purge is an optimization, not a right)")
+  }
+
+  test("materializeMulti fails loudly on a null table name instead of dropping the rows") {
+    val (in, state, chk) = (tmp("mtn-in"), tmp("mtn-st"), tmp("mtn-chk"))
+    val schema = org.apache.spark.sql.types.StructType(
+      feedSchema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("tbl", org.apache.spark.sql.types.StringType))
+    // one well-formed row, one with NO tbl (malformed envelope)
+    Files.write(in.resolve("a-0.json"), String.join("\n",
+      s"""{"scn":1,"id":1,"op":"c","value":1.0,"tbl":"A"}""",
+      s"""{"scn":2,"id":2,"op":"c","value":2.0}""").getBytes)
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).json(in.toString)
+    val q = Stream.materializeMulti(feed, "tbl", _ => Seq("id"), Seq("scn"),
+      state.resolve("r").toString, chk.toString)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dead-letter")), e.getMessage)
   }
 
   test("flatMapGroupsWithState latest-per-key: advances, suppresses stale, retains tombstones") {

@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB differential check.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [onlyIdsCsv]
 
 For each query dumped by graft.Verify, runs the oracle SQL in DuckDB
 (with each fixture parquet registered under its bare table name) and
 compares values exactly: columns sorted by name, rows sorted by all
 columns. Prints PASS/FAIL per query. Dev tool only — not shipped code.
+
+A missing dump dir counts as FAIL (Verify catches Throwable per query,
+so a crashed query leaves no dir — skipping it would silently mask the
+crash). Pass onlyIdsCsv (same value given to Verify) when checking a
+subset dump; only then are other ids skipped.
 """
 import json
 import math
@@ -31,7 +36,7 @@ def table_of(df):
     return cols, sorted(rows, key=repr)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only_ids=None):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -40,8 +45,12 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     import os
     for name, sql in sorted(oracle.items()):
+        if only_ids is not None and name not in only_ids:
+            continue  # explicitly-requested subset dump
         if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # subset dump (Verify onlyIdsCsv) — not a failure
+            print(f"FAIL {name}: no dump dir (query crashed in Verify?)")
+            n_fail += 1
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
@@ -71,4 +80,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    ids = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], ids))
