@@ -336,7 +336,28 @@ object NearDedup {
     }),
 
     "dedup_simhash" -> ((s, dir) =>
-      simhash(wordArrays(Tables(s, dir).documents)).orderBy("doc_id"))
+      simhash(wordArrays(Tables(s, dir).documents)).orderBy("doc_id")),
+
+    // the APPLICATION of near-dedup: corpus → surviving docs (each dup
+    // cluster keeps only its canonical minimum-id member). This is the
+    // operator a pipeline actually runs — clustering alone just labels.
+    // Non-canonical members are removed with an anti-join against the
+    // (tiny: one row per clustered doc) cluster table; AQE broadcasts it
+    // when small and key-shuffles otherwise, so the corpus is scanned
+    // once and never collected.
+    "dedup_apply" -> ((s, dir) => {
+      val arrs = shingled(s, dir)
+      val pairs = jaccard(candidates(banded(arrs)), arrs)
+        .filter(col("jacc") >= 0.5)
+        .select("doc1", "doc2")
+      val dropped = connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      Tables(s, dir).documents
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -425,6 +446,46 @@ object NearDedup {
         |FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
         |WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_apply" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |salted AS (
+        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+        |bands AS (
+        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+        |  FROM salted GROUP BY 1, 2),
+        |bucket_ok AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY c.doc1, c.doc2),
+        |pairs AS (
+        |  SELECT doc1, doc2
+        |  FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |edges AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b),
+        |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+        |SELECT d.doc_id, md5(d.text) AS h
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),

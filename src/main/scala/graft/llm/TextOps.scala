@@ -119,6 +119,61 @@ object TextOps {
         .select(col("keep_id"), col("n_copies"), md5(col("text")).as("h"))
         .orderBy("keep_id")),
 
+    // Training-window chunking: split each document into fixed-size word
+    // windows with overlap (chunk 16, stride 8 — the sliding-context
+    // shape every pretraining tokenizer pipeline feeds). One narrow
+    // projection + ONE generator (posexplode of the start offsets); the
+    // chunk text is sliced from the already-split word array, so the
+    // document is split exactly once, not once per chunk. Scale: output
+    // is ~n_words/stride rows per doc, produced map-side with no shuffle
+    // (the orderBy is presentation-only for the oracle compare).
+    "text_chunk" -> ((s, dir) => {
+      val chunk = 16
+      val stride = 8
+      val d = Tables(s, dir).documents
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 1)
+      d.select(
+          col("doc_id"),
+          posexplode(sequence(lit(0), size(col("words")) - 1, lit(stride)))
+            .as(Seq("chunk_idx", "start")),
+          col("words"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          slice(col("words"), col("start") + 1, lit(chunk)).as("cw"))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          size(col("cw")).cast("long").as("n_chunk_words"),
+          array_join(col("cw"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Unigram diversity signals: Shannon entropy of the word
+    // distribution and type-token ratio — the standard repetitiveness /
+    // degenerate-text filters next to the Gopher repetition scores.
+    // Entropy uses the one-pass identity H = ln(n) - (Σ c·ln c)/n so a
+    // single explode → two-level key-shuffle aggregation computes it
+    // (map-side partials apply at both levels); rounded to 6dp because
+    // float addition order differs per engine.
+    "text_entropy" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n"),
+          count(lit(1)).as("types"),
+          sum(col("c") * log(col("c"))).as("clc"))
+        .select(
+          col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          col("types").cast("long").as("n_types"),
+          round(col("types").cast("double") / col("n"), 6).as("ttr"),
+          round(log(col("n")) - col("clc") / col("n"), 6).as("entropy"))
+        .orderBy("doc_id")),
+
     // the capstone composition — a full corpus-curation pass as ONE
     // declarative plan: quality filter → language filter → exact dedup
     // (min-id survivor) → leakage-safe hash split → audit counts.
@@ -184,6 +239,33 @@ object TextOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |starts AS (
+        |  SELECT doc_id, words,
+        |         unnest(range(0, len(words), 8)) AS start,
+        |         generate_subscripts(range(0, len(words), 8), 1) - 1 AS chunk_idx
+        |  FROM w)
+        |SELECT doc_id, chunk_idx,
+        |  len(words[start + 1 : start + 16]) AS n_chunk_words,
+        |  array_to_string(words[start + 1 : start + 16], ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, sum(c) AS n, count(*) AS types,
+        |         sum(c * ln(c)) AS clc
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(types AS BIGINT) AS n_types,
+        |  round(CAST(types AS DOUBLE) / n, 6) AS ttr,
+        |  round(ln(n) - clc / n, 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "corpus_clean" ->
       """WITH q AS (
         |  SELECT doc_id, source, text,

@@ -64,6 +64,22 @@ class NearDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dedup_apply ≡ corpus minus non-canonical cluster members; exactly one survivor per cluster") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val all = graft.Tables(s, dir).documents.select("doc_id").as[Long].collect().toSet
+    val clusters = NearDedup.queries("dedup_cluster")(s, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val nonCanonical = clusters.collect { case (d, c) if d != c => d }.toSet
+    val survivors = NearDedup.queries("dedup_apply")(s, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == all -- nonCanonical)
+    // each cluster's canonical member survived
+    val canonicals = clusters.map(_._2).toSet
+    assert(canonicals.subsetOf(survivors))
+  }
+
   test("pathological LSH bucket is capped: bounded candidate output") {
     val s = spark
     import s.implicits._
