@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale techniques the 100 TB design point requires beyond what AQE
@@ -94,4 +94,54 @@ object Scale {
     df.repartitionByRange(files, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative `bits`-wide codes:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Built as a
+    * fold of codegen-friendly bitwise ops — no UDF, stays inside
+    * whole-stage codegen.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-order-clustered layout over TWO keys — the multi-column
+    * generalization of [[writeRangeClustered]] (what table formats call
+    * OPTIMIZE ZORDER BY): each output file covers a small axis-aligned
+    * tile of the (keyA, keyB) space, so parquet min/max statistics skip
+    * files for range predicates on EITHER key, where a single-key range
+    * cluster only prunes on its own key (asserted in ScaleSpec). At
+    * 100 TB this is the layout lever for fact tables probed by more than
+    * one selective dimension (e.g. a CDC log read by time range AND by
+    * key range).
+    *
+    * Keys are min/max-normalized to `bits`-wide codes before
+    * interleaving; the min/max aggregation is one distributed pass whose
+    * result is 4 scalars (driver-bounded by construction). Uniform-width
+    * normalization keeps the per-row map stateless and fully codegen'd;
+    * heavily skewed keys would want approx-quantile bin boundaries
+    * instead (same interleave, different normalizer).
+    */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
+      files: Int, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).collect()(0)
+    require(!r.anyNull, s"writeZOrdered: empty input or null keys ($keyA, $keyB)")
+    val scale = (1L << bits) - 1
+    def norm(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      ((col(c).cast("double") - lit(lo)) * scale / span).cast("long")
+    }
+    val z = mortonCode(
+      norm(keyA, r.getDouble(0), r.getDouble(1)),
+      norm(keyB, r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

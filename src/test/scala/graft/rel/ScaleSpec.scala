@@ -46,6 +46,31 @@ class ScaleSpec extends SparkSpec {
       "control: scattered layout should spread the range over most files")
   }
 
+  test("z-ordered layout prunes files on BOTH dimensions; single-key range cluster only on its own") {
+    val s = spark
+    import s.implicits._
+    // 2-D uniform grid: deterministic, independent axes
+    val rows = (0 until 20000)
+      .map(i => ((i * 7919) % 1000L, (i * 104729) % 1000L, i.toLong))
+      .toDF("x", "y", "payload")
+    val zdir = java.nio.file.Files.createTempDirectory("zo").toString
+    val rdir = java.nio.file.Files.createTempDirectory("rr").toString
+    Scale.writeZOrdered(rows, zdir, "x", "y", files = 16)
+    Scale.writeRangeClustered(rows, rdir, "x", files = 16)
+    def filesHit(dir: String, key: String): Long =
+      s.read.parquet(dir).filter(col(key).between(100L, 160L))
+        .select(input_file_name()).distinct().count()
+    // 16 files over a 16-bit z-curve = a 4x4 tile grid: a ~1/16-wide
+    // window on either axis crosses one row/column of tiles (4 files,
+    // +straddle slack)
+    assert(filesHit(zdir, "x") <= 8L, "z-order must confine an x-range read")
+    assert(filesHit(zdir, "y") <= 8L, "z-order must confine a y-range read")
+    // control: x-clustered layout prunes x but scatters y over all files
+    assert(filesHit(rdir, "x") <= 3L)
+    assert(filesHit(rdir, "y") >= 10L,
+      "control: single-key clustering cannot prune the other dimension")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     val s = spark
     import s.implicits._
