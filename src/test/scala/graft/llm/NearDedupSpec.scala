@@ -80,6 +80,58 @@ class NearDedupSpec extends SparkSpec {
     assert(canonicals.subsetOf(survivors))
   }
 
+  test("incremental admission: state dups rejected, chains through the batch rejected, fresh admitted, idempotent") {
+    val s = spark
+    import s.implicits._
+    // corpus state: two distinct docs (pre-admitted through an empty state)
+    val corpusDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val corpus = NearDedup.banded(NearDedup.shingleArrays(corpusDocs))
+    val state = NearDedup.admitBatch(corpus, corpus.limit(0))
+    assert(state.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "distinct corpus docs all survive the bootstrap")
+    // batch: 11 = doc 1 plus a 4-token tail (jacc 8/12 — dup of state,
+    // reject); 12 = doc 1's last 6 words + the same tail (jacc 8/12 with
+    // 11 but only 4/12 with 1 — bridges THROUGH 11 → reject); 13/14 =
+    // within-batch clones (keep 13); 15 = fresh (admit)
+    val batchDocs = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tau upsilon phi chi"),
+      (12L, "epsilon zeta eta theta iota kappa tau upsilon phi chi"),
+      (13L, "red orange yellow green blue indigo violet white black grey"),
+      (14L, "red orange yellow green blue indigo violet white black grey"),
+      (15L, "completely fresh content with nothing shared at all here now")).toDF("doc_id", "text")
+    val batch = NearDedup.banded(NearDedup.shingleArrays(batchDocs))
+    val admitted = NearDedup.admitBatch(batch, state)
+    val ids = admitted.select("doc_id").as[Long].collect().toSet
+    // 12 must bridge through 11: verify the planted jaccard structure
+    val arrs = NearDedup.shingleArrays(corpusDocs.unionByName(batchDocs))
+    val j = NearDedup.jaccard(
+        Seq((1L, 11L), (1L, 12L), (11L, 12L)).toDF("doc1", "doc2"), arrs)
+      .collect().map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jacc")).toMap
+    assert(j((1L, 11L)) >= 0.5 && j((1L, 12L)) < 0.5 && j((11L, 12L)) >= 0.5,
+      s"planted chain broken: $j — fix the fixture texts")
+    assert(ids == Set(13L, 15L), s"got $ids")
+    // renumbered replay against the grown state admits NOTHING: 21 ~
+    // state 1; 22 re-bridges through 21 in the same batch; 23/24 ~ state
+    // 13; 25 ~ state 15. Ids renumbered (state/batch ids are disjoint by
+    // contract).
+    val state2 = state.unionByName(admitted)
+    val replay = NearDedup.banded(NearDedup.shingleArrays(
+      batchDocs.select((col("doc_id") + 10).as("doc_id"), col("text"))))
+    val again = NearDedup.admitBatch(replay, state2)
+    assert(again.select("doc_id").as[Long].collect().isEmpty)
+    // …but 12's text arriving ALONE in a later batch IS admitted: its
+    // only near-dup links were to REJECTED docs, which the state never
+    // holds — the documented streaming-dedup divergence (rejected docs
+    // don't suppress future arrivals; a global re-cluster would bridge).
+    val lone = NearDedup.banded(NearDedup.shingleArrays(
+      Seq((31L, "epsilon zeta eta theta iota kappa tau upsilon phi chi"))
+        .toDF("doc_id", "text")))
+    val admitted3 = NearDedup.admitBatch(lone, state2)
+    assert(admitted3.select("doc_id").as[Long].collect().toSet == Set(31L))
+  }
+
   test("pathological LSH bucket is capped: bounded candidate output") {
     val s = spark
     import s.implicits._
