@@ -265,42 +265,65 @@ object NearDedup {
     * standard corpus-dedup state bound (state grows with the deduped
     * corpus, not the raw feed).
     */
-  def admitBatch(newBanded: DataFrame, state: DataFrame): DataFrame = {
-    val bandCols = (0 until B).map(b => col(s"band_$b"))
-    def buckets(df: DataFrame): DataFrame = df.select(
-      col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_sig")))
-    // new↔state collisions: one key-shuffle join on (band, band_sig).
-    // No bucket-size cap needed on the state side: state docs are
-    // pairwise non-dups by the admission invariant, so a mass-identical
-    // mega-bucket cannot exist there (batch-side caps stay in
-    // candidates() for the new↔new stage).
-    val newOld = buckets(newBanded)
-      .join(buckets(state).select(col("doc_id").as("old_id"),
-        col("band"), col("band_sig")), Seq("band", "band_sig"))
-      .select(col("doc_id").as("doc1"), col("old_id").as("doc2"))
-      .distinct()
-    val arrs = newBanded.select("doc_id", "sh")
-      .unionByName(state.select("doc_id", "sh"))
-    val dupEdges = jaccard(candidates(newBanded).unionByName(newOld), arrs)
-      .filter(col("jacc") >= 0.5)
-      .select("doc1", "doc2")
-    val cc = connectedComponents(dupEdges)
-    val oldIds = state.select(col("doc_id"))
-    val newIds = newBanded.select(col("doc_id"))
-    // per component: reject if any state member; else keep the min NEW id
-    val verdicts = cc
-      .join(oldIds.withColumn("is_old", lit(true)), Seq("doc_id"), "left")
-      .groupBy(col("cluster_id"))
-      .agg(
-        max(coalesce(col("is_old"), lit(false))).as("has_old"),
-        min(when(col("is_old").isNull, col("doc_id"))).as("min_new"))
-    val rejected = cc
-      .join(oldIds, Seq("doc_id"), "left_anti") // only new docs get verdicts
-      .join(verdicts, "cluster_id")
-      .filter(col("has_old") || col("doc_id") =!= col("min_new"))
-      .select("doc_id")
-    newBanded.join(rejected, Seq("doc_id"), "left_anti")
+  def admitBatch(newBanded0: DataFrame, state0: DataFrame,
+      maxBucket: Int = 10000): DataFrame = {
+    // both inputs feed several stages under DIFFERENT exchanges
+    // (buckets/candidates/arrs/anti-join), where Catalyst exchange reuse
+    // does not apply — unpersisted, the md5-minhash banding (the CPU
+    // core) would re-execute per reference (same measured 3.7× pattern
+    // as the shingled() cache). Persisted for the span of this call and
+    // released in finally: the admission runs eagerly (the CC loop
+    // already is) and returns a localCheckpoint'd result, so no live
+    // plan escapes holding the caches.
+    val newBanded = newBanded0.persist()
+    val state = state0.persist()
+    try {
+      val bandCols = (0 until B).map(b => col(s"band_$b"))
+      def buckets(df: DataFrame): DataFrame = df.select(
+        col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "band_sig")))
+      // new↔state collisions: one key-shuffle join on (band, band_sig).
+      // The state side needs the SAME mega-bucket cap as candidates():
+      // band collision does not imply near-duplication (a band_sig is
+      // two minhashes — one boilerplate shingle minimal under both
+      // salts gives every doc containing it the same sig), so pairwise
+      // non-dup state docs can still pile into one bucket, and an
+      // uncapped hot (band, band_sig) key would emit
+      // |batch bucket| × |state bucket| rows in one straggler task.
+      // Dropped oversized buckets lose nothing real: genuine near-dups
+      // still collide in one of the other B-1 bands.
+      val stateBucketsOk = buckets(state)
+        .select(col("doc_id").as("old_id"), col("band"), col("band_sig"))
+        .withColumn("bn", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("band_sig"))))
+        .filter(col("bn") <= maxBucket)
+        .drop("bn")
+      val newOld = buckets(newBanded)
+        .join(stateBucketsOk, Seq("band", "band_sig"))
+        .select(col("doc_id").as("doc1"), col("old_id").as("doc2"))
+        .distinct()
+      val arrs = newBanded.select("doc_id", "sh")
+        .unionByName(state.select("doc_id", "sh"))
+      val dupEdges = jaccard(candidates(newBanded, maxBucket).unionByName(newOld), arrs)
+        .filter(col("jacc") >= 0.5)
+        .select("doc1", "doc2")
+      val cc = connectedComponents(dupEdges)
+      val oldIds = state.select(col("doc_id"))
+      // per component: reject if any state member; else keep the min NEW id
+      val verdicts = cc
+        .join(oldIds.withColumn("is_old", lit(true)), Seq("doc_id"), "left")
+        .groupBy(col("cluster_id"))
+        .agg(
+          max(coalesce(col("is_old"), lit(false))).as("has_old"),
+          min(when(col("is_old").isNull, col("doc_id"))).as("min_new"))
+      val rejected = cc
+        .join(oldIds, Seq("doc_id"), "left_anti") // only new docs get verdicts
+        .join(verdicts, "cluster_id")
+        .filter(col("has_old") || col("doc_id") =!= col("min_new"))
+        .select("doc_id")
+      newBanded.join(rejected, Seq("doc_id"), "left_anti").localCheckpoint()
+    } finally { newBanded.unpersist(); state.unpersist(); () }
   }
 
   /** The shingle pipeline (scan → split → zip_with → array_distinct, the

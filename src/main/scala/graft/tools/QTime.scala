@@ -14,19 +14,28 @@ object QTime {
     val ids = args(1).split(",").toSeq
     val runs = if (args.length > 2) args(2).toInt else 3
     val spark = graft.Engine.session("graft-qtime")
-    val qs = graft.SparkEntry.queries
-    ids.foreach { id =>
-      val fn = qs.getOrElse(id, sys.error(s"unknown query id: $id"))
-      val times = (1 to runs).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+    try {
+      val qs = graft.SparkEntry.queries
+      ids.foreach { id =>
+        val fn = qs.getOrElse(id, sys.error(s"unknown query id: $id"))
+        val times = (1 to runs).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          // one failing id must not abort the rest of the list
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable => System.err.println(s"[qtime] $id: $e"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+        }
+        val good = times.filterNot(_.isNaN).sorted
+        // true median (even-size average, as in Bench) — an upper-middle
+        // pick would let a steal outlier into the reported number
+        val median =
+          if (good.isEmpty) Double.NaN
+          else if (good.size % 2 == 1) good(good.size / 2)
+          else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
+        println(f"[qtime] $id%-20s median=$median%.3f s  runs=${times.map(t => f"$t%.3f").mkString(",")}")
       }
-      val sorted = times.sorted
-      val median = sorted(sorted.size / 2)
-      println(f"[qtime] $id%-20s median=$median%.3f s  runs=${times.map(t => f"$t%.3f").mkString(",")}")
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

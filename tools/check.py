@@ -44,6 +44,12 @@ def main(sf_dir, out_dir, only_ids=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
+    if only_ids is not None:
+        # an id that matches no oracle (typo, or a rows-only id) would
+        # otherwise skip everything and report "0 pass, 0 fail" as green
+        for unknown in sorted(only_ids - set(oracle)):
+            print(f"FAIL {unknown}: not an oracle-checked id (typo? rows-only?)")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only_ids is not None and name not in only_ids:
             continue  # explicitly-requested subset dump
