@@ -366,6 +366,57 @@ object NearDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** One micro-batch of the streaming corpus-dedup sink: admit
+    * `batchDocs` (doc_id, text) against the banded state persisted at
+    * `stateDir` and append the admitted docs' banded rows to it.
+    *
+    * Exactly-once under redelivery: docs whose id is already IN the
+    * state are dropped before admission (the at-least-once file/channel
+    * source replays whole batches; without the guard a replayed doc
+    * would violate the disjoint-ids contract and dup the state). A crash
+    * between admission and append re-runs the batch; already-appended
+    * ids are excluded by the same guard, not-yet-appended docs re-admit
+    * to the same verdicts (deterministic pipeline), so the state
+    * converges to the same rows. (A production deployment swaps the
+    * parquet append for a transactional table commit; the dataflow is
+    * identical.)
+    */
+  def admitBatchToState(batchDocs: DataFrame, stateDir: String): Unit = {
+    val spark = batchDocs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newBanded = banded(shingleArrays(batchDocs))
+    val state =
+      if (fs.exists(root)) spark.read.parquet(stateDir)
+      else newBanded.limit(0)
+    val fresh = newBanded.join(state.select("doc_id"), Seq("doc_id"), "left_anti")
+    val admitted = admitBatch(fresh, state) // eager, checkpointed
+    if (!admitted.isEmpty)
+      admitted.write.mode("append").parquet(stateDir)
+  }
+
+  /** Continuous corpus dedup: a stream of (doc_id, text) documents is
+    * folded through [[admitBatchToState]] per micro-batch — the state at
+    * `stateDir` is always the banded signatures of the admitted
+    * (mutually non-near-dup) corpus, readable concurrently as the
+    * survivor list. The streaming twin of [[admitBatch]], same shape as
+    * `cdc.Stream.materialize`'s foreachBatch fold.
+    */
+  def admitStream(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatchToState(batch, stateDir)
+      }
+      .start()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // near-dup pairs (the dedup_near pipeline) → dup clusters: each

@@ -132,6 +132,42 @@ class NearDedupSpec extends SparkSpec {
     assert(admitted3.select("doc_id").as[Long].collect().toSet == Set(31L))
   }
 
+  test("streaming corpus dedup: state accumulates survivors across batches and restarts, replay-safe") {
+    val s = spark
+    import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("as-in")
+    val state = java.nio.file.Files.createTempDirectory("as-st").resolve("t").toString
+    val chk = java.nio.file.Files.createTempDirectory("as-chk").toString
+    def line(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in.toString)
+      NearDedup.admitStream(feed, state, chk).awaitTermination()
+    }
+    // batch 1: two distinct docs + one in-batch clone (keep min id)
+    java.nio.file.Files.write(in.resolve("a-0.json"), String.join("\n",
+      line(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      line(2, "one two three four five six seven eight nine ten"),
+      line(3, "one two three four five six seven eight nine ten")).getBytes)
+    run()
+    def stateIds = s.read.parquet(state).select("doc_id").as[Long].collect().toSet
+    assert(stateIds == Set(1L, 2L))
+    // batch 2 (restart, same checkpoint): a REDELIVERED doc 2 (id guard),
+    // a clone of state doc 1 (rejected by admission), and a fresh doc
+    java.nio.file.Files.write(in.resolve("b-0.json"), String.join("\n",
+      line(2, "one two three four five six seven eight nine ten"),
+      line(4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      line(5, "totally new content that matches nothing else in the corpus")).getBytes)
+    run()
+    assert(stateIds == Set(1L, 2L, 5L))
+    // the state rows are banded signatures usable directly by admitBatch
+    val cols = s.read.parquet(state).columns.toSet
+    assert(Set("doc_id", "sh", "band_0", "band_3").subsetOf(cols), cols.toString)
+  }
+
   test("pathological LSH bucket is capped: bounded candidate output") {
     val s = spark
     import s.implicits._
