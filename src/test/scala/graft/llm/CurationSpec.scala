@@ -67,6 +67,33 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._1).toSet.subsetOf(docs))
   }
 
+  test("text_chunk invariants: stride-8/size-16 windows cover every word, halves overlap, per-doc reconstruction") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val chunks = graft.SparkEntry.queries("text_chunk")(s, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("n_chunk_words"), r.getAs[String]("chunk_text")))
+    val docs = graft.Tables(s, dir).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val words = docs(id).split(" ")
+      val sorted = cs.sortBy(_._2)
+      // chunk starts advance by exactly the stride; lengths = min(16, rest)
+      sorted.foreach { case (_, idx, n, text) =>
+        val start = idx.toInt * 8
+        val expect = words.slice(start, start + 16)
+        assert(text == expect.mkString(" "), s"doc $id chunk $idx")
+        assert(n == expect.length)
+      }
+      // coverage: the EVEN-indexed (non-overlapping) chunks reassemble
+      // the doc exactly — stride 8 with size 16 means every word is in
+      // 1-2 chunks and the even subsequence tiles the text
+      val tiled = sorted.filter(_._2 % 2 == 0).map(_._4).mkString(" ")
+      assert(tiled == docs(id), s"doc $id tiling broken")
+    }
+  }
+
   test("text_repetition scores a repeated doc above a diverse one") {
     val s = spark
     import s.implicits._

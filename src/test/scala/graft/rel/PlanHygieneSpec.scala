@@ -96,6 +96,25 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("round-6 curation plans: chunking is generator-only map-side, entropy two-level agg has partials, dedup_apply anti-joins") {
+    // chunking must be scan → generate → project: a join or exchange
+    // before the generator would mean the per-doc word array left its
+    // task (the orderBy's sort is the only exchange, presentation-only)
+    val c = planOf("text_chunk")
+    assert(c.contains("Generate"), c)
+    assert(!c.contains("Join") && !c.contains("CartesianProduct"), c)
+    // entropy: explode → count per (doc, word) → per-doc rollup; both
+    // levels must carry map-side partial aggregation
+    val e = planOf("text_entropy")
+    assert(e.contains("partial_count") || e.contains("Partial"), e)
+    assert(!e.contains("Join"), e)
+    // applying near-dedup is an ANTI join against the (small) dropped
+    // set — never a pair blowup against the corpus
+    val a = planOf("dedup_apply")
+    assert(a.contains("LeftAnti"), a)
+    assert(!a.contains("CartesianProduct"), a)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
