@@ -484,6 +484,36 @@ object NearDedup {
     "dedup_simhash" -> ((s, dir) =>
       simhash(wordArrays(Tables(s, dir).documents)).orderBy("doc_id")),
 
+    // simhash CONSUMED: near-dup pairs by Hamming distance over the
+    // 32-bit signatures. Candidate generation is Hamming-LSH blocking —
+    // the signature splits into 4 disjoint 8-bit blocks and docs
+    // agreeing exactly on ≥1 block meet in a bucket; by pigeonhole any
+    // pair within distance ≤3 differs in at most 3 blocks, so RECALL IS
+    // EXACTLY 1.0 for the ≤3 threshold (no probabilistic miss, unlike
+    // minhash banding). The block table reuses candidates()' bucket
+    // machinery (same band_0..3 shape, same skew cap); only colliding
+    // pairs pay the 32-position exact distance check.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sigs = simhash(wordArrays(Tables(s, dir).documents))
+      val blocked = sigs.select(
+        col("doc_id") +:
+          (0 until 4).map(b =>
+            substring(col("sim_sig"), 1 + 8 * b, 8).as(s"band_$b")): _*)
+      val ham = aggregate(
+        transform(sequence(lit(1), lit(32)), i =>
+          when(col("s1").substr(i.cast("int"), lit(1)) =!=
+               col("s2").substr(i.cast("int"), lit(1)), 1L)
+            .otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+      candidates(blocked)
+        .join(sigs.select(col("doc_id").as("doc1"), col("sim_sig").as("s1")), "doc1")
+        .join(sigs.select(col("doc_id").as("doc2"), col("sim_sig").as("s2")), "doc2")
+        .withColumn("hamming", ham)
+        .filter(col("hamming") <= 3)
+        .select("doc1", "doc2", "hamming")
+        .orderBy("doc1", "doc2")
+    }),
+
     // incremental admission demo over the fixture: even doc_ids play the
     // already-deduped corpus (bootstrapped through admitBatch against an
     // empty state — same invariant), odd doc_ids arrive as the new
@@ -657,6 +687,35 @@ object NearDedup {
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    (CAST(floor((strpos('0123456789abcdef', substring(md5(w), CAST(floor(b/4) AS INT)+1, 1)) - 1)
+        |          / pow(2, 3 - b % 4)) AS BIGINT) % 2) * 2 - 1 AS vote
+        |  FROM words CROSS JOIN (SELECT unnest(range(32)) AS b)),
+        |votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |blocks AS (
+        |  SELECT doc_id, blk, substring(sig, 1 + 8*blk, 8) AS blk_sig
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS blk)),
+        |bucket_ok AS (
+        |  SELECT blk, blk_sig FROM blocks GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM blocks a
+        |  JOIN blocks b ON a.blk = b.blk AND a.blk_sig = b.blk_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.blk = a.blk AND k.blk_sig = a.blk_sig),
+        |scored AS (
+        |  SELECT c.doc1, c.doc2,
+        |    CAST(list_sum(list_transform(range(1, 33), i ->
+        |      CASE WHEN substring(s1.sig, CAST(i AS INT), 1) != substring(s2.sig, CAST(i AS INT), 1)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM cand c JOIN sigs s1 ON s1.doc_id = c.doc1 JOIN sigs s2 ON s2.doc_id = c.doc2)
+        |SELECT doc1, doc2, hamming FROM scored WHERE hamming <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),

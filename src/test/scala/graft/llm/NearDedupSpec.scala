@@ -168,6 +168,24 @@ class NearDedupSpec extends SparkSpec {
     assert(Set("doc_id", "sh", "band_0", "band_3").subsetOf(cols), cols.toString)
   }
 
+  test("simhash Hamming blocking finds EXACTLY the brute-force distance<=3 pairs (pigeonhole recall 1.0)") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val sigs = NearDedup.simhash(NearDedup.wordArrays(graft.Tables(s, dir).documents))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sim_sig"))
+    def dist(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (d1, s1) = sigs(i); (d2, s2) = sigs(j)
+      if dist(s1, s2) <= 3
+    } yield (math.min(d1, d2), math.max(d1, d2))).toSet
+    val blocked = NearDedup.queries("dedup_simhash_pairs")(s, dir)
+      .collect().map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+    assert(blocked == brute,
+      s"missing: ${brute.diff(blocked)}, extra: ${blocked.diff(brute)}")
+  }
+
   test("pathological LSH bucket is capped: bounded candidate output") {
     val s = spark
     import s.implicits._
