@@ -174,6 +174,29 @@ object TextOps {
           round(log(col("n")) - col("clc") / col("n"), 6).as("entropy"))
         .orderBy("doc_id")),
 
+    // Per-source corpus health report — the dashboard query every
+    // curation pipeline runs before/after a cleaning pass: volume,
+    // token mass, exact-dup exposure, language mix, mean quality. One
+    // window (global dup flag over text) + one aggregation; every
+    // signal reuses the single shared definition (qualitySignals /
+    // langPred) so the report can never drift from the oracle-checked
+    // per-doc operators.
+    "corpus_report" -> ((s, dir) => {
+      val (nWords, _, _, quality) = qualitySignals(col("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      Tables(s, dir).documents
+        .withColumn("dup", (count(lit(1)).over(w) > 1).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nWords).cast("long").as("total_tokens"),
+          round(avg(nWords), 6).as("avg_tokens"),
+          sum(col("dup")).as("n_exact_dup"),
+          round(avg((langPred(col("text")) === "en").cast("long")), 6).as("en_share"),
+          round(avg(quality), 6).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     // the capstone composition — a full corpus-curation pass as ONE
     // declarative plan: quality filter → language filter → exact dedup
     // (min-id survivor) → leakage-safe hash split → audit counts.
@@ -266,6 +289,33 @@ object TextOps {
         |  round(CAST(types AS DOUBLE) / n, 6) AS ttr,
         |  round(ln(n) - clc / n, 6) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "corpus_report" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |    len(string_split(text,' ')) AS n_words,
+        |    CASE WHEN count(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END AS dup,
+        |    CASE WHEN (CASE
+        |        WHEN len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les')))
+        |           > len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) THEN 'fr'
+        |        WHEN len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que')))
+        |           > len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) THEN 'es'
+        |        WHEN len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das')))
+        |           > len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) THEN 'de'
+        |        ELSE 'en' END) = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+        |      + (CAST(len(list_filter(string_split(text,' '),
+        |           w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        |         / len(string_split(text,' '))) * 0.3
+        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+        |         / nullif(length(text), 0)) * 0.2 AS quality
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |  round(avg(n_words), 6) AS avg_tokens,
+        |  CAST(sum(dup) AS BIGINT) AS n_exact_dup,
+        |  round(avg(is_en), 6) AS en_share,
+        |  round(avg(quality), 6) AS avg_quality
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "corpus_clean" ->
       """WITH q AS (
         |  SELECT doc_id, source, text,
