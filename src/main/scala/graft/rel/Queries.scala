@@ -438,6 +438,34 @@ object Queries {
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     }),
 
+    // Funnel / event-sequence detection (view → click → purchase, in
+    // order, per user): the classic product-analytics operator. NO
+    // self-join — each stage is a cumulative min over the user's
+    // time-ordered history (strictly-preceding frame), so a row knows
+    // whether the prior stage already happened; the two Window nodes
+    // share one partitioning → ONE shuffle total, O(n) per user. Ties
+    // broken by event_id for run-to-run determinism.
+    "funnel" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir).events
+        .withColumn("view_before",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("qual_click_ts",
+          when(col("event_type") === "click" && col("view_before").isNotNull, col("ts")))
+        .withColumn("click_before", min(col("qual_click_ts")).over(w))
+        .agg(
+          countDistinct(when(col("event_type") === "view", col("user_id")))
+            .as("n_view_users"),
+          countDistinct(when(col("qual_click_ts").isNotNull, col("user_id")))
+            .as("n_click_users"),
+          countDistinct(when(col("event_type") === "purchase" &&
+            col("click_before").isNotNull, col("user_id")))
+            .as("n_purchase_users"))
+    }),
+
     "win_range" -> ((s, dir) => {
       // moving 1-hour sum per user; money in exact integer cents so the
       // frame aggregation is order-independent in both engines.
@@ -878,6 +906,27 @@ object Queries {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
         |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_before
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND view_before IS NOT NULL
+        |                 THEN ts END AS qual_click_ts FROM s1),
+        |s3 AS (
+        |  SELECT *, min(qual_click_ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_before
+        |  FROM s2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_view_users,
+        |  count(DISTINCT CASE WHEN qual_click_ts IS NOT NULL THEN user_id END) AS n_click_users,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' AND click_before IS NOT NULL
+        |                 THEN user_id END) AS n_purchase_users
+        |FROM s3""".stripMargin,
     "win_range" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
