@@ -108,16 +108,19 @@ object NearDedup {
       .withColumn("jacc",
         col("com").cast("double") / (col("n1") + col("n2") - col("com")))
 
-  /** Portable 32-bit SimHash as ONE narrow projection: per doc,
-    * sum ±1 bit-votes of each word's md5 across the word array
+  /** Portable SimHash (default 32-bit) as ONE narrow projection: per
+    * doc, sum ±1 bit-votes of each element's md5 across the array
     * (`aggregate` + `zip_with`), then render the sign vector as a
     * '0'/'1' string. No explode, no shuffle, no engine-specific bit ops
     * (hex digit → value via ascii arithmetic; bit via floor/pow/%).
+    * `bits` must be a multiple of 4 and ≤128 (md5 supplies 32 hex
+    * digits); 64 is the Manku et al. width [[dedup_simhash_pairs]] uses.
     */
-  def simhash(arrs: DataFrame): DataFrame = {
+  def simhash(arrs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0 && bits <= 128, s"bits must be 4k <= 128, got $bits")
     val divs = array(lit(8), lit(4), lit(2), lit(1)) // 2^(3-j) for bit j
     def votesOf(h: Column): Column =
-      flatten(transform(sequence(lit(0), lit(7)), d => {
+      flatten(transform(sequence(lit(0), lit(bits / 4 - 1)), d => {
         val a = ascii(h.substr(d.cast("int") + 1, lit(1)))
         val digit = when(a <= 57, a - 48).otherwise(a - 87) // 0-9 | a-f
         transform(sequence(lit(0), lit(3)), j =>
@@ -125,7 +128,7 @@ object NearDedup {
       }))
     val votes = aggregate(
       transform(col("sh"), w => md5(w)),
-      array_repeat(lit(0L), 32),
+      array_repeat(lit(0L), bits),
       (acc, h) => zip_with(acc, votesOf(h), (x, y) => x + y))
     arrs.select(
       col("doc_id"),
@@ -484,23 +487,30 @@ object NearDedup {
     "dedup_simhash" -> ((s, dir) =>
       simhash(wordArrays(Tables(s, dir).documents)).orderBy("doc_id")),
 
-    // simhash CONSUMED: near-dup pairs by Hamming distance over the
-    // 32-bit signatures. Candidate generation is Hamming-LSH blocking —
-    // the signature splits into 4 disjoint 8-bit blocks and docs
-    // agreeing exactly on ≥1 block meet in a bucket; by pigeonhole any
-    // pair within distance ≤3 differs in at most 3 blocks, so RECALL IS
-    // EXACTLY 1.0 for the ≤3 threshold (no probabilistic miss, unlike
-    // minhash banding). The block table reuses candidates()' bucket
-    // machinery (same band_0..3 shape, same skew cap); only colliding
-    // pairs pay the 32-position exact distance check.
+    // simhash CONSUMED: near-dup pairs by Hamming distance over 64-bit
+    // SHINGLE-based signatures (Manku et al.'s web-dedup width).
+    // Candidate generation is Hamming-LSH blocking — the signature
+    // splits into 4 disjoint 16-bit blocks and docs agreeing exactly on
+    // ≥1 block meet in a bucket; by pigeonhole any pair within distance
+    // ≤3 differs in at most 3 blocks, so RECALL IS EXACTLY 1.0 for the
+    // ≤3 threshold (no probabilistic miss, unlike minhash banding).
+    // Design points that make this scale (both measured at sf0.1):
+    // shingles, not word sets — a shared-vocabulary corpus makes
+    // word-SET simhashes nearly identical corpus-wide (32-bit/word-set
+    // blocking measured 9.5M candidate pairs; 64-bit/shingle = 1 254);
+    // and 16-bit blocks (65 536 values) over 8-bit (256). The shingle
+    // table is the family's memoized per-corpus artifact; the block
+    // table reuses candidates()' bucket machinery (same band_0..3
+    // shape, same skew cap); only colliding pairs pay the 64-position
+    // exact distance check.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val sigs = simhash(wordArrays(Tables(s, dir).documents))
+      val sigs = simhash(shingled(s, dir), bits = 64)
       val blocked = sigs.select(
         col("doc_id") +:
           (0 until 4).map(b =>
-            substring(col("sim_sig"), 1 + 8 * b, 8).as(s"band_$b")): _*)
+            substring(col("sim_sig"), 1 + 16 * b, 16).as(s"band_$b")): _*)
       val ham = aggregate(
-        transform(sequence(lit(1), lit(32)), i =>
+        transform(sequence(lit(1), lit(64)), i =>
           when(col("s1").substr(i.cast("int"), lit(1)) =!=
                col("s2").substr(i.cast("int"), lit(1)), 1L)
             .otherwise(0L)),
@@ -689,18 +699,21 @@ object NearDedup {
         |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       """WITH words AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
         |bits AS (
         |  SELECT doc_id, b,
         |    (CAST(floor((strpos('0123456789abcdef', substring(md5(w), CAST(floor(b/4) AS INT)+1, 1)) - 1)
         |          / pow(2, 3 - b % 4)) AS BIGINT) % 2) * 2 - 1 AS vote
-        |  FROM words CROSS JOIN (SELECT unnest(range(32)) AS b)),
+        |  FROM words CROSS JOIN (SELECT unnest(range(64)) AS b)),
         |votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b),
         |sigs AS (
         |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
         |  FROM votes GROUP BY doc_id),
         |blocks AS (
-        |  SELECT doc_id, blk, substring(sig, 1 + 8*blk, 8) AS blk_sig
+        |  SELECT doc_id, blk, substring(sig, 1 + 16*blk, 16) AS blk_sig
         |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS blk)),
         |bucket_ok AS (
         |  SELECT blk, blk_sig FROM blocks GROUP BY 1, 2 HAVING count(*) <= 10000),
@@ -710,7 +723,7 @@ object NearDedup {
         |  JOIN bucket_ok k ON k.blk = a.blk AND k.blk_sig = a.blk_sig),
         |scored AS (
         |  SELECT c.doc1, c.doc2,
-        |    CAST(list_sum(list_transform(range(1, 33), i ->
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
         |      CASE WHEN substring(s1.sig, CAST(i AS INT), 1) != substring(s2.sig, CAST(i AS INT), 1)
         |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |  FROM cand c JOIN sigs s1 ON s1.doc_id = c.doc1 JOIN sigs s2 ON s2.doc_id = c.doc2)

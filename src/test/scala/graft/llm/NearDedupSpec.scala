@@ -172,7 +172,8 @@ class NearDedupSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val dir = sf("sf0.001")
-    val sigs = NearDedup.simhash(NearDedup.wordArrays(graft.Tables(s, dir).documents))
+    val sigs = NearDedup.simhash(
+        NearDedup.shingleArrays(graft.Tables(s, dir).documents), bits = 64)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sim_sig"))
     def dist(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     val brute = (for {
