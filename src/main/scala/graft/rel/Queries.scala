@@ -466,6 +466,42 @@ object Queries {
             .as("n_purchase_users"))
     }),
 
+    // Gap-based sessionization (batch twin of the streaming session
+    // window, but emitting a session SEQUENCE per event — what funnels
+    // and per-session aggs join on): a session break is a >30 min gap
+    // from the previous event; the session id is the cumulative count
+    // of breaks. Two stacked windows over ONE partitioning (lag, then
+    // running sum) → one shuffle, O(n) per user.
+    "sessionize" -> ((s, dir) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("prev_ms", lag(unix_millis(col("ts").cast("timestamp")), 1).over(byTs))
+        .withColumn("brk",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts").cast("timestamp")) - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(cum))
+        .select("user_id", "event_id", "session_seq")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Weekly retention cohorts: users grouped by their first-activity
+    // week; each (cohort, week-offset) cell counts distinct users still
+    // active that week. One window (per-user first week) + one
+    // aggregation — the standard retention matrix without any self-join.
+    "cohort" -> ((s, dir) => {
+      val wk = date_trunc("week", col("ts"))
+      val firstWk = min(wk).over(Window.partitionBy(col("user_id")))
+      Tables(s, dir).events
+        .withColumn("cohort_week", firstWk)
+        .withColumn("week_offset",
+          (datediff(wk.cast("date"), col("cohort_week").cast("date")) / 7).cast("long"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "win_range" -> ((s, dir) => {
       // moving 1-hour sum per user; money in exact integer cents so the
       // frame aggregation is order-independent in both engines.
@@ -927,6 +963,27 @@ object Queries {
         |  count(DISTINCT CASE WHEN event_type = 'purchase' AND click_before IS NOT NULL
         |                 THEN user_id END) AS n_purchase_users
         |FROM s3""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM g)
+        |SELECT user_id, event_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM b ORDER BY user_id, event_id""".stripMargin,
+    "cohort" ->
+      """WITH w AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk,
+        |    min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM events)
+        |SELECT cohort_week, CAST(datediff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "win_range" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
