@@ -279,6 +279,44 @@ object CdcQueries {
         )
         .select("scn", "id", "ts", "o_orderkey", "o_orderdate")
         .orderBy("scn")
+    }),
+
+    // changed-column audit: per key, each update's before-image is
+    // lag(payload) over scn (the envelope's `before` field IS this
+    // window — SURVEY §2.6), and the audit row names exactly the columns
+    // whose value changed. One key-shuffle for the window; the diff
+    // itself is a pure null-safe projection (`<=>`), codegen-friendly.
+    // The lag(scn) marker (never null in the feed) distinguishes "no
+    // prior event" from "prior column was genuinely NULL".
+    "change_diff" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("scn")
+      F.fromEvents(s, dir)
+        .withColumn("p_scn", lag(col("scn"), 1).over(w))
+        .withColumn("p_event_type", lag(col("event_type"), 1).over(w))
+        .withColumn("p_value", lag(col("value"), 1).over(w))
+        .withColumn("p_props", lag(col("props"), 1).over(w))
+        .filter(col("op") === "u" && col("p_scn").isNotNull)
+        .withColumn("changed", array_compact(array(
+          when(!(col("event_type") <=> col("p_event_type")), lit("event_type")),
+          when(!(col("value") <=> col("p_value")), lit("value")),
+          when(!(col("props") <=> col("p_props")), lit("props")))))
+        .select("scn", "id", "changed")
+        .orderBy("scn")
+    }),
+
+    // batch twin of stream-static enrichment (Stream.enrichWithDim runs
+    // the SAME join shape per micro-batch; StreamingSpec asserts row
+    // parity): the change feed joins a broadcast dimension on the key.
+    // At 100 TB the dim side is the small one by construction (it's a
+    // dimension) — broadcast is the plan to want, no stream-side shuffle.
+    "stream_enrich" -> ((s, dir) => {
+      val dim = Tables(s, dir).customer
+        .select(col("c_custkey").as("id"), col("c_mktsegment"))
+      F.fromEvents(s, dir)
+        .join(broadcast(dim), Seq("id"))
+        .select("scn", "id", "c_mktsegment", "event_type", "value")
+        .orderBy("scn")
     })
   )
 
@@ -382,6 +420,24 @@ object CdcQueries {
          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
          |  FROM feed f JOIN orders o
          |    ON o.o_custkey = f.id AND o.o_orderdate <= f.ts
-         |) WHERE rn = 1 ORDER BY scn""".stripMargin
+         |) WHERE rn = 1 ORDER BY scn""".stripMargin,
+    "change_diff" ->
+      s"""$feedCte, d AS (
+         |  SELECT scn, id, op, event_type, value, props,
+         |    lag(scn) OVER w AS p_scn,
+         |    lag(event_type) OVER w AS p_event_type,
+         |    lag(value) OVER w AS p_value,
+         |    lag(props) OVER w AS p_props
+         |  FROM feed WINDOW w AS (PARTITION BY id ORDER BY scn))
+         |SELECT scn, id,
+         |  list_filter([
+         |    CASE WHEN event_type IS DISTINCT FROM p_event_type THEN 'event_type' END,
+         |    CASE WHEN value IS DISTINCT FROM p_value THEN 'value' END,
+         |    CASE WHEN props IS DISTINCT FROM p_props THEN 'props' END],
+         |    x -> x IS NOT NULL) AS changed
+         |FROM d WHERE op = 'u' AND p_scn IS NOT NULL ORDER BY scn""".stripMargin,
+    "stream_enrich" ->
+      s"""$feedCte SELECT scn, f.id AS id, c_mktsegment, event_type, value
+         |FROM feed f JOIN customer c ON f.id = c.c_custkey ORDER BY scn""".stripMargin
   )
 }

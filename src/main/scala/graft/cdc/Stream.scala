@@ -460,6 +460,19 @@ object Stream {
         s"r.$rightTs <= l.$leftTs + interval $within"))
   }
 
+  /** Stream-static enrichment: each micro-batch of the feed joins a
+    * STATIC dimension (the classic "decorate the change stream with the
+    * dimension row" step; batch twin = the oracle-checked
+    * `stream_enrich` id). The dim is broadcast — no shuffle ever touches
+    * the stream side, and unlike a stream-stream join there is NO join
+    * state to bound: the static side is re-resolvable per batch, so this
+    * stays O(batch) memory on an unbounded stream. Spark re-reads a
+    * file-based static side per micro-batch, which is also how slowly-
+    * changing dims pick up updates without restarting the query.
+    */
+  def enrichWithDim(feed: DataFrame, dim: DataFrame, key: String): DataFrame =
+    feed.join(broadcast(dim), Seq(key))
+
   /** Streaming dedup under at-least-once delivery (reference: Connect
     * restarts redeliver; SURVEY §2.10): `dropDuplicatesWithinWatermark`,
     * NOT plain `dropDuplicates(keys)` — Spark only evicts dedup state

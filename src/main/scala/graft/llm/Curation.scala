@@ -65,6 +65,43 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination — SAME semantics (and oracle) as
+    // `decontaminate`, different 100 TB shape: the eval side's shingle
+    // hashes fold into a Bloom filter (one distributed aggregate → a
+    // ~1 MB sketch shipped to every task), and train-side shingles are
+    // tested against it BEFORE any shuffle. Only bloom-positive shingles
+    // enter the exact semi-join that scrubs false positives, so the
+    // semi-join's shuffle shrinks by the sketch's true-negative rate
+    // (≥99% at fpp 0.01 when train/eval shingle spaces are disjoint) —
+    // the trade every petabyte-scale decontamination pipeline makes.
+    // Driver-side state is the sketch alone, bounded by construction
+    // (1M slots @ 1% fpp ≈ 1.2 MB) regardless of corpus size; exactness
+    // is restored by the verify join, so the DuckDB oracle is identical.
+    "decontaminate_bloom" -> ((s, dir) => {
+      def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
+      val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
+      val train = sp.filter(col("split") === "train")
+      val evalSide = sp.filter(col("split") === "test")
+      val trainNg = NearDedup.shingleArrays(train)
+        .select(col("doc_id"), explode(col("sh")).as("ng"))
+        .select(col("doc_id"), ngHash(col("ng")).as("h"))
+      val evalNg = NearDedup.shingleArrays(evalSide)
+        .select(explode(col("sh")).as("ng"))
+        .select(ngHash(col("ng")).as("h")).distinct()
+      val sketch = evalNg.stat.bloomFilter("h", 1L << 20, 0.01)
+      val bcSketch = s.sparkContext.broadcast(sketch)
+      // UDF is justified here: no built-in expression tests a Bloom
+      // sketch; the probe is one hash per row on an 8-byte long.
+      val mightContain = udf((h: Long) => bcSketch.value.mightContain(h))
+      val contaminated = trainNg
+        .filter(mightContain(col("h")))
+        .join(evalNg, Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      train.select("doc_id", "source")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // k docs per stratum (source), chosen by deterministic hash order —
     // the per-domain quota pass of a corpus mix. Never rand(): the md5
     // order is stable across runs/retries/engines (same rationale as
@@ -142,9 +179,11 @@ object Curation {
         .orderBy("doc_id"))
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "decontaminate" ->
-      """WITH h AS (
+  // decontaminate_bloom is the SAME declared semantics as decontaminate
+  // (the Bloom pass is a pure prefilter; the exact verify join removes
+  // every false positive), so both ids share one oracle text.
+  private val decontaminateOracle =
+    """WITH h AS (
         |  SELECT doc_id, source, text,
         |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
         |  FROM documents),
@@ -166,7 +205,11 @@ object Curation {
         |   = CAST('0x' || substring(md5(e.ng),1,14) AS BIGINT))
         |SELECT doc_id, source FROM train
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "decontaminate" -> decontaminateOracle,
+    "decontaminate_bloom" -> decontaminateOracle,
     "stratified_sample" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,

@@ -304,7 +304,27 @@ object VectorOps {
     // recall this (h=6, L=4) config gives at that cosine (~0.23), the
     // result is deterministically non-empty with wide margin.
     "dedup_embed" -> ((s, dir) =>
-      embedNearDup(Tables(s, dir).embeddings, threshold = 0.4))
+      embedNearDup(Tables(s, dir).embeddings, threshold = 0.4)),
+    // symmetric int8 quantization (the storage/ANN-memory path: 4× smaller
+    // vectors, SIMD-friendly int dot products downstream). Per-vector
+    // scale = max|x|/127; q_i = round-half-up(x_i/scale) expressed as
+    // floor(x/scale + 0.5) so both engines share one rounding rule for
+    // negatives (`round` is HALF_UP here, half-away-from-zero in DuckDB).
+    // Pure per-row HOF projection — no shuffle, stays codegen'd; the
+    // 1e-30 floor guards an all-zero vector (division stays finite,
+    // quantized value 0) without a data-dependent branch.
+    "vec_quantize" -> ((s, dir) =>
+      Tables(s, dir).embeddings
+        .withColumn("q_scale",
+          greatest(
+            aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => greatest(acc, abs(x.cast("double")))),
+            lit(1e-30d)) / 127.0d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") / col("q_scale") + 0.5d).cast("int")).as("q"),
+          round(col("q_scale"), 9).as("q_scale"))
+        .orderBy("vec_id"))
   )
 
   /** The exact brute-force path IS oracle-checked: both engines fold the
@@ -334,6 +354,17 @@ object VectorOps {
         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
         |  FROM scored)
         |SELECT q_id, rank, c_id, round(cos, 9) AS cos
-        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "vec_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS q_scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INTEGER)) AS q,
+        |  round(q_scale, 9) AS q_scale
+        |FROM s ORDER BY vec_id""".stripMargin
   )
 }

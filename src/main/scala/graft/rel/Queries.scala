@@ -71,8 +71,8 @@ object Queries {
     "filter_range" -> ((s, dir) =>
       Tables(s, dir).lineitem
         .filter(
-          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
             col("l_quantity").between(10, 20))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
         .orderBy("l_orderkey", "l_linenumber")),
@@ -768,6 +768,109 @@ object Queries {
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q5-shaped headline: region-restricted local-supplier revenue.
+    // Six tables in one plan; the c_nationkey = s_nationkey "local
+    // supplier" predicate rides the lineitem⋈supplier join as a residual.
+    // At 100 TB: nation/region broadcast (tiny dims), customer⋈orders and
+    // orders⋈lineitem key-shuffle under AQE, supplier shuffles on suppkey
+    // — no all-pairs stage, aggregation has map-side partials.
+    "q5_local" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.hint("merge"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(t.supplier,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // TPC-H Q6-shaped headline: the pure scan-filter-aggregate probe.
+    // Every predicate is parquet-pushable (shipdate range, discount band,
+    // quantity cap) and the projection is 2 columns — the id exists to
+    // keep the "filters reach the scan" property measured end-to-end on
+    // the biggest fact table (PlanHygieneSpec asserts the pushdown).
+    "q6_forecast" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q10-shaped headline: returned-item losses per customer,
+    // top 20. Revenue ties broken by c_custkey so the limit is total-
+    // ordered (SURVEY §7.5 determinism rule); TakeOrderedAndProject
+    // keeps the top-k partition-local before the single driver merge.
+    "q10_returns" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.hint("merge"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ntile quartiles per segment — the bucketing window the sampling
+    // family doesn't cover. Order key carries the unique c_custkey
+    // tiebreak so bucket boundaries are total-ordered in both engines.
+    "win_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir).customer
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // grouped top-k: rank window + filter, NOT a global sort — each
+    // group's k survivors are found after one hash shuffle on the group
+    // key, and rows past rank k never leave their partition. At 100 TB
+    // this is the shape for "top sellers per category"-class queries;
+    // a global orderBy+limit would serialize the whole table instead.
+    "topk_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // deterministic mode: count per (group, value) then rank by
+    // (count desc, value) — ties break to the smallest value, unlike the
+    // built-in `mode` whose tie choice is engine-defined (and therefore
+    // un-hashable cross-engine). Two map-side-combinable shuffles.
+    "agg_mode" -> ((s, dir) => {
+      val counts = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n_occurrences"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n_occurrences").desc, col("l_quantity"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n_occurrences"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1124,6 +1227,60 @@ object Queries {
         |  AND o_orderdate < TIMESTAMP '1995-03-15'
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "win_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |                 ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "agg_mode" ->
+      """SELECT l_returnflag, mode_qty, n_occurrences FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n_occurrences,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY count(*) DESC, l_quantity) AS rk
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
   )
 }

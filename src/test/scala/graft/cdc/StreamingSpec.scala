@@ -620,6 +620,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches the batch join, dim broadcast, no stream state") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dim = Seq((0L, "SEG_A"), (1L, "SEG_B"), (2L, "SEG_C"))
+      .toDF("user_id", "segment")
+    val evs = (0 until 40).map(i => (i.toLong, (i % 5).toLong, i * 1.5))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val q = Stream.enrichWithDim(
+      in.toDF().toDF("event_id", "user_id", "value"), dim, key = "user_id")
+      .writeStream.format("memory").queryName("se_t").outputMode("append").start()
+    try {
+      in.addData(evs.take(25): _*); q.processAllAvailable()
+      in.addData(evs.drop(25): _*); q.processAllAvailable()
+      val got = s.table("se_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      val want = evs.toDF("event_id", "user_id", "value").join(dim, Seq("user_id"))
+        .select("user_id", "event_id", "segment")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(want.nonEmpty, "vacuous parity check")
+      assert(got == want, s"stream=$got batch=$want")
+      // inner join against a 3-row dim: users 3 and 4 must be absent
+      assert(got.forall(_._1 <= 2L))
+    } finally q.stop()
+  }
+
   test("session windows group by gap") {
     val s = spark
     import s.implicits._

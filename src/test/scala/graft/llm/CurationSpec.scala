@@ -38,6 +38,19 @@ class CurationSpec extends SparkSpec {
     assert((clean ++ contaminated) == trainIds, "survivors + flagged must partition train")
   }
 
+  test("decontaminate_bloom ≡ decontaminate (prefilter is invisible to the result)") {
+    // the Bloom pass may only DROP work, never rows: false positives are
+    // scrubbed by the exact verify join, false negatives cannot exist
+    // (Bloom filters have none) — so the two ids must agree exactly.
+    val dir = sf("sf0.001")
+    val exact = graft.SparkEntry.queries("decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloom = graft.SparkEntry.queries("decontaminate_bloom")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bloom == exact, "bloom-prefiltered survivors must equal the exact scrub")
+    assert(exact.nonEmpty, "vacuous comparison: no train survivors at sf0.001")
+  }
+
   test("stratified sample takes at most k per stratum, deterministically") {
     val q = graft.SparkEntry.queries("stratified_sample")
     val a = q(spark, sf("sf0.001")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -144,6 +144,27 @@ class SimilaritySpec extends SparkSpec {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 
+  test("vec_quantize: int8 range, exact extremum, bounded reconstruction error") {
+    val s = spark
+    import s.implicits._
+    val raw = Tables(s, sf("sf0.001")).embeddings
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val got = graft.SparkEntry.queries("vec_quantize")(s, sf("sf0.001"))
+      .select("vec_id", "q").as[(Long, Seq[Int])].collect()
+    assert(got.length == raw.size)
+    got.foreach { case (id, q) =>
+      val x = raw(id)
+      val scale = math.max(x.map(v => math.abs(v.toDouble)).max, 1e-30) / 127.0
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      // the max-|x| element must land exactly on ±127 (symmetric scheme)
+      assert(q.map(math.abs).max == 127, s"vec $id extremum not pinned")
+      // round-half-up quantization error is at most scale/2 per element
+      x.zip(q).foreach { case (v, qi) =>
+        assert(math.abs(qi * scale - v) <= scale / 2 + 1e-12, s"vec $id error bound")
+      }
+    }
+  }
+
   test("frame sampling: k frames per doc, monotone schedule, batch-invariant, resize bounded") {
     val media = Multimodal.asMedia(Tables(spark, sf("sf0.001")).documents)
     val f1 = Multimodal.sampleFrames(media).collect().sortBy(f => (f.doc_id, f.frame_idx))

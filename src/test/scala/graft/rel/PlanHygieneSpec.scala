@@ -84,6 +84,23 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("new headliners: q6 pushes every predicate to the scan, q5/q10 avoid cartesian, q10 top-k specialized") {
+    val q6 = planOf("q6_forecast")
+    // the whole point of q6: a narrow read with ALL predicates at the scan
+    // (explain truncates the PushedFilters list, so assert the stable
+    // prefix — all three predicate columns must appear before the cut)
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      q6.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    val rs = q6.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("l_orderkey") && !rs.contains("l_returnflag"), rs)
+    val q5 = planOf("q5_local")
+    assert(!q5.contains("CartesianProduct"), "q5 must stay equi-join only")
+    assert(q5.contains("BroadcastHashJoin"), "nation/region must broadcast in q5")
+    val q10 = planOf("q10_returns")
+    assert(q10.contains("TakeOrderedAndProject"), "q10 top-20 must not globally sort")
+    assert(!q10.contains("CartesianProduct"))
+  }
+
   test("curation plans: decontaminate is semi+anti join, seq_pack is one window") {
     val d = planOf("decontaminate")
     // the scrub must be set-membership joins, never a pair blowup
