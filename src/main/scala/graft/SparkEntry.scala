@@ -43,7 +43,8 @@ object SparkEntry {
       llm.Multimodal.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries,
-      sources.CsvSpool.queries), "query")
+      sources.CsvSpool.queries,
+      sources.OrcSource.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -60,5 +61,6 @@ object SparkEntry {
       llm.Multimodal.oracleSql,
       sources.AvroCodec.oracleSql,
       sources.JdbcSource.oracleSql,
-      sources.CsvSpool.oracleSql), "oracle")
+      sources.CsvSpool.oracleSql,
+      sources.OrcSource.oracleSql), "oracle")
 }

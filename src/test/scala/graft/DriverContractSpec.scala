@@ -48,7 +48,8 @@ class DriverContractSpec extends AnyFunSuite {
       cdc.CdcQueries.queries, rel.Queries.queries, llm.TextOps.queries,
       llm.Curation.queries, llm.Sampling.queries, llm.NearDedup.queries,
       llm.VectorOps.queries, llm.Multimodal.queries, sources.AvroCodec.queries,
-      sources.JdbcSource.queries, sources.CsvSpool.queries)
+      sources.JdbcSource.queries, sources.CsvSpool.queries,
+      sources.OrcSource.queries)
     val ids = all.flatMap(_.keys)
     val dupes = ids.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query ids: $dupes")
