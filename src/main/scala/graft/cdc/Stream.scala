@@ -452,12 +452,19 @@ object Stream {
   def intervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      within: String, watermark: String): DataFrame = {
+      within: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
+    // for OUTER variants the time bound must live in the ON clause (a
+    // post-filter would drop the null-padded rows and silently turn the
+    // join inner), and it is also what lets Spark emit the unmatched
+    // left row at a DEFINITE point: once the right watermark passes
+    // leftTs + within, no future match can arrive, so the null row is
+    // final — late outer results are impossible by construction.
     l.join(r, expr(
       s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
-        s"r.$rightTs <= l.$leftTs + interval $within"))
+        s"r.$rightTs <= l.$leftTs + interval $within"), joinType)
   }
 
   /** Stream-static enrichment: each micro-batch of the feed joins a

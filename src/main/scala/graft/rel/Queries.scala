@@ -726,6 +726,28 @@ object Queries {
         .orderBy("user_id", "click_id", "err_id")
     }),
 
+    // LEFT OUTER twin of stream_join: clicks with no error within the
+    // hour surface with a null err_id. The interval predicate lives in
+    // the join CONDITION, not a post-filter — filtering after an outer
+    // join silently makes it inner; in the streaming form
+    // (Stream.intervalJoin(joinType="left_outer"), StreamingSpec) the
+    // same ON-clause bound is what lets the null row be emitted finally
+    // once the right watermark passes click_ts + 60 min.
+    "stream_join_outer" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_uid"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+      clicks.join(errors,
+          col("c_uid") === col("e_uid") &&
+            col("err_ts") >= col("click_ts") &&
+            col("err_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"),
+          "left_outer")
+        .select(col("c_uid").as("user_id"), col("click_id"), col("err_id"))
+        .orderBy("user_id", "click_id", "err_id")
+    }),
+
     // sliding (overlapping) windows: every event lands in width/slide
     // buckets; mirrored in the oracle by explicit offset expansion
     "stream_sliding" -> ((s, dir) =>
@@ -1195,6 +1217,13 @@ object Queries {
         |FROM events c JOIN events e
         |  ON c.user_id = e.user_id
         | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "stream_join_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
         | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
     "stream_sliding" ->

@@ -620,6 +620,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: null rows emitted after watermark, matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1704067200000L
+    def t(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    // 6 users clicking; errors only for users 0-2 → users 3-5's clicks
+    // must surface null-padded, but ONLY once the watermark passes
+    val clicks = (0 until 24).map(i => (i.toLong, (i % 6).toLong, t(i * 13)))
+    val errors = (0 until 12).map(i => (100L + i, (i % 3).toLong, t(i * 19)))
+    val cIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val eIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = Stream.intervalJoin(
+      cIn.toDF().toDF("click_id", "user_id", "click_ts"),
+      eIn.toDF().toDF("err_id", "user_id", "err_ts"),
+      key = "user_id", leftTs = "click_ts", rightTs = "err_ts",
+      within = "30 minutes", watermark = "10 minutes", joinType = "left_outer")
+      .select($"l.user_id", $"click_id", $"err_id")
+    val q = joined.writeStream.format("memory").queryName("sjo_t")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks: _*); eIn.addData(errors: _*)
+      q.processAllAvailable()
+      val early = s.table("sjo_t").collect()
+      // far-future flush on BOTH sides closes every outer window
+      cIn.addData((9999L, 0L, t(10000))); eIn.addData((9998L, 0L, t(10000)))
+      q.processAllAvailable()
+      val got = s.table("sjo_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .filterNot(p => p._2 == 9999L || p._3 == 9998L).toSet
+      val cdf = clicks.toDF("click_id", "user_id", "click_ts").alias("c")
+      val edf = errors.toDF("err_id", "user_id", "err_ts").alias("e")
+      val want = cdf.join(edf, org.apache.spark.sql.functions.expr(
+          "c.user_id = e.user_id AND e.err_ts >= c.click_ts AND " +
+            "e.err_ts <= c.click_ts + interval 30 minutes"), "left_outer")
+        .select($"c.user_id", $"click_id", $"err_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(want.exists(_._3 == -1L), "fixture must produce unmatched clicks")
+      assert(got == want, s"stream=$got batch=$want")
+      // the null-padded rows must NOT have been emitted before the flush
+      // advanced the watermark past their windows' close
+      val earlyNulls = early.count(_.isNullAt(2))
+      val finalNulls = got.count(_._3 == -1L)
+      assert(earlyNulls < finalNulls,
+        s"outer rows finalized too eagerly: $earlyNulls before flush, $finalNulls after")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches the batch join, dim broadcast, no stream state") {
     val s = spark
     import s.implicits._
