@@ -428,9 +428,16 @@ object Queries {
     }),
 
     "win_running" -> ((s, dir) => {
+      // order key carries l_partkey: (orderkey, linenumber) is NOT
+      // unique in the fixtures (457k distinct over 600k rows at sf0.1),
+      // and a ROWS frame over a tied order is engine-order-dependent —
+      // the sf0.01 check passed only because no tie landed in one
+      // partition there. (l_suppkey, shipdate, orderkey, linenumber,
+      // partkey) is verified unique at both scales.
       val w = Window
         .partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir).lineitem
         .withColumn("run_qty", sum(col("l_quantity")).over(w))
@@ -1064,7 +1071,7 @@ object Queries {
     "win_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
         |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "funnel" ->

@@ -101,6 +101,18 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!q10.contains("CartesianProduct"))
   }
 
+  test("late-round-6 plans: enrich broadcasts the dim, bloom-scrub stays semi+anti, outer interval join is one equi-join") {
+    val e = planOf("stream_enrich")
+    assert(e.contains("BroadcastHashJoin"), "dim side must broadcast in stream_enrich")
+    val b = planOf("decontaminate_bloom")
+    assert(b.contains("LeftSemi") && b.contains("LeftAnti"), b.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!b.contains("CartesianProduct"), "bloom scrub must never pair-blow-up")
+    val o = planOf("stream_join_outer")
+    // equi on user + residual time bounds; outer must not degrade to BNLJ
+    assert(!o.contains("CartesianProduct") && !o.contains("BroadcastNestedLoopJoin"),
+      o.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("curation plans: decontaminate is semi+anti join, seq_pack is one window") {
     val d = planOf("decontaminate")
     // the scrub must be set-membership joins, never a pair blowup
