@@ -297,10 +297,13 @@ object CdcQueries {
         .withColumn("p_value", lag(col("value"), 1).over(w))
         .withColumn("p_props", lag(col("props"), 1).over(w))
         .filter(col("op") === "u" && col("p_scn").isNotNull)
-        .withColumn("changed", array_compact(array(
+        // canonical string at the query boundary (round-1 rule, same as
+        // agg_collect): the driver's pandas compare cannot sort list
+        // columns, so the changed-column set is emitted comma-joined.
+        .withColumn("changed", array_join(array_compact(array(
           when(!(col("event_type") <=> col("p_event_type")), lit("event_type")),
           when(!(col("value") <=> col("p_value")), lit("value")),
-          when(!(col("props") <=> col("p_props")), lit("props")))))
+          when(!(col("props") <=> col("p_props")), lit("props")))), ","))
         .select("scn", "id", "changed")
         .orderBy("scn")
     }),
@@ -430,11 +433,11 @@ object CdcQueries {
          |    lag(props) OVER w AS p_props
          |  FROM feed WINDOW w AS (PARTITION BY id ORDER BY scn))
          |SELECT scn, id,
-         |  list_filter([
+         |  array_to_string(list_filter([
          |    CASE WHEN event_type IS DISTINCT FROM p_event_type THEN 'event_type' END,
          |    CASE WHEN value IS DISTINCT FROM p_value THEN 'value' END,
          |    CASE WHEN props IS DISTINCT FROM p_props THEN 'props' END],
-         |    x -> x IS NOT NULL) AS changed
+         |    x -> x IS NOT NULL), ',') AS changed
          |FROM d WHERE op = 'u' AND p_scn IS NOT NULL ORDER BY scn""".stripMargin,
     "stream_enrich" ->
       s"""$feedCte SELECT scn, f.id AS id, c_mktsegment, event_type, value

@@ -36,6 +36,31 @@ object Curation {
       lit(1), size(ws) - 1)
   }
 
+  /** Eval-side distinct shingle-hash table, memoized per (session, dir)
+    * like [[NearDedup.shingled]]: it feeds BOTH the Bloom-sketch action
+    * and the verify semi-join's build side in `decontaminate_bloom`
+    * (plus the plain `decontaminate`) — unpersisted, the eval-side
+    * scan+shingle+hash pipeline would execute once per reference,
+    * exactly the work the Bloom pass exists to save. Small by
+    * construction (distinct 8-byte hashes of the eval split's shingles);
+    * same stopped-session eviction as the other per-corpus caches.
+    */
+  private val evalNgCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def evalNgHashes(s: SparkSession, dir: String): DataFrame = {
+    evalNgCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    evalNgCache.computeIfAbsent((s, dir), _ => {
+      val evalSide = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
+        .filter(col("split") === "test")
+      NearDedup.shingleArrays(evalSide)
+        .select(explode(col("sh")).as("ng"))
+        .select(Sampling.hashBucket(col("ng"), hexDigits = 14).as("h"))
+        .distinct()
+        .persist()
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // test-set decontamination: drop every train doc sharing ANY 3-word
@@ -50,15 +75,11 @@ object Curation {
       def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
       val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
       val train = sp.filter(col("split") === "train")
-      val evalSide = sp.filter(col("split") === "test")
       val trainNg = NearDedup.shingleArrays(train)
         .select(col("doc_id"), explode(col("sh")).as("ng"))
         .select(col("doc_id"), ngHash(col("ng")).as("h"))
-      val evalNg = NearDedup.shingleArrays(evalSide)
-        .select(explode(col("sh")).as("ng"))
-        .select(ngHash(col("ng")).as("h")).distinct()
       val contaminated = trainNg
-        .join(evalNg, Seq("h"), "left_semi")
+        .join(evalNgHashes(s, dir), Seq("h"), "left_semi")
         .select("doc_id").distinct()
       train.select("doc_id", "source")
         .join(contaminated, Seq("doc_id"), "left_anti")
@@ -81,13 +102,13 @@ object Curation {
       def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
       val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
       val train = sp.filter(col("split") === "train")
-      val evalSide = sp.filter(col("split") === "test")
       val trainNg = NearDedup.shingleArrays(train)
         .select(col("doc_id"), explode(col("sh")).as("ng"))
         .select(col("doc_id"), ngHash(col("ng")).as("h"))
-      val evalNg = NearDedup.shingleArrays(evalSide)
-        .select(explode(col("sh")).as("ng"))
-        .select(ngHash(col("ng")).as("h")).distinct()
+      // the memoized eval-side hash table feeds BOTH the bloomFilter
+      // action and the verify semi-join's build side — computed once,
+      // not once per reference (see evalNgHashes).
+      val evalNg = evalNgHashes(s, dir)
       val sketch = evalNg.stat.bloomFilter("h", 1L << 20, 0.01)
       val bcSketch = s.sparkContext.broadcast(sketch)
       // UDF is justified here: no built-in expression tests a Bloom

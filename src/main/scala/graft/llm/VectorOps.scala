@@ -321,8 +321,14 @@ object VectorOps {
               (acc, x) => greatest(acc, abs(x.cast("double")))),
             lit(1e-30d)) / 127.0d)
         .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") / col("q_scale") + 0.5d).cast("int")).as("q"),
+          // canonical string at the query boundary (round-1 rule, same as
+          // agg_collect/change_diff): pandas in the driver's comparator
+          // cannot sort/hash an array column, so the quantized vector is
+          // emitted comma-joined. SimilaritySpec keeps its numeric checks
+          // on the pre-join int representation.
+          array_join(transform(col("embedding"),
+            x => floor(x.cast("double") / col("q_scale") + 0.5d)
+              .cast("int").cast("string")), ",").as("q"),
           round(col("q_scale"), 9).as("q_scale"))
         .orderBy("vec_id"))
   )
@@ -362,8 +368,8 @@ object VectorOps {
         |      x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS q_scale
         |  FROM embeddings)
         |SELECT vec_id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INTEGER)) AS q,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q,
         |  round(q_scale, 9) AS q_scale
         |FROM s ORDER BY vec_id""".stripMargin
   )

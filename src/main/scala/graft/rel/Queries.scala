@@ -439,10 +439,16 @@ object Queries {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // l_partkey also travels to the output and the trailing sort: the
+      // window ORDER is total only WITH it, so the dumped parquet's row
+      // order must key on it too — otherwise rows tied on the first four
+      // keys (with different run_qty) land in either order.
       Tables(s, dir).lineitem
         .withColumn("run_qty", sum(col("l_quantity")).over(w))
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "run_qty")
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_shipdate", "run_qty")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_partkey")
     }),
 
     // Funnel / event-sequence detection (view → click → purchase, in
@@ -1069,11 +1075,12 @@ object Queries {
         |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "win_running" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_shipdate,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
-        |FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey""".stripMargin,
     "funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, event_type, ts, event_id,

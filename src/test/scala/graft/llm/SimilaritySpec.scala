@@ -149,8 +149,11 @@ class SimilaritySpec extends SparkSpec {
     import s.implicits._
     val raw = Tables(s, sf("sf0.001")).embeddings
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    // `q` is comma-joined at the query boundary (driver comparator can't
+    // sort arrays); the numeric checks run on the parsed int vector.
     val got = graft.SparkEntry.queries("vec_quantize")(s, sf("sf0.001"))
-      .select("vec_id", "q").as[(Long, Seq[Int])].collect()
+      .select("vec_id", "q").as[(Long, String)].collect()
+      .map { case (id, qs) => (id, qs.split(',').toSeq.map(_.toInt)) }
     assert(got.length == raw.size)
     got.foreach { case (id, q) =>
       val x = raw(id)

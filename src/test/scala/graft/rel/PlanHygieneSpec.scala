@@ -86,11 +86,14 @@ class PlanHygieneSpec extends SparkSpec {
 
   test("new headliners: q6 pushes every predicate to the scan, q5/q10 avoid cartesian, q10 top-k specialized") {
     val q6 = planOf("q6_forecast")
-    // the whole point of q6: a narrow read with ALL predicates at the scan
-    // (explain truncates the PushedFilters list, so assert the stable
-    // prefix — all three predicate columns must appear before the cut)
-    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
-      q6.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // the whole point of q6: a narrow read with ALL predicates at the
+    // scan. Filter ORDER inside PushedFilters is not contractual (the
+    // optimizer may reorder across versions), so assert each predicate
+    // column's presence on the PushedFilters line individually.
+    val q6Pushed = q6.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(q6Pushed.contains(c), s"$c must reach the scan:\n$q6Pushed")
+    }
     val rs = q6.linesIterator.find(_.contains("ReadSchema")).get
     assert(!rs.contains("l_orderkey") && !rs.contains("l_returnflag"), rs)
     val q5 = planOf("q5_local")
