@@ -221,11 +221,24 @@ object Queries {
 
     "agg_approx" -> ((s, dir) =>
       // HLL sketch — no exact DuckDB hash-match possible (SURVEY §2.5);
-      // verified by tolerance in ScalaTest, rows-only here.
+      // verified by tolerance in ScalaTest, rows-only for the driver.
+      // The tolerance is ALSO asserted in the query itself: `within_tol`
+      // compares the sketch against the exact distinct counts (3×
+      // the default 5% rsd ≈ 3σ), computed in the same pass. HLL merge
+      // is order-insensitive, so the column is deterministic — a sketch
+      // accuracy regression flips it to false in the dumped parquet,
+      // giving the rows-only check real signal instead of "1 row".
       Tables(s, dir).lineitem
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("approx_parts"), col("approx_orders"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+             col("exact_parts") * 0.15 &&
+           abs(col("approx_orders") - col("exact_orders")) <=
+             col("exact_orders") * 0.15).as("within_tol"))),
 
     "agg_rollup" -> ((s, dir) =>
       Tables(s, dir).orders
@@ -350,13 +363,22 @@ object Queries {
     // the 100 TB percentile path (see agg_percentile): mergeable
     // error-bounded sketches with map-side partials. Sketch internals are
     // engine-specific → rows-only for the driver; accuracy vs the exact
-    // form is asserted in ApproxSpec
+    // form is asserted in ApproxSpec AND in the query itself:
+    // `within_tol` checks the sketch percentiles against the exact
+    // sort-based ones (same pass, 5% relative), so the dumped parquet
+    // carries a deterministic accuracy verdict the rows-only check sees.
     "agg_approx_pct" -> ((s, dir) =>
       Tables(s, dir).lineitem
         .groupBy("l_returnflag")
         .agg(
           approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("qty_p50"),
-          approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("price_p90"))
+          approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("price_p90"),
+          expr("percentile(l_quantity, 0.5)").as("x50"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)").as("x90"))
+        .select(col("l_returnflag"), col("qty_p50"), col("price_p90"),
+          (abs(col("qty_p50") - col("x50")) <= abs(col("x50")) * 0.05 &&
+           abs(col("price_p90") - col("x90")) <= abs(col("x90")) * 0.05)
+            .as("within_tol"))
         .orderBy("l_returnflag")),
 
     // map-typed column surface: construct, look up, reshape — outputs

@@ -67,4 +67,19 @@ class ApproxSpec extends SparkSpec {
         s"p50($flag): exact=$e approx=$a")
     }
   }
+
+  test("in-query within_tol verdicts hold on both approx ids (the rows-only signal)") {
+    // agg_approx / agg_approx_pct assert their own accuracy in a
+    // deterministic `within_tol` column (the driver's rows-only check
+    // sees it in the dumped parquet); pin it true at both small SFs.
+    Seq("sf0.001", "sf0.01").foreach { scale =>
+      Seq("agg_approx", "agg_approx_pct").foreach { id =>
+        val rows = SparkEntry.queries(id)(spark, sf(scale)).collect()
+        assert(rows.nonEmpty, s"$id at $scale returned no rows")
+        rows.foreach { r =>
+          assert(r.getAs[Boolean]("within_tol"), s"$id at $scale: $r")
+        }
+      }
+    }
+  }
 }
