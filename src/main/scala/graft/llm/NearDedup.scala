@@ -147,15 +147,60 @@ object NearDedup {
     * all distributed; the driver only checks the convergence counter.
     * The fixpoint is unique (min reachable id) regardless of execution
     * order, so the DuckDB recursive-CTE oracle matches exactly.
+    *
+    * Adaptive execution: the edge list is counted first, and a graph at
+    * or under `driverEdgeLimit` runs exact union-find ON THE DRIVER —
+    * identical labels (union-by-min-root makes every root its
+    * component's minimum id), two Spark jobs total instead of the
+    * loop's ~6+ (the distributed rounds cost ~2.3 s of pure job
+    * overhead on a 185-edge graph, measured at sf0.1). The collect is
+    * bounded BY THE THRESHOLD ITSELF (100k edges × 16 B ≈ 1.6 MB),
+    * not by an assumption about the data: one edge past the limit and
+    * the distributed min-label loop below runs instead — that loop is
+    * the 100 TB path, the driver path is the low-latency path every
+    * real near-dup batch (a few thousand verified pairs at most) takes.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // pairs feeds the edge union twice (forward + reverse); Catalyst's
-    // exchange reuse dedups the upstream pair pipeline, so no persist.
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      driverEdgeLimit: Int = 100000): DataFrame = {
+    val fwd = pairs.select(col("doc1").as("a"), col("doc2").as("b")).persist()
+    val m = fwd.count()
+    if (m <= driverEdgeLimit) {
+      try {
+        val es = fwd.select(col("a").cast("long"), col("b").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        lastCcRounds.set(1)
+        val session = pairs.sparkSession
+        import session.implicits._
+        parent.keys.toSeq.sorted.map(k => (k, find(k)))
+          .toDF("doc_id", "cluster_id")
+      } finally fwd.unpersist()
+    } else connectedComponentsLoop(fwd, maxIters)
+  }
+
+  /** The distributed min-label loop ([[connectedComponents]]' large-graph
+    * path). `fwd` arrives persisted and is released here.
+    */
+  private def connectedComponentsLoop(fwd: DataFrame, maxIters: Int): DataFrame = {
+    // fwd is persisted by the caller (it was counted for the path
+    // choice), so the reverse branch replays it from cache.
     // No distinct(): min-aggregation is duplicate-insensitive, so paying
     // a whole shuffle to dedup edges buys nothing (candidates() output is
     // unique (doc1<doc2) pairs anyway — forward and reverse can't collide).
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+    val edges = fwd
+      .unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
       .persist()
     // Fused round 1: label = min(self, direct neighbors) in ONE aggregate
     // over the edges — identical to initializing label=self and running
@@ -233,6 +278,7 @@ object NearDedup {
       // inherit orphaned cache entries it has no handle to free
       labels.unpersist()
       edges.unpersist()
+      fwd.unpersist()
     }
   }
 
@@ -285,40 +331,60 @@ object NearDedup {
       def buckets(df: DataFrame): DataFrame = df.select(
         col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "band_sig")))
-      // new↔state collisions: one key-shuffle join on (band, band_sig).
-      // The state side needs the SAME mega-bucket cap as candidates():
-      // band collision does not imply near-duplication (a band_sig is
-      // two minhashes — one boilerplate shingle minimal under both
-      // salts gives every doc containing it the same sig), so pairwise
-      // non-dup state docs can still pile into one bucket, and an
-      // uncapped hot (band, band_sig) key would emit
-      // |batch bucket| × |state bucket| rows in one straggler task.
+      // ONE bucket aggregation over batch + state buckets together:
+      // each (band, band_sig) bucket collects its new ids and old ids
+      // side by side, and both pair families — new↔new (the
+      // candidates() shape) and new↔state — are emitted in-task from
+      // the same aggregated row. The previous formulation ran three
+      // separate shuffle pipelines for the same pair multiset
+      // (candidates' bucket agg + a state-side window cap + the
+      // batch⋈state bucket join, ~2 s of the measured per-batch cost at
+      // sf0.1); this is one key-shuffle plus the shared distinct.
+      //
+      // Caps preserved exactly: new↔new needs 2..maxBucket NEW members
+      // (candidates()' rule) and new↔state needs 1..maxBucket OLD
+      // members (the state-side cap — band collision does not imply
+      // near-duplication: a band_sig is two minhashes, so one
+      // boilerplate shingle minimal under both salts gives every doc
+      // containing it the same sig, and an uncapped hot key would emit
+      // |batch bucket| × |state bucket| rows in one straggler task).
       // Dropped oversized buckets lose nothing real: genuine near-dups
       // still collide in one of the other B-1 bands.
-      val stateBucketsOk = buckets(state)
-        .select(col("doc_id").as("old_id"), col("band"), col("band_sig"))
-        .withColumn("bn", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("band_sig"))))
-        .filter(col("bn") <= maxBucket)
-        .drop("bn")
-      val newOld = buckets(newBanded)
-        .join(stateBucketsOk, Seq("band", "band_sig"))
-        .select(col("doc_id").as("doc1"), col("old_id").as("doc2"))
-        .distinct()
+      val bucketed = buckets(newBanded).withColumn("is_new", lit(true))
+        .unionByName(buckets(state).withColumn("is_new", lit(false)))
+        .groupBy("band", "band_sig")
+        .agg(
+          sort_array(collect_list(when(col("is_new"), col("doc_id")))).as("ns"),
+          sort_array(collect_list(when(!col("is_new"), col("doc_id")))).as("os"))
+      val newNew = bucketed
+        .filter(size(col("ns")).between(2, maxBucket))
+        .select(posexplode(col("ns")).as(Seq("i", "doc1")), col("ns"))
+        .select(col("doc1"),
+          explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("doc2"))
+      val newOld = bucketed
+        .filter(size(col("ns")) >= 1 && size(col("os")).between(1, maxBucket))
+        .select(explode(col("ns")).as("doc1"), col("os"))
+        .select(col("doc1"), explode(col("os")).as("doc2"))
       val arrs = newBanded.select("doc_id", "sh")
         .unionByName(state.select("doc_id", "sh"))
-      val dupEdges = jaccard(candidates(newBanded, maxBucket).unionByName(newOld), arrs)
+      // The verified pair set is persisted and counted ONCE: the count
+      // is the steady-state fast-path probe (a clean batch — no dup edge
+      // at all, the common case once the corpus is deduped — admits
+      // every doc and skips the CC run, the dominant per-batch fixed
+      // cost), and on the non-empty path the CC's two edge-union
+      // branches then replay the banding+Jaccard pipeline from cache
+      // instead of re-executing it. `return` still runs finally.
+      val dupEdges = jaccard(newNew.unionByName(newOld).distinct(), arrs)
         .filter(col("jacc") >= 0.5)
         .select("doc1", "doc2")
-      // Steady-state fast-path: a clean batch (no verified duplicate
-      // edge at all — the common case once the corpus is deduped) admits
-      // every doc, so the CC run — a chain of driver-coordinated jobs
-      // and the dominant per-batch fixed cost — is skipped entirely.
-      // isEmpty is a limit-1 probe of the pair pipeline the CC would
-      // have executed anyway; `return` still runs the finally-unpersist.
-      if (dupEdges.isEmpty) return newBanded.localCheckpoint()
-      val cc = connectedComponents(dupEdges)
+        .persist()
+      if (dupEdges.count() == 0) {
+        dupEdges.unpersist()
+        return newBanded.localCheckpoint()
+      }
+      val cc =
+        try connectedComponents(dupEdges)
+        finally dupEdges.unpersist()
       val oldIds = state.select(col("doc_id"))
       // per component: reject if any state member; else keep the min NEW id
       val verdicts = cc

@@ -52,14 +52,20 @@ class NearDedupSpec extends SparkSpec {
     import s.implicits._
     // planted 13-node chain (diameter 12): min-label propagation needs
     // ~diameter rounds, so this exercises the localCheckpoint path
-    // (every 5th round) AND converges well inside the default cap
+    // (every 5th round) AND converges well inside the default cap.
+    // driverEdgeLimit = 0 forces the DISTRIBUTED loop (a 12-edge graph
+    // would otherwise take the driver union-find fast-path).
     val chain = (1L to 12L).map(i => (i, i + 1)).toDF("doc1", "doc2")
-    val got = NearDedup.connectedComponents(chain)
+    val got = NearDedup.connectedComponents(chain, driverEdgeLimit = 0)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(got.keySet == (1L to 13L).toSet && got.values.forall(_ == 1L))
+    // the default-path (driver union-find) labels must agree exactly
+    val gotDriver = NearDedup.connectedComponents(chain)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(gotDriver == got, "driver union-find must match the distributed loop")
     // and a cap below the diameter fails loudly instead of spinning
     val e = intercept[IllegalStateException] {
-      NearDedup.connectedComponents(chain, maxIters = 3).collect()
+      NearDedup.connectedComponents(chain, maxIters = 3, driverEdgeLimit = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
