@@ -123,6 +123,28 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // cross-source contamination audit: for every source pair, the count
+    // of distinct 3-word shingles present in BOTH — the leakage matrix a
+    // multi-domain corpus build checks before mixing. Inverted-index
+    // shape: (source, shingle) is DISTINCT'd first, so the shingle-key
+    // self-join fans out at most |sources|² rows per shingle (sources
+    // are a config-scale handful, not corpus-scale) and the output is
+    // |sources|²/2 rows. Same shingle definition as decontaminate /
+    // the dedup family (NearDedup.shingleArrays).
+    "source_overlap" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sng = NearDedup.shingleArrays(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode(col("sh")).as("ng"))
+        .distinct()
+      sng.select(col("source").as("s1"), col("ng"))
+        .join(sng.select(col("source").as("s2"), col("ng")), "ng")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(countDistinct(col("ng")).as("n_shared"))
+        .orderBy("s1", "s2")
+    }),
+
     // k docs per stratum (source), chosen by deterministic hash order —
     // the per-domain quota pass of a corpus mix. Never rand(): the md5
     // order is stable across runs/retries/engines (same rationale as
@@ -231,6 +253,15 @@ object Curation {
   def oracleSql: Map[String, String] = Map(
     "decontaminate" -> decontaminateOracle,
     "decontaminate_bloom" -> decontaminateOracle,
+    "source_overlap" ->
+      """WITH sng AS (
+        |  SELECT DISTINCT source, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS ng
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT a.source AS s1, b.source AS s2, count(DISTINCT a.ng) AS n_shared
+        |FROM sng a JOIN sng b ON b.ng = a.ng AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stratified_sample" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,

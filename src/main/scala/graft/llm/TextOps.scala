@@ -217,6 +217,56 @@ object TextOps {
           count(lit(1)).as("n_docs"),
           sum(nWords).cast("long").as("total_tokens"))
         .orderBy("source", "split")
+    }),
+
+    // per-doc TF-IDF keywords (top-3): the classic feature-extraction /
+    // keyword-audit pass. Two map-side-combinable aggregations (term
+    // frequency per doc, document frequency per term) + one per-doc
+    // window — no all-pairs stage; the corpus size N rides in as a
+    // 1-row broadcast. Ranking keys on the ROUNDED score + term so the
+    // top-3 cut is deterministic and engine-agnostic (an unrounded
+    // order could break ties differently across engines at 1e-9).
+    "tfidf_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // corpus vocabulary with cumulative coverage — the tokenizer-training
+    // input (which terms cover X% of the token stream). The groupBy count
+    // is the distributed part (the only corpus-sized stage, map-side
+    // combinable); the ordered window runs over the COUNT TABLE, which is
+    // vocabulary-sized (≪ corpus — the standard reason vocab builds are
+    // cheap even at 100 TB), so its single-partition sort is bounded.
+    "vocab_coverage" -> ((s, dir) => {
+      val counts = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term"))
+      counts
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(
+          ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("total", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("term"), col("cnt"),
+          round(col("cum").cast("double") / col("total"), 6).as("cum_frac"))
+        .orderBy("rank")
     })
   )
 
@@ -349,6 +399,34 @@ object TextOps {
         |  FROM deduped)
         |SELECT source, split, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-        |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+        |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "tfidf_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    round(t.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df), 6) AS tfidf
+        |  FROM tf t JOIN df d ON d.term = t.term)
+        |SELECT doc_id, rank, term, tfidf FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text,' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |ranked AS (
+        |  SELECT term, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS total
+        |  FROM counts)
+        |SELECT rank, term, cnt, round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
   )
 }

@@ -313,6 +313,38 @@ object VectorOps {
     // Pure per-row HOF projection — no shuffle, stays codegen'd; the
     // 1e-30 floor guards an all-zero vector (division stays finite,
     // quantized value 0) without a data-dependent branch.
+    // embedding-cluster quality audit: per label, the 3 vectors LEAST
+    // cosine-similar to their label's centroid — the outlier-filtering
+    // pass an embedding-curated corpus runs before training. The
+    // centroid is computed in "transposed" form (posexplode to
+    // (label, dim, x) → avg per (label, dim)): both aggregations are
+    // map-side combinable, the dim-blowup is the standard transpose
+    // cost (rows × dims, each row narrow), and the centroid table is
+    // labels × dims — tiny, so AQE broadcasts it back into the per-
+    // vector join. Ranking keys on the ROUNDED cosine + vec_id so the
+    // bottom-3 cut is deterministic across engines.
+    "embed_outliers" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("vec_id"), col("i"), col("x").cast("double").as("x"))
+      val cent = e.groupBy("label", "i").agg(avg(col("x")).as("c"))
+      val scored = e.join(cent, Seq("label", "i"))
+        .groupBy("label", "vec_id")
+        .agg(
+          sum(col("x") * col("c")).as("dot"),
+          sum(col("x") * col("x")).as("nx"),
+          sum(col("c") * col("c")).as("nc"))
+        .withColumn("cos", round(col("dot") / sqrt(col("nx") * col("nc")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("cos"), col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("label", "rank", "vec_id", "cos")
+        .orderBy("label", "rank")
+    }),
+
     "vec_quantize" -> ((s, dir) =>
       Tables(s, dir).embeddings
         .withColumn("q_scale",
@@ -361,6 +393,23 @@ object VectorOps {
         |  FROM scored)
         |SELECT q_id, rank, c_id, round(cos, 9) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "embed_outliers" ->
+      """WITH e AS (
+        |  SELECT label, vec_id,
+        |    unnest(range(1, len(embedding)+1)) AS i,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(sum(e.x * c.c) / sqrt(sum(e.x * e.x) * sum(c.c * c.c)), 6) AS cos
+        |  FROM e JOIN cent c ON c.label = e.label AND c.i = e.i
+        |  GROUP BY 1, 2)
+        |SELECT label, rank, vec_id, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY cos, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
     "vec_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -127,4 +127,62 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((5L, 1L, 0.2)))
     assert(!got.contains(3L))
   }
+
+  test("source_overlap: symmetric pair matrix, counts shared distinct shingles, self-pairs excluded") {
+    val got = graft.SparkEntry.queries("source_overlap")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // canonical ordering: every key has s1 < s2, so no self/mirror pairs
+    assert(got.keys.forall { case (a, b) => a < b })
+    // spot-verify one pair against a direct distinct-shingle intersection
+    val ((a, b), n) = got.head
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    def shingleSet(src: String) =
+      NearDedup.shingleArrays(docs.filter(col("source") === src))
+        .select(explode(col("sh")).as("ng")).distinct()
+        .collect().map(_.getString(0)).toSet
+    assert(shingleSet(a).intersect(shingleSet(b)).size.toLong == n)
+  }
+
+  test("vocab_coverage: cumulative fraction is monotone and ends at the top-50 token share") {
+    val rows = graft.SparkEntry.queries("vocab_coverage")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1L to rows.length))
+    // counts are non-increasing in rank; cum_frac strictly increases to ≤1
+    assert(rows.toSeq.sliding(2).forall {
+      case Seq(x, y) => x._3 >= y._3 && x._4 < y._4
+      case _ => true
+    })
+    assert(rows.last._4 <= 1.0 + 1e-9)
+    // the synthetic fixture vocabulary is tiny, so top-50 covers it all
+    assert(math.abs(rows.last._4 - 1.0) < 1e-6)
+  }
+
+  test("tfidf_topk: corpus-wide terms score zero, rarer terms outrank common ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta common"), (1L, "alpha gamma common"),
+      (2L, "delta gamma common")).toDF("doc_id", "text")
+    // replicate the operator inline on a planted corpus (queries() is
+    // fixture-bound; semantics are what this spec pins)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    val top = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // 'common' is in every doc → idf ln(1)=0; the unique term wins each doc
+    assert(top == Map(0L -> "beta", 1L -> "alpha", 2L -> "delta"))
+    // and the real fixture-bound query returns exactly 3 ranked rows per doc
+    val real = graft.SparkEntry.queries("tfidf_topk")(spark, sf("sf0.001"))
+    val perDoc = real.groupBy("doc_id").agg(count(lit(1)).as("k"), max(col("rank")).as("mx"))
+      .collect()
+    assert(perDoc.forall(r => r.getAs[Long]("k") == 3L && r.getAs[Long]("mx") == 3L))
+  }
 }

@@ -168,6 +168,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed_outliers: 3 per label, ascending centroid-cosine, bounded range") {
+    val rows = graft.SparkEntry.queries("embed_outliers")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("rank"), r.getAs[Double]("cos")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (label, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"label $label ranks")
+      val byRank = rs.sortBy(_._2).map(_._3)
+      // rank 1 is the FURTHEST from the centroid (smallest cosine)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b }, s"label $label order")
+      assert(rs.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+    }
+  }
+
   test("frame sampling: k frames per doc, monotone schedule, batch-invariant, resize bounded") {
     val media = Multimodal.asMedia(Tables(spark, sf("sf0.001")).documents)
     val f1 = Multimodal.sampleFrames(media).collect().sortBy(f => (f.doc_id, f.frame_idx))
