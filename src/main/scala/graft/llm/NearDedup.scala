@@ -477,7 +477,7 @@ object NearDedup {
     })
   }
 
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def shingled(s: SparkSession, dir: String): DataFrame = {
     // evict entries of STOPPED sessions on every access: the map would
     // otherwise pin dead sessions (and their plans) forever in a JVM that
     // cycles sessions, e.g. repeated test suites. Limitation (documented,
