@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -45,6 +46,13 @@ object Curation {
     * construction (distinct 8-byte hashes of the eval split's shingles);
     * same stopped-session eviction as the other per-corpus caches.
     */
+  /** Email-or-digit-run mask for `pii_redact` — alternation only, no
+    * backreferences/lookaround, so the IDENTICAL text is valid under
+    * Java regex (Spark) and RE2 (DuckDB oracle). The fixture exercises
+    * the digit branch; CurationSpec pins the email branch.
+    */
+  private[llm] val piiPattern = "[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
+
   private val evalNgCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -153,6 +161,46 @@ object Curation {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("s1", "s2")
     }),
+
+    // per-doc duplicate-shingle rate — the C4/RefinedWeb intra-corpus
+    // duplication signal ("what fraction of this doc's n-grams appear in
+    // some OTHER doc too"), computed on the family's shared 3-gram
+    // definition so one memoized shingle table serves every consumer.
+    // ONE shuffle: the corpus-wide document frequency attaches as a
+    // count window over the exploded shingle key (no self-join, no
+    // second shuffle — the per-doc re-group rides the same exchange
+    // under AQE). df >= 2 over DISTINCT per-doc shingles ≡ "appears in
+    // another doc": multiplicity inside one doc never counts.
+    // At 100 TB the window is a plain key-shuffle on the shingle hash —
+    // same scale shape as the LSH bucket passes, no driver state.
+    "dup_ngram_rate" -> ((s, dir) => {
+      val wNg = Window.partitionBy(col("ng"))
+      NearDedup.shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("ng"))
+        .withColumn("df", count(lit(1)).over(wNg))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_ng"),
+          round(sum(when(col("df") >= 2, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub over a free-text column (events.props here — the fixture
+    // column that actually contains digit runs): mask email-shaped
+    // tokens and digit runs, and count the redactions so a pipeline can
+    // quarantine high-PII rows. Pure per-row projection — no shuffle but
+    // the final order-for-dump; the regex runs once per row for the
+    // rewrite and once for the count (both codegen'd string ops). The
+    // pattern alternation is RE2-safe so the identical text drives both
+    // engines.
+    "pii_redact" -> ((s, dir) =>
+      Tables(s, dir).events.select(
+        col("event_id"),
+        regexp_replace(col("props"), piiPattern, "<PII>").as("redacted"),
+        size(regexp_extract_all(col("props"), lit(piiPattern), lit(0)))
+          .cast("long").as("n_pii"))
+        .orderBy("event_id")),
 
     // k docs per stratum (source), chosen by deterministic hash order —
     // the per-domain quota pass of a corpus mix. Never rand(): the md5
@@ -271,6 +319,21 @@ object Curation {
         |SELECT a.source AS s1, b.source AS s2, count(DISTINCT a.ng) AS n_shared
         |FROM sng a JOIN sng b ON b.ng = a.ng AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dup_ngram_rate" ->
+      """WITH ngr AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS ng
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |cnt AS (SELECT doc_id, count(*) OVER (PARTITION BY ng) AS df FROM ngr)
+        |SELECT doc_id, count(*) AS n_ng,
+        |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+|[0-9]+', '<PII>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+|[0-9]+')) AS BIGINT) AS n_pii
+        |FROM events ORDER BY event_id""".stripMargin,
     "stratified_sample" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,

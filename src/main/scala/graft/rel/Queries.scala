@@ -896,6 +896,101 @@ object Queries {
         .limit(20)
     }),
 
+    // TPC-H Q7-shaped headline: bilateral trade volume between two
+    // nations by ship year. The nation dims join TWICE under different
+    // role names (supplier's vs customer's nation) — both broadcast
+    // (25 rows), so the only shuffles are the three fact joins, all
+    // key-shuffles under AQE. The symmetric pair filter runs AFTER both
+    // dims attach (it references both roles); year() stays an expression
+    // over the shuffled rows — no pre-aggregation materializes a
+    // year column early, so the groupBy's map-side partials see the
+    // already-filtered slice only.
+    "q7_volume" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val suppNation = broadcast(t.nation.select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val custNation = broadcast(t.nation.select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      t.supplier
+        .join(t.lineitem, col("s_suppkey") === col("l_suppkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nk"))
+        .join(custNation, col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_1") ||
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_0"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q13-shaped headline: order-count distribution per customer.
+    // The ON-clause extra predicate (priority exclusion) belongs to the
+    // JOIN, not a WHERE — pushed onto the orders side BEFORE the outer
+    // join so zero-order customers survive with count 0. Two hash
+    // aggregations: per-customer (shuffle on c_custkey — but the outer
+    // join already partitioned by it, so AQE coalesces) then the tiny
+    // histogram over distinct counts.
+    "q13_custdist" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14-shaped headline: promo revenue share in one month. The
+    // conditional and unconditional revenue sums ride the SAME exact
+    // decimal aggregation pass; each is cast to DOUBLE only after the
+    // exact sum completes (the repo's decimal-determinism rule —
+    // rescaling the decimal would hit Spark/DuckDB rounding-mode skew),
+    // and the 100·promo/total arithmetic is fixed left-to-right so both
+    // engines evaluate bit-identically.
+    "q14_promo" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val rev = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp_ntz"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)).cast("double").as("promo"),
+          sum(rev).cast("double").as("total"))
+        .select((lit(100.0) * col("promo") / col("total")).as("promo_revenue"))
+    }),
+
+    // TPC-H Q18-shaped headline: large-quantity orders (top 100). The
+    // HAVING runs on the lineitem-only aggregate FIRST — the (tiny)
+    // qualifying order set then drives both dimension joins, so orders/
+    // customer attach to dozens of rows, not 60k. AQE broadcasts the
+    // aggregated side; TakeOrderedAndProject caps the result
+    // partition-local before the driver merge. l_quantity values are
+    // small integers stored as double, so the sums are FP-exact and the
+    // threshold/hash are merge-order-independent.
+    "q18_bigqty" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bigOrders = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300)
+      bigOrders
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ntile quartiles per segment — the bucketing window the sampling
     // family doesn't cover. Order key carries the unique c_custkey
     // tiebreak so bucket boundaries are total-ordered in both engines.
@@ -1338,6 +1433,50 @@ object Queries {
         |  AND o_orderdate < TIMESTAMP '1996-07-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1') OR
+        |       (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo" ->
+      """SELECT 100.0 * promo / total AS promo_revenue FROM (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS promo,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01')""".stripMargin,
+    "q18_bigqty" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "win_ntile" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  ntile(4) OVER (PARTITION BY c_mktsegment

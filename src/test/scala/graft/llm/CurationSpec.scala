@@ -185,4 +185,55 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(perDoc.forall(r => r.getAs[Long]("k") == 3L && r.getAs[Long]("mx") == 3L))
   }
+
+  test("pii_redact: masks emails and digit runs, counts every hit, leaves clean text alone") {
+    val s = spark
+    import s.implicits._
+    // the fixture's props only exercise the digit branch; pin the email
+    // branch (and the no-op path) on planted rows with the SAME pattern
+    // constant the query uses
+    val rows = Seq(
+      "contact bob.smith+x@example.org or call 5551234",
+      "no pii here at all",
+      "ids 42 and 977, mail a@b.co").toDF("t")
+      .select(
+        regexp_replace(col("t"), Curation.piiPattern, "<PII>").as("red"),
+        size(regexp_extract_all(col("t"), lit(Curation.piiPattern), lit(0)))
+          .as("n"))
+      .collect()
+    assert(rows(0).getAs[String]("red") == "contact <PII> or call <PII>")
+    assert(rows(0).getAs[Int]("n") == 2)
+    assert(rows(1).getAs[String]("red") == "no pii here at all")
+    assert(rows(1).getAs[Int]("n") == 0)
+    assert(rows(2).getAs[String]("red") == "ids <PII> and <PII>, mail <PII>")
+    assert(rows(2).getAs[Int]("n") == 3)
+    // fixture-bound: every props row contains a digit run, so n_pii ≥ 1
+    // everywhere (non-vacuous on the real input)
+    val real = graft.SparkEntry.queries("pii_redact")(s, sf("sf0.001"))
+    assert(real.filter(col("n_pii") < 1).count() == 0)
+    assert(real.filter(col("redacted").contains("<PII>")).count() == real.count())
+  }
+
+  test("dup_ngram_rate: planted duplicate text scores 1.0, unique text 0.0") {
+    val s = spark
+    import s.implicits._
+    // replicate the operator's definition inline on a planted corpus:
+    // docs 0/1 share ALL their shingles (identical text), doc 2 shares
+    // none — dup_frac must be exactly 1, 1, 0
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4"), (1L, "w1 w2 w3 w4"),
+      (2L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val sh = NearDedup.shingleArrays(docs)
+      .select(col("doc_id"), explode(col("sh")).as("ng"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ng"))
+    val got = sh.withColumn("df", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg((sum(when(col("df") >= 2, 1L).otherwise(0L)) /
+        count(lit(1)).cast("double")).as("dup_frac"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+    assert(got == Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0))
+    // fixture-bound sanity: rates are valid fractions over >0 shingles
+    val real = graft.SparkEntry.queries("dup_ngram_rate")(s, sf("sf0.001"))
+    assert(real.filter(col("dup_frac") < 0 || col("dup_frac") > 1 || col("n_ng") < 1).count() == 0)
+  }
 }

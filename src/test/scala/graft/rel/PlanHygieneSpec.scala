@@ -147,6 +147,41 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!a.contains("CartesianProduct"), a)
   }
 
+  test("round-7 headliners: q7 broadcasts both nation roles, q13 pushes the ON-filter, q14 pushes the month, q18 top-k specialized with partial sums") {
+    val q7 = planOf("q7_volume")
+    assert(q7.contains("BroadcastHashJoin"), "nation dims must broadcast in q7")
+    assert(!q7.contains("CartesianProduct"), "q7 must stay equi-join only")
+    // the shipdate window must reach the lineitem scan, not run post-join
+    val q7Pushed = q7.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(q7Pushed.contains("l_shipdate"), q7Pushed)
+    val q13 = planOf("q13_custdist")
+    // the ON-clause priority exclusion must filter orders BEFORE the
+    // outer join — at the scan, not as a post-join residual
+    val q13Pushed = q13.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(q13Pushed.contains("o_orderpriority"), q13Pushed)
+    assert(!q13.contains("CartesianProduct"))
+    val q14 = planOf("q14_promo")
+    val q14Pushed = q14.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(q14Pushed.contains("l_shipdate"), q14Pushed)
+    assert(!q14.contains("CartesianProduct"))
+    val q18 = planOf("q18_bigqty")
+    assert(q18.contains("TakeOrderedAndProject"), "q18 top-100 must not globally sort")
+    assert(q18.contains("partial_sum"), "quantity rollup needs map-side partials")
+    assert(!q18.contains("CartesianProduct"))
+  }
+
+  test("round-7 curation plans: dup_ngram_rate is one window (no self-join), pii_redact is join-free") {
+    // the df attach is a count window over the exploded shingle key — a
+    // join formulation would shuffle the exploded table TWICE
+    val d = planOf("dup_ngram_rate")
+    assert(d.contains("Window"), d)
+    assert(!d.contains("Join") && !d.contains("CartesianProduct"), d)
+    // redaction is a per-row projection; only the presentation sort may
+    // exchange
+    val p = planOf("pii_redact")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
