@@ -350,55 +350,65 @@ object NearDedup {
       // |batch bucket| × |state bucket| rows in one straggler task).
       // Dropped oversized buckets lose nothing real: genuine near-dups
       // still collide in one of the other B-1 bands.
+      // persisted for the call span: BOTH pair families below derive
+      // from this aggregate, and they meet again under the candidate
+      // union's distinct — different exchanges, so without the persist
+      // the whole bucket aggregation executes once per branch inside the
+      // dupEdges job (measured ~0.7 s of the ~2.1 s admission at sf0.1).
+      // Tiny by construction: one row per occupied (band, band_sig)
+      // bucket with the member-id lists the caps bound anyway.
       val bucketed = buckets(newBanded).withColumn("is_new", lit(true))
         .unionByName(buckets(state).withColumn("is_new", lit(false)))
         .groupBy("band", "band_sig")
         .agg(
           sort_array(collect_list(when(col("is_new"), col("doc_id")))).as("ns"),
           sort_array(collect_list(when(!col("is_new"), col("doc_id")))).as("os"))
-      val newNew = bucketed
-        .filter(size(col("ns")).between(2, maxBucket))
-        .select(posexplode(col("ns")).as(Seq("i", "doc1")), col("ns"))
-        .select(col("doc1"),
-          explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("doc2"))
-      val newOld = bucketed
-        .filter(size(col("ns")) >= 1 && size(col("os")).between(1, maxBucket))
-        .select(explode(col("ns")).as("doc1"), col("os"))
-        .select(col("doc1"), explode(col("os")).as("doc2"))
-      val arrs = newBanded.select("doc_id", "sh")
-        .unionByName(state.select("doc_id", "sh"))
-      // The verified pair set is persisted and counted ONCE: the count
-      // is the steady-state fast-path probe (a clean batch — no dup edge
-      // at all, the common case once the corpus is deduped — admits
-      // every doc and skips the CC run, the dominant per-batch fixed
-      // cost), and on the non-empty path the CC's two edge-union
-      // branches then replay the banding+Jaccard pipeline from cache
-      // instead of re-executing it. `return` still runs finally.
-      val dupEdges = jaccard(newNew.unionByName(newOld).distinct(), arrs)
-        .filter(col("jacc") >= 0.5)
-        .select("doc1", "doc2")
         .persist()
-      if (dupEdges.count() == 0) {
-        dupEdges.unpersist()
-        return newBanded.localCheckpoint()
-      }
-      val cc =
-        try connectedComponents(dupEdges)
-        finally dupEdges.unpersist()
-      val oldIds = state.select(col("doc_id"))
-      // per component: reject if any state member; else keep the min NEW id
-      val verdicts = cc
-        .join(oldIds.withColumn("is_old", lit(true)), Seq("doc_id"), "left")
-        .groupBy(col("cluster_id"))
-        .agg(
-          max(coalesce(col("is_old"), lit(false))).as("has_old"),
-          min(when(col("is_old").isNull, col("doc_id"))).as("min_new"))
-      val rejected = cc
-        .join(oldIds, Seq("doc_id"), "left_anti") // only new docs get verdicts
-        .join(verdicts, "cluster_id")
-        .filter(col("has_old") || col("doc_id") =!= col("min_new"))
-        .select("doc_id")
-      newBanded.join(rejected, Seq("doc_id"), "left_anti").localCheckpoint()
+      try {
+        val newNew = bucketed
+          .filter(size(col("ns")).between(2, maxBucket))
+          .select(posexplode(col("ns")).as(Seq("i", "doc1")), col("ns"))
+          .select(col("doc1"),
+            explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("doc2"))
+        val newOld = bucketed
+          .filter(size(col("ns")) >= 1 && size(col("os")).between(1, maxBucket))
+          .select(explode(col("ns")).as("doc1"), col("os"))
+          .select(col("doc1"), explode(col("os")).as("doc2"))
+        val arrs = newBanded.select("doc_id", "sh")
+          .unionByName(state.select("doc_id", "sh"))
+        // The verified pair set is persisted and counted ONCE: the count
+        // is the steady-state fast-path probe (a clean batch — no dup edge
+        // at all, the common case once the corpus is deduped — admits
+        // every doc and skips the CC run, the dominant per-batch fixed
+        // cost), and on the non-empty path the CC's two edge-union
+        // branches then replay the banding+Jaccard pipeline from cache
+        // instead of re-executing it. `return` still runs every finally.
+        val dupEdges = jaccard(newNew.unionByName(newOld).distinct(), arrs)
+          .filter(col("jacc") >= 0.5)
+          .select("doc1", "doc2")
+          .persist()
+        if (dupEdges.count() == 0) {
+          dupEdges.unpersist()
+          return newBanded.localCheckpoint()
+        }
+        val cc =
+          try connectedComponents(dupEdges)
+          finally dupEdges.unpersist()
+        val oldIds = state.select(col("doc_id"))
+        // per component: reject if any state member; else keep the min NEW id
+        val verdicts = cc
+          .join(oldIds.withColumn("is_old", lit(true)), Seq("doc_id"), "left")
+          .groupBy(col("cluster_id"))
+          .agg(
+            max(coalesce(col("is_old"), lit(false))).as("has_old"),
+            min(when(col("is_old").isNull, col("doc_id"))).as("min_new"))
+        val rejected = cc
+          .join(oldIds, Seq("doc_id"), "left_anti") // only new docs get verdicts
+          .join(verdicts, "cluster_id")
+          .filter(col("has_old") || col("doc_id") =!= col("min_new"))
+          .select("doc_id")
+        newBanded.join(rejected, Seq("doc_id"), "left_anti").localCheckpoint()
+      } finally bucketed.unpersist()
     } finally { newBanded.unpersist(); state.unpersist(); () }
   }
 
