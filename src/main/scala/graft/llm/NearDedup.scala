@@ -391,6 +391,13 @@ object NearDedup {
           dupEdges.unpersist()
           return newBanded.localCheckpoint()
         }
+        // ≤100k edges (every realistic batch) takes the driver
+        // union-find path → a plain local result, nothing cached. Above
+        // the threshold the distributed loop's localCheckpoint backs the
+        // labels until the session ends — a known, bounded (few rows per
+        // clustered doc) residue of lineage truncation, not a per-batch
+        // growth: NearDedupSpec's cache-hygiene test pins the common
+        // path at exactly one surviving checkpoint per admission.
         val cc =
           try connectedComponents(dupEdges)
           finally dupEdges.unpersist()
