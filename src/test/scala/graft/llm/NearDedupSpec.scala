@@ -141,14 +141,20 @@ class NearDedupSpec extends SparkSpec {
   test("admitBatch cache hygiene: every internal persist released on both paths, only the result checkpoint survives") {
     val s = spark
     import s.implicits._
-    // unpersist() is non-blocking — poll for the expected steady count
-    def awaitCached(expected: Int, hint: String): Unit = {
+    // unpersist() is non-blocking, and OTHER suites' releases on the
+    // shared session may still be draining — so compare against the ids
+    // GAINED since this test started (set difference ignores concurrent
+    // removals of pre-existing entries) and poll for the gained set to
+    // drain to the expected survivors
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    def awaitGained(expected: Int, hint: String): Unit = {
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var n = s.sparkContext.getPersistentRDDs.size
+      def gained = (s.sparkContext.getPersistentRDDs.keySet -- before).size
+      var n = gained
       while (n != expected && System.nanoTime() < deadline) {
-        Thread.sleep(50); n = s.sparkContext.getPersistentRDDs.size
+        Thread.sleep(50); n = gained
       }
-      assert(n == expected, s"$hint: $n persistent RDDs, expected $expected — " +
+      assert(n == expected, s"$hint: gained $n persistent RDDs, expected $expected — " +
         "an internal persist (newBanded/state/bucketed/dupEdges) leaked")
     }
     // same planted shape as the admission test: one state dup, one
@@ -157,13 +163,12 @@ class NearDedupSpec extends SparkSpec {
     val corpusDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
-    val before = s.sparkContext.getPersistentRDDs.size
     val state = {
       val c = NearDedup.banded(NearDedup.shingleArrays(corpusDocs))
       NearDedup.admitBatch(c, c.limit(0))
     }
     // each admitBatch call may retain ONLY its localCheckpoint'd result
-    awaitCached(before + 1, "after bootstrap")
+    awaitGained(1, "after bootstrap")
     val batch = NearDedup.banded(NearDedup.shingleArrays(Seq(
       (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tau upsilon phi chi"),
       (13L, "red orange yellow green blue indigo violet white black grey"),
@@ -172,7 +177,7 @@ class NearDedupSpec extends SparkSpec {
       .toDF("doc_id", "text")))
     val admitted = NearDedup.admitBatch(batch, state)
     assert(admitted.select("doc_id").as[Long].collect().toSet == Set(13L, 15L))
-    awaitCached(before + 2, "after non-empty-edge admission")
+    awaitGained(2, "after non-empty-edge admission")
     // clean disjoint batch → empty-edge fast path (early return) must
     // release its caches too
     val clean = NearDedup.banded(NearDedup.shingleArrays(
@@ -180,7 +185,7 @@ class NearDedupSpec extends SparkSpec {
         .toDF("doc_id", "text")))
     val admitted3 = NearDedup.admitBatch(clean, state)
     assert(admitted3.select("doc_id").as[Long].collect().toSet == Set(41L))
-    awaitCached(before + 3, "after fast-path admission")
+    awaitGained(3, "after fast-path admission")
   }
 
   test("streaming corpus dedup: state accumulates survivors across batches and restarts, replay-safe") {

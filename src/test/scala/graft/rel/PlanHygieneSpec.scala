@@ -170,12 +170,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!q18.contains("CartesianProduct"))
   }
 
-  test("round-7 curation plans: dup_ngram_rate is one window (no self-join), pii_redact is join-free") {
-    // the df attach is a count window over the exploded shingle key — a
-    // join formulation would shuffle the exploded table TWICE
+  test("round-7 curation plans: dup_ngram_rate joins a partial-agg df table (no window buffering), pii_redact is join-free") {
+    // the df attach must be an equi-join against a map-side-combined
+    // count table — NOT a count window over ng, which would buffer every
+    // hot shingle's rows in one unsplittable task (AQE can split a
+    // skewed join partition; it cannot split a window partition)
     val d = planOf("dup_ngram_rate")
-    assert(d.contains("Window"), d)
-    assert(!d.contains("Join") && !d.contains("CartesianProduct"), d)
+    assert(d.contains("partial_count") || d.contains("Partial"), d)
+    assert(d.contains("Join"), d)
+    assert(!d.contains("Window"), "df must not attach via a window: " +
+      d.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(!d.contains("CartesianProduct"), d)
     // redaction is a per-row projection; only the presentation sort may
     // exchange
     val p = planOf("pii_redact")
