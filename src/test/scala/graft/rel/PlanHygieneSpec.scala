@@ -116,6 +116,41 @@ class PlanHygieneSpec extends SparkSpec {
       o.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("full-TPC-H sweep plans: exists/anti shapes stay semi/anti joins, disjunction splits, scalar thresholds broadcast") {
+    // q4: EXISTS compiles to LeftSemi carrying the non-equi lateness
+    // residual — never a join+distinct or a nested-loop blowup
+    val q4 = planOf("q4_priority")
+    assert(q4.contains("LeftSemi"), q4.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!q4.contains("CartesianProduct"), q4)
+    // q21: the double self-reference is one LeftSemi + one LeftAnti on
+    // the orderkey shuffle — the ≠supplier predicate must ride as a
+    // residual, not force BNLJ
+    val q21 = planOf("q21_waiting")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      q21.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!q21.contains("CartesianProduct") && !q21.contains("BroadcastNestedLoopJoin"), q21)
+    // q19: the OR-of-ANDs references both sides and stays a residual,
+    // but the single-side conjunct (returnflag) must still reach the
+    // lineitem scan
+    val q19 = planOf("q19_disjunct")
+    val q19Pushed = q19.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(q19Pushed.contains("l_returnflag"), s"returnflag must reach the scan:\n$q19Pushed")
+    assert(!q19.contains("CartesianProduct"), q19)
+    // q2: the part prune broadcasts into the fact scan; the decorrelated
+    // min never re-scans per part
+    val q2 = planOf("q2_mincost")
+    assert(q2.contains("BroadcastHashJoin"), q2)
+    assert(!q2.contains("CartesianProduct"), q2)
+    // q17: the decorrelated per-part average attaches by broadcast join
+    val q17 = planOf("q17_smallqty")
+    assert(q17.contains("BroadcastHashJoin"), q17)
+    assert(!q17.contains("CartesianProduct"), q17)
+    // q22: anti-join for "no large order"; the 1-row threshold is the
+    // only nested-loop (scalar broadcast) allowed
+    val q22 = planOf("q22_balance")
+    assert(q22.contains("LeftAnti"), q22.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("curation plans: decontaminate is semi+anti join, seq_pack is one window") {
     val d = planOf("decontaminate")
     // the scrub must be set-membership joins, never a pair blowup
