@@ -1234,6 +1234,40 @@ object Queries {
         .agg(sum(rev).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q20-shaped: the nested-IN chain. No partsupp availqty → the
+    // "excess stock" predicate becomes DOMINANCE: suppliers who shipped
+    // more than half of some red-named part's total 1996 volume. Three
+    // nested membership tests — supplier IN (dominant pairs) whose part
+    // IN (name-filtered parts) — each a semi-join, the part filter
+    // broadcast into the fact scan, per-pair and per-part sums off one
+    // aggregation each (l_quantity sums are small-int exact in double,
+    // so the 2·pair > part comparison is bit-deterministic).
+    "q20_excess" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val redParts = t.part.filter(col("p_name").like("red%")).select("p_partkey")
+      val shipped = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      val pairQty = shipped.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("pair_qty"))
+      // per-part totals re-aggregate the PAIR sums (sum of sums — exact,
+      // small-int doubles) instead of scanning lineitem a second time;
+      // the oracle computes the same value directly off lineitem
+      val partQty = pairQty.groupBy(col("l_partkey").as("pq_key"))
+        .agg(sum(col("pair_qty")).as("part_qty"))
+      val dominant = pairQty
+        .join(partQty, col("l_partkey") === col("pq_key"))
+        .filter(col("pair_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey"))
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_1")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q21-shaped: suppliers who kept orders waiting. No
     // commit/receipt dates → the "fault" marker is a returned lineitem
     // (l_returnflag = 'R') in a finished multi-supplier order where NO
@@ -1910,6 +1944,29 @@ object Queries {
         |    AND l_quantity BETWEEN 10 AND 20) OR
         |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q20_excess" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (
+        |    SELECT pair.l_suppkey
+        |    FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+        |          FROM lineitem
+        |          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |            AND l_shipdate < TIMESTAMP '1997-01-01'
+        |            AND l_partkey IN (SELECT p_partkey FROM part
+        |                              WHERE p_name LIKE 'red%')
+        |          GROUP BY 1, 2) pair
+        |    JOIN (SELECT l_partkey, sum(l_quantity) AS part_qty
+        |          FROM lineitem
+        |          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |            AND l_shipdate < TIMESTAMP '1997-01-01'
+        |            AND l_partkey IN (SELECT p_partkey FROM part
+        |                              WHERE p_name LIKE 'red%')
+        |          GROUP BY 1) whole USING (l_partkey)
+        |    WHERE pair_qty * 2 > part_qty)
+        |ORDER BY s_suppkey""".stripMargin,
     "q21_waiting" ->
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1
