@@ -73,6 +73,33 @@ object Bench {
     val failed = results.count(_._2.isNaN)
     val total = results.map(_._2).filterNot(_.isNaN).sum
     val totalSpread = results.map(_._3).filterNot(_.isNaN).sum
+    // Apples-to-apples guard against id-count inflation: the 75 query
+    // ids captured in the round-2 driver record (BENCH_r02.json — its
+    // truncated log kept the alphabetical tail of that round's suite;
+    // they measured 43.7 s there, same machine/config) are re-summed
+    // from THIS run so every bench artifact carries a same-ids
+    // comparison alongside the growing total. Ids later renamed or
+    // removed simply drop out of the subset sum (count emitted too).
+    val r2CapturedIds = Set(
+      "corpus_clean", "corpus_stats", "csv_scan", "dedup_cluster",
+      "dedup_embed", "dedup_exact", "dedup_jaccard", "dedup_near",
+      "dedup_simhash", "envelope_deadletter", "envelope_parse", "filter_eq",
+      "filter_in", "filter_like", "filter_null", "filter_range",
+      "fingerprint", "fn_array", "fn_bitwise", "fn_cond", "fn_date",
+      "fn_hash", "fn_interval", "fn_json", "fn_map", "fn_math", "fn_string",
+      "jdbc_scan", "join_anti", "join_asof", "join_asof_native",
+      "join_broadcast", "join_cross", "join_outer", "join_range",
+      "join_semi", "join_smj", "join_star", "lang_id", "mm_features",
+      "mm_meta", "ngram_topk", "project", "q1_agg", "q3_shipping",
+      "rid_passthrough", "route_topic", "sample_hash", "setop_except",
+      "setop_intersect", "setop_union", "sim_topk", "snapshot_scan",
+      "sort_global", "split_train_test", "stream_session", "stream_sliding",
+      "stream_tumble", "subq_in", "subq_scalar", "table_filter",
+      "text_quality", "text_stats", "token_count", "topk", "txn_group",
+      "type_norm", "unwrap", "win_dist", "win_first", "win_lag",
+      "win_range", "win_rank", "win_rownum", "win_running")
+    val r2Subset = results.filter(r => r2CapturedIds(r._1) && !r._2.isNaN)
+    val r2SubsetTotal = r2Subset.map(_._2).sum
     // first_run_total: sum of each query's FIRST timed run. The headline
     // total is median-of-3 (steady-state, cache-warm), which by design
     // excludes one-time per-corpus cache builds (the dedup family's
@@ -83,7 +110,10 @@ object Bench {
     // (max-min) — an upper bound on how much of the total is noise.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
       s""""median_of":$timedRuns,"spread":$totalSpread,""" +
-      s""""first_run_total":$firstTotal,"queries":$qs,"spreads":$spreads,"sf":${q(sfDir)}}"""
+      s""""first_run_total":$firstTotal,""" +
+      s""""r2_captured_subset_total":$r2SubsetTotal,""" +
+      s""""r2_captured_subset_n":${r2Subset.size},""" +
+      s""""queries":$qs,"spreads":$spreads,"sf":${q(sfDir)}}"""
     // The round-2 driver log captured only the TAIL of stdout and lost the
     // head of this (single, long) line. Persist the full JSON to a file
     // first so it can always be read whole, then print it.
