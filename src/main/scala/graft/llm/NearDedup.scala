@@ -118,18 +118,31 @@ object NearDedup {
     */
   def simhash(arrs: DataFrame, bits: Int = 32): DataFrame = {
     require(bits % 4 == 0 && bits <= 128, s"bits must be 4k <= 128, got $bits")
-    val divs = array(lit(8), lit(4), lit(2), lit(1)) // 2^(3-j) for bit j
-    def votesOf(h: Column): Column =
-      flatten(transform(sequence(lit(0), lit(bits / 4 - 1)), d => {
-        val a = ascii(h.substr(d.cast("int") + 1, lit(1)))
-        val digit = when(a <= 57, a - 48).otherwise(a - 87) // 0-9 | a-f
-        transform(sequence(lit(0), lit(3)), j =>
-          (floor(digit / element_at(divs, j + 1)).cast("long") % 2) * 2 - 1)
-      }))
+    // ±1 votes, MSB-first — value-identical to the original per-hex-digit
+    // substr/ascii arithmetic, restructured for the interpreted HOF path
+    // (lambdas don't get subexpression elimination, so per-element work
+    // is the whole cost): each word's md5 hex converts ONCE into 56-bit
+    // slab longs (`conv` base-16; 14 digits per slab keeps the value in
+    // a signed long — 16 would wrap negative and sign-extend the shift),
+    // and each vote is then element_at + a LITERAL integer shift — ~4
+    // integer ops vs the old substr+ascii+floor/pow chain per bit. Bit b
+    // of slab value = digit b/4's weight-2^(3-b%4) bit, so the emitted
+    // signature string is byte-identical and the oracles are untouched.
+    val slabBits = 56
+    def slabsOf(h: Column): Column = array((0 until bits by slabBits).map { lo =>
+      val width = math.min(slabBits, bits - lo)
+      conv(h.substr(lo / 4 + 1, (width + 3) / 4), 16, 10).cast("long")
+    }: _*)
+    def votesOf(s: Column): Column = array((0 until bits).map { b =>
+      val slabIdx = b / slabBits
+      val width = math.min(slabBits, bits - slabIdx * slabBits)
+      val j = width - 1 - (b - slabIdx * slabBits) // MSB-first within slab
+      (shiftright(element_at(s, slabIdx + 1), j) % 2) * 2 - 1
+    }: _*)
     val votes = aggregate(
-      transform(col("sh"), w => md5(w)),
+      transform(col("sh"), w => slabsOf(md5(w))),
       array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, votesOf(h), (x, y) => x + y))
+      (acc, s) => zip_with(acc, votesOf(s), (x, y) => x + y))
     arrs.select(
       col("doc_id"),
       array_join(transform(votes, v => when(v > 0, "1").otherwise("0")), "")
