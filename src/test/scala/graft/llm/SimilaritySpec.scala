@@ -65,6 +65,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.3, s"mean recall $mean too low: $recalls")
   }
 
+  test("memoized corpus index paths return exactly the inline results") {
+    // the queries layer feeds annTopK/embedNearDup/ivfTopK the memoized
+    // per-corpus index (corpusBuckets/ivfAssigned) while the generic API
+    // computes the assignment inline; the two must be row-identical —
+    // same planes, same centroids, same buckets — or the spec coverage
+    // (inline) would diverge from what the driver checks (memoized)
+    val emb = Tables(spark, sf("sf0.001")).embeddings
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val annInline = VectorOps.annTopK(emb, 0L until 4L, 5)
+    val annMemo = VectorOps.annTopK(emb, 0L until 4L, 5,
+      buckets = Some(VectorOps.corpusBuckets(spark, dir, h = 4, tables = 8)))
+    assert(rows(annInline) == rows(annMemo))
+    val ndInline = VectorOps.embedNearDup(emb, threshold = 0.4)
+    val ndMemo = VectorOps.embedNearDup(emb, threshold = 0.4,
+      buckets = Some(VectorOps.corpusBuckets(spark, dir, h = 6, tables = 4)))
+    assert(rows(ndInline) == rows(ndMemo))
+    val model = VectorOps.ivfModel(emb, cells = 16, datasetKey = dir)
+    val ivfInline = VectorOps.ivfTopK(emb, 0L until 4L, 5, model = Some(model))
+    val ivfMemo = VectorOps.ivfTopK(emb, 0L until 4L, 5, model = Some(model),
+      assignedOpt = Some(VectorOps.ivfAssigned(spark, dir, cells = 16)))
+    assert(rows(ivfInline) == rows(ivfMemo))
+  }
+
   test("IVF ANN reaches usable recall vs brute force") {
     val k = 10
     val qids = 0L until 8L
