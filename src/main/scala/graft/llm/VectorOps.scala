@@ -112,8 +112,15 @@ object VectorOps {
       posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
   }
 
+  /** A prebuilt sign-LSH corpus index WITH its generation parameters:
+    * consumers `require` the parameters match their own so a mismatched
+    * index (different plane family/width → silently different buckets
+    * and recall) is an error at plan build, not quiet result drift.
+    */
+  final case class LshIndex(buckets: DataFrame, h: Int, tables: Int)
+
   private val bucketCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), LshIndex]()
 
   /** Memoized per-corpus LSH index, keyed (session, dir, h, tables) —
     * the same write-once cost model as [[NearDedup.shingled]] and
@@ -127,11 +134,11 @@ object VectorOps {
     * every access.
     */
   private[llm] def corpusBuckets(s: SparkSession, dir: String,
-      h: Int, tables: Int): DataFrame = {
+      h: Int, tables: Int): LshIndex = {
     bucketCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bucketCache.computeIfAbsent((s, dir, h, tables), _ =>
-      signBuckets(Tables(s, dir).embeddings, h, tables)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      LshIndex(signBuckets(Tables(s, dir).embeddings, h, tables)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), h, tables))
   }
 
   /** ANN via multi-table LSH: L independent tables of h sign-bits each;
@@ -139,16 +146,23 @@ object VectorOps {
     * ≈ 1-(1-p^h)^L), and only candidates are cosine-scored. Per-table
     * bucket join is a key-shuffle on (table, bucket) — the corpus is
     * never all-pairs scanned, which is the property that matters at
-    * 100 TB / billions of vectors. `buckets` lets a caller supply the
-    * memoized corpus index ([[corpusBuckets]]); omitted, the assignment
-    * is computed inline (the spec path — identical plan, same planes).
+    * 100 TB / billions of vectors. `index` lets a caller supply the
+    * memoized corpus index ([[corpusBuckets]]) — its parameters are
+    * `require`d to match; omitted, the assignment is computed inline
+    * (the spec path — identical plan, same planes).
     */
   def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, h: Int = 4, tables: Int = 8,
-      buckets: Option[DataFrame] = None): DataFrame = {
+      index: Option[LshIndex] = None): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val withBuckets = buckets.getOrElse(signBuckets(emb, h, tables))
+    index.foreach(i => require(i.h == h && i.tables == tables,
+      s"LSH index (h=${i.h}, tables=${i.tables}) does not match query (h=$h, tables=$tables)"))
+    val withBuckets = index.map(_.buckets).getOrElse(signBuckets(emb, h, tables))
+    // the vec_id prune applies to the BUCKET side before the q_emb join:
+    // inline it pushes below the bucket projection (only the |q| query
+    // rows pay the h·L dot products on this subtree); on the memoized
+    // path it is a narrow filter over the persisted index
     val q = broadcast(
-      withBuckets
+      withBuckets.filter(col("vec_id").isin(queryIds: _*))
         .join(emb.filter(col("vec_id").isin(queryIds: _*))
           .select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
         .select(col("vec_id").as("q_id"), col("q_emb"), col("t"), col("bucket")))
@@ -170,9 +184,11 @@ object VectorOps {
     * Same no-all-pairs property as the text MinHash pipeline.
     */
   def embedNearDup(emb: DataFrame, threshold: Double, h: Int = 6, tables: Int = 4,
-      maxBucket: Int = 10000, buckets: Option[DataFrame] = None): DataFrame = {
+      maxBucket: Int = 10000, index: Option[LshIndex] = None): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val withBuckets = buckets.getOrElse(signBuckets(emb, h, tables))
+    index.foreach(i => require(i.h == h && i.tables == tables,
+      s"LSH index (h=${i.h}, tables=${i.tables}) does not match query (h=$h, tables=$tables)"))
+    val withBuckets = index.map(_.buckets).getOrElse(signBuckets(emb, h, tables))
     // `maxBucket` is the 100 TB skew guard: one dense cluster (near-dup
     // corpora have exactly that) would otherwise make a single task hold
     // a giant id array and emit O(k²) pairs. Oversized buckets are
@@ -242,8 +258,13 @@ object VectorOps {
   def ivfModel(emb: DataFrame, cells: Int, datasetKey: String): Array[Array[Double]] =
     centroidCache.computeIfAbsent((datasetKey, cells), _ => ivfTrain(emb, cells))
 
+  /** A prebuilt IVF cell assignment WITH its cell count — same
+    * provenance-pinning rationale as [[LshIndex]].
+    */
+  final case class IvfIndex(assigned: DataFrame, cells: Int)
+
   private val assignedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), IvfIndex]()
 
   /** Memoized per-corpus IVF cell assignment (c_id, c_emb, cell) — the
     * inverted-file half of the index, the write-once partition/cluster
@@ -252,14 +273,14 @@ object VectorOps {
     * cells) on first use, evict dead sessions, fixture immutability
     * documented at [[NearDedup.shingled]].
     */
-  private[llm] def ivfAssigned(s: SparkSession, dir: String, cells: Int): DataFrame = {
+  private[llm] def ivfAssigned(s: SparkSession, dir: String, cells: Int): IvfIndex = {
     assignedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     assignedCache.computeIfAbsent((s, dir, cells), _ => {
       val emb = Tables(s, dir).embeddings
       val centroids = ivfModel(emb, cells, datasetKey = dir)
-      emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      IvfIndex(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           ivfCell(col("embedding"), centroids).as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cells)
     })
   }
 
@@ -300,10 +321,12 @@ object VectorOps {
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       cells: Int = 16, nprobe: Int = 4,
       model: Option[Array[Array[Double]]] = None,
-      assignedOpt: Option[DataFrame] = None): DataFrame = {
+      assignedOpt: Option[IvfIndex] = None): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
+    assignedOpt.foreach(i => require(i.cells == cells,
+      s"IVF index (cells=${i.cells}) does not match query (cells=$cells)"))
     val centroids = model.getOrElse(ivfTrain(emb, cells))
-    val assigned = assignedOpt.getOrElse(
+    val assigned = assignedOpt.map(_.assigned).getOrElse(
       emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         ivfCell(col("embedding"), centroids).as("cell")))
     // per-query probe list: nprobe best cells by the same score expr.
@@ -343,7 +366,7 @@ object VectorOps {
         .withColumn("cos", round(col("cos"), 9))),
     "ann_lsh" -> ((s, dir) =>
       annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
-        buckets = Some(corpusBuckets(s, dir, h = 4, tables = 8)))),
+        index = Some(corpusBuckets(s, dir, h = 4, tables = 8)))),
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       ivfTopK(emb, queryIds = 0L until 8L, k = 10,
@@ -358,7 +381,7 @@ object VectorOps {
     // result is deterministically non-empty with wide margin.
     "dedup_embed" -> ((s, dir) =>
       embedNearDup(Tables(s, dir).embeddings, threshold = 0.4,
-        buckets = Some(corpusBuckets(s, dir, h = 6, tables = 4)))),
+        index = Some(corpusBuckets(s, dir, h = 6, tables = 4)))),
     // symmetric int8 quantization (the storage/ANN-memory path: 4× smaller
     // vectors, SIMD-friendly int dot products downstream). Per-vector
     // scale = max|x|/127; q_i = round-half-up(x_i/scale) expressed as

@@ -77,11 +77,11 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
     val annInline = VectorOps.annTopK(emb, 0L until 4L, 5)
     val annMemo = VectorOps.annTopK(emb, 0L until 4L, 5,
-      buckets = Some(VectorOps.corpusBuckets(spark, dir, h = 4, tables = 8)))
+      index = Some(VectorOps.corpusBuckets(spark, dir, h = 4, tables = 8)))
     assert(rows(annInline) == rows(annMemo))
     val ndInline = VectorOps.embedNearDup(emb, threshold = 0.4)
     val ndMemo = VectorOps.embedNearDup(emb, threshold = 0.4,
-      buckets = Some(VectorOps.corpusBuckets(spark, dir, h = 6, tables = 4)))
+      index = Some(VectorOps.corpusBuckets(spark, dir, h = 6, tables = 4)))
     assert(rows(ndInline) == rows(ndMemo))
     val model = VectorOps.ivfModel(emb, cells = 16, datasetKey = dir)
     val ivfInline = VectorOps.ivfTopK(emb, 0L until 4L, 5, model = Some(model))
