@@ -114,10 +114,22 @@ object Bench {
       s""""r2_captured_subset_total":$r2SubsetTotal,""" +
       s""""r2_captured_subset_n":${r2Subset.size},""" +
       s""""queries":$qs,"spreads":$spreads,"sf":${q(sfDir)}}"""
+    // The r2 subset is the apples-to-apples anchor; if ids are renamed or
+    // removed it silently shrinks, so surface any drift in the artifact's
+    // own stderr rather than letting the comparison weaken invisibly.
+    if (r2Subset.size != r2CapturedIds.size)
+      System.err.println(s"[bench] WARNING: r2 captured subset has ${r2Subset.size} of " +
+        s"${r2CapturedIds.size} ids — a rename/removal broke the apples-to-apples sum")
     // The round-2 driver log captured only the TAIL of stdout and lost the
     // head of this (single, long) line. Persist the full JSON to a file
-    // first so it can always be read whole, then print it.
-    val out = java.nio.file.Paths.get("bench_out.json")
+    // first so it can always be read whole, then print it. The path is
+    // overridable (first arg, then SPARK_GRAFT_BENCH_OUT) so a curated
+    // record run and the driver's end-of-round run can coexist — the
+    // fixed default used to let whichever ran last clobber the other.
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench_out.json")
+    val out = java.nio.file.Paths.get(outPath)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
