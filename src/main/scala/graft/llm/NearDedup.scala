@@ -176,8 +176,17 @@ object NearDedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
       driverEdgeLimit: Int = 100000): DataFrame = {
     val fwd = pairs.select(col("doc1").as("a"), col("doc2").as("b")).persist()
+    // The driver fast path packs ids into Long; only integral id columns
+    // qualify (a string id would cast to null and NPE in getLong, and the
+    // output type would silently differ from the distributed loop's).
+    val idType = fwd.schema("a").dataType
+    val integralIds = idType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val m = fwd.count()
-    if (m <= driverEdgeLimit) {
+    if (integralIds && m <= driverEdgeLimit) {
       try {
         val es = fwd.select(col("a").cast("long"), col("b").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -197,8 +206,12 @@ object NearDedup {
         lastCcRounds.set(1)
         val session = pairs.sparkSession
         import session.implicits._
+        // Cast back to the input id type so both paths return the same
+        // schema regardless of which one the edge count selected.
         parent.keys.toSeq.sorted.map(k => (k, find(k)))
           .toDF("doc_id", "cluster_id")
+          .select(col("doc_id").cast(idType).as("doc_id"),
+            col("cluster_id").cast(idType).as("cluster_id"))
       } finally fwd.unpersist()
     } else connectedComponentsLoop(fwd, maxIters)
   }

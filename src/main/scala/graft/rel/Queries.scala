@@ -240,11 +240,14 @@ object Queries {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("ref_parts"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("ref_orders"))
+        // 0.17 ≈ 3·sqrt(0.05² + 0.02²): the default sketch is 5% rsd but
+        // the 2%-rsd reference carries its own error, so the 3-sigma
+        // band for the PAIR is wider than 3×5% alone.
         .select(col("approx_parts"), col("approx_orders"),
           (abs(col("approx_parts") - col("ref_parts")) <=
-             col("ref_parts") * 0.15 &&
+             col("ref_parts") * 0.17 &&
            abs(col("approx_orders") - col("ref_orders")) <=
-             col("ref_orders") * 0.15).as("within_tol"))),
+             col("ref_orders") * 0.17).as("within_tol"))),
 
     "agg_rollup" -> ((s, dir) =>
       Tables(s, dir).orders

@@ -70,6 +70,28 @@ class NearDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connected components: output schema matches the input id type on both paths") {
+    val s = spark
+    import s.implicits._
+    // integer ids under the driver limit: both columns come back INT,
+    // not the driver path's internal Long packing
+    val intPairs = Seq((1, 2), (10, 11)).toDF("doc1", "doc2")
+    val gotInt = NearDedup.connectedComponents(intPairs)
+    assert(gotInt.schema.map(_.dataType).distinct ==
+      Seq(org.apache.spark.sql.types.IntegerType))
+    assert(gotInt.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      Map(1 -> 1, 2 -> 1, 10 -> 10, 11 -> 10))
+    // string ids can't pack into Long: the driver fast-path must step
+    // aside (not NPE on a null cast) and the distributed loop answers
+    // with the same string schema
+    val strPairs = Seq(("b", "c"), ("a", "b")).toDF("doc1", "doc2")
+    val gotStr = NearDedup.connectedComponents(strPairs)
+    assert(gotStr.schema.map(_.dataType).distinct ==
+      Seq(org.apache.spark.sql.types.StringType))
+    assert(gotStr.collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("dedup_apply ≡ corpus minus non-canonical cluster members; exactly one survivor per cluster") {
     val s = spark
     import s.implicits._
@@ -144,12 +166,18 @@ class NearDedupSpec extends SparkSpec {
     // unpersist() is non-blocking, and OTHER suites' releases on the
     // shared session may still be draining — so compare against the ids
     // GAINED since this test started (set difference ignores concurrent
-    // removals of pre-existing entries) and poll for the gained set to
-    // drain to the expected survivors
+    // removals of pre-existing entries), RESTRICTED to RDDs whose
+    // creation site is NearDedup.scala (RDD.toString embeds the
+    // callsite), so a concurrent suite persisting unrelated data on the
+    // shared session can't inflate the count. Poll for the gained set to
+    // drain to the expected survivors.
     val before = s.sparkContext.getPersistentRDDs.keySet
     def awaitGained(expected: Int, hint: String): Unit = {
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      def gained = (s.sparkContext.getPersistentRDDs.keySet -- before).size
+      def gained = s.sparkContext.getPersistentRDDs
+        .filter { case (id, rdd) =>
+          !before.contains(id) && rdd.toString.contains("NearDedup.scala")
+        }.size
       var n = gained
       while (n != expected && System.nanoTime() < deadline) {
         Thread.sleep(50); n = gained
