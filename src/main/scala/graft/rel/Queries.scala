@@ -1274,12 +1274,19 @@ object Queries {
     // TPC-H Q21-shaped: suppliers who kept orders waiting. No
     // commit/receipt dates → the "fault" marker is a returned lineitem
     // (l_returnflag = 'R') in a finished multi-supplier order where NO
-    // other supplier's line was returned: the same fact table joined
-    // back twice — once LeftSemi (another supplier exists), once
-    // LeftAnti (no other supplier at fault) — both key-shuffles on
-    // l_orderkey with the ≠supplier residual, never an all-pairs stage.
-    // The selective supplier/nation prune runs FIRST so the semi/anti
-    // probes carry one nation's suppliers only.
+    // other supplier's line was returned. The EXISTS/NOT-EXISTS pair is
+    // folded into ONE per-order supplier census instead of two extra
+    // fact-table probes: lineitem reduces once to (order, supplier,
+    // saw-R) — a map-side-combinable partial, so the only full-width
+    // shuffle carries distinct pairs, not rows — then a per-order
+    // verdict keeps orders with ≥2 suppliers and EXACTLY ONE at fault.
+    // An l1 row is R-flagged, so "its order's only faulty supplier" is
+    // necessarily itself: semi-joining the verdict is equivalent to the
+    // semi (another supplier exists) + anti (no OTHER faulty supplier)
+    // pair, at 1 lineitem pass instead of 3 (this was the steepest
+    // measured TPC-H slope, 0.23× lin at 25× — pure shuffle volume).
+    // The selective supplier/nation prune still runs FIRST so the final
+    // probe carries one nation's suppliers only.
     "q21_waiting" -> ((s, dir) => {
       val t = Tables(s, dir)
       val l1 = t.lineitem.filter(col("l_returnflag") === "R")
@@ -1289,16 +1296,15 @@ object Queries {
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .filter(col("n_name") === "NATION_0")
-      val others = t.lineitem.select(
-        col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
-      val othersAtFault = t.lineitem.filter(col("l_returnflag") === "R").select(
-        col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key"))
-      l1.join(others,
-          col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("s2_key"),
-          "left_semi")
-        .join(othersAtFault,
-          col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("s3_key"),
-          "left_anti")
+      val verdict = t.lineitem
+        .groupBy(col("l_orderkey").as("po_key"), col("l_suppkey").as("po_supp"))
+        .agg(max(when(col("l_returnflag") === "R", lit(1)).otherwise(lit(0)))
+          .as("has_r"))
+        .groupBy(col("po_key"))
+        .agg(count(lit(1)).as("nsupp"), sum(col("has_r")).as("nsupp_r"))
+        .filter(col("nsupp") >= 2 && col("nsupp_r") === 1)
+        .select(col("po_key"))
+      l1.join(verdict, col("l_orderkey") === col("po_key"), "left_semi")
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

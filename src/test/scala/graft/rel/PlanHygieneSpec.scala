@@ -122,13 +122,16 @@ class PlanHygieneSpec extends SparkSpec {
     val q4 = planOf("q4_priority")
     assert(q4.contains("LeftSemi"), q4.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!q4.contains("CartesianProduct"), q4)
-    // q21: the double self-reference is one LeftSemi + one LeftAnti on
-    // the orderkey shuffle — the ≠supplier predicate must ride as a
-    // residual, not force BNLJ
+    // q21: the EXISTS/NOT-EXISTS pair is folded into one per-order
+    // supplier census — a single LeftSemi against the aggregated
+    // verdict, NO LeftAnti and no extra fact-table probe; the census
+    // must partial-aggregate before its shuffle
     val q21 = planOf("q21_waiting")
-    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+    assert(q21.contains("LeftSemi") && !q21.contains("LeftAnti"),
       q21.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!q21.contains("CartesianProduct") && !q21.contains("BroadcastNestedLoopJoin"), q21)
+    assert(q21.contains("partial_count") || q21.contains("partial count"),
+      "q21 census must map-side combine before the shuffle")
     // q19: the OR-of-ANDs references both sides and stays a residual,
     // but the single-side conjunct (returnflag) must still reach the
     // lineitem scan
