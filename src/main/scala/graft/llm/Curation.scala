@@ -162,11 +162,20 @@ object Curation {
     // decontaminate / the dedup family (NearDedup.shingleArrays).
     "source_overlap" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      // the memoized per-corpus shingle table (shared with the whole
-      // dedup family) — rebuilding it per run was most of this id's cost
+      // 56-bit shingle hash as the aggregate key (same md5 form as the
+      // decontaminate family, mirrored in the oracle so a collision
+      // cannot diverge): the string-keyed collect_set shuffle was the
+      // measured cost driver at 25× (2.6 s of the 2.5 s total; the
+      // long-keyed form runs it in 1.2 — the pair emission is ~free
+      // either way), and it was also the spread-maker (4.6–11.6 s across
+      // r7 probes). Hash computed map-side pre-shuffle on the memoized
+      // per-corpus shingle table (shared with the whole dedup family —
+      // rebuilding it per run was most of this id's cost historically).
+      def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
       val perNg = NearDedup.shingled(s, dir)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select(col("source"), explode(col("sh")).as("ng"))
+        .select(col("source"), ngHash(col("ng")).as("ng"))
         .groupBy("ng").agg(sort_array(collect_set(col("source"))).as("ss"))
         .filter(size(col("ss")) >= 2)
       perNg
@@ -341,13 +350,17 @@ object Curation {
     "decontaminate" -> decontaminateOracle,
     "decontaminate_bloom" -> decontaminateOracle,
     "source_overlap" ->
-      """WITH sng AS (
-        |  SELECT DISTINCT source, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      """WITH sraw AS (
+        |  SELECT source, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
         |         string_split(text,' ')[i+2])) AS ng
-        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
-        |SELECT a.source AS s1, b.source AS s2, count(DISTINCT a.ng) AS n_shared
-        |FROM sng a JOIN sng b ON b.ng = a.ng AND a.source < b.source
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |sng AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5(ng),1,14) AS BIGINT) AS h
+        |  FROM sraw)
+        |SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        |FROM sng a JOIN sng b ON b.h = a.h AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dup_ngram_rate" ->
       """WITH ngr AS (
