@@ -9,20 +9,42 @@ import graft.Tables
   * operator; decode / feature-extraction runs partition-wise so a real
   * implementation can batch into a native decoder or accelerator.
   *
-  * The decode step itself is a clearly-marked DETERMINISTIC STUB (this
-  * container ships no image/audio codecs): it derives fake features from
-  * the payload's md5. Everything around it — schema, encoders, batch
-  * iteration shape, partitioning — is the real production plumbing.
+  * The IMAGE path is REAL end to end: [[encodeImages]] writes genuine
+  * PNG payloads with `javax.imageio` (dimensions seeded from the doc
+  * hash, gray pixels = the doc's bytes cycled row-major) and
+  * [[decodeImages]] decodes them back — actual codec execution on every
+  * row, verified by sha-256 of the decoded raster against a DuckDB
+  * oracle that predicts the pixel stream independently. Only the VIDEO
+  * demux ([[sampleFrames]]) remains a clearly-marked deterministic stub
+  * (no container demuxer in the JDK): its schedule/resize math is fully
+  * oracle-checked, the md5 fingerprint stands in for frame content.
   *
   * Scale notes: payload bytes never pass through a shuffle here — the
-  * feature extractor is a narrow `mapPartitions` (no exchange), and
-  * downstream aggregations ship only the small feature vectors. That is
-  * the property that matters when payloads are MBs each at 100 TB total.
+  * codec stages are narrow `mapPartitions` (no exchange), and downstream
+  * aggregations ship only the small metadata/feature rows. That is the
+  * property that matters when payloads are MBs each at 100 TB total.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Float])
+  case class ImageMeta(doc_id: Long, width: Int, height: Int, channels: Int,
+      n_pixels: Long, pixel_sha: String)
+
+  /** Encoded PNG corpus memoized per (session, dir) — same pattern and
+    * stopped-session eviction as NearDedup's shingle/state/cluster memos:
+    * the encode stage is FIXTURE SYNTHESIS (production payloads arrive
+    * already encoded from a media store), so rebuilding the PNGs per
+    * query run would bill synthesis to the decode path under test.
+    */
+  private val imageCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dataset[MediaRecord]]()
+
+  private def encodedCorpus(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    imageCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    imageCache.computeIfAbsent((s, dir), _ =>
+      encodeImages(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** View the documents fixture as a binary media table (text bytes stand
     * in for image/audio payloads; mime tagged by source).
@@ -38,29 +60,77 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Partition-wise batched "decode + featurize".
-    *
-    * STUB: a real deployment replaces `decodeBatch` with an image/audio
-    * codec + model call (the batching shape below is what feeds a GPU
-    * efficiently); this container has no codec libs, so features are a
-    * deterministic function of the payload hash.
+  /** Encode each document as a REAL PNG via `javax.imageio` — the
+    * fixture's stand-in for an upstream media store: dimensions are
+    * seeded from the doc's md5 (8–39 px a side), the 8-bit gray raster
+    * is the doc's bytes cycled row-major. Deterministic, so the decode
+    * side has an independently-computable ground truth.
     */
-  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
-    val s = media.sparkSession
+  def encodeImages(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val s = docs.sparkSession
     import s.implicits._
-    media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        decodeBatch(batch)
-      }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+        val bytes = {
+          val b = text.getBytes("UTF-8")
+          if (b.isEmpty) Array[Byte](0) else b
+        }
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        val w = 8 + (md(0) & 0x1f)
+        val h = 8 + (md(1) & 0x1f)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, bytes(i % bytes.length) & 0xff)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaRecord(id, baos.toByteArray, "image/png")
+      })
     }
   }
 
-  /** === STUB decode (see above) — deterministic fake features. === */
-  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  /** Partition-wise batched REAL decode: `javax.imageio.ImageIO.read`
+    * runs on every payload (an actual PNG codec pass — header parse,
+    * inflate, defilter), and the decoded raster is reduced to metadata +
+    * a sha-256 of its row-major pixel bytes. The batching shape is what
+    * would feed a GPU featurizer; the narrow `mapPartitions` keeps
+    * payload bytes out of any shuffle.
+    */
+  def decodeImages(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[ImageMeta] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decodeImageBatch)
+    }
+  }
+
+  private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[ImageMeta] =
     batch.map { r =>
-      val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
-      val feats = Array.tabulate(8)(i => (md(i & 15) & 0xff).toFloat / 255f)
-      MediaFeatures(r.doc_id, r.payload.length.toLong, feats)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val px = new Array[Byte](w * h)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(i) = raster.getSample(x, y, 0).toByte
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(px)
+        .map("%02x".format(_)).mkString
+      ImageMeta(r.doc_id, w, h, raster.getNumBands, w.toLong * h, sha)
     }
 
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
@@ -123,20 +193,17 @@ object Multimodal {
         sha2(col("text").cast("binary"), 256).as("payload_sha")
       ).orderBy("doc_id")),
 
-    // Stubbed feature extraction through the real plumbing. The stub is
-    // deterministic (features[i] = md5_byte[i]/255f), so the query projects
-    // the floats back to their md5-hex prefix at the boundary — both a
-    // driver-sortable canonical string (no list column) and a FULL DuckDB
-    // oracle: the float→byte roundtrip + batching plumbing are hash-checked.
-    "mm_features" -> ((s, dir) => {
-      val feats = extractFeatures(asMedia(Tables(s, dir).documents))
-      feats.toDF().select(
-        col("doc_id"), col("n_bytes"),
-        lower(concat_ws("",
-          transform(col("features"),
-            f => lpad(hex(round(f * 255).cast("int")), 2, "0")))).as("features_hex"))
-        .orderBy("doc_id")
-    }),
+    // REAL image decode through the real plumbing: every row's payload
+    // is a genuine PNG (encoded by javax.imageio from the doc's bytes)
+    // and ImageIO.read decodes it back — width/height/channels come from
+    // the DECODER, and the sha-256 of the decoded raster must equal the
+    // oracle's independent prediction of the pixel stream (text bytes
+    // cycled to w×h, mirrored in DuckDB via repeat+substring — exact
+    // because the fixture text is pure ASCII). A codec bug on either
+    // side breaks the hash.
+    "mm_features" -> ((s, dir) =>
+      decodeImages(encodedCorpus(s, dir))
+        .toDF().orderBy("doc_id")),
 
     // video-path plumbing: uniform frame schedule + resize targets,
     // hash-checked end to end (see sampleFrames for the stub boundary)
@@ -151,9 +218,16 @@ object Multimodal {
         |  sha256(text) AS payload_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
-      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |  substring(md5(text), 1, 16) AS features_hex
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS width,
+        |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, CAST(1 AS INTEGER) AS channels,
+        |  CAST(width * height AS BIGINT) AS n_pixels,
+        |  sha256(substring(repeat(text, CAST((width * height + n - 1) // n AS INTEGER)),
+        |                   1, width * height)) AS pixel_sha
+        |FROM m ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH dims AS (
         |  SELECT doc_id, text,

@@ -159,14 +159,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1).isNullAt(1), "HOF reference must be null on length mismatch")
   }
 
-  test("stubbed multimodal feature extraction is deterministic and schema-stable") {
-    val media = Multimodal.asMedia(Tables(spark, sf("sf0.001")).documents)
-    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
-    val f2 = Multimodal.extractFeatures(media, batchSize = 7).collect().sortBy(_.doc_id)
-    assert(f1.length == 500)
-    assert(f1.forall(_.features.length == 8))
-    // batch size must not change results (pure per-record stub)
-    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  test("real image decode: PNG payloads round-trip through javax.imageio, batch-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables(s, sf("sf0.001")).documents
+    val media = Multimodal.encodeImages(docs).collect()
+    assert(media.length == 500)
+    // payloads are genuine PNGs (magic bytes), not hash-derived fakes
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    assert(media.forall(_.payload.take(4).sameElements(pngMagic)))
+    val m1 = Multimodal.decodeImages(Multimodal.encodeImages(docs))
+      .collect().sortBy(_.doc_id)
+    val m2 = Multimodal.decodeImages(Multimodal.encodeImages(docs, batchSize = 7), batchSize = 5)
+      .collect().sortBy(_.doc_id)
+    assert(m1.length == 500)
+    assert(m1.toSeq == m2.toSeq, "batch size must not change decoded results")
+    assert(m1.forall(m => m.width >= 8 && m.width <= 39 && m.height >= 8 && m.height <= 39))
+    assert(m1.forall(m => m.channels == 1 && m.n_pixels == m.width.toLong * m.height))
+    // the decoded raster must equal the independently-predicted pixel
+    // stream (text bytes cycled row-major) — a real codec check on both
+    // the encode and decode sides
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    m1.take(20).foreach { m =>
+      val b = texts(m.doc_id).getBytes("UTF-8")
+      val expected = Array.tabulate(m.n_pixels.toInt)(i => b(i % b.length))
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(expected)
+        .map("%02x".format(_)).mkString
+      assert(sha == m.pixel_sha, s"doc ${m.doc_id}: decoded raster diverged from source bytes")
+    }
   }
 
   test("vec_quantize: int8 range, exact extremum, bounded reconstruction error") {
