@@ -17,8 +17,21 @@ import org.apache.spark.sql.functions.col
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Scale-slope knob: replicate the feed N× with DISJOINT key spaces
+    // (ScaleUp keeps `events` fixed like a dim, so the streaming path
+    // needs its own replication). Each copy keeps its original scns —
+    // per-key ordering is what the channel contract guarantees, and
+    // every key lives in exactly one copy — so N× multiplies keys AND
+    // events without changing any per-key history.
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STREAM_COPIES", "1").toInt
     val spark = Engine.session("graft-stream-bench")
-    val feedDf = cdc.ChangeFeed.fromEvents(spark, sfDir)
+    val feed1 = cdc.ChangeFeed.fromEvents(spark, sfDir)
+    val keyShift = 1000000000L
+    val feedDf =
+      if (copies == 1) feed1
+      else (0 until copies).map(i =>
+        feed1.withColumn("id", col("id") + org.apache.spark.sql.functions.lit(i * keyShift)))
+        .reduce(_ unionByName _)
     val n = feedDf.count()
     val work = java.nio.file.Files.createTempDirectory("graft-stream-bench")
     val feedDir = work.resolve("feed").toString
@@ -54,7 +67,7 @@ object StreamBench {
     require(stateRows == expect, s"state rows $stateRows != batch fold $expect")
     val eps = n / elapsed
     val json =
-      s"""{"metric":"stream_materialize_eps","value":$eps,"unit":"events/sec","events":$n,""" +
+      s"""{"metric":"stream_materialize_eps","value":$eps,"unit":"events/sec","events":$n,"copies":$copies,""" +
         s""""elapsed_sec":$elapsed,"state_rows":$stateRows,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("stream_bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
