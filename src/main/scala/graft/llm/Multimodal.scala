@@ -112,6 +112,48 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(doc_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, resized_sha: String)
+
+  /** REAL aspect-preserving nearest-neighbor resize executed on the
+    * decoded raster (not just the schedule math of [[sampleFrames]]):
+    * decode via `ImageIO.read`, then `out(x,y) = src(⌊x·w/outW⌋,
+    * ⌊y·h/outH⌋)` — pure integer index math, so the DuckDB oracle can
+    * replay the exact mapping over its independently-predicted pixel
+    * string and the sha-256 must agree byte-for-byte. Same batched
+    * narrow `mapPartitions` shape as the other codec stages.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int = 16,
+      batchSize: Int = 64): Dataset[ResizedImage] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val m = math.max(w, h)
+        val outW = math.max(1, w * maxSide / m)
+        val outH = math.max(1, h * maxSide / m)
+        val out = new Array[Byte](outW * outH)
+        var i = 0; var y = 0
+        while (y < outH) {
+          val srcY = y * h / outH
+          var x = 0
+          while (x < outW) {
+            out(i) = raster.getSample(x * w / outW, srcY, 0).toByte
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
+          .map("%02x".format(_)).mkString
+        ResizedImage(r.doc_id, w, h, outW, outH, sha)
+      })
+    }
+  }
+
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[ImageMeta] =
     batch.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -205,6 +247,12 @@ object Multimodal {
       decodeImages(encodedCorpus(s, dir))
         .toDF().orderBy("doc_id")),
 
+    // real decode + real nearest-neighbor resize, sha-checked against
+    // the oracle's replay of the same integer pixel mapping
+    "mm_resize" -> ((s, dir) =>
+      resizeImages(encodedCorpus(s, dir))
+        .toDF().orderBy("doc_id")),
+
     // video-path plumbing: uniform frame schedule + resize targets,
     // hash-checked end to end (see sampleFrames for the stub boundary)
     "mm_frames" -> ((s, dir) =>
@@ -228,6 +276,24 @@ object Multimodal {
         |  sha256(substring(repeat(text, CAST((width * height + n - 1) // n AS INTEGER)),
         |                   1, width * height)) AS pixel_sha
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
+        |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w, h,
+        |    greatest(1, w * 16 // greatest(w, h)) AS out_w,
+        |    greatest(1, h * 16 // greatest(w, h)) AS out_h,
+        |    substring(repeat(text, CAST((w * h + n - 1) // n AS INTEGER)), 1, w * h) AS px
+        |  FROM m)
+        |SELECT doc_id, w AS src_w, h AS src_h, out_w, out_h,
+        |  sha256(list_aggregate(list_transform(range(out_w * out_h),
+        |    i -> substring(px,
+        |      CAST(((i // out_w) * h // out_h) * w + (i % out_w) * w // out_w AS INTEGER) + 1, 1)),
+        |    'string_agg', '')) AS resized_sha
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH dims AS (
         |  SELECT doc_id, text,

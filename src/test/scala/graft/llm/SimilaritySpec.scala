@@ -189,6 +189,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("real image resize: nearest-neighbor mapping on the decoded raster, aspect preserved") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables(s, sf("sf0.001")).documents
+    val r1 = Multimodal.resizeImages(Multimodal.encodeImages(docs))
+      .collect().sortBy(_.doc_id)
+    assert(r1.length == 500)
+    // the max side pins to 16, both dims stay >= 1, aspect order preserved
+    r1.foreach { r =>
+      assert(math.max(r.out_w, r.out_h) == 16, s"doc ${r.doc_id} max side")
+      assert(r.out_w >= 1 && r.out_h >= 1)
+      assert((r.src_w >= r.src_h) == (r.out_w >= r.out_h), s"doc ${r.doc_id} aspect flipped")
+    }
+    // replay the exact integer mapping over the known source bytes
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    r1.take(20).foreach { r =>
+      val b = texts(r.doc_id).getBytes("UTF-8")
+      val out = Array.tabulate(r.out_w * r.out_h) { i =>
+        val srcY = (i / r.out_w) * r.src_h / r.out_h
+        val srcX = (i % r.out_w) * r.src_w / r.out_w
+        b((srcY * r.src_w + srcX) % b.length)
+      }
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
+        .map("%02x".format(_)).mkString
+      assert(sha == r.resized_sha, s"doc ${r.doc_id}: resized raster diverged")
+    }
+  }
+
   test("vec_quantize: int8 range, exact extremum, bounded reconstruction error") {
     val s = spark
     import s.implicits._
