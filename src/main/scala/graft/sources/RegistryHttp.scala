@@ -1,0 +1,172 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+
+/** Confluent-compatible REST surface over [[SchemaRegistry]], served and
+  * consumed with ONLY JDK machinery (`com.sun.net.httpserver` /
+  * `java.net.http`) — no new dependencies.
+  *
+  * The reference runs a live Schema Registry service
+  * (`docker-compose-main.yml:97-119`) that producers/consumers reach
+  * over HTTP; rounds 3–7 carried that as an environment-blocked
+  * execution because no registry SERVICE exists in the sandbox. This
+  * closes it: [[RegistryServer]] exposes the store through the actual
+  * Confluent v1 routes, [[HttpRegistryClient]] talks real HTTP to them,
+  * and RegistrySpec executes the full register → frame → resolve-by-id
+  * round trip over a live socket. A production deployment points the
+  * client's baseUrl at the real registry — the four-route subset used
+  * here is the stable public API
+  * (POST /subjects/{s}/versions, GET /schemas/ids/{id},
+  * GET /subjects/{s}/versions/latest, GET /subjects).
+  */
+object RegistryHttp {
+  private[sources] val mapper = new ObjectMapper()
+
+  private[sources] def schemaBody(schemaJson: String): String = {
+    val n = JsonNodeFactory.instance.objectNode()
+    n.put("schema", schemaJson)
+    mapper.writeValueAsString(n)
+  }
+}
+
+/** Serve a [[SchemaRegistry]] over HTTP on 127.0.0.1 (`port` 0 = pick an
+  * ephemeral port; read it back from [[baseUrl]]).
+  */
+final class RegistryServer(registry: SchemaRegistry, port: Int = 0) {
+  import RegistryHttp.mapper
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+      status: Int, body: String): Unit = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "application/vnd.schemaregistry.v1+json")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def err(ex: com.sun.net.httpserver.HttpExchange,
+      status: Int, code: Int, msg: String): Unit = {
+    val n = JsonNodeFactory.instance.objectNode()
+    n.put("error_code", code); n.put("message", msg)
+    respond(ex, status, mapper.writeValueAsString(n))
+  }
+
+  server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+    try {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      val VersionsRe = "/subjects/([A-Za-z0-9._-]+)/versions".r
+      val LatestRe = "/subjects/([A-Za-z0-9._-]+)/versions/latest".r
+      val ByIdRe = "/schemas/ids/(\\d+)".r
+      (method, path) match {
+        case ("POST", VersionsRe(subject)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val schema = mapper.readTree(body).get("schema")
+          if (schema == null || !schema.isTextual)
+            err(ex, 422, 42201, "request body must carry a textual 'schema'")
+          else {
+            val id = registry.register(subject, schema.asText())
+            val n = JsonNodeFactory.instance.objectNode()
+            n.put("id", id)
+            respond(ex, 200, mapper.writeValueAsString(n))
+          }
+        case ("GET", LatestRe(subject)) =>
+          registry.latest(subject) match {
+            case Some((id, schema)) =>
+              val version = registry.history(subject).size
+              val n = JsonNodeFactory.instance.objectNode()
+              n.put("subject", subject); n.put("id", id)
+              n.put("version", version); n.put("schema", schema)
+              respond(ex, 200, mapper.writeValueAsString(n))
+            case None => err(ex, 404, 40401, s"Subject '$subject' not found.")
+          }
+        case ("GET", ByIdRe(idStr)) =>
+          registry.byId(idStr.toInt) match {
+            case Some(schema) => respond(ex, 200, RegistryHttp.schemaBody(schema))
+            case None => err(ex, 404, 40403, s"Schema ${idStr.toInt} not found.")
+          }
+        case ("GET", "/subjects") =>
+          val a = JsonNodeFactory.instance.arrayNode()
+          registry.subjects.foreach(a.add)
+          respond(ex, 200, mapper.writeValueAsString(a))
+        case _ => err(ex, 404, 40401, s"no route: $method $path")
+      }
+    } catch {
+      case e: Exception => err(ex, 500, 50001, String.valueOf(e.getMessage))
+    }
+  })
+
+  server.setExecutor(null)
+  server.start()
+
+  def baseUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  def stop(): Unit = server.stop(0)
+}
+
+/** JDK `java.net.http` client for the same four Confluent v1 routes —
+  * what a producer/consumer deployment points at the real service.
+  */
+final class HttpRegistryClient(baseUrl: String) {
+  import RegistryHttp.mapper
+
+  private val http = java.net.http.HttpClient.newHttpClient()
+
+  private def send(req: java.net.http.HttpRequest): (Int, String) = {
+    val resp = http.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString(
+        java.nio.charset.StandardCharsets.UTF_8))
+    (resp.statusCode(), resp.body())
+  }
+
+  private def get(path: String): (Int, String) =
+    send(java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(baseUrl + path)).GET().build())
+
+  /** POST /subjects/{subject}/versions → registered (or existing) id. */
+  def register(subject: String, schemaJson: String): Int = {
+    val (status, body) = send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$baseUrl/subjects/$subject/versions"))
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        RegistryHttp.schemaBody(schemaJson)))
+      .build())
+    require(status == 200, s"register($subject) failed: HTTP $status $body")
+    mapper.readTree(body).get("id").asInt()
+  }
+
+  /** GET /schemas/ids/{id} → the schema text, None on 404. */
+  def byId(id: Int): Option[String] = {
+    val (status, body) = get(s"/schemas/ids/$id")
+    if (status == 404) None
+    else {
+      require(status == 200, s"byId($id) failed: HTTP $status $body")
+      Some(mapper.readTree(body).get("schema").asText())
+    }
+  }
+
+  /** GET /subjects/{subject}/versions/latest → (id, schema), None on 404. */
+  def latest(subject: String): Option[(Int, String)] = {
+    val (status, body) = get(s"/subjects/$subject/versions/latest")
+    if (status == 404) None
+    else {
+      require(status == 200, s"latest($subject) failed: HTTP $status $body")
+      val n = mapper.readTree(body)
+      Some((n.get("id").asInt(), n.get("schema").asText()))
+    }
+  }
+
+  /** GET /subjects → all subject names. */
+  def subjects(): Seq[String] = {
+    val (status, body) = get("/subjects")
+    require(status == 200, s"subjects() failed: HTTP $status $body")
+    val n = mapper.readTree(body)
+    (0 until n.size()).map(i => n.get(i).asText())
+  }
+}

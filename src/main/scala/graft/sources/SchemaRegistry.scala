@@ -92,6 +92,9 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
   /** Immutable id → schema snapshot, broadcast-friendly for executors. */
   def schemasById: Map[Int, String] = entries.map(e => e._1 -> e._4).toMap
 
+  /** Distinct subjects in first-registration order. */
+  def subjects: Seq[String] = entries.map(_._2).distinct
+
   /** Register with a Confluent-style compatibility gate against the
     * subject's LATEST version (the registry service's default check):
     * BACKWARD = consumers on the NEW schema can read data written with

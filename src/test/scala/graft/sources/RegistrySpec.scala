@@ -134,4 +134,42 @@ class RegistrySpec extends SparkSpec {
     intercept[IllegalStateException](
       AvroCodec.decodeFramedNation(bad, reg.schemasById, v1).toList)
   }
+
+  test("registry over HTTP: Confluent v1 routes round-trip over a live socket") {
+    val dir = Files.createTempDirectory("reg-http").toString
+    val reg = SchemaRegistry.open(dir)
+    val server = new RegistryServer(reg) // ephemeral port
+    try {
+      val client = new HttpRegistryClient(server.baseUrl)
+      // register v1 then v2 over HTTP; idempotent re-register returns the
+      // same id — Confluent semantics through the REST surface
+      val id1 = client.register("nation-value", v1)
+      val id2 = client.register("nation-value", v2)
+      assert(id1 != id2)
+      assert(client.register("nation-value", v1) == id1)
+      // resolve by id (the consumer's frame-decode path) + latest + list
+      assert(client.byId(id1).contains(v1))
+      assert(client.byId(id2).contains(v2))
+      assert(client.byId(99999).isEmpty) // 404, not an exception
+      assert(client.latest("nation-value").contains((id2, v2)))
+      assert(client.latest("nope").isEmpty)
+      assert(client.subjects() == Seq("nation-value"))
+      // the full produce/consume loop with the schema id fetched over
+      // HTTP: frame with the HTTP-registered id, decode by resolving the
+      // writer schema THROUGH the client — the reference's live-registry
+      // flow end to end
+      val payload = AvroCodec.encodeNation(Iterator((1, "FRANCE", 3)), v1).next()
+      val framed = SchemaFrame.frame(id1, payload)
+      val (wireId, body) = SchemaFrame.unframe(framed)
+      val writerSchema = client.byId(wireId).get
+      val decoded = AvroCodec.decodeFramedNation(
+        Iterator(SchemaFrame.frame(wireId, body)),
+        Map(wireId -> writerSchema), v1).toList
+      assert(decoded == List((1, "FRANCE", 3)))
+      // HTTP registrations are durable in the same append-only log:
+      // a fresh (non-HTTP) open of the dir replays them
+      val replayed = SchemaRegistry.open(dir)
+      assert(replayed.latest("nation-value").contains((id2, v2)))
+    } finally server.stop()
+  }
 }
