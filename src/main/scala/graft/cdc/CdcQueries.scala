@@ -124,6 +124,27 @@ object CdcQueries {
         .select("id", "scn", "op", "ts", "event_type", "value", "props")
         .orderBy("id")),
 
+    // DBLog/Debezium-style chunked incremental snapshot: the customer
+    // base is "read" in 8 contiguous key-range chunks, each at a
+    // different point of the live change stream, and watermark-merged
+    // with the stream ([[Ops.chunkedSnapshot]]). The oracle is the PLAIN
+    // snapshot-then-apply fold — equality IS the algorithm's contract
+    // (chunking must be invisible in the final state).
+    "snapshot_chunked" -> ((s, dir) => {
+      val base = Ops.snapshot(
+        Tables(s, dir).customer.select(
+          col("c_custkey").as("id"),
+          lit(null).cast("timestamp").as("ts"),
+          lit("snapshot").as("event_type"),
+          col("c_acctbal").as("value"),
+          col("c_name").as("props")),
+        scn = 0L).withColumn("scn", col("scn").cast("long"))
+      Ops.chunkedSnapshot(base, F.fromEvents(s, dir),
+          keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 8)
+        .select("id", "scn", "op", "ts", "event_type", "value", "props")
+        .orderBy("id")
+    }),
+
     "txn_group" -> ((s, dir) =>
       Ops
         .txnGroup(
@@ -354,6 +375,21 @@ object CdcQueries {
       s"""$feedCte SELECT id, scn, op, ts, event_type, value, props FROM (
          |  SELECT f.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn FROM feed f
          |) WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin,
+    "snapshot_chunked" ->
+      s"""$feedCte, base AS (
+         |  SELECT c_custkey AS id, CAST(0 AS BIGINT) AS scn, 'r' AS op,
+         |         CAST(NULL AS TIMESTAMP) AS ts, 'snapshot' AS event_type,
+         |         c_acctbal AS value, c_name AS props
+         |  FROM customer),
+         |all_rows AS (
+         |  SELECT id, scn, op, ts, event_type, value, props FROM base
+         |  UNION ALL
+         |  SELECT id, scn, op, ts, event_type, value, props FROM feed)
+         |SELECT id, scn, op, ts, event_type, value, props FROM (
+         |  SELECT a.*, row_number() OVER (PARTITION BY id
+         |    ORDER BY scn DESC, (op <> 'r') DESC) AS rn
+         |  FROM all_rows a)
+         |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin,
     "txn_group" ->
       s"""$feedCte SELECT CAST(floor(scn/10) AS BIGINT) AS xid, count(*) AS n_events,
          |  min(scn) AS first_scn, max(scn) AS last_scn,

@@ -86,6 +86,38 @@ object Curation {
       evalNgHashes(s, dir).stat.bloomFilter("h", 1L << 20, 0.01))
   }
 
+  /** Core of `boilerplate_lines`, callable on planted corpora
+    * (CurationSpec) as well as the fixture tables: drop every
+    * pseudo-line whose exact text recurs across >= `minDocs` distinct
+    * documents, reassemble the rest in original order.
+    */
+  private[llm] def removeBoilerplate(docs: DataFrame, chunkWords: Int = 3,
+      minDocs: Int = 3): DataFrame = {
+    val ws = split(col("text"), " ")
+    val lines = transform(
+      sequence(lit(0), ceil(size(ws) / lit(chunkWords.toDouble)).cast("int") - 1),
+      i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))
+    val chunked = docs
+      .select(col("doc_id"), posexplode(lines).as(Seq("pos", "chunk")))
+      .withColumn("ck", Sampling.hashBucket(col("chunk"), hexDigits = 14))
+    val boiler = chunked
+      .groupBy("ck").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("ck"), lit(true).as("is_b"))
+    chunked.join(boiler, Seq("ck"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        count(col("is_b")).cast("long").as("n_removed"),
+        // collect_list skips the nulls `when` emits for boilerplate
+        // rows; array_sort on struct(pos, chunk) orders by pos
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("is_b").isNull, struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk"))).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // test-set decontamination: drop every train doc sharing ANY 3-word
@@ -224,6 +256,29 @@ object Curation {
             col("n_ng").cast("double"), 6).as("dup_frac"))
         .orderBy("doc_id")
     }),
+
+    // C4/RefinedWeb-style boilerplate-line removal: a "line" whose exact
+    // text recurs across >= K distinct documents (nav bars, cookie
+    // banners, license footers) is dropped from EVERY document, and the
+    // cleaned text is reassembled in original order. The fixture corpus
+    // has no newlines, so a "line" here is a fixed 3-word chunk —
+    // produced by a pure per-row HOF (sequence→slice→array_join, no
+    // shuffle to FORM lines) — which collides often enough in the
+    // synthetic vocabulary to make removal real (sf0.01: 802 chunks
+    // across 362 docs).
+    //
+    // Shape at 100 TB: three key-shuffles total — the df count on the
+    // 56-bit chunk hash (map-side partial absorbs hot boilerplate
+    // BEFORE the shuffle, the same skew argument as dup_ngram_rate),
+    // the anti-ish left join back on that same hash key (the boiler
+    // side arrives pre-partitioned by ck from its own aggregation, and
+    // AQE broadcasts it when small — the common case: boilerplate
+    // vocabularies are tiny relative to the corpus), and the per-doc
+    // reassembly groupBy. Hashing is mirrored in the oracle, so a
+    // collision (a legit line sharing a 56-bit hash with boilerplate)
+    // cannot diverge the check.
+    "boilerplate_lines" -> ((s, dir) =>
+      removeBoilerplate(Tables(s, dir).documents).orderBy("doc_id")),
 
     // PII scrub over a free-text column (events.props here — the fixture
     // column that actually contains digit runs): mask email-shaped
@@ -372,6 +427,22 @@ object Curation {
         |SELECT doc_id, count(*) AS n_ng,
         |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "boilerplate_lines" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(ws, i*3+1, i*3+3), ' ') AS chunk
+        |  FROM words, unnest(range(CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(i)),
+        |hashed AS (SELECT doc_id, pos, chunk,
+        |  CAST('0x' || substring(md5(chunk),1,14) AS BIGINT) AS ck FROM chunks),
+        |boiler AS (SELECT ck FROM hashed GROUP BY ck HAVING count(DISTINCT doc_id) >= 3),
+        |flagged AS (SELECT h.doc_id, h.pos, h.chunk, b.ck IS NOT NULL AS is_b
+        |  FROM hashed h LEFT JOIN boiler b USING (ck))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_b THEN chunk END, ' ' ORDER BY pos), '') AS clean_text,
+        |  count(*) AS n_chunks,
+        |  count(CASE WHEN is_b THEN 1 END) AS n_removed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """SELECT event_id,
         |  regexp_replace(props, '[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+|[0-9]+', '<PII>', 'g') AS redacted,

@@ -226,6 +226,25 @@ object TextOps {
     // 1-row broadcast. Ranking keys on the ROUNDED score + term so the
     // top-3 cut is deterministic and engine-agnostic (an unrounded
     // order could break ties differently across engines at 1e-9).
+    // Unicode NFC normalization via the engine's codegen Expression
+    // ([[graft.functions.NfcNormalize]]) — the canonical pre-tokenization
+    // step before fingerprint/shingle/dedup, so identical visible text
+    // always hashes identically. Pure per-row projection, no shuffle;
+    // stays inside whole-stage codegen (a UDF here would de-optimize the
+    // single hottest full-corpus scan of a curation pipeline). The
+    // synthetic corpus is ASCII (NFC = identity — the oracle still
+    // hash-checks the plumbing end-to-end); CurationSpec pins real
+    // composition cases (combining accents, compatibility non-cases).
+    "text_normalize" -> ((s, dir) => {
+      graft.functions.NfcNormalize.ensureRegistered(s)
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          graft.functions.NfcNormalize.nfc_normalize(col("text")).as("norm_text"))
+        .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "tfidf_topk" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -400,6 +419,10 @@ object TextOps {
         |SELECT source, split, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  length(nfc_normalize(text)) AS n_norm_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "tfidf_topk" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),

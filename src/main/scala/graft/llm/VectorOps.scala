@@ -211,6 +211,45 @@ object VectorOps {
       .orderBy("v1", "v2")
   }
 
+  /** SemDeDup-style semantic dedup core (the "cluster, then prune
+    * near-identical neighbors within each cluster" pass of
+    * embedding-curated corpora; see the public SemDeDup description —
+    * k-means partition + intra-cluster cosine pruning). `assigned` is a
+    * (vec_id, embedding, cell) frame — for the fixture corpus that is the
+    * memoized IVF cell assignment ([[ivfAssigned]]), i.e. the SAME
+    * quantizer the ANN index already maintains, so semantic dedup rides
+    * an index the pipeline has anyway.
+    *
+    * A vector is dropped when a SMALLER-id vector in the SAME cell is
+    * near-identical (cosine >= threshold) — the deterministic keeper
+    * rule (SemDeDup keeps one representative per tight neighborhood; id
+    * order makes the choice reproducible). Cross-cell near-dups are NOT
+    * seen — the documented SemDeDup approximation (the quantizer puts
+    * near-identical vectors in one cell with overwhelming probability;
+    * the miss rate is the price of never running all-pairs).
+    *
+    * Scale shape: the pairwise work is Σ|cell|² bounded by the cell
+    * count choice (k ≈ n/target keeps cells constant-sized → linear
+    * total), the self-join shuffles BOTH sides on the cell key only, and
+    * `maxCell` is the same skew guard as [[embedNearDup]]'s maxBucket:
+    * a pathological mega-cell is excluded from pruning (kept, counted)
+    * rather than allowed to emit an O(k²) task.
+    */
+  private[llm] def semDedupCore(assigned: DataFrame, threshold: Double,
+      maxCell: Int = 10000): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(assigned.sparkSession)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val inPlay = assigned
+      .join(sizes.filter(col("__n") <= maxCell).select("cell"), "cell")
+    val dropped = inPlay.select(col("cell"), col("vec_id").as("u"), col("embedding").as("eu"))
+      .join(inPlay.select(col("cell"), col("vec_id").as("v"), col("embedding").as("ev")),
+        "cell")
+      .filter(col("u") < col("v"))
+      .filter(cosine(col("eu"), col("ev")) >= threshold)
+      .select(col("v").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti").select("vec_id", "cell")
+  }
+
   /** IVF coarse quantizer: k-means centroids trained with Lloyd
     * iterations on a deterministic bounded SAMPLE, driver-side. That is
     * the standard IVF shape (FAISS trains its quantizer on a sample
@@ -382,6 +421,20 @@ object VectorOps {
     "dedup_embed" -> ((s, dir) =>
       embedNearDup(Tables(s, dir).embeddings, threshold = 0.4,
         index = Some(corpusBuckets(s, dir, h = 6, tables = 4)))),
+    // SemDeDup over the ANN index's own cell assignment. Threshold 0.45:
+    // the synthetic embeddings have no true clones (max pair cos 0.51 at
+    // sf0.01), so a "real" 0.99 threshold would be vacuous — 0.45 makes
+    // the prune non-empty (28 vectors have a >=0.45 neighbor corpus-wide
+    // at sf0.01; the intra-cell subset of those is what drops). Rows-only
+    // like the other ANN ids (the cell assignment is engine-internal
+    // k-means); keeper rule + cross-cell miss + cap semantics pinned in
+    // SimilaritySpec.
+    "dedup_semantic" -> ((s, dir) =>
+      semDedupCore(
+        ivfAssigned(s, dir, cells = 16).assigned
+          .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell")),
+        threshold = 0.45)
+        .orderBy("vec_id")),
     // symmetric int8 quantization (the storage/ANN-memory path: 4× smaller
     // vectors, SIMD-friendly int dot products downstream). Per-vector
     // scale = max|x|/127; q_i = round-half-up(x_i/scale) expressed as

@@ -1,0 +1,109 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DBLog-style chunked incremental snapshot: the merge must make
+  * chunking invisible (result ≡ plain snapshot-then-apply), with the
+  * interesting interleavings planted explicitly.
+  */
+class ChunkedSnapshotSpec extends SparkSpec {
+
+  private def feedDf(rows: Seq[(Long, Long, String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("scn", "id", "op", "payload")
+  }
+
+  private def baseDf(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Ops.snapshot(rows.toDF("id", "payload"), scn = 0L)
+      .withColumn("scn", col("scn").cast("long"))
+      .select("scn", "id", "op", "payload")
+  }
+
+  private def plainApply(base: DataFrame, feed: DataFrame): Map[Long, (Long, String, String)] =
+    base.unionByName(feed)
+      .groupBy("id")
+      .agg(max_by(struct(col("scn"), col("op"), col("payload")),
+        struct(col("scn"), col("op") =!= "r")).as("st"))
+      .select(col("id"), col("st.scn"), col("st.op"), col("st.payload"))
+      .filter(col("op") =!= "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+
+  private def chunked(base: DataFrame, feed: DataFrame, n: Int): Map[Long, (Long, String, String)] =
+    Ops.chunkedSnapshot(base, feed, keyCol = "id", scnCol = "scn", opCol = "op", nChunks = n)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("scn"), r.getAs[String]("op"), r.getAs[String]("payload")))).toMap
+
+  test("planted interleavings: stale chunk rows superseded, embodied changes not duplicated") {
+    // keys 0..9 in base; maxScn=100, nChunks=2 → keys 0-4 read at wm=50,
+    // keys 5-9 at wm=100.
+    val base = baseDf((0L to 9L).map(k => (k, s"base$k")))
+    val feed = feedDf(Seq(
+      (10L, 0L, "u", "early-update"),    // before wm(0)=50 → embodied by the chunk read
+      (60L, 1L, "u", "late-update"),     // after wm(1)=50 → must supersede the chunk row
+      (20L, 2L, "d", "gone"),            // deleted before its chunk read → absent
+      (70L, 3L, "d", "gone-late"),       // deleted after its chunk read → still absent
+      (30L, 4L, "d", "tmp"), (80L, 4L, "c", "recreated"), // delete then re-create
+      (40L, 5L, "u", "v1"), (90L, 5L, "u", "v2"),         // two updates, both ≤ wm=100
+      (100L, 6L, "u", "at-watermark"),   // change exactly AT its chunk's watermark
+      (55L, 11L, "c", "born-live")))     // key not in base at all
+    val expect = plainApply(base, feed)
+    // sanity on the planted shape itself
+    assert(expect(1L) == ((60L, "u", "late-update")))
+    assert(!expect.contains(2L) && !expect.contains(3L))
+    assert(expect(4L) == ((80L, "c", "recreated")))
+    assert(expect(5L) == ((90L, "u", "v2")))
+    assert(expect(6L) == ((100L, "u", "at-watermark")))
+    assert(expect(11L) == ((55L, "c", "born-live")))
+    assert(expect(7L) == ((0L, "r", "base7")), "untouched base row must survive as a read")
+    for (n <- Seq(1, 2, 3, 8, 64))
+      assert(chunked(base, feed, n) == expect, s"nChunks=$n diverged from the plain apply")
+  }
+
+  test("scn-0 live change beats the scn-0 base read deterministically") {
+    val base = baseDf(Seq((1L, "base1"), (2L, "base2")))
+    val feed = feedDf(Seq((0L, 1L, "u", "event-at-scn0")))
+    val got = chunked(base, feed, 2)
+    assert(got(1L) == ((0L, "u", "event-at-scn0")),
+      "at equal scn the live change must outrank the snapshot read")
+    assert(got(2L) == ((0L, "r", "base2")))
+  }
+
+  test("empty feed degenerates to the plain snapshot") {
+    val base = baseDf(Seq((1L, "a"), (5L, "b")))
+    val got = chunked(base, feedDf(Seq.empty[(Long, Long, String, String)]), 4)
+    assert(got == Map(1L -> ((0L, "r", "a")), 5L -> ((0L, "r", "b"))))
+  }
+
+  test("fixture equivalence: snapshot_chunked ≡ plain apply at sf0.001 for several chunkings") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val base = Ops.snapshot(
+      graft.Tables(s, dir).customer.select(
+        col("c_custkey").as("id"),
+        lit(null).cast("timestamp").as("ts"),
+        lit("snapshot").as("event_type"),
+        col("c_acctbal").as("value"),
+        col("c_name").as("props")),
+      scn = 0L).withColumn("scn", col("scn").cast("long"))
+    val feed = ChangeFeed.fromEvents(s, dir)
+    def canon(df: DataFrame) = df
+      .select("id", "scn", "op", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    val plain = canon(base.unionByName(feed)
+      .groupBy("id")
+      .agg(max_by(struct(feed.columns.filterNot(_ == "id").map(col): _*),
+        struct(col("scn"), col("op") =!= "r")).as("st"))
+      .select(col("id") +: feed.columns.filterNot(_ == "id").map(f => col(s"st.$f").as(f)): _*)
+      .filter(col("op") =!= "d"))
+    for (n <- Seq(1, 8, 31)) {
+      val got = canon(Ops.chunkedSnapshot(base, feed,
+        keyCol = "id", scnCol = "scn", opCol = "op", nChunks = n))
+      assert(got == plain, s"nChunks=$n diverged on the fixture")
+    }
+  }
+}

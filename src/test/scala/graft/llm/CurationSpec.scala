@@ -236,4 +236,30 @@ class CurationSpec extends SparkSpec {
     val real = graft.SparkEntry.queries("dup_ngram_rate")(s, sf("sf0.001"))
     assert(real.filter(col("dup_frac") < 0 || col("dup_frac") > 1 || col("n_ng") < 1).count() == 0)
   }
+
+  test("boilerplate_lines drops >=K-doc chunks everywhere, keeps <K, preserves order") {
+    val s = spark
+    import s.implicits._
+    // "cookie banner text" is planted in 4 docs (>= K=3 → boilerplate);
+    // "twice only chunk" in exactly 2 (< K → survives); doc 5 is PURE
+    // boilerplate (must come back as an empty, not missing, row); doc 7
+    // has a non-aligned 1-word tail chunk.
+    val docs = Seq(
+      (1L, "aa bb cc cookie banner text dd ee ff"),
+      (2L, "cookie banner text gg hh ii"),
+      (3L, "jj kk ll mm nn oo cookie banner text"),
+      (4L, "pp qq rr twice only chunk"),
+      (5L, "cookie banner text"),
+      (6L, "twice only chunk"),
+      (7L, "xx yy zz ww")).toDF("doc_id", "text")
+    val got = Curation.removeBoilerplate(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("aa bb cc dd ee ff", 3L, 1L)), s"middle removal broke order: ${got(1L)}")
+    assert(got(2L) == (("gg hh ii", 2L, 1L)))
+    assert(got(3L) == (("jj kk ll mm nn oo", 3L, 1L)))
+    assert(got(4L) == (("pp qq rr twice only chunk", 2L, 0L)), "2-doc chunk must survive")
+    assert(got(5L) == (("", 1L, 1L)), "all-boilerplate doc must yield an empty row, not vanish")
+    assert(got(6L) == (("twice only chunk", 1L, 0L)))
+    assert(got(7L) == (("xx yy zz ww", 2L, 0L)), "ragged tail chunk must round-trip")
+  }
 }

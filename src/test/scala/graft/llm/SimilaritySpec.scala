@@ -268,4 +268,51 @@ class SimilaritySpec extends SparkSpec {
       assert(fs.forall(f => f.out_w >= 1 && f.out_h >= 1))
     }
   }
+
+  test("semdedup: smallest-id keeper per tight neighborhood, cell-blind to cross-cell dups, cap skips") {
+    val s = spark
+    import s.implicits._
+    val e1 = Seq(1.0f, 0.0f, 0.0f)
+    val e1b = Seq(0.999f, 0.04f, 0.0f)   // cos ≈ 0.9992 with e1
+    val e2 = Seq(0.0f, 1.0f, 0.0f)
+    def df(rows: (Long, Seq[Float], Int)*) = rows.toDF("vec_id", "embedding", "cell")
+    // same cell: 3 near-identical + 1 distinct → keep smallest id + the distinct
+    val got1 = VectorOps.semDedupCore(
+      df((5L, e1, 0), (2L, e1b, 0), (9L, e1, 0), (7L, e2, 0)), threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got1 == Set(2L, 7L), s"keeper must be the smallest id of the clique: $got1")
+    // clones split across cells are BOTH kept (the documented miss)
+    val got2 = VectorOps.semDedupCore(
+      df((1L, e1, 0), (2L, e1, 1)), threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got2 == Set(1L, 2L))
+    // an oversized cell is excluded from pruning, not exploded
+    val got3 = VectorOps.semDedupCore(
+      df((1L, e1, 0), (2L, e1, 0), (3L, e1, 0)), threshold = 0.99, maxCell = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got3 == Set(1L, 2L, 3L), "capped cell must keep all members")
+    // fixture run: kept ⊆ corpus, deterministic, and every dropped vector
+    // really has a smaller-id >=threshold neighbor in its own cell
+    import org.apache.spark.sql.functions.col
+    val assigned = VectorOps.ivfAssigned(s, sf("sf0.001"), cells = 16).assigned
+      .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell"))
+    val kept = graft.SparkEntry.queries("dedup_semantic")(s, sf("sf0.001"))
+      .select("vec_id").as[Long].collect().toSet
+    val all = assigned.select("vec_id").as[Long].collect().toSet
+    assert(kept.subsetOf(all) && kept.nonEmpty)
+    val byCell = assigned.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Number](2).longValue))
+      .groupBy(_._3)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    (all -- kept).foreach { v =>
+      val cell = byCell.values.find(_.exists(_._1 == v)).get
+      val ev = cell.find(_._1 == v).get._2
+      assert(cell.exists(m => m._1 < v && cos(m._2, ev) >= 0.45),
+        s"dropped vec $v has no smaller-id intra-cell neighbor at 0.45")
+    }
+  }
 }
