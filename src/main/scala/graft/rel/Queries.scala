@@ -219,6 +219,42 @@ object Queries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Count-Min heavy-hitters report (rows-only like agg_approx — the
+    // sketch grid is engine-internal). The production artifact at 100 TB
+    // is the SKETCH: a constant ~32 KB mergeable buffer per map partial
+    // (functions/CountMin — a linear sketch, so Aggregator.merge is
+    // cell-wise add and Spark's partial-agg machinery is the scale
+    // path), where the exact groupBy it is graded against must shuffle
+    // every distinct key. The exact side here plays the ApproxSpec role
+    // in-query: `within_bound` asserts the CM guarantee (never an
+    // underestimate; overestimate ≤ ⌈e·N/width⌉) per reported key, so a
+    // sketch regression flips the dumped parquet. The grid probe is a
+    // Scala UDF for the same documented reason as the Bloom probe
+    // (Curation.scala): no public built-in evaluates a CM grid against a
+    // column — and it runs on the post-aggregation key table (cardinality
+    // rows), never the event scan.
+    "agg_heavyhitters" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val gridRow = ev.agg(
+        graft.functions.CountMin.count_min(col("user_id")).as("__grid"),
+        count(lit(1)).as("__n"))
+      val est = udf((grid: Seq[Long], key: Long) =>
+        graft.functions.CountMin.estimate(grid.toArray, key))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("exact_n").desc, col("user_id"))
+      ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(gridRow))
+        .withColumn("est_n", est(col("__grid"), col("user_id")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .withColumn("within_bound",
+          col("est_n") >= col("exact_n") &&
+            col("est_n") <= col("exact_n") +
+              ceil(col("__n") * 2.718281828 / graft.functions.CountMin.Width))
+        .select("rank", "user_id", "exact_n", "est_n", "within_bound")
+        .orderBy("rank")
+    }),
+
     "agg_approx" -> ((s, dir) =>
       // HLL sketch — no exact DuckDB hash-match possible (SURVEY §2.5);
       // verified by tolerance in ScalaTest, rows-only for the driver.

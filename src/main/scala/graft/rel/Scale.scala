@@ -95,6 +95,50 @@ object Scale {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each, preserving rows exactly. Streaming sinks and
+    * per-batch CDC writes accrete thousands of KB-sized files; at 100 TB
+    * scan cost is then dominated by open/footer overhead and the
+    * driver's file-listing memory, not bytes — periodic compaction is
+    * the standard maintenance pass (what table formats call OPTIMIZE /
+    * rewrite_data_files).
+    *
+    * The output file count is computed from the INPUT's total byte size
+    * (driver-side filesystem metadata — a bounded listing, no data
+    * collect): `ceil(bytes / targetBytes)`, floored at 1. The rewrite is
+    * a single `repartition(n)` round-robin exchange — size-balanced
+    * output files regardless of input skew. Pass `sortCol` to instead
+    * range-cluster while compacting ([[writeRangeClustered]] semantics:
+    * compaction is the natural moment to also fix layout, since the data
+    * is being rewritten anyway).
+    *
+    * Compression-ratio caveat (documented, not solved): parquet bytes in
+    * ≈ parquet bytes out only when encodings stay comparable — true for
+    * a same-schema rewrite like this; a post-filter compaction would
+    * need a sampled size estimate instead.
+    */
+  def compactFiles(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      targetBytes: Long,
+      sortCol: Option[String] = None
+  ): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val in = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(in.toUri, spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(in).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inputDir)
+    val out = sortCol match {
+      case Some(k) => df.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+      case None    => df.repartition(files)
+    }
+    out.write.mode("overwrite").parquet(outputDir)
+    files
+  }
+
   /** Morton (Z-order) interleave of two non-negative `bits`-wide codes:
     * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Built as a
     * fold of codegen-friendly bitwise ops — no UDF, stays inside

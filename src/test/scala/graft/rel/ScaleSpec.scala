@@ -129,4 +129,53 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == t.lineitem.count())
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
+
+  test("compaction: many small files → ceil(bytes/target) size-balanced files, rows exact") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      val li = graft.Tables(s, sf("sf0.001")).lineitem
+      // the accreted-small-files state a streaming sink leaves behind
+      li.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      def parquetFiles(dir: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(parquetFiles(s"$tmp/small").length == 64)
+      val inBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$tmp/small")).getLength
+      val target = inBytes / 4 + 1
+      val n = Scale.compactFiles(s, s"$tmp/small", s"$tmp/compact", target)
+      val outFiles = parquetFiles(s"$tmp/compact")
+      assert(n == math.ceil(inBytes.toDouble / target).toInt)
+      assert(outFiles.length == n, s"expected $n output files, got ${outFiles.length}")
+      // round-robin repartition must balance bytes (no straggler file);
+      // 64-small-file parquet overhead compresses away, so just bound
+      // the imbalance loosely
+      val sizes = outFiles.map(_.getLen)
+      assert(sizes.max < sizes.min * 3, s"imbalanced compaction: ${sizes.mkString(",")}")
+      val before = li.collect().map(_.toSeq).toSet
+      val after = s.read.parquet(s"$tmp/compact").collect().map(_.toSeq).toSet
+      assert(after == before, "compaction must preserve rows exactly")
+      // the sort-while-compacting variant: same rows AND clustered layout
+      val n2 = Scale.compactFiles(s, s"$tmp/small", s"$tmp/compact_sorted", target,
+        sortCol = Some("l_orderkey"))
+      assert(n2 == n)
+      val sorted = s.read.parquet(s"$tmp/compact_sorted").collect().map(_.toSeq).toSet
+      assert(sorted == before)
+      // disjoint per-file key ranges (the file-skipping property)
+      val ranges = parquetFiles(s"$tmp/compact_sorted").map { f =>
+        val d = s.read.parquet(f.getPath.toString)
+          .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"overlapping file key ranges: ${ranges.mkString(",")}")
+        case _ => ()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
