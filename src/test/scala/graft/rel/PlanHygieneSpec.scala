@@ -225,6 +225,37 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("round-8 plans: chunked snapshot is 2 shuffles + broadcast scalars, boilerplate join broadcasts, nfc is shuffle-free, CM grid partial-aggregates") {
+    // snapshot_chunked: the whole DBLog merge is TWO key-shuffles (the
+    // state-at-watermark max_by and the final merge max_by), independent
+    // of chunk count; the 3 scalars (max scn, key bounds) must arrive as
+    // a broadcast 1-row join, never a shuffled one
+    val sc = planOf("snapshot_chunked")
+    assert("Exchange hashpartitioning".r.findAllIn(sc).size == 2, sc)
+    assert("partial_max_by".r.findAllIn(sc).size == 2, sc)
+    assert(sc.contains("BroadcastNestedLoopJoin"), sc)
+    // boilerplate_lines: line chunking is generator-only map-side work;
+    // the df-count feeds the join back as a BROADCAST (the boilerplate
+    // set is small); both aggregations carry map-side partials
+    val bl = planOf("boilerplate_lines")
+    assert(bl.contains("Generate posexplode"), bl)
+    assert(bl.contains("BroadcastHashJoin"), bl)
+    assert(bl.contains("partial_count(distinct doc_id") &&
+      bl.contains("partial_collect_list"), bl)
+    assert(!bl.contains("SortMergeJoin") && !bl.contains("CartesianProduct"), bl)
+    // text_normalize: a pure projection — the ONLY exchange is the
+    // output-order range partitioning, and the expression stays native
+    val tn = planOf("text_normalize")
+    assert(!tn.contains("Exchange hashpartitioning"), tn)
+    assert(tn.contains("nfc_normalize(text"), tn)
+    // agg_heavyhitters: the CM grid must partial-aggregate (one ~32 KB
+    // buffer per map partition — the whole point of the linear sketch)
+    // and rejoin as a broadcast, never shuffled per-row
+    val hh = planOf("agg_heavyhitters")
+    assert(hh.contains("ObjectHashAggregate") && hh.contains("partial_"), hh)
+    assert(hh.contains("BroadcastNestedLoopJoin") || hh.contains("BroadcastExchange"), hh)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
