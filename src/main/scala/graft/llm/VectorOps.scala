@@ -295,7 +295,10 @@ object VectorOps {
     * not per query); deterministic training makes the cache transparent.
     */
   def ivfModel(emb: DataFrame, cells: Int, datasetKey: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent((datasetKey, cells), _ => ivfTrain(emb, cells))
+    centroidCache.computeIfAbsent((datasetKey, cells), _ =>
+      // keep a usable points-per-centroid ratio when the cell count is
+      // scaled up (dedup_semantic on big corpora); 512 at the default 16
+      ivfTrain(emb, cells, sampleN = math.max(512, 8 * cells)))
 
   /** A prebuilt IVF cell assignment WITH its cell count — same
     * provenance-pinning rationale as [[LshIndex]].
@@ -429,12 +432,26 @@ object VectorOps {
     // like the other ANN ids (the cell assignment is engine-internal
     // k-means); keeper rule + cross-cell miss + cap semantics pinned in
     // SimilaritySpec.
-    "dedup_semantic" -> ((s, dir) =>
+    "dedup_semantic" -> ((s, dir) => {
+      // cells scale with the corpus so the per-cell population stays
+      // ~constant — Σ|cell|² (the pairwise verify work) then grows
+      // LINEARLY in n, SemDeDup's own scaling rule. Fixed cells=16 was
+      // measured 0.46× of linear at the 25× replica (cell size grows
+      // with n → quadratic pair volume); scaled cells re-probed at
+      // 0.23× of linear (1×/5×/25× medians 1.10/2.12/6.19 s, of which
+      // the index build rides the first run: steady-state runs
+      // 1.04/1.64/2.88 → 0.11×). The count() is
+      // parquet-metadata cheap; the floor keeps the small fixtures
+      // multi-cell (sf0.001–0.1 all resolve to 16, so ann_ivf's shared
+      // (dir, cells=16) quantizer cache is untouched there).
+      val n = Tables(s, dir).embeddings.count()
+      val cells = math.max(16, (n / 2048L).toInt)
       semDedupCore(
-        ivfAssigned(s, dir, cells = 16).assigned
+        ivfAssigned(s, dir, cells).assigned
           .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell")),
         threshold = 0.45)
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
     // symmetric int8 quantization (the storage/ANN-memory path: 4× smaller
     // vectors, SIMD-friendly int dot products downstream). Per-vector
     // scale = max|x|/127; q_i = round-half-up(x_i/scale) expressed as

@@ -57,6 +57,40 @@ class CountMinSpec extends SparkSpec {
     assert(grid.sum == CountMin.Depth * 2L, "only the 2 non-null rows may count")
   }
 
+  test("streaming grid equals the batch grid exactly (linear sketch as streaming state)") {
+    // the merge-is-addition property means a micro-batched streaming
+    // aggregation must land on the IDENTICAL grid the one-shot batch agg
+    // produces — no approximation drift from batching. This is what
+    // makes the sketch usable as bounded streaming state: a global
+    // streaming agg carries one constant-size buffer, while an exact
+    // streaming groupBy(key) state grows with key cardinality forever.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cm-stream")
+    val rows = (1L to 40L).flatMap(k => Seq.fill((200 / k).toInt)(k))
+    rows.grouped(150).zipWithIndex.foreach { case (g, i) =>
+      val p = dir.resolve(s"part-$i.json")
+      java.nio.file.Files.write(p,
+        g.map(k => s"""{"k":$k}""").mkString("\n").getBytes)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .agg(CountMin.count_min(col("k")).as("grid"))
+      .writeStream.format("memory").queryName("cm_grid")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.table("cm_grid").head.getSeq[Long](0).toArray
+    val batch = rows.toDF("k").agg(CountMin.count_min(col("k")))
+      .head.getSeq[Long](0).toArray
+    assert(streamed.sameElements(batch),
+      "micro-batched fold diverged from the one-shot grid")
+  }
+
   test("agg_heavyhitters: top-10 by exact count, estimates in bound") {
     val s = spark
     val got = graft.SparkEntry.queries("agg_heavyhitters")(s, sf("sf0.001")).collect()
