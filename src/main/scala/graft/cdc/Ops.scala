@@ -347,6 +347,36 @@ object Ops {
       opCol: String,
       nChunks: Int
   ): DataFrame = {
+    val payload = base.unionByName(feed).columns.toSeq.filterNot(_ == keyCol)
+    val chunkRows = chunkStates(base, feed, keyCol, scnCol, opCol, nChunks)
+      .withColumn("__ord", col("__wm"))
+      .select(col(keyCol) +: (payload :+ "__ord").map(col): _*)
+    // merge reads with the live stream: highest (arrival, scn, liveness)
+    // wins — a post-watermark change supersedes its stale chunk row; a
+    // chunk row supersedes the (identical-payload) events it embodies
+    val merged = chunkRows
+      .unionByName(feed.withColumn("__ord", col(scnCol))
+        .select(col(keyCol) +: (payload :+ "__ord").map(col): _*))
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col("__ord"), col(scnCol), col(opCol) =!= "r")).as("__st"))
+      .select(col(keyCol) +: payload.map(f => col(s"__st.$f").as(f)): _*)
+    merged.filter(col(opCol) =!= "d")
+  }
+
+  /** Per key: the state its chunk's watermark read observes (original
+    * payload incl. its true scn/op) plus `__wm`, deletes observed as
+    * absence. Shared by [[chunkedSnapshot]] (batch merge) and
+    * [[chunkReadEvents]] (live-stream injection).
+    */
+  private def chunkStates(
+      base: DataFrame,
+      feed: DataFrame,
+      keyCol: String,
+      scnCol: String,
+      opCol: String,
+      nChunks: Int
+  ): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     val all = base.unionByName(feed)
     val payload = all.columns.toSeq.filterNot(_ == keyCol)
@@ -363,31 +393,42 @@ object Ops {
       (col("__maxkey") - col("__minkey") + 1))
     val wm = floor(col("__maxscn") * (chunk + 1) / nChunks)
     val ord = struct(col(scnCol), col(opCol) =!= "r")
-    // chunk rows: per key, the state its chunk's read observes — the
-    // latest event at or before the chunk watermark (the untouched base
-    // row when none), deletes observed as absence
-    val chunkRows = tagged
+    tagged
       .withColumn("__wm", wm)
       .filter(col(scnCol) <= col("__wm"))
       .groupBy(col(keyCol))
       .agg(max_by(struct((payload.map(col) :+ col("__wm")): _*), ord).as("__st"))
       .select(col(keyCol) +: (payload :+ "__wm").map(f => col(s"__st.$f").as(f)): _*)
       .filter(col(opCol) =!= "d")
-      .withColumn("__ord", col("__wm"))
-      .drop("__wm")
-      .select(col(keyCol) +: (payload :+ "__ord").map(col): _*)
-    // merge reads with the live stream: highest (arrival, scn, liveness)
-    // wins — a post-watermark change supersedes its stale chunk row; a
-    // chunk row supersedes the (identical-payload) events it embodies
-    val merged = chunkRows
-      .unionByName(feed.withColumn("__ord", col(scnCol))
-        .select(col(keyCol) +: (payload :+ "__ord").map(col): _*))
-      .groupBy(col(keyCol))
-      .agg(max_by(struct(payload.map(col): _*),
-        struct(col("__ord"), col(scnCol), col(opCol) =!= "r")).as("__st"))
-      .select(col(keyCol) +: payload.map(f => col(s"__st.$f").as(f)): _*)
-    merged.filter(col(opCol) =!= "d")
   }
+
+  /** The chunk reads of [[chunkedSnapshot]] in WIRE form: each surviving
+    * key's chunk-state re-stamped as a read event (`op='r'`,
+    * `scn = its chunk's watermark`), ready to be injected into a LIVE
+    * [[Stream.materialize]] whose ordering is `(scn, src-rank)` with
+    * reads ranked BELOW stream events — the engine's
+    * snapshot-while-streaming form of the Debezium incremental snapshot:
+    * the stream never stops, chunk files simply arrive as extra
+    * micro-batch input, and the last-write-wins fold IS the watermark
+    * merge (a post-watermark change supersedes the read because its scn
+    * is higher; an embodied change loses because its scn is at or below
+    * the read's watermark, where the read's higher/equal scn + the
+    * equal-scn rank rule settle it; a read can never resurrect a
+    * tombstone that outranks it). Pinned in ChunkedSnapshotSpec's
+    * live-stream test.
+    */
+  def chunkReadEvents(
+      base: DataFrame,
+      feed: DataFrame,
+      keyCol: String,
+      scnCol: String,
+      opCol: String,
+      nChunks: Int
+  ): DataFrame =
+    chunkStates(base, feed, keyCol, scnCol, opCol, nChunks)
+      .withColumn(scnCol, col("__wm"))
+      .withColumn(opCol, lit("r"))
+      .drop("__wm")
 
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` on equal keys — the CDC point-in-time lookup.

@@ -79,6 +79,54 @@ class ChunkedSnapshotSpec extends SparkSpec {
     assert(got == Map(1L -> ((0L, "r", "a")), 5L -> ((0L, "r", "b"))))
   }
 
+  test("snapshot-while-streaming: chunk reads injected into a LIVE materialize land the full-history fold") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chunkstream")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val statePath = dir.resolve("state").resolve("t").toString
+    val chk = dir.resolve("chk").toString
+    // base keys 1..8; stream: update 1 (late, after its chunk read),
+    // update 2 (early — embodied by its chunk read), delete 3 (late:
+    // its read row must NOT resurrect it), create 9. maxScn=100,
+    // nChunks=2 → wm(keys 1-4)=50, wm(keys 5-8)=100.
+    val base = baseDf((1L to 8L).map(k => (k, s"base$k")))
+    val feed = feedDf(Seq(
+      (60L, 1L, "u", "late-update"),
+      (20L, 2L, "u", "early-update"),
+      (70L, 3L, "d", "gone"),
+      (40L, 9L, "c", "born-live")))
+    val reads = Ops.chunkReadEvents(base, feed,
+      keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 2)
+      .collect().map(r => s"""{"scn":${r.getAs[Long]("scn")},"id":${r.getAs[Long]("id")},""" +
+        s""""op":"r","payload":"${r.getAs[String]("payload")}"}""")
+    def writeLines(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(in.resolve(name), lines.mkString("\n").getBytes)
+    // stream events arrive FIRST (the stream never stops), reads trickle
+    // in afterwards — including the id=3 read AFTER its delete
+    writeLines("a-events.json", feed.collect().map(r =>
+      s"""{"scn":${r.getAs[Long]("scn")},"id":${r.getAs[Long]("id")},""" +
+        s""""op":"${r.getAs[String]("op")}","payload":"${r.getAs[String]("payload")}"}""").toSeq)
+    writeLines("b-reads.json", reads.toSeq)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scn", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+    val wire = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .json(in.toString)
+      .withColumn("__rank", when(col("op") === "r", 0L).otherwise(1L))
+    val q = Stream.materialize(wire, Seq("id"), Seq("scn", "__rank"), statePath, chk)
+    q.awaitTermination()
+    val got = Stream.readCurrentState(s, statePath)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    val expect = plainApply(base, feed).map { case (k, (_, _, p)) => k -> p }
+    assert(got == expect, s"streamed incremental snapshot diverged: $got vs $expect")
+    assert(got(1L) == "late-update" && got(2L) == "early-update")
+    assert(!got.contains(3L), "a chunk read resurrected a deleted key")
+    assert(got(9L) == "born-live" && got(8L) == "base8")
+  }
+
   test("fixture equivalence: snapshot_chunked ≡ plain apply at sf0.001 for several chunkings") {
     val s = spark
     val dir = sf("sf0.001")
