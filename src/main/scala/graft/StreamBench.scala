@@ -29,9 +29,19 @@ object StreamBench {
     val keyShift = 1000000000L
     val feedDf =
       if (copies == 1) feed1
-      else (0 until copies).map(i =>
-        feed1.withColumn("id", col("id") + org.apache.spark.sql.functions.lit(i * keyShift)))
-        .reduce(_ unionByName _)
+      else {
+        // the disjoint-key-space invariant is only real if every source
+        // id fits under the shift — otherwise copies silently overlap,
+        // merging unrelated per-key histories with duplicate scns (and
+        // the state self-check below can't see it, because `expect` is
+        // computed from the same corrupted feed)
+        val maxId = feed1.agg(org.apache.spark.sql.functions.max(col("id"))).head.getLong(0)
+        require(maxId < keyShift,
+          s"feed ids up to $maxId overflow the $keyShift copy shift — raise keyShift")
+        (0 until copies).map(i =>
+          feed1.withColumn("id", col("id") + org.apache.spark.sql.functions.lit(i * keyShift)))
+          .reduce(_ unionByName _)
+      }
     val n = feedDf.count()
     val work = java.nio.file.Files.createTempDirectory("graft-stream-bench")
     val feedDir = work.resolve("feed").toString

@@ -55,6 +55,17 @@ object Curation {
   private val evalNgCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The family's 56-bit content hash (md5 prefix via
+    * [[Sampling.hashBucket]] at 14 hex digits) — ONE definition for
+    * every aggregate/join key this module hashes (decontaminate pair,
+    * source_overlap, boilerplate lines, the eval sketch): the width is a
+    * cross-engine contract mirrored verbatim in each DuckDB oracle, so a
+    * single call site restating it wrongly would silently desynchronize
+    * query and oracle.
+    */
+  private def ngHash(c: org.apache.spark.sql.Column) =
+    Sampling.hashBucket(c, hexDigits = 14)
+
   private def evalNgHashes(s: SparkSession, dir: String): DataFrame = {
     evalNgCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     evalNgCache.computeIfAbsent((s, dir), _ => {
@@ -62,7 +73,7 @@ object Curation {
         .filter(col("split") === "test")
       NearDedup.shingleArrays(evalSide)
         .select(explode(col("sh")).as("ng"))
-        .select(Sampling.hashBucket(col("ng"), hexDigits = 14).as("h"))
+        .select(ngHash(col("ng")).as("h"))
         .distinct()
         .persist()
     })
@@ -99,7 +110,7 @@ object Curation {
       i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))
     val chunked = docs
       .select(col("doc_id"), posexplode(lines).as(Seq("pos", "chunk")))
-      .withColumn("ck", Sampling.hashBucket(col("chunk"), hexDigits = 14))
+      .withColumn("ck", ngHash(col("chunk")))
     val boiler = chunked
       .groupBy("ck").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -129,7 +140,6 @@ object Curation {
     // 2^-56 per pair is negligible — and the oracle mirrors the hash
     // exactly, so even a collision cannot diverge.
     "decontaminate" -> ((s, dir) => {
-      def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
       val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
       val train = sp.filter(col("split") === "train")
       val trainNg = NearDedup.shingleArrays(train)
@@ -156,7 +166,6 @@ object Curation {
     // (1M slots @ 1% fpp ≈ 1.2 MB) regardless of corpus size; exactness
     // is restored by the verify join, so the DuckDB oracle is identical.
     "decontaminate_bloom" -> ((s, dir) => {
-      def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
       val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
       val train = sp.filter(col("split") === "train")
       val trainNg = NearDedup.shingleArrays(train)
@@ -203,7 +212,6 @@ object Curation {
       // r7 probes). Hash computed map-side pre-shuffle on the memoized
       // per-corpus shingle table (shared with the whole dedup family —
       // rebuilding it per run was most of this id's cost historically).
-      def ngHash(c: org.apache.spark.sql.Column) = Sampling.hashBucket(c, hexDigits = 14)
       val perNg = NearDedup.shingled(s, dir)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select(col("source"), explode(col("sh")).as("ng"))

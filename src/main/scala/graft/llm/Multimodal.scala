@@ -69,12 +69,17 @@ object Multimodal {
   def encodeImages(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    // an empty document has no media payload — excluded HERE, mirrored
+    // by `WHERE len(text) > 0` in the mm_features/mm_resize oracles.
+    // (The previous [0]-byte pad diverged latently: the oracle seeds
+    // dimensions from md5('') and its pixel-cycle arithmetic divides by
+    // len(text) = 0, so the first empty doc would have broken the
+    // differential on both sides in different ways.)
+    docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { case (id, text) =>
-        val bytes = {
-          val b = text.getBytes("UTF-8")
-          if (b.isEmpty) Array[Byte](0) else b
-        }
+        val bytes = text.getBytes("UTF-8")
         val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
         val w = 8 + (md(0) & 0x1f)
         val h = 8 + (md(1) & 0x1f)
@@ -270,7 +275,7 @@ object Multimodal {
         |  SELECT doc_id, text, len(text) AS n,
         |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS width,
         |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS height
-        |  FROM documents)
+        |  FROM documents WHERE len(text) > 0)
         |SELECT doc_id, width, height, CAST(1 AS INTEGER) AS channels,
         |  CAST(width * height AS BIGINT) AS n_pixels,
         |  sha256(substring(repeat(text, CAST((width * height + n - 1) // n AS INTEGER)),
@@ -281,7 +286,7 @@ object Multimodal {
         |  SELECT doc_id, text, len(text) AS n,
         |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
         |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h
-        |  FROM documents),
+        |  FROM documents WHERE len(text) > 0),
         |p AS (
         |  SELECT doc_id, w, h,
         |    greatest(1, w * 16 // greatest(w, h)) AS out_w,

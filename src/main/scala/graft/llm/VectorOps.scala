@@ -297,8 +297,13 @@ object VectorOps {
   def ivfModel(emb: DataFrame, cells: Int, datasetKey: String): Array[Array[Double]] =
     centroidCache.computeIfAbsent((datasetKey, cells), _ =>
       // keep a usable points-per-centroid ratio when the cell count is
-      // scaled up (dedup_semantic on big corpora); 512 at the default 16
-      ivfTrain(emb, cells, sampleN = math.max(512, 8 * cells)))
+      // scaled up (dedup_semantic on big corpora) — but BOUNDED: the
+      // sample is a driver-side collect and Lloyd is
+      // O(sampleN·k·dim·iters) on the driver, so both must stay
+      // constants, not functions of n (8192 × 1024 × 64 × 10 ≈ 5e9
+      // flops ≈ seconds; an uncapped 8·cells sample would make the
+      // trainer itself super-linear in corpus size)
+      ivfTrain(emb, cells, sampleN = math.min(math.max(512, 8 * cells), 8192)))
 
   /** A prebuilt IVF cell assignment WITH its cell count — same
     * provenance-pinning rationale as [[LshIndex]].
@@ -440,12 +445,17 @@ object VectorOps {
       // with n → quadratic pair volume); scaled cells re-probed at
       // 0.23× of linear (1×/5×/25× medians 1.10/2.12/6.19 s, of which
       // the index build rides the first run: steady-state runs
-      // 1.04/1.64/2.88 → 0.11×). The count() is
-      // parquet-metadata cheap; the floor keeps the small fixtures
-      // multi-cell (sf0.001–0.1 all resolve to 16, so ann_ivf's shared
-      // (dir, cells=16) quantizer cache is untouched there).
+      // 1.04/1.64/2.88 → 0.11×). The count() is parquet-metadata cheap;
+      // the floor keeps the small fixtures multi-cell (sf0.001–0.1 all
+      // resolve to 16, so ann_ivf's shared (dir, cells=16) quantizer
+      // cache is untouched there). The CAP keeps the driver-trained
+      // model bounded (the quantizer is a sampled driver-side Lloyd —
+      // an uncapped k makes the TRAINER super-linear, see ivfModel):
+      // past n ≈ 2M vectors per-cell population grows again and the
+      // honest production path is a distributed/hierarchical quantizer,
+      // not a bigger driver model.
       val n = Tables(s, dir).embeddings.count()
-      val cells = math.max(16, (n / 2048L).toInt)
+      val cells = math.min(math.max(16, (n / 2048L).toInt), 1024)
       semDedupCore(
         ivfAssigned(s, dir, cells).assigned
           .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell")),

@@ -240,13 +240,19 @@ object Queries {
         count(lit(1)).as("__n"))
       val est = udf((grid: Seq[Long], key: Long) =>
         graft.functions.CountMin.estimate(grid.toArray, key))
+      // top-10 FIRST via orderBy+limit → TakeOrderedAndProject (the
+      // distributed top-k physical op, per-partition heaps — never a
+      // single-task full-cardinality window sort), so the grid probe
+      // and the bound arithmetic run on exactly 10 rows; the rank
+      // window after the cut orders a 10-row table (trivial by
+      // construction).
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("exact_n").desc, col("user_id"))
-      ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-        .join(broadcast(gridRow))
+      top.join(broadcast(gridRow))
         .withColumn("est_n", est(col("__grid"), col("user_id")))
         .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
         .withColumn("within_bound",
           col("est_n") >= col("exact_n") &&
             col("est_n") <= col("exact_n") +

@@ -41,7 +41,9 @@ object EsRestSink {
     val docCols = df.columns.filterNot(_ == deletedCol).map(col)
     val rows = df.select(
       col(idColumn).cast("string").as("_k"),
-      deletedFlag.as("_del"),
+      // null-safe: a null deleted flag (nullable deletedCol) means
+      // "not a delete" — r.getBoolean on the raw comparison would NPE
+      coalesce(deletedFlag, lit(false)).as("_del"),
       to_json(struct(docCols.toIndexedSeq: _*)).as("_doc"))
     val counts = rows.sparkSession.sparkContext
       .longAccumulator("es-rest-sink-upserts") ->
@@ -53,6 +55,12 @@ object EsRestSink {
       it.grouped(maxDocsPerBulk).foreach { chunk =>
         val body = new StringBuilder
         chunk.foreach { r =>
+          // clear diagnosis instead of a bare NPE after full task
+          // retries: an external CDC frame with a null key is a data
+          // bug the operator must name
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"EsRestSink: null '$idColumn' — a document id is required; " +
+              "filter or key-fill the frame before the sink")
           val k = jsonEscape(r.getString(0))
           if (r.getBoolean(1)) {
             body.append(s"""{"delete":{"_index":"$index","_id":"$k"}}""").append('\n')

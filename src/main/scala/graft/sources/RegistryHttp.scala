@@ -71,10 +71,22 @@ final class RegistryServer(registry: SchemaRegistry, port: Int = 0) {
           if (schema == null || !schema.isTextual)
             err(ex, 422, 42201, "request body must carry a textual 'schema'")
           else {
-            val id = registry.register(subject, schema.asText())
-            val n = JsonNodeFactory.instance.objectNode()
-            n.put("id", id)
-            respond(ex, 200, mapper.writeValueAsString(n))
+            // the CHECKED path, like the service this mirrors: the
+            // Confluent registry applies BACKWARD compatibility by
+            // default and answers 409 on violation / 422 on non-Avro —
+            // the unchecked register() here used to hand out ids for
+            // schemas the real service rejects
+            try {
+              val id = registry.registerChecked(subject, schema.asText())
+              val n = JsonNodeFactory.instance.objectNode()
+              n.put("id", id)
+              respond(ex, 200, mapper.writeValueAsString(n))
+            } catch {
+              case e: SchemaRegistry.IncompatibleSchemaException =>
+                err(ex, 409, 409, String.valueOf(e.getMessage))
+              case e: IllegalArgumentException =>
+                err(ex, 422, 42201, String.valueOf(e.getMessage))
+            }
           }
         case ("GET", LatestRe(subject)) =>
           registry.latest(subject) match {

@@ -138,7 +138,7 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
           case SchemaRegistry.Forward  => readable(prev, next)
           case SchemaRegistry.Full     => readable(next, prev) && readable(prev, next)
         }
-        require(ok,
+        if (!ok) throw new SchemaRegistry.IncompatibleSchemaException(
           s"schema for subject '$subject' is not $mode-compatible with its latest version")
       }
     }
@@ -154,6 +154,11 @@ object SchemaRegistry {
   case object Backward extends Compatibility
   case object Forward extends Compatibility
   case object Full extends Compatibility
+
+  /** A registration rejected by the compatibility gate — the condition
+    * the Confluent service answers with HTTP 409.
+    */
+  final class IncompatibleSchemaException(msg: String) extends RuntimeException(msg)
 }
 
 /** Confluent Avro wire framing (reference `README.md:813-816`): one

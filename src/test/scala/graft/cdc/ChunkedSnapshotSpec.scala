@@ -127,6 +127,24 @@ class ChunkedSnapshotSpec extends SparkSpec {
     assert(got(9L) == "born-live" && got(8L) == "base8")
   }
 
+  test("IntegerType keys spanning a wide range don't overflow the chunk arithmetic") {
+    val s = spark
+    import s.implicits._
+    // (key − min) · nChunks exceeds Int.MaxValue for the high key: a
+    // 32-bit multiply wraps negative, the watermark goes negative, and
+    // the untouched base row vanishes (the regression this pins)
+    val base = Seq((0, "lo"), (500000000, "hi"))
+      .toDF("id", "payload")
+      .withColumn("scn", lit(0L)).withColumn("op", lit("r"))
+    val feed = Seq((10L, 0, "u", "updated"))
+      .toDF("scn", "id", "op", "payload")
+    val got = Ops.chunkedSnapshot(base, feed,
+        keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 8)
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("payload")).toMap
+    assert(got == Map(0 -> "updated", 500000000 -> "hi"),
+      s"wide int key range mangled the chunk assignment: $got")
+  }
+
   test("fixture equivalence: snapshot_chunked ≡ plain apply at sf0.001 for several chunkings") {
     val s = spark
     val dir = sf("sf0.001")

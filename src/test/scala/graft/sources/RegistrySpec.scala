@@ -73,7 +73,7 @@ class RegistrySpec extends SparkSpec {
         |{"name":"n_comment","type":"string","default":""},
         |{"name":"n_extra","type":"string"}]}""".stripMargin
     val before = reg.history("nation-value").size
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[SchemaRegistry.IncompatibleSchemaException] {
       reg.registerChecked("nation-value", v3bad)
     }
     assert(e.getMessage.contains("not Backward-compatible"))
@@ -89,7 +89,7 @@ class RegistrySpec extends SparkSpec {
       """{"type":"record","name":"nation","fields":[
         |{"name":"n_nationkey","type":"int"},
         |{"name":"n_name","type":"string"}]}""".stripMargin
-    intercept[IllegalArgumentException] {
+    intercept[SchemaRegistry.IncompatibleSchemaException] {
       reg.registerChecked("nation-value", v4, SchemaRegistry.Full)
     }
   }
@@ -166,6 +166,22 @@ class RegistrySpec extends SparkSpec {
         Iterator(SchemaFrame.frame(wireId, body)),
         Map(wireId -> writerSchema), v1).toList
       assert(decoded == List((1, "FRANCE", 3)))
+      // the HTTP surface applies the same compatibility gate the real
+      // service does: an incompatible evolution is answered 409 and
+      // nothing is written (the route used to call the UNCHECKED
+      // register() and hand out an id the Confluent service refuses)
+      val incompatible =
+        """{"type":"record","name":"nation","fields":[
+          |{"name":"n_nationkey","type":"int"},
+          |{"name":"n_name","type":"string"},
+          |{"name":"n_regionkey","type":"int"},
+          |{"name":"n_comment","type":"string","default":""},
+          |{"name":"n_http_extra","type":"string"}]}""".stripMargin
+      val before = reg.history("nation-value").size
+      val e409 = intercept[IllegalArgumentException](
+        client.register("nation-value", incompatible))
+      assert(e409.getMessage.contains("409"), e409.getMessage)
+      assert(reg.history("nation-value").size == before)
       // HTTP registrations are durable in the same append-only log:
       // a fresh (non-HTTP) open of the dir replays them
       val replayed = SchemaRegistry.open(dir)
