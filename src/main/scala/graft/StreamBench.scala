@@ -35,7 +35,13 @@ object StreamBench {
         // merging unrelated per-key histories with duplicate scns (and
         // the state self-check below can't see it, because `expect` is
         // computed from the same corrupted feed)
-        val maxId = feed1.agg(org.apache.spark.sql.functions.max(col("id"))).head.getLong(0)
+        // max of an empty feed is SQL NULL — surface that as a clear
+        // diagnostic instead of an NPE out of getLong
+        val maxIdBoxed = feed1.agg(org.apache.spark.sql.functions.max(col("id")))
+          .head.getAs[java.lang.Long](0)
+        require(maxIdBoxed != null,
+          s"change feed from $sfDir is empty — nothing to replicate into $copies copies")
+        val maxId = maxIdBoxed.longValue
         require(maxId < keyShift,
           s"feed ids up to $maxId overflow the $keyShift copy shift — raise keyShift")
         (0 until copies).map(i =>

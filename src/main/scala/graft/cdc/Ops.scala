@@ -388,13 +388,17 @@ object Ops {
     // contiguous key-range chunk 0..nChunks-1, its read watermark, and
     // the snapshot-order tiebreak: at EQUAL scn a live change outranks
     // the scn-0 base read (base and a scn-0 event would otherwise tie
-    // nondeterministically in max_by). The key offset is cast to LONG
-    // before the multiply: with an IntegerType key column the product
-    // (key − min) · nChunks would stay 32-bit and wrap negative past
-    // ~2³¹/nChunks, driving wm negative and silently DROPPING every
+    // nondeterministically in max_by). Every operand is cast to LONG
+    // BEFORE any arithmetic: with an IntegerType key column the
+    // subtraction (key − min) itself wraps (or, ANSI, throws) once the
+    // span exceeds 2³¹ — e.g. hash-derived ids covering
+    // Int.MinValue..Int.MaxValue — as does the denominator
+    // (max − min + 1), driving wm negative and silently DROPPING every
     // untouched base row in the affected range.
-    val chunk = floor((col(keyCol) - col("__minkey")).cast("long") * nChunks /
-      (col("__maxkey") - col("__minkey") + 1))
+    val keyL = col(keyCol).cast("long")
+    val minL = col("__minkey").cast("long")
+    val maxL = col("__maxkey").cast("long")
+    val chunk = floor((keyL - minL) * nChunks / (maxL - minL + 1))
     val wm = floor(col("__maxscn") * (chunk + 1) / nChunks)
     val ord = struct(col(scnCol), col(opCol) =!= "r")
     tagged

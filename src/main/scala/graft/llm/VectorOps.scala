@@ -220,34 +220,89 @@ object VectorOps {
     * quantizer the ANN index already maintains, so semantic dedup rides
     * an index the pipeline has anyway.
     *
-    * A vector is dropped when a SMALLER-id vector in the SAME cell is
-    * near-identical (cosine >= threshold) — the deterministic keeper
-    * rule (SemDeDup keeps one representative per tight neighborhood; id
-    * order makes the choice reproducible). Cross-cell near-dups are NOT
-    * seen — the documented SemDeDup approximation (the quantizer puts
-    * near-identical vectors in one cell with overwhelming probability;
-    * the miss rate is the price of never running all-pairs).
+    * Keeper rule (true greedy, SemDeDup's): scan each cell's members in
+    * vec_id order; a vector is KEPT iff no already-KEPT smaller-id
+    * member is near-identical (cosine >= threshold), else dropped. A
+    * dropped vector can never drop anyone — so in a chain a~b, b~c with
+    * cos(a,c) < threshold, only b drops: every dropped vector has a
+    * SURVIVING representative within threshold (the invariant the naive
+    * "any smaller-id neighbor" pairwise rule violates on chains).
+    * Cross-cell near-dups are NOT seen — the documented SemDeDup
+    * approximation (the quantizer puts near-identical vectors in one
+    * cell with overwhelming probability; the miss rate is the price of
+    * never running all-pairs).
     *
-    * Scale shape: the pairwise work is Σ|cell|² bounded by the cell
-    * count choice (k ≈ n/target keeps cells constant-sized → linear
-    * total), the self-join shuffles BOTH sides on the cell key only, and
-    * `maxCell` is the same skew guard as [[embedNearDup]]'s maxBucket:
-    * a pathological mega-cell is excluded from pruning (kept, counted)
-    * rather than allowed to emit an O(k²) task.
+    * Hot cells are SPLIT, not skipped: a cell over `maxCell` is
+    * sub-divided by residual rank sub-quantization — its members'
+    * SECOND-nearest centroid id (then third) from the optional `__sub`
+    * column (ranks 2..3, see [[ivfCellRanks]]); near-identical vectors
+    * agree on their whole centroid-distance ranking with the same
+    * overwhelming probability that put them in one cell, so dup pairs
+    * inside a mega-cell still land in one sub-group and still prune. A
+    * group that is STILL oversized after both levels (or lacks `__sub`)
+    * falls back to hash-segmenting into ceil(n/maxCell) bounded slices —
+    * capped pruning (cross-slice pairs missed) rather than no pruning.
+    *
+    * Scale shape: the greedy scan runs per final group in ONE task with
+    * every group ≤ ~maxCell members (2.5 MB at dim 64) and O(|group|²·d)
+    * flops bounded by the cell-count choice (k ≈ n/target keeps cells
+    * constant-sized → linear total). One full-data shuffle (the
+    * group-by-key); the three split-level size checks shuffle only
+    * (key, count) partials and broadcast the tiny oversized-key set
+    * back. No driver-side collect anywhere.
     */
   private[llm] def semDedupCore(assigned: DataFrame, threshold: Double,
       maxCell: Int = 10000): DataFrame = {
-    graft.functions.CosineSimilarity.ensureRegistered(assigned.sparkSession)
-    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
-    val inPlay = assigned
-      .join(sizes.filter(col("__n") <= maxCell).select("cell"), "cell")
-    val dropped = inPlay.select(col("cell"), col("vec_id").as("u"), col("embedding").as("eu"))
-      .join(inPlay.select(col("cell"), col("vec_id").as("v"), col("embedding").as("ev")),
-        "cell")
-      .filter(col("u") < col("v"))
-      .filter(cosine(col("eu"), col("ev")) >= threshold)
-      .select(col("v").as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti").select("vec_id", "cell")
+    val s = assigned.sparkSession
+    import s.implicits._
+    val withSub = if (assigned.columns.contains("__sub")) assigned
+      else assigned.withColumn("__sub", array())
+    var df = withSub.withColumn("__grp", col("cell").cast("string"))
+    for (lvl <- 1 to 2) {
+      // refine ONLY groups currently over the cap: append the next
+      // residual rank (null-safe: a short/absent rank list degenerates
+      // to one sub-key and the segment fallback below still bounds it)
+      val over = df.groupBy("__grp").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxCell).select(col("__grp"), lit(true).as("__over"))
+      df = df.join(broadcast(over), Seq("__grp"), "left")
+        .withColumn("__grp", when(col("__over"),
+          concat_ws("/", col("__grp"),
+            coalesce(try_element_at(col("__sub"), lit(lvl)).cast("string"), lit("x"))))
+          .otherwise(col("__grp")))
+        .drop("__over")
+    }
+    val still = df.groupBy("__grp").agg(count(lit(1)).as("__n")).filter(col("__n") > maxCell)
+    df = df.join(broadcast(still), Seq("__grp"), "left")
+      .withColumn("__grp", when(col("__n").isNotNull,
+        concat_ws("/", col("__grp"),
+          pmod(xxhash64(col("vec_id")),
+            ceil(col("__n") / lit(maxCell.toDouble)).cast("long")).cast("string")))
+        .otherwise(col("__grp")))
+      .drop("__n")
+    df.select(col("__grp"), col("vec_id"), col("embedding").cast("array<float>"),
+        col("cell").cast("int"))
+      .groupByKey(_.getString(0))
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(r => (r.getLong(1), r.getSeq[Float](2), r.getInt(3)))
+          .toArray.sortBy(_._1)
+        val keptVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        rows.foreach { case (id, e, cell) =>
+          val v = new Array[Double](e.length)
+          var i = 0; var n2 = 0.0
+          while (i < e.length) { v(i) = e(i).toDouble; n2 += v(i) * v(i); i += 1 }
+          val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+          i = 0; while (i < v.length) { v(i) *= inv; i += 1 }
+          val dup = keptVecs.exists { u =>
+            var d = 0.0; var j = 0
+            while (j < u.length && j < v.length) { d += u(j) * v(j); j += 1 }
+            d >= threshold
+          }
+          if (!dup) { keptVecs += v; out += ((id, cell)) }
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "cell")
   }
 
   /** IVF coarse quantizer: k-means centroids trained with Lloyd
@@ -358,6 +413,26 @@ object VectorOps {
     (array_position(array(scores: _*), array_max(array(scores: _*))) - 1).cast("int")
   }
 
+  /** Residual centroid ranking: the 2nd..(ranks)th-nearest centroid ids
+    * as an int array — the hot-cell split keys of [[semDedupCore]].
+    * Near-identical vectors agree on their whole distance ranking with
+    * the same probability that put them in one cell, so sub-dividing a
+    * mega-cell by rank-2 (then rank-3) keeps dup pairs co-located. Same
+    * fused score expression as [[ivfCell]]; a model with fewer than
+    * `ranks` centroids just yields a shorter array (callers null-pad).
+    */
+  def ivfCellRanks(emb: Column, centroids: Array[Array[Double]], ranks: Int): Column = {
+    val scores = centroids.map { c =>
+      val cCol = array(c.map(lit): _*)
+      val dot = aggregate(zip_with(emb, cCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, z) => acc + z)
+      dot - lit(c.map(x => x * x).sum / 2)
+    }
+    val scored = array(centroids.indices.map(i =>
+      struct(scores(i).as("s"), lit(i).as("c"))): _*)
+    slice(reverse(array_sort(scored)), 2, math.max(ranks - 1, 0)).getField("c")
+  }
+
   /** IVF-nprobe ANN: corpus rows are assigned to their nearest-centroid
     * cell (ONE narrow projection — at 100 TB this is the write-once
     * partition/cluster key of the vector table); each query probes its
@@ -456,9 +531,14 @@ object VectorOps {
       // not a bigger driver model.
       val n = Tables(s, dir).embeddings.count()
       val cells = math.min(math.max(16, (n / 2048L).toInt), 1024)
+      // __sub = residual ranks 2..3 from the SAME memoized model — the
+      // hot-cell split keys (cells over maxCell sub-divide instead of
+      // being skipped; see semDedupCore)
+      val centroids = ivfModel(Tables(s, dir).embeddings, cells, datasetKey = dir)
       semDedupCore(
         ivfAssigned(s, dir, cells).assigned
-          .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell")),
+          .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell"),
+            ivfCellRanks(col("c_emb"), centroids, ranks = 3).as("__sub")),
         threshold = 0.45)
         .orderBy("vec_id")
     }),

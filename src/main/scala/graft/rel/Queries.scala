@@ -226,9 +226,17 @@ object Queries {
     // cell-wise add and Spark's partial-agg machinery is the scale
     // path), where the exact groupBy it is graded against must shuffle
     // every distinct key. The exact side here plays the ApproxSpec role
-    // in-query: `within_bound` asserts the CM guarantee (never an
-    // underestimate; overestimate ≤ ⌈e·N/width⌉) per reported key, so a
-    // sketch regression flips the dumped parquet. The grid probe is a
+    // in-query: `within_bound` checks the CM error envelope (never an
+    // underestimate; overestimate ≤ 4·⌈e·N/width⌉). The textbook
+    // ⌈e·N/width⌉ bound is PROBABILISTIC — it holds per key only with
+    // p ≥ 1 − e⁻ᴰᵉᵖᵗʰ (~98.2% at Depth=4), so on arbitrary data a
+    // healthy sketch could legitimately flip it. The 4× widening makes
+    // a false flip effectively impossible: per depth-row Markov gives
+    // P(excess ≥ 4e·N/w) ≤ 1/(4e), the row-minimum taken over Depth=4
+    // independent rows drives that to (4e)⁻⁴ ≈ 7·10⁻⁵ per key, and the
+    // union bound over the 10 reported keys keeps the whole column
+    // honest at < 10⁻³ — so a flipped row still means a sketch
+    // regression, not sampling noise. The grid probe is a
     // Scala UDF for the same documented reason as the Bloom probe
     // (Curation.scala): no public built-in evaluates a CM grid against a
     // column — and it runs on the post-aggregation key table (cardinality
@@ -256,7 +264,7 @@ object Queries {
         .withColumn("within_bound",
           col("est_n") >= col("exact_n") &&
             col("est_n") <= col("exact_n") +
-              ceil(col("__n") * 2.718281828 / graft.functions.CountMin.Width))
+              lit(4) * ceil(col("__n") * 2.718281828 / graft.functions.CountMin.Width))
         .select("rank", "user_id", "exact_n", "est_n", "within_bound")
         .orderBy("rank")
     }),

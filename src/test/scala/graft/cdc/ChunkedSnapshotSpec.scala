@@ -145,6 +145,29 @@ class ChunkedSnapshotSpec extends SparkSpec {
       s"wide int key range mangled the chunk assignment: $got")
   }
 
+  test("IntegerType keys spanning Int.MinValue..Int.MaxValue don't overflow") {
+    val s = spark
+    import s.implicits._
+    // the SUBTRACTION itself wraps in 32-bit: (MaxValue − MinValue)
+    // = 2³²−1 overflows int before any cast-to-long downstream of it
+    // can help, as does the denominator (max − min + 1) — both must be
+    // cast to long per-operand (the regression this pins; hash-derived
+    // ids legitimately cover the whole int range)
+    val base = Seq(
+        (Int.MinValue, "lo"), (-1, "mid-lo"), (0, "mid-hi"),
+        (Int.MaxValue, "hi"))
+      .toDF("id", "payload")
+      .withColumn("scn", lit(0L)).withColumn("op", lit("r"))
+    val feed = Seq((10L, Int.MinValue, "u", "updated"))
+      .toDF("scn", "id", "op", "payload")
+    val got = Ops.chunkedSnapshot(base, feed,
+        keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 8)
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("payload")).toMap
+    assert(got == Map(Int.MinValue -> "updated", -1 -> "mid-lo",
+        0 -> "mid-hi", Int.MaxValue -> "hi"),
+      s"full int key range mangled the chunk assignment: $got")
+  }
+
   test("fixture equivalence: snapshot_chunked ≡ plain apply at sf0.001 for several chunkings") {
     val s = spark
     val dir = sf("sf0.001")

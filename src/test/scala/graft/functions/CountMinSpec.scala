@@ -16,6 +16,12 @@ class CountMinSpec extends SparkSpec {
     val rows = (1L to 60L).flatMap(k => Seq.fill((3000 / k).toInt)(k))
     val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val n = rows.size.toLong
+    // the tight ⌈e·N/width⌉ bound is probabilistic (p ≈ 1 − e⁻ᴰᵉᵖᵗʰ per
+    // key) over the CHOICE of hash functions — but the sketch's hashes
+    // are fixed constants, so on this pinned fixture the assertion is
+    // deterministic: it either holds for every key forever or never did.
+    // Query-side (`agg_heavyhitters.within_bound`) the bound is widened
+    // 4× so arbitrary data can't flip it; see Queries.scala.
     val bound = math.ceil(n * 2.718281828 / CountMin.Width).toLong
     for (parts <- Seq(1, 8, 32)) {
       val grid = rows.toDF("k").repartition(parts)

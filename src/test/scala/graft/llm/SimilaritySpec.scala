@@ -269,7 +269,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("semdedup: smallest-id keeper per tight neighborhood, cell-blind to cross-cell dups, cap skips") {
+  test("semdedup: smallest-id keeper per tight neighborhood, cell-blind to cross-cell dups, cap splits") {
     val s = spark
     import s.implicits._
     val e1 = Seq(1.0f, 0.0f, 0.0f)
@@ -286,11 +286,38 @@ class SimilaritySpec extends SparkSpec {
       df((1L, e1, 0), (2L, e1, 1)), threshold = 0.99)
       .select("vec_id").as[Long].collect().toSet
     assert(got2 == Set(1L, 2L))
-    // an oversized cell is excluded from pruning, not exploded
+    // chain a~b, b~c with cos(a,c) < threshold: greedy keeper drops ONLY
+    // b — c's only >=threshold smaller-id neighbor was itself dropped,
+    // so c survives with a as its non-representative (the invariant the
+    // pairwise any-smaller-id rule broke: it orphaned c)
+    val deg0 = Seq(math.cos(0.0).toFloat, math.sin(0.0).toFloat, 0.0f)
+    val deg25 = Seq(math.cos(25 * math.Pi / 180).toFloat, math.sin(25 * math.Pi / 180).toFloat, 0.0f)
+    val deg50 = Seq(math.cos(50 * math.Pi / 180).toFloat, math.sin(50 * math.Pi / 180).toFloat, 0.0f)
+    val gotChain = VectorOps.semDedupCore(
+      df((1L, deg0, 0), (2L, deg25, 0), (3L, deg50, 0)), threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotChain == Set(1L, 3L),
+      s"chain must keep both ends, drop only the middle: $gotChain")
+    // an oversized cell is SPLIT (hash segments absent __sub), never
+    // exploded into one mega-task: 3 identical members over maxCell=2
+    // land in <=2 bounded segments and every multi-member segment still
+    // prunes — capped pruning, not the old skip-everything
     val got3 = VectorOps.semDedupCore(
       df((1L, e1, 0), (2L, e1, 0), (3L, e1, 0)), threshold = 0.99, maxCell = 2)
       .select("vec_id").as[Long].collect().toSet
-    assert(got3 == Set(1L, 2L, 3L), "capped cell must keep all members")
+    assert(got3.contains(1L) && got3.size < 3,
+      s"oversized cell of identical vectors must still prune: $got3")
+    // planted HOT cell with __sub ranks: two distinct dup pairs forced
+    // into one mega-cell; rank-2 sub-quantization separates the pairs
+    // and BOTH still prune to their keeper (the round-8 skip lost both)
+    val hot = Seq(
+        (1L, e1, 0, Seq(7)), (2L, e1b, 0, Seq(7)),
+        (3L, e2, 0, Seq(8)), (4L, e2, 0, Seq(8)))
+      .toDF("vec_id", "embedding", "cell", "__sub")
+    val gotHot = VectorOps.semDedupCore(hot, threshold = 0.99, maxCell = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotHot == Set(1L, 3L),
+      s"hot cell must split by residual rank and still prune both pairs: $gotHot")
     // fixture run: kept ⊆ corpus, deterministic, and every dropped vector
     // really has a smaller-id >=threshold neighbor in its own cell
     import org.apache.spark.sql.functions.col
