@@ -329,6 +329,40 @@ object CdcQueries {
         .orderBy("scn")
     }),
 
+    // the full network transport boundary EXECUTED inside a correctness
+    // row: feed slice → envelope wire lines → published to an embedded
+    // OLR-shaped ChangeServer → drained over a LIVE 127.0.0.1 socket by
+    // NetworkChannel (length-prefixed frames, position request, durable
+    // spool, ack) → parsed back to typed envelopes. The slice is the
+    // lowest 5000 scns (unique in the fixture) so the driver-side
+    // publish stays CONSTANT as SF grows — the unbounded path is the
+    // pump into the spool, which never touches the driver.
+    "cdc_net_replay" -> ((s, dir) => {
+      val slice = F.fromEvents(s, dir).orderBy("scn").limit(5000)
+      val lines = envelopeOf(slice)
+        .select(to_json(struct(col("*"))).as("j"))
+        .collect().map(_.getString(0)).toSeq
+      val server = new graft.sources.ChangeServer()
+      try {
+        server.publish(lines)
+        val spool = java.nio.file.Files.createTempDirectory("graft-net-spool").toString
+        val chan = new graft.sources.NetworkChannel("127.0.0.1", server.boundPort, spool)
+        try {
+          val raw = chan.replay(s) // eager drain; the spool outlives the server
+          Ops.envelopeParse(raw, "value", payloadSchema)
+            .select(
+              coalesce(col("after.id"), col("before.id")).as("id"),
+              coalesce(col("after.event_type"), col("before.event_type")).as("event_type"),
+              coalesce(col("after.value"), col("before.value")).as("value"),
+              coalesce(col("after.props"), col("before.props")).as("props"),
+              col("op"),
+              col("ts_ms"),
+              col("source.scn").as("scn"))
+            .orderBy("scn")
+        } finally chan.close()
+      } finally server.close()
+    }),
+
     // batch twin of stream-static enrichment (Stream.enrichWithDim runs
     // the SAME join shape per micro-batch; StreamingSpec asserts row
     // parity): the change feed joins a broadcast dimension on the key.
@@ -358,6 +392,9 @@ object CdcQueries {
     "envelope_parse" ->
       s"""$feedCte SELECT id, event_type, value, props, op, epoch_ms(ts) AS ts_ms, scn
          |FROM feed ORDER BY scn""".stripMargin,
+    "cdc_net_replay" ->
+      s"""$feedCte SELECT id, event_type, value, props, op, epoch_ms(ts) AS ts_ms, scn
+         |FROM (SELECT * FROM feed ORDER BY scn LIMIT 5000) ORDER BY scn""".stripMargin,
     "unwrap" ->
       s"""$feedCte SELECT id, event_type, value, props,
          |  CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted, scn, op

@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.StructType
   * Kafka cluster (`docker-compose-main.yml:19-95`); this environment has
   * no broker, so the engine runs on the file channel. The trait makes
   * the swap a CONSTRUCTOR ARGUMENT rather than a code edit: every
-  * streaming entry point takes a [[ChangeChannel]], and both
-  * implementations produce the same `value: STRING` wire frame.
+  * streaming entry point takes a [[ChangeChannel]], and all
+  * implementations ([[FileChannel]], [[KafkaChannel]], the executed
+  * TCP [[NetworkChannel]]) produce the same `value: STRING` wire frame.
   */
 trait ChangeChannel {
 

@@ -1,0 +1,298 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader, DataInputStream, DataOutputStream, InputStreamReader, OutputStreamWriter}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Framed-JSON-over-TCP change transport — the reference's OTHER source
+  * boundary besides Kafka: OpenLogReplicator's network writer serves
+  * change records over a raw socket (writer `type: "network"`, `uri:
+  * "0.0.0.0:9000"` — `scripts/OpenLogReplicator.json:42-51`; port map
+  * `docker-compose-orl.yml:52-53`) and the connector CLIENT tracks its
+  * restart position and confirms progress back so the server can trim.
+  *
+  * Wire contract (everything JDK-only, the `RegistryServer`/`EsRestSink`
+  * pattern):
+  *  - client → server: newline-delimited JSON requests —
+  *    `{"type":"stream"|"drain","from":P}` to (re)subscribe from
+  *    position P, then `{"type":"ack","pos":P}` confirmations after the
+  *    client has made its progress DURABLE;
+  *  - server → client: length-prefixed frames (4-byte big-endian length
+  *    + UTF-8 JSON), each `{"pos":N,"value":<wire line>}`; a drain ends
+  *    with the control frame `{"end":true,"next":N}`, a stream stays
+  *    open and pushes new records as they are published.
+  */
+object NetworkProtocol {
+  private[sources] val mapper = new ObjectMapper()
+
+  def writeFrame(out: DataOutputStream, json: String): Unit = {
+    val b = json.getBytes(UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+
+  def readFrame(in: DataInputStream, maxLen: Int = 64 << 20): String = {
+    val len = in.readInt()
+    require(len >= 0 && len <= maxLen, s"bad frame length $len")
+    val b = new Array[Byte](len)
+    in.readFully(b)
+    new String(b, UTF_8)
+  }
+}
+
+/** Embedded OLR-shaped change server: an append-only record log served
+  * over a live 127.0.0.1 socket (`port` 0 = ephemeral; read it back from
+  * [[boundPort]]). Stands in for the reference's OpenLogReplicator
+  * network writer exactly as the embedded registry/bulk servers stand in
+  * for their services: the protocol handling is REAL and executed; only
+  * the record source behind it (redo-log parsing, out of scope per
+  * SURVEY §2.1) is fed by [[publish]] instead.
+  */
+final class ChangeServer(port: Int = 0) extends AutoCloseable {
+  import NetworkProtocol._
+
+  private val records = new java.util.ArrayList[String]()
+  private val lock = new Object
+  @volatile private var closed = false
+  @volatile private var ackHighWater = -1L
+  private val open = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  private val server = new ServerSocket(port, 50, InetAddress.getByName("127.0.0.1"))
+
+  val boundPort: Int = server.getLocalPort
+
+  /** Append wire lines to the served log (the redo-parser stand-in). */
+  def publish(lines: Seq[String]): Unit = lock.synchronized {
+    lines.foreach(records.add)
+    lock.notifyAll()
+  }
+
+  def size: Long = lock.synchronized(records.size().toLong)
+
+  /** Highest position a client has confirmed durable (trim boundary). */
+  def acked: Long = ackHighWater
+
+  private val acceptor = new Thread(() => {
+    while (!closed) {
+      try {
+        val s = server.accept()
+        open.add(s)
+        val t = new Thread(() => handle(s), "change-server-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () /* server closed */ }
+    }
+  }, "change-server-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def recordAck(line: String): Unit = {
+    val a = mapper.readTree(line)
+    if (a.path("type").asText() == "ack") {
+      val p = a.path("pos").asLong(-1L)
+      lock.synchronized { ackHighWater = math.max(ackHighWater, p) }
+    }
+  }
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      val reader = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val req = mapper.readTree(reader.readLine())
+      val streaming = req.path("type").asText() == "stream"
+      var next = math.max(req.path("from").asLong(0L), 0L)
+      if (streaming) {
+        // confirmations arrive interleaved with the push stream — drain
+        // them on their own thread so a slow acker never stalls delivery
+        val ackT = new Thread(() => {
+          try {
+            var l = reader.readLine()
+            while (l != null) { recordAck(l); l = reader.readLine() }
+          } catch { case _: Throwable => () }
+        }, "change-server-acks")
+        ackT.setDaemon(true)
+        ackT.start()
+      }
+      var run = true
+      while (run && !closed) {
+        val batch = lock.synchronized {
+          while (streaming && records.size() <= next && !closed) lock.wait(200)
+          (next until records.size()).map(i => (i.toLong, records.get(i.toInt)))
+        }
+        batch.foreach { case (pos, value) =>
+          val n = mapper.createObjectNode()
+          n.put("pos", pos)
+          n.put("value", value)
+          writeFrame(out, mapper.writeValueAsString(n))
+        }
+        next += batch.size
+        if (!streaming) {
+          val n = mapper.createObjectNode()
+          n.put("end", true)
+          n.put("next", next)
+          writeFrame(out, mapper.writeValueAsString(n))
+          out.flush()
+          // one final (optional) ack before the bounded drain closes
+          val l = reader.readLine()
+          if (l != null) recordAck(l)
+          run = false
+        } else out.flush()
+      }
+    } catch { case _: Throwable => () /* client went away */ }
+    finally {
+      open.remove(sock)
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = {
+    closed = true
+    lock.synchronized(lock.notifyAll())
+    try server.close() catch { case _: Throwable => () }
+    open.forEach(s => try s.close() catch { case _: Throwable => () })
+  }
+}
+
+/** Engine-side network client channel: subscribes to a [[ChangeServer]]
+  * (or anything speaking the same frames) and lands every record in a
+  * local SPOOL directory before acking — the durable-log step the
+  * reference delegates to Kafka (the connector never feeds sinks straight
+  * off the socket either; Debezium commits offsets only after the broker
+  * has the records). Downstream, `subscribe`/`replay` are then exactly
+  * the proven [[FileChannel]] semantics over the spool, so Structured
+  * Streaming checkpoints, restarts and batch backfills need nothing new.
+  *
+  * Restart safety: `_next_pos` (underscore-prefixed — invisible to
+  * Spark's file source) holds the next position to request; it is
+  * updated ATOMICALLY (tmp + move) only after the batch's spool file is
+  * durably in place, and every commit re-checks it under the channel
+  * lock — a reconnecting pump or a concurrent drain can deliver an
+  * overlapping batch but can never write a record twice. Positions are
+  * confirmed back (`ack`) only after the durable write: at-least-once on
+  * the wire, exactly-once in the spool.
+  */
+final class NetworkChannel(
+    host: String,
+    port: Int,
+    spoolDir: String,
+    maxFilesPerTrigger: Int = 10,
+    reconnectWaitMs: Int = 100) extends ChangeChannel with AutoCloseable {
+  import NetworkProtocol._
+
+  Files.createDirectories(Paths.get(spoolDir))
+  private val posPath = Paths.get(spoolDir, "_next_pos")
+  private val ioLock = new Object
+  @volatile private var stopped = false
+  @volatile private var pump: Thread = null
+  @volatile private var pumpSock: Socket = null
+
+  private def nextPos: Long =
+    if (Files.exists(posPath)) new String(Files.readAllBytes(posPath), UTF_8).trim.toLong
+    else 0L
+
+  /** Durably land `[fromPos, fromPos+values.size)`; atomic rename makes
+    * the file appear complete-or-absent to the Spark file source.
+    */
+  private def commit(values: Seq[String], fromPos: Long): Unit = {
+    val tmp = Files.createTempFile(Paths.get(spoolDir), "_tmp", ".jsonl")
+    Files.write(tmp, values.mkString("", "\n", "\n").getBytes(UTF_8))
+    Files.move(tmp, Paths.get(spoolDir, f"net-$fromPos%012d.jsonl"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val ptmp = Files.createTempFile(Paths.get(spoolDir), "_tmp", ".pos")
+    Files.write(ptmp, (fromPos + values.size).toString.getBytes(UTF_8))
+    Files.move(ptmp, posPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Keep only frames at/after the durable position and land them —
+    * shared dedup gate of the pump and drain paths.
+    */
+  private def landFresh(frames: Seq[com.fasterxml.jackson.databind.JsonNode],
+      confirm: Long => Unit): Unit = ioLock.synchronized {
+    val np = nextPos
+    val fresh = frames.filter(f => f.path("pos").asLong(-1L) >= np)
+    if (fresh.nonEmpty) {
+      val first = fresh.head.path("pos").asLong()
+      require(first == np && fresh.zipWithIndex.forall {
+          case (f, i) => f.path("pos").asLong() == np + i
+        }, s"position gap: have $np, server sent ${fresh.map(_.path("pos").asLong())}")
+      commit(fresh.map(_.path("value").asText()), first)
+      confirm(fresh.last.path("pos").asLong())
+    }
+  }
+
+  /** One bounded drain: fetch everything the server currently has past
+    * our durable position, land it, confirm, disconnect.
+    */
+  def drainOnce(): Unit = {
+    val sock = new Socket(host, port)
+    try {
+      val w = new OutputStreamWriter(sock.getOutputStream, UTF_8)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      w.write(s"""{"type":"drain","from":$nextPos}""" + "\n")
+      w.flush()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[com.fasterxml.jackson.databind.JsonNode]
+      var end = false
+      while (!end) {
+        val f = mapper.readTree(readFrame(in))
+        if (f.path("end").asBoolean(false)) end = true else buf += f
+      }
+      landFresh(buf.toSeq, p => { w.write(s"""{"type":"ack","pos":$p}""" + "\n"); w.flush() })
+    } finally sock.close()
+  }
+
+  /** Long-lived push subscription: reconnects (from the durable
+    * position) until [[close]]; lands arrivals in micro-batches sized by
+    * what the socket has ready.
+    */
+  private def startPump(): Unit = synchronized {
+    if (pump != null) return
+    pump = new Thread(() => {
+      while (!stopped) {
+        try {
+          val sock = new Socket(host, port)
+          pumpSock = sock
+          val w = new OutputStreamWriter(sock.getOutputStream, UTF_8)
+          val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+          w.write(s"""{"type":"stream","from":$nextPos}""" + "\n")
+          w.flush()
+          while (!stopped) {
+            val first = mapper.readTree(readFrame(in)) // blocks for push
+            val buf = scala.collection.mutable.ArrayBuffer(first)
+            while (in.available() > 0) buf += mapper.readTree(readFrame(in))
+            landFresh(buf.toSeq,
+              p => { w.write(s"""{"type":"ack","pos":$p}""" + "\n"); w.flush() })
+          }
+        } catch {
+          case _: Throwable if !stopped => Thread.sleep(reconnectWaitMs.toLong)
+          case _: Throwable => ()
+        } finally {
+          try { if (pumpSock != null) pumpSock.close() } catch { case _: Throwable => () }
+        }
+      }
+    }, "network-channel-pump")
+    pump.setDaemon(true)
+    pump.start()
+  }
+
+  override def subscribe(spark: SparkSession): DataFrame = {
+    startPump()
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(spoolDir)
+  }
+
+  override def replay(spark: SparkSession): DataFrame = {
+    drainOnce()
+    spark.read.text(spoolDir)
+  }
+
+  override def close(): Unit = {
+    stopped = true
+    try { if (pumpSock != null) pumpSock.close() } catch { case _: Throwable => () }
+    val t = pump
+    if (t != null) t.join(2000)
+  }
+}

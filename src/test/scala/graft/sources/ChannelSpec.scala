@@ -82,6 +82,130 @@ class ChannelSpec extends SparkSpec {
     assert(KafkaChannel.Format == "kafka")
   }
 
+  // --- network (OLR-socket-shaped) transport: EXECUTED end to end ---
+
+  private def wireLines(): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    val feed = Seq(
+      (1L, "click", 1.5, "{}", "c", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+      (1L, "view", 2.5, "{}", "u", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 20L),
+      (2L, "click", 3.5, "{}", "d", java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 30L)
+    ).toDF("id", "event_type", "value", "props", "op", "ts", "scn")
+    graft.cdc.CdcQueries.envelopeOf(feed)
+      .select(to_json(struct(col("*"))).as("j")).as[String].collect().toSeq
+  }
+
+  test("network channel replay over a live socket parses to the same envelopes as the file channel") {
+    val server = new ChangeServer()
+    try {
+      server.publish(wireLines())
+      val spool = Files.createTempDirectory("netspool").toString
+      val chan = new NetworkChannel("127.0.0.1", server.boundPort, spool)
+      try {
+        val env = ChangeChannel.envelopes(chan.replay(spark), payloadSchema)
+        assert(envelopeTriples(env) == expected)
+        assert(server.acked == 2L, "client must confirm the durable position")
+        // a second replay is a no-op fetch (nothing new), same result
+        assert(envelopeTriples(
+          ChangeChannel.envelopes(chan.replay(spark), payloadSchema)) == expected)
+      } finally chan.close()
+    } finally server.close()
+  }
+
+  test("network channel subscribe pushes live publishes into the stream") {
+    val server = new ChangeServer()
+    try {
+      val lines = wireLines()
+      server.publish(lines.take(2))
+      val spool = Files.createTempDirectory("netspool2").toString
+      val chan = new NetworkChannel("127.0.0.1", server.boundPort, spool)
+      try {
+        val env = ChangeChannel.envelopes(chan.subscribe(spark), payloadSchema)
+        val q = env.writeStream.format("memory").queryName("net_t")
+          .outputMode("append").start()
+        try {
+          def spooled: Long = server.acked + 1
+          val deadline = System.nanoTime() + 10_000_000_000L
+          while (spooled < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+          assert(spooled == 2, "first batch never landed in the spool")
+          q.processAllAvailable()
+          assert(envelopeTriples(spark.table("net_t")) ==
+            Set((10L, "c", 1L), (20L, "u", 1L)))
+          // LIVE publish while the stream is running
+          server.publish(lines.drop(2))
+          while (spooled < 3 && System.nanoTime() < deadline) Thread.sleep(20)
+          assert(spooled == 3, "live publish never reached the spool")
+          q.processAllAvailable()
+          assert(envelopeTriples(spark.table("net_t")) == expected)
+        } finally q.stop()
+      } finally chan.close()
+    } finally server.close()
+  }
+
+  test("network channel restart resumes from the durable position without duplicates") {
+    val server = new ChangeServer()
+    try {
+      val lines = wireLines()
+      server.publish(lines.take(2))
+      val spool = Files.createTempDirectory("netspool3").toString
+      val chan1 = new NetworkChannel("127.0.0.1", server.boundPort, spool)
+      chan1.drainOnce()
+      chan1.close()
+      // "restart": a NEW channel over the SAME spool — must request from
+      // the persisted position, not refetch (the server would happily
+      // resend from 0; the spool would then double every record)
+      server.publish(lines.drop(2))
+      val chan2 = new NetworkChannel("127.0.0.1", server.boundPort, spool)
+      try {
+        val env = ChangeChannel.envelopes(chan2.replay(spark), payloadSchema)
+        assert(envelopeTriples(env) == expected)
+        val s = spark
+        import s.implicits._
+        val raw = chan2.replay(spark).as[String].collect()
+        assert(raw.length == 3, s"restart duplicated or lost wire lines: ${raw.length}")
+      } finally chan2.close()
+    } finally server.close()
+  }
+
+  test("CdcPipeline.startOn over the network channel folds the same state as the file channel") {
+    val s = spark
+    import s.implicits._
+    val feedSchema = StructType(Seq(
+      StructField("scn", LongType), StructField("id", LongType),
+      StructField("op", StringType), StructField("payload", StringType)))
+    val wire = Seq(
+      """{"scn":11,"id":1,"op":"u","payload":"one-v2"}""",
+      """{"scn":12,"id":3,"op":"c","payload":"three"}""",
+      """{"scn":13,"id":2,"op":"d","payload":null}""")
+    val base = Seq((0L, 1L, "r", "one"), (0L, 2L, "r", "two"))
+      .toDF("scn", "id", "op", "payload")
+    val server = new ChangeServer()
+    try {
+      server.publish(wire)
+      val work = Files.createTempDirectory("netpipe")
+      val chan = new NetworkChannel("127.0.0.1", server.boundPort,
+        work.resolve("spool").toString)
+      try {
+        val h = graft.cdc.CdcPipeline.startOn(spark, base, keys = Seq("id"),
+          snapshotScn = 10L, chan, feedSchema,
+          statePath = work.resolve("state").toString,
+          checkpointDir = work.resolve("chk").toString)
+        try {
+          val deadline = System.nanoTime() + 10_000_000_000L
+          while (server.acked < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+          h.stream.processAllAvailable()
+          val got = graft.cdc.Stream
+            .readCurrentState(spark, work.resolve("state").toString)
+            .select("id", "payload").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          assert(got == Map(1L -> "one-v2", 3L -> "three"),
+            s"network-fed pipeline state diverged: $got")
+        } finally h.stream.stop()
+      } finally chan.close()
+    } finally server.close()
+  }
+
   test("kafka channel reaches data-source resolution under format 'kafka'") {
     val chan = KafkaChannel("localhost:9092", "olr.events")
     val streamErr = intercept[Exception](chan.subscribe(spark))
