@@ -14,10 +14,12 @@ import graft.Tables
   * hash, gray pixels = the doc's bytes cycled row-major) and
   * [[decodeImages]] decodes them back — actual codec execution on every
   * row, verified by sha-256 of the decoded raster against a DuckDB
-  * oracle that predicts the pixel stream independently. Only the VIDEO
-  * demux ([[sampleFrames]]) remains a clearly-marked deterministic stub
-  * (no container demuxer in the JDK): its schedule/resize math is fully
-  * oracle-checked, the md5 fingerprint stands in for frame content.
+  * oracle that predicts the pixel stream independently. The VIDEO path
+  * is real too (round 9 — graduated from the schedule stub):
+  * [[encodeAnimations]] writes genuine multi-frame animated GIFs and
+  * [[sampleFrames]] DEMUXES the container (frame count and per-frame
+  * delay from the GIF's own metadata) and decodes the scheduled frames,
+  * sha-checked against the oracle's independent pixel prediction.
   *
   * Scale notes: payload bytes never pass through a shuffle here — the
   * codec stages are narrow `mapPartitions` (no exchange), and downstream
@@ -183,19 +185,139 @@ object Multimodal {
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
       out_w: Int, out_h: Int, frame_sig: String)
 
-  /** Frame sampling + resize planning through the same partition-wise
-    * batched shape as [[extractFeatures]] — the video path of the
-    * pipeline: per media record, a uniform k-frame schedule over the
-    * container duration plus the aspect-preserving resize target each
-    * decoded frame would be scaled to (max side 224, floor — never
-    * round: Spark rounds half-up, DuckDB half-even).
-    *
-    * STUB boundary (no codecs in this container): duration and source
-    * dimensions are deterministic functions of the payload (length×10 ms;
-    * dims from the payload md5), and the per-frame "content" is an md5
-    * fingerprint of payload+index — so the ENTIRE schedule/resize math is
-    * mirrored by a DuckDB oracle while the decode call site stays exactly
-    * where a real demuxer would run.
+  /** Encoded animated-GIF corpus, memoized per (session, dir) — the
+    * video-container counterpart of [[encodedCorpus]] (fixture
+    * synthesis, excluded from the measured demux path for the same
+    * reason).
+    */
+  private val animCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dataset[MediaRecord]]()
+
+  private def animatedCorpus(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    animCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    animCache.computeIfAbsent((s, dir), _ =>
+      encodeAnimations(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Encode each document as a REAL multi-frame animated GIF via the
+    * `javax.imageio` GIF sequence writer — the fixture's stand-in for an
+    * upstream video store. Deterministic, independently predictable by
+    * the oracle: dims `8 + md5-byte % 32` (same seeding as the PNGs),
+    * frame count `4 + (md5[2] % 5)`, frame f's 8-bit gray raster = the
+    * doc's bytes cycled row-major starting at OFFSET f, uniform 40 ms
+    * frame delay written into each frame's GraphicControlExtension. The
+    * raster rides an explicit 256-gray `IndexColorModel`, so the GIF
+    * round trip is exact: palette index = gray value, lossless by
+    * construction.
+    */
+  def encodeAnimations(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)].mapPartitions { it =>
+        val grays = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          val w = 8 + (md(0) & 0x1f)
+          val h = 8 + (md(1) & 0x1f)
+          val nFrames = 4 + ((md(2) & 0xff) % 5)
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val raster = img.getRaster
+              var p = 0; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0, bytes((p + f) % bytes.length) & 0xff)
+                  p += 1; x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, gifFrameMeta(writer, img, delayHundredths = 4)),
+                writer.getDefaultWriteParam)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally {
+            writer.dispose()
+            ios.close()
+          }
+          MediaRecord(id, baos.toByteArray, "image/gif")
+        })
+      }
+  }
+
+  /** Per-frame GIF metadata with the frame delay set in the
+    * GraphicControlExtension (hundredths of a second) — the container's
+    * own timing channel, read back by the demux side.
+    */
+  private def gifFrameMeta(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage, delayHundredths: Int): javax.imageio.metadata.IIOMetadata = {
+    val meta = writer.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+      writer.getDefaultWriteParam)
+    val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+    val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val gce = {
+      var found: javax.imageio.metadata.IIOMetadataNode = null
+      var c = root.getFirstChild
+      while (c != null && found == null) {
+        if (c.getNodeName == "GraphicControlExtension")
+          found = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        c = c.getNextSibling
+      }
+      if (found == null) {
+        val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+        root.appendChild(n)
+        n
+      } else found
+    }
+    // drop the default LocalColorTable: it is the writer's STANDARD
+    // (web-safe) palette, not the image's — leaving it in silently
+    // remaps every gray through the wrong table (measured: values
+    // quantized to multiples of 51). Absent the node, the writer
+    // derives the table from the image's own IndexColorModel, which is
+    // what makes the round trip exact.
+    var c = root.getFirstChild
+    while (c != null) {
+      val nx = c.getNextSibling
+      if (c.getNodeName == "LocalColorTable") root.removeChild(c)
+      c = nx
+    }
+    gce.setAttribute("disposalMethod", "none")
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("transparentColorIndex", "0")
+    gce.setAttribute("delayTime", delayHundredths.toString)
+    meta.setFromTree(fmt, root)
+    meta
+  }
+
+  /** REAL container demux + frame decode (graduated from the round-8
+    * schedule stub): per media record, open the payload with the
+    * registered `javax.imageio` reader, count frames from the CONTAINER
+    * (`getNumImages(true)` — a full stream scan), read each frame's
+    * delay from its own GraphicControlExtension, and decode the k
+    * uniformly-scheduled frames (`src = i·nFrames/k`). `frame_ts_ms` is
+    * the cumulative demuxed delay up to the sampled frame, `frame_sig`
+    * the sha-256 prefix of the DECODED gray raster (through the palette,
+    * row-major), `out_w/out_h` the aspect-preserving resize target (max
+    * side 224, floor — never round: Spark rounds half-up, DuckDB
+    * half-even). Same batched narrow `mapPartitions` as the other codec
+    * stages: payload bytes never cross a shuffle.
     */
   def sampleFrames(media: Dataset[MediaRecord], k: Int = 4, batchSize: Int = 64): Dataset[FrameSample] = {
     val s = media.sparkSession
@@ -205,30 +327,58 @@ object Multimodal {
     }
   }
 
-  /** === STUB demux/probe (see sampleFrames) — deterministic. === */
   private def frameBatch(batch: Seq[MediaRecord], k: Int): Seq[FrameSample] =
     batch.flatMap { r =>
-      // hash the payload ONCE and clone the digest state per frame: the
-      // payloads are the multi-MB objects of this pipeline, and the naive
-      // `md5(payload ++ suffix)` form would copy + re-hash all of them
-      // k+1 times per record
-      val base = java.security.MessageDigest.getInstance("MD5")
-      base.update(r.payload)
-      def cloned() = base.clone().asInstanceOf[java.security.MessageDigest]
-      val md = cloned().digest()
-      val durMs = r.payload.length.toLong * 10
-      val w = 16 + (md(0) & 0xff)
-      val h = 16 + (md(1) & 0xff)
-      val maxSide = math.max(w, h)
-      val outW = math.floor(w * 224.0 / maxSide).toInt
-      val outH = math.floor(h * 224.0 / maxSide).toInt
-      (0 until k).map { i =>
-        val d = cloned()
-        d.update(s"#$i".getBytes("UTF-8"))
-        val sig = d.digest().map("%02x".format(_)).mkString.substring(0, 12)
-        FrameSample(r.doc_id, i, durMs * i / k, outW, outH, sig)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"payload of doc ${r.doc_id} has no registered demuxer")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        require(nFrames > 0, s"payload of doc ${r.doc_id} demuxed to zero frames")
+        // cumulative container timing: ts of frame f = Σ delay(0..f-1)
+        val startMs = new Array[Long](nFrames)
+        var f = 1
+        while (f < nFrames) {
+          startMs(f) = startMs(f - 1) + gifDelayHundredths(reader.getImageMetadata(f - 1)) * 10L
+          f += 1
+        }
+        (0 until k).map { i =>
+          val src = i * nFrames / k
+          val img = reader.read(src)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Byte](w * h)
+          var p = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(p) = (img.getRGB(x, y) & 0xff).toByte; p += 1; x += 1 }
+            y += 1
+          }
+          val sha = java.security.MessageDigest.getInstance("SHA-256").digest(px)
+            .map("%02x".format(_)).mkString
+          val m = math.max(w, h)
+          FrameSample(r.doc_id, i, startMs(src),
+            math.floor(w * 224.0 / m).toInt, math.floor(h * 224.0 / m).toInt,
+            sha.substring(0, 12))
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
       }
     }
+
+  private def gifDelayHundredths(meta: javax.imageio.metadata.IIOMetadata): Int = {
+    val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+    var c = root.getFirstChild
+    while (c != null) {
+      if (c.getNodeName == "GraphicControlExtension")
+        return c.getAttributes.getNamedItem("delayTime").getNodeValue.toInt
+      c = c.getNextSibling
+    }
+    0
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // oracle-checked: the binary-column plumbing itself (byte length +
@@ -258,10 +408,14 @@ object Multimodal {
       resizeImages(encodedCorpus(s, dir))
         .toDF().orderBy("doc_id")),
 
-    // video-path plumbing: uniform frame schedule + resize targets,
-    // hash-checked end to end (see sampleFrames for the stub boundary)
+    // REAL video-container path (round 9, stub graduated): every payload
+    // is a genuine multi-frame animated GIF; the engine demuxes the
+    // container (frame count + per-frame delay from the GIF's own
+    // metadata), decodes the scheduled frames, and the sha-256 of each
+    // decoded raster must equal the oracle's independent prediction of
+    // the offset-cycled pixel stream — executed pixels, oracle-checked.
     "mm_frames" -> ((s, dir) =>
-      sampleFrames(asMedia(Tables(s, dir).documents))
+      sampleFrames(animatedCorpus(s, dir))
         .toDF().orderBy("doc_id", "frame_idx"))
   )
 
@@ -299,21 +453,30 @@ object Multimodal {
         |      CAST(((i // out_w) * h // out_h) * w + (i % out_w) * w // out_w AS INTEGER) + 1, 1)),
         |    'string_agg', '')) AS resized_sha
         |FROM p ORDER BY doc_id""".stripMargin,
+    // independent prediction of the DEMUXED animated GIF: dims and frame
+    // count re-derived from md5, sampled source frame src = i·nf/4, its
+    // container timestamp src·40 ms (uniform 40 ms delays written into
+    // the GIF), and the decoded raster = the doc's ASCII bytes cycled
+    // row-major from offset src — so sha256 of the cycled substring must
+    // equal the engine's sha of the decoded pixels, byte for byte
     "mm_frames" ->
       """WITH dims AS (
-        |  SELECT doc_id, text,
-        |    octet_length(CAST(text AS BLOB)) * 10 AS dur_ms,
-        |    16 + CAST('0x' || substring(md5(text), 1, 2) AS INTEGER) AS w,
-        |    16 + CAST('0x' || substring(md5(text), 3, 2) AS INTEGER) AS h
-        |  FROM documents),
+        |  SELECT doc_id, text, len(text) AS n,
+        |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
+        |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h,
+        |    4 + (CAST('0x' || substring(md5(text),5,2) AS INTEGER) % 5) AS nf
+        |  FROM documents WHERE len(text) > 0),
         |frames AS (
-        |  SELECT doc_id, text, dur_ms, w, h, unnest(range(4)) AS i FROM dims)
+        |  SELECT doc_id, text, n, w, h, nf, unnest(range(4)) AS i FROM dims),
+        |sampled AS (
+        |  SELECT *, i * nf // 4 AS src FROM frames)
         |SELECT doc_id,
         |  CAST(i AS INTEGER) AS frame_idx,
-        |  CAST(dur_ms * i // 4 AS BIGINT) AS frame_ts_ms,
+        |  CAST(src * 40 AS BIGINT) AS frame_ts_ms,
         |  CAST(floor(w * 224.0 / greatest(w, h)) AS INTEGER) AS out_w,
         |  CAST(floor(h * 224.0 / greatest(w, h)) AS INTEGER) AS out_h,
-        |  substring(md5(text || '#' || CAST(i AS VARCHAR)), 1, 12) AS frame_sig
-        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+        |  substring(sha256(substring(repeat(text, CAST((src + w*h) // n AS INTEGER) + 1),
+        |                             CAST(src AS INTEGER) + 1, w*h)), 1, 12) AS frame_sig
+        |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

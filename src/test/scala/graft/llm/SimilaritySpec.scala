@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, length}
 
 /** Exactness + recall tests for the vector path (no DuckDB oracle for
   * float-order-sensitive results — SURVEY.md §2.12): brute-force top-k is
@@ -254,16 +255,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("frame sampling: k frames per doc, monotone schedule, batch-invariant, resize bounded") {
-    val media = Multimodal.asMedia(Tables(spark, sf("sf0.001")).documents)
+  test("frame sampling: REAL GIF demux+decode, schedule from container metadata, batch-invariant") {
+    val docs = Tables(spark, sf("sf0.001")).documents
+    val media = Multimodal.encodeAnimations(docs)
     val f1 = Multimodal.sampleFrames(media).collect().sortBy(f => (f.doc_id, f.frame_idx))
     val f2 = Multimodal.sampleFrames(media, batchSize = 7).collect().sortBy(f => (f.doc_id, f.frame_idx))
-    assert(f1.length == 500 * 4)
-    assert(f1.toSeq == f2.toSeq, "batch size must not change the schedule")
+    val nonEmpty = docs.filter(length(col("text")) > 0).count()
+    assert(f1.length == nonEmpty * 4)
+    assert(f1.toSeq == f2.toSeq, "batch size must not change the demux result")
+    // independent ground truth straight from the doc text: the GIF round
+    // trip is exact (indexed gray palette), so decoded frame src's
+    // raster must be the doc's bytes cycled from offset src
+    val texts = docs.filter(length(col("text")) > 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     f1.groupBy(_.doc_id).foreach { case (id, fs) =>
-      assert(fs.map(_.frame_idx).toSeq == (0 until 4), s"doc $id frame indices")
-      val ts = fs.sortBy(_.frame_idx).map(_.frame_ts_ms)
-      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b }, s"doc $id schedule not monotone")
+      val bytes = texts(id).getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val w = 8 + (md(0) & 0x1f)
+      val h = 8 + (md(1) & 0x1f)
+      val nf = 4 + ((md(2) & 0xff) % 5)
+      assert(fs.map(_.frame_idx).toSeq.sorted == (0 until 4), s"doc $id frame slots")
+      fs.foreach { f =>
+        val src = f.frame_idx * nf / 4
+        assert(f.frame_ts_ms == src * 40L,
+          s"doc $id slot ${f.frame_idx}: container timing diverged (${f.frame_ts_ms})")
+        val px: Array[Byte] = Array.tabulate(w * h)(p => bytes((p + src) % bytes.length))
+        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(px)
+          .map("%02x".format(_)).mkString.substring(0, 12)
+        assert(f.frame_sig == sha,
+          s"doc $id frame $src: decoded raster diverged from the planted pixels")
+      }
       assert(fs.forall(f => math.max(f.out_w, f.out_h) == 224), s"doc $id resize must pin max side")
       assert(fs.forall(f => f.out_w >= 1 && f.out_h >= 1))
     }
