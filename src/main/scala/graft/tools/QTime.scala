@@ -2,11 +2,15 @@ package graft.tools
 
 /** Dev utility: time individual query ids outside the full bench.
   *
-  * Usage: sbt "runMain graft.tools.QTime <sfDir> <id1,id2,...> [runs]"
+  * Usage: sbt "runMain graft.tools.QTime <sfDir> <id1,id2,...> [runs] [prepare]"
   *
   * Same measurement hygiene as [[graft.Bench]] (noop sink, System.gc()
   * outside the timer, median-of-N) but scoped to the named ids so a
-  * single-query iteration loop doesn't pay the whole suite.
+  * single-query iteration loop doesn't pay the whole suite. A trailing
+  * `prepare` arg runs the build-once artifact step Bench runs
+  * ([[graft.llm.Curation.prepareDecontamination]]) UNTIMED first, so
+  * probes of the decontamination family measure the query like the
+  * suite does, not the index build.
   */
 object QTime {
   def main(args: Array[String]): Unit = {
@@ -15,6 +19,11 @@ object QTime {
     val runs = if (args.length > 2) args(2).toInt else 3
     val spark = graft.Engine.session("graft-qtime")
     try {
+      if (args.length > 3 && args(3) == "prepare") {
+        val t0 = System.nanoTime()
+        graft.llm.Curation.prepareDecontamination(spark, sfDir)
+        println(f"[qtime] (prepare: decon memo build ${(System.nanoTime() - t0) / 1e9}%.3f s, untimed)")
+      }
       val qs = graft.SparkEntry.queries
       ids.foreach { id =>
         val fn = qs.getOrElse(id, sys.error(s"unknown query id: $id"))
