@@ -63,7 +63,47 @@ final class RegistryServer(registry: SchemaRegistry, port: Int = 0) {
       val VersionsRe = "/subjects/([A-Za-z0-9._-]+)/versions".r
       val LatestRe = "/subjects/([A-Za-z0-9._-]+)/versions/latest".r
       val ByIdRe = "/schemas/ids/(\\d+)".r
+      val ConfigSubjRe = "/config/([A-Za-z0-9._-]+)".r
+      // PUT /config (global) | /config/{subject}: the service's
+      // compatibility-level surface (answers the PUT with "compatibility",
+      // the GET with "compatibilityLevel" — the real API's asymmetry)
+      def putConfig(scope: Option[String]): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val lvl = Option(mapper.readTree(body).get("compatibility"))
+          .filter(_.isTextual).map(_.asText())
+        lvl.flatMap(SchemaRegistry.Compatibility.parse) match {
+          case Some(mode) =>
+            registry.setCompatibility(scope, mode)
+            val n = JsonNodeFactory.instance.objectNode()
+            n.put("compatibility", SchemaRegistry.Compatibility.name(mode))
+            respond(ex, 200, mapper.writeValueAsString(n))
+          case None =>
+            err(ex, 422, 42203,
+              s"Invalid compatibility level ${lvl.getOrElse("(missing)")}. " +
+                "Valid values are NONE, BACKWARD, FORWARD, FULL")
+        }
+      }
       (method, path) match {
+        case ("PUT", "/config") => putConfig(None)
+        case ("PUT", ConfigSubjRe(subject)) => putConfig(Some(subject))
+        case ("GET", "/config") =>
+          val n = JsonNodeFactory.instance.objectNode()
+          n.put("compatibilityLevel", SchemaRegistry.Compatibility.name(
+            registry.getCompatibility(None).getOrElse(SchemaRegistry.Backward)))
+          respond(ex, 200, mapper.writeValueAsString(n))
+        case ("GET", ConfigSubjRe(subject)) =>
+          registry.getCompatibility(Some(subject)) match {
+            case Some(mode) =>
+              val n = JsonNodeFactory.instance.objectNode()
+              n.put("compatibilityLevel", SchemaRegistry.Compatibility.name(mode))
+              respond(ex, 200, mapper.writeValueAsString(n))
+            case None =>
+              // the real service 404s an unset subject unless
+              // ?defaultToGlobal=true — pin the strict form
+              err(ex, 404, 40408,
+                s"Subject '$subject' does not have subject-level compatibility configured")
+          }
         case ("POST", VersionsRe(subject)) =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -77,7 +117,9 @@ final class RegistryServer(registry: SchemaRegistry, port: Int = 0) {
             // the unchecked register() here used to hand out ids for
             // schemas the real service rejects
             try {
-              val id = registry.registerChecked(subject, schema.asText())
+              // the SUBJECT'S configured level (override → global →
+              // BACKWARD), like the service this mirrors
+              val id = registry.registerConfigured(subject, schema.asText())
               val n = JsonNodeFactory.instance.objectNode()
               n.put("id", id)
               respond(ex, 200, mapper.writeValueAsString(n))
@@ -171,6 +213,33 @@ final class HttpRegistryClient(baseUrl: String) {
       require(status == 200, s"latest($subject) failed: HTTP $status $body")
       val n = mapper.readTree(body)
       Some((n.get("id").asInt(), n.get("schema").asText()))
+    }
+  }
+
+  /** PUT /config or /config/{subject} → the confirmed level name. */
+  def setCompatibility(subject: Option[String], level: String): String = {
+    val path = subject.fold("/config")(s => s"/config/$s")
+    val n = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+    n.put("compatibility", level)
+    val (status, body) = send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(baseUrl + path))
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(n)))
+      .build())
+    require(status == 200, s"setCompatibility($subject, $level) failed: HTTP $status $body")
+    mapper.readTree(body).get("compatibility").asText()
+  }
+
+  /** GET /config or /config/{subject} → level name; None on 404 (subject
+    * without an override — the service's strict no-defaultToGlobal form).
+    */
+  def compatibility(subject: Option[String]): Option[String] = {
+    val (status, body) = get(subject.fold("/config")(s => s"/config/$s"))
+    if (status == 404) None
+    else {
+      require(status == 200, s"compatibility($subject) failed: HTTP $status $body")
+      Some(mapper.readTree(body).get("compatibilityLevel").asText())
     }
   }
 

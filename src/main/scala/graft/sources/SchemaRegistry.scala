@@ -95,6 +95,64 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
   /** Distinct subjects in first-registration order. */
   def subjects: Seq[String] = entries.map(_._2).distinct
 
+  /** Per-subject / global compatibility configuration (the service's
+    * `PUT/GET /config[/{subject}]` surface, `docker-compose-main.yml:
+    * 97-119` runs the registry that enforces it): key `scala.None` is
+    * the GLOBAL level, `Some(subject)` a per-subject override —
+    * resolution is override → global → BACKWARD, the Confluent default
+    * chain. Persisted next to the schema log (`_config.properties`,
+    * name chosen to miss the `\\d{5,}_.*\\.avsc` replay filter) so a
+    * reopened registry keeps its policy.
+    */
+  @volatile private var compatConfig: Map[Option[String], SchemaRegistry.Compatibility] =
+    loadConfig()
+
+  private def configPath = dir.resolve("_config.properties")
+
+  private def loadConfig(): Map[Option[String], SchemaRegistry.Compatibility] =
+    if (java.nio.file.Files.exists(configPath))
+      java.nio.file.Files.readAllLines(configPath).asScala
+        .flatMap { line =>
+          line.split("=", 2) match {
+            case Array(k, v) =>
+              SchemaRegistry.Compatibility.parse(v.trim).map { c =>
+                (if (k.trim == "*") None else Some(k.trim)) -> c
+              }
+            case _ => None
+          }
+        }.toMap
+    else Map.empty
+
+  def setCompatibility(subject: Option[String], mode: SchemaRegistry.Compatibility): Unit =
+    synchronized {
+      subject.foreach(sj => require(sj.matches("[A-Za-z0-9._-]+"),
+        s"unsafe subject name: $sj"))
+      compatConfig += (subject -> mode)
+      java.nio.file.Files.createDirectories(dir)
+      val body = compatConfig.toSeq
+        .map { case (k, v) => s"${k.getOrElse("*")}=${SchemaRegistry.Compatibility.name(v)}" }
+        .sorted.mkString("", "\n", "\n")
+      java.nio.file.Files.write(configPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  /** The configured level for `subject`, if any (None key = global). */
+  def getCompatibility(subject: Option[String]): Option[SchemaRegistry.Compatibility] =
+    compatConfig.get(subject)
+
+  /** Effective level: subject override → global → BACKWARD (Confluent
+    * default chain).
+    */
+  def compatibilityOf(subject: String): SchemaRegistry.Compatibility =
+    compatConfig.getOrElse(Some(subject),
+      compatConfig.getOrElse(None, SchemaRegistry.Backward))
+
+  /** [[registerChecked]] under the subject's CONFIGURED level — what the
+    * HTTP surface runs on every POST.
+    */
+  def registerConfigured(subject: String, schemaJson: String): Int =
+    registerChecked(subject, schemaJson, compatibilityOf(subject))
+
   /** Register with a Confluent-style compatibility gate against the
     * subject's LATEST version (the registry service's default check):
     * BACKWARD = consumers on the NEW schema can read data written with
@@ -134,9 +192,10 @@ final class SchemaRegistry private (dir: java.nio.file.Path) {
             .checkReaderWriterCompatibility(reader, writer)
             .getType == org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
         val ok = mode match {
-          case SchemaRegistry.Backward => readable(next, prev)
-          case SchemaRegistry.Forward  => readable(prev, next)
-          case SchemaRegistry.Full     => readable(next, prev) && readable(prev, next)
+          case SchemaRegistry.NoneCompat => true
+          case SchemaRegistry.Backward   => readable(next, prev)
+          case SchemaRegistry.Forward    => readable(prev, next)
+          case SchemaRegistry.Full       => readable(next, prev) && readable(prev, next)
         }
         if (!ok) throw new SchemaRegistry.IncompatibleSchemaException(
           s"schema for subject '$subject' is not $mode-compatible with its latest version")
@@ -151,9 +210,31 @@ object SchemaRegistry {
     new SchemaRegistry(java.nio.file.Paths.get(dir))
 
   sealed trait Compatibility
+  /** `NONE` — no gate, any parseable schema registers (the level the
+    * service uses for free-form topics).
+    */
+  case object NoneCompat extends Compatibility
   case object Backward extends Compatibility
   case object Forward extends Compatibility
   case object Full extends Compatibility
+
+  object Compatibility {
+    /** Confluent wire names ↔ the ADT (`NONE|BACKWARD|FORWARD|FULL`). */
+    def parse(s: String): Option[Compatibility] = s.trim.toUpperCase match {
+      case "NONE"     => Some(NoneCompat)
+      case "BACKWARD" => Some(Backward)
+      case "FORWARD"  => Some(Forward)
+      case "FULL"     => Some(Full)
+      case _          => None
+    }
+
+    def name(c: Compatibility): String = c match {
+      case NoneCompat => "NONE"
+      case Backward   => "BACKWARD"
+      case Forward    => "FORWARD"
+      case Full       => "FULL"
+    }
+  }
 
   /** A registration rejected by the compatibility gate — the condition
     * the Confluent service answers with HTTP 409.

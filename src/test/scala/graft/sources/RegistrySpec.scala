@@ -188,4 +188,87 @@ class RegistrySpec extends SparkSpec {
       assert(replayed.latest("nation-value").contains((id2, v2)))
     } finally server.stop()
   }
+
+  test("per-subject compatibility modes over HTTP: NONE/BACKWARD/FORWARD/FULL semantics") {
+    val dir = Files.createTempDirectory("reg-modes").toString
+    val reg = SchemaRegistry.open(dir)
+    val server = new RegistryServer(reg)
+    try {
+      val client = new HttpRegistryClient(server.baseUrl)
+      // defaults: global GET answers BACKWARD, an unset subject 404s
+      // (the service's strict no-defaultToGlobal form)
+      assert(client.compatibility(None).contains("BACKWARD"))
+      assert(client.compatibility(Some("s-fwd")).isEmpty)
+      // an invalid level is refused (422), config unchanged
+      val bad = intercept[IllegalArgumentException](
+        client.setCompatibility(Some("s-fwd"), "SIDEWAYS"))
+      assert(bad.getMessage.contains("422"), bad.getMessage)
+      assert(client.compatibility(Some("s-fwd")).isEmpty)
+
+      // widening evolution: add a default-less field. BACKWARD rejects
+      // it (new reader can't fill it from old data), FORWARD admits it
+      // (old readers ignore it)
+      val widened =
+        """{"type":"record","name":"nation","fields":[
+          |{"name":"n_nationkey","type":"int"},
+          |{"name":"n_name","type":"string"},
+          |{"name":"n_regionkey","type":"int"},
+          |{"name":"n_wide","type":"string"}]}""".stripMargin
+      // subject s-fwd configured FORWARD-only
+      assert(client.setCompatibility(Some("s-fwd"), "FORWARD") == "FORWARD")
+      assert(client.compatibility(Some("s-fwd")).contains("FORWARD"))
+      val fwdV1 = client.register("s-fwd", v1)
+      assert(client.register("s-fwd", widened) > fwdV1,
+        "FORWARD must admit a default-less widening")
+      // the FORWARD-only REJECTION: narrowing away a default-less field
+      // means old readers (on the wide schema) cannot read new data →
+      // not forward-compatible, 409, nothing written
+      val narrowed =
+        """{"type":"record","name":"nation","fields":[
+          |{"name":"n_nationkey","type":"int"},
+          |{"name":"n_name","type":"string"}]}""".stripMargin
+      val before = reg.history("s-fwd").size
+      val e = intercept[IllegalArgumentException](client.register("s-fwd", narrowed))
+      assert(e.getMessage.contains("409"), e.getMessage)
+      assert(reg.history("s-fwd").size == before)
+
+      // same widening under BACKWARD (the untouched default) → 409
+      val bwdV1 = client.register("s-bwd", v1)
+      val e2 = intercept[IllegalArgumentException](client.register("s-bwd", widened))
+      assert(e2.getMessage.contains("409"), e2.getMessage)
+      assert(bwdV1 > 0)
+
+      // NONE: the same widening registers freely
+      assert(client.setCompatibility(Some("s-none"), "NONE") == "NONE")
+      val noneV1 = client.register("s-none", v1)
+      assert(client.register("s-none", widened) > noneV1,
+        "NONE must skip the gate entirely")
+
+      // FULL: v2 (defaulted add) passes both directions; the default-less
+      // widening fails the backward half
+      assert(client.setCompatibility(Some("s-full"), "FULL") == "FULL")
+      val fullV1 = client.register("s-full", v1)
+      assert(client.register("s-full", v2) > fullV1)
+      val e3 = intercept[IllegalArgumentException](client.register("s-full", widened))
+      assert(e3.getMessage.contains("409"), e3.getMessage)
+
+      // GLOBAL level governs subjects without an override: set global
+      // NONE, a fresh subject takes the widening BACKWARD would refuse
+      assert(client.setCompatibility(None, "NONE") == "NONE")
+      assert(client.compatibility(None).contains("NONE"))
+      val gV1 = client.register("s-global", v1)
+      assert(client.register("s-global", widened) > gV1)
+      // ...while a subject override still wins over global
+      assert(reg.compatibilityOf("s-bwd") == SchemaRegistry.NoneCompat ||
+        reg.getCompatibility(Some("s-bwd")).isEmpty,
+        "s-bwd has no override; its effective level follows global")
+      assert(reg.compatibilityOf("s-fwd") == SchemaRegistry.Forward)
+
+      // config is durable: a fresh open of the same dir replays it
+      val replayed = SchemaRegistry.open(dir)
+      assert(replayed.getCompatibility(Some("s-fwd")).contains(SchemaRegistry.Forward))
+      assert(replayed.getCompatibility(None).contains(SchemaRegistry.NoneCompat))
+      assert(replayed.compatibilityOf("s-anything") == SchemaRegistry.NoneCompat)
+    } finally server.stop()
+  }
 }
