@@ -41,6 +41,7 @@ object SparkEntry {
       llm.NearDedup.queries,
       llm.VectorOps.queries,
       llm.Multimodal.queries,
+      llm.Bpe.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries,
       sources.CsvSpool.queries,

@@ -1,0 +1,188 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed BPE tokenizer training (SURVEY.md §2.12 capstone) — the
+  * classic merge loop of Sennrich et al. (2016): count adjacent symbol
+  * pairs over the word-frequency table, take the most frequent pair,
+  * merge it everywhere, repeat. The one inherently-sequential decision
+  * per iteration (WHICH pair is best) is a single top-1 row to the
+  * driver; everything heavy stays distributed:
+  *
+  *  - the corpus collapses to the WORD-FREQUENCY table first (one
+  *    shuffle, Zipf makes it vocab-scale, orders of magnitude smaller
+  *    than the corpus — the table every BPE trainer actually iterates);
+  *  - per iteration, pair counts are ONE map-side-combinable aggregation
+  *    over that table (`zip_with` adjacent pairs × word freq, partial
+  *    sums per partition), and the best pair is `orderBy.limit(1)` =
+  *    TakeOrderedAndProject (per-partition top-1 heaps, one row moves);
+  *  - re-segmentation is a pure per-row HOF fold (no shuffle), the next
+  *    iteration's table is persisted and the previous unpersisted, so
+  *    lineage depth stays 1 per iteration regardless of k.
+  *
+  * At 100 TB the corpus-to-vocab collapse is the only corpus-scale
+  * shuffle; k iterations then cost k aggregations over a vocab-sized
+  * cached table — the standard distributed-BPE shape.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, pair_count: Long)
+
+  /** End-of-word marker (Sennrich et al.): lets merges learn word-final
+    * units without crossing word boundaries.
+    */
+  val Eow = "</w>"
+
+  /** Word-frequency table → (sym: array<string>, freq: long), symbols =
+    * characters + the end-of-word marker.
+    */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(split(col("w"), ""), array(lit(Eow))).as("sym"), col("freq"))
+
+  /** Greedy left-to-right single-pass merge of the pair (a, b) in a
+    * symbol array — the BPE re-segmentation step, as a pure fold (so
+    * "aaa" under (a,a) becomes [aa, a], the standard greedy result).
+    * `try_element_at` nulls on the empty accumulator instead of
+    * throwing under ANSI; null never equals `a`, so the first symbol
+    * always appends.
+    */
+  private[llm] def mergePair(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `k` merges over the corpus; stops early when no pair reaches
+    * `minPairCount`. Returns the deterministic merge sequence (ties on
+    * count break lexicographically — same corpus, same merges, any
+    * partitioning).
+    *
+    * Two execution paths with IDENTICAL semantics (BpeSpec pins them
+    * equal on planted corpora):
+    *  - the word table fits under `maxLocalVocab` → collect it (bounded:
+    *    65536 rows × ~tens of bytes ≈ single-digit MB, the same
+    *    threshold-enforced driver bound as the union-find edge cap and
+    *    the IVF training sample) and run the loop in memory — k merges
+    *    cost ZERO extra Spark jobs beyond the one corpus-scale
+    *    word-count shuffle, which is what every practical BPE trainer
+    *    does once the corpus has collapsed to vocab scale;
+    *  - larger vocab → [[trainDistributed]], the fully-distributed loop
+    *    (k map-side-combinable pair aggregations + HOF re-segmentation,
+    *    one top-1 row to the driver per iteration).
+    */
+  def train(docs: DataFrame, k: Int, minPairCount: Long = 2,
+      maxLocalVocab: Long = 1L << 16): Seq[Merge] = {
+    val words = wordTable(docs).persist()
+    val n = words.count()
+    if (n <= maxLocalVocab) {
+      val tbl = words.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      words.unpersist()
+      trainLocal(tbl, k, minPairCount)
+    } else trainDistributed(words, k, minPairCount)
+  }
+
+  /** In-memory merge loop over a collected word table (the small-vocab
+    * fast path of [[train]]). Same greedy rule, same tiebreak.
+    */
+  private def trainLocal(table: Array[(Array[String], Long)], k: Int,
+      minPairCount: Long): Seq[Merge] = {
+    var words = table
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val p = (sym(i), sym(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      val best =
+        if (counts.isEmpty) None
+        else Some(counts.minBy { case ((a, b), c) => (-c, a, b) })
+      best match {
+        case Some(((a, b), c)) if c >= minPairCount =>
+          out += Merge(rank, a, b, a + b, c)
+          words = words.map { case (sym, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            sym.foreach { x =>
+              if (acc.nonEmpty && acc.last == a && x == b) acc(acc.size - 1) = a + b
+              else acc += x
+            }
+            (acc.toArray, f)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** Fully-distributed merge loop — the unbounded-vocab path. Consumes
+    * (and unpersists) the passed word table.
+    */
+  private[llm] def trainDistributed(table: DataFrame, k: Int,
+      minPairCount: Long): Seq[Merge] = {
+    var words = table
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    var rank = 0
+    while (rank < k && !done) {
+      val top = words
+        .select(col("freq"),
+          explode(zip_with(col("sym"), slice(col("sym"), lit(2), size(col("sym"))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .filter(col("p.b").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < minPairCount) done = true
+      else {
+        val (a, b, cnt) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
+          top(0).getAs[Long]("cnt"))
+        out += Merge(rank, a, b, a + b, cnt)
+        val next = words
+          .select(mergePair(col("sym"), a, b).as("sym"), col("freq"))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    out.toSeq
+  }
+
+  /** Apply a learned merge sequence to a symbol-array column in rank
+    * order (the tokenizer's encode step; the spec drives it to check
+    * final segmentations, and `vocab_coverage`-style audits run over its
+    * output).
+    */
+  def applyMerges(sym: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(sym)((s, m) => mergePair(s, m.left, m.right))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rows-only (the merge loop is inherently iterative — no single SQL
+    // equivalent); the deterministic sequence is pinned by BpeSpec
+    // against an independent in-JVM reference implementation.
+    "bpe_merges" -> ((s, dir) => {
+      val merges = train(Tables(s, dir).documents, k = 16)
+      import s.implicits._
+      merges.toDF().orderBy("rank")
+    })
+  )
+}

@@ -1,0 +1,143 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** BPE trainer: the distributed merge loop must reproduce, exactly and
+  * deterministically, the sequence a naive single-machine BPE (the
+  * published algorithm, re-implemented here from scratch) computes on
+  * the same corpus — ranks, pairs and counts.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Independent reference: textbook BPE over an in-memory word-freq
+    * map. Greedy left-to-right re-segmentation, ties broken
+    * lexicographically on (left, right) — the same deterministic rule
+    * the engine declares.
+    */
+  private def naiveBpe(corpus: Seq[String], k: Int, minPairCount: Long = 2): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, f) => (w.map(_.toString).toVector :+ Bpe.Eow) -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        sym.zip(sym.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= minPairCount =>
+          out += ((rank, a, b, c))
+          words = words.map { case (sym, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            sym.foreach { x =>
+              if (acc.nonEmpty && acc.last == a && x == b) acc(acc.size - 1) = a + b
+              else acc += x
+            }
+            acc.toVector -> f
+          }.groupBy(_._1).view.mapValues(_.values.sum).toMap
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("planted corpus: merge sequence matches the naive reference exactly") {
+    val s = spark
+    import s.implicits._
+    // the Sennrich et al. running example, plus a repeated-letter word to
+    // pin the greedy "aaa" -> [aa, a] overlap rule
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest",
+      "aaa aaa aaa aaa")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val expect = naiveBpe(corpus, k = 12)
+    val got = Bpe.train(docs, k = 12)
+      .map(m => (m.rank, m.left, m.right, m.pair_count))
+    assert(got == expect,
+      s"merge sequence diverged:\n got=$got\n exp=$expect")
+    val gotDist = Bpe.train(docs, k = 12, maxLocalVocab = 0)
+      .map(m => (m.rank, m.left, m.right, m.pair_count))
+    assert(gotDist == expect,
+      s"DISTRIBUTED merge sequence diverged:\n got=$gotDist\n exp=$expect")
+    // the overlap rule really produced [aa, a]: after enough merges the
+    // reference and engine agree, and 'aa' must appear as a merged unit
+    assert(got.exists { case (_, a, b, _) => a == "a" && b == "a" },
+      "the (a,a) merge must be learned from the aaa words")
+  }
+
+  test("segmentation via applyMerges matches the reference's final word states") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq("banana bandana banana", "ban ban banana")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, k = 8)
+    // reference final segmentation: replay the merges naively per word
+    def segment(w: String): Vector[String] = {
+      var sym = w.map(_.toString).toVector :+ Bpe.Eow
+      merges.foreach { m =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        sym.foreach { x =>
+          if (acc.nonEmpty && acc.last == m.left && x == m.right) acc(acc.size - 1) = m.merged
+          else acc += x
+        }
+        sym = acc.toVector
+      }
+      sym
+    }
+    val words = corpus.flatMap(_.split(" ")).distinct
+    val got = words.toDF("w")
+      .select(org.apache.spark.sql.functions.col("w"),
+        Bpe.applyMerges(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("w"), ""),
+            org.apache.spark.sql.functions.array(org.apache.spark.sql.functions.lit(Bpe.Eow))),
+          merges).as("sym"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    words.foreach { w =>
+      assert(got(w) == segment(w), s"word '$w': ${got(w)} vs ${segment(w)}")
+    }
+  }
+
+  test("merge loop is partitioning-invariant and bounded by minPairCount") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq("ab ab ab", "cd cd", "ef")
+    val docs1 = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs8 = docs1.repartition(8)
+    val m1 = Bpe.train(docs1, k = 20)
+    val m8 = Bpe.train(docs8, k = 20)
+    assert(m1 == m8, "partitioning must not change the merge sequence")
+    // the fully-distributed loop (forced via maxLocalVocab = 0) is
+    // semantically identical to the local fast path
+    val mDist = Bpe.train(docs8, k = 20, maxLocalVocab = 0)
+    assert(mDist == m1, "distributed and local paths must agree merge-for-merge")
+    // every reported count respects the floor, and the loop stopped
+    // before k because the tiny corpus ran dry
+    assert(m1.forall(_.pair_count >= 2) && m1.size < 20)
+  }
+
+  test("fixture corpus: 16 deterministic merges, descending-ish counts, rows for the driver") {
+    val df = graft.SparkEntry.queries("bpe_merges")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.length == 16, s"expected 16 merges, got ${rows.length}")
+    val ranks = rows.map(_.getAs[Int]("rank")).toSeq
+    assert(ranks == (0 until 16), "ranks must be the dense merge order")
+    // merge counts never increase against a FIXED segmentation only per
+    // step; across steps they can locally rise, but the first must be
+    // the global max pair count
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    assert(counts.head == counts.max, "rank 0 must carry the most frequent pair")
+    // determinism across invocations
+    val again = graft.SparkEntry.queries("bpe_merges")(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
