@@ -145,6 +145,50 @@ object CdcQueries {
         .orderBy("id")
     }),
 
+    // Debezium-style incremental snapshot END TO END through a LIVE
+    // stream (round 9; the batch twin is `snapshot_chunked`): the chunk
+    // READS of the base table become wire events (`chunkReadEvents` —
+    // scn = chunk watermark, rank BELOW stream events at equal scn) and
+    // simply arrive as extra micro-batch input to a running
+    // `Stream.materialize` — the stream never stops, the last-write-wins
+    // fold IS the watermark merge. Stream events land in the spool
+    // first, chunk reads trickle in after (multiple AvailableNow
+    // micro-batches via maxFilesPerTrigger), so reads really interleave
+    // with already-applied changes. Oracle = the plain snapshot-fold
+    // payload (chunking + streaming must be invisible); scn/op are
+    // excluded from the compare because a read-won key legitimately
+    // carries its restamped (wm, 'r') identity, not the base row's.
+    "snapshot_while_streaming" -> ((s, dir) => {
+      val base = Ops.snapshot(
+        Tables(s, dir).customer.select(
+          col("c_custkey").as("id"),
+          lit(null).cast("timestamp").as("ts"),
+          lit("snapshot").as("event_type"),
+          col("c_acctbal").as("value"),
+          col("c_name").as("props")),
+        scn = 0L).withColumn("scn", col("scn").cast("long"))
+      val feed = F.fromEvents(s, dir)
+      val cols = Seq("id", "scn", "op", "ts", "event_type", "value", "props")
+      val reads = Ops.chunkReadEvents(base, feed,
+        keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 8)
+      val work = java.nio.file.Files.createTempDirectory("graft-sws")
+      val in = work.resolve("in").toString
+      feed.select(cols.map(col): _*).write.mode("append").parquet(in)
+      reads.select(cols.map(col): _*).write.mode("append").parquet(in)
+      val wire = s.readStream
+        .schema(feed.select(cols.map(col): _*).schema)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(in)
+        .withColumn("__rank", when(col("op") === "r", 0L).otherwise(lit(1L)))
+      val statePath = work.resolve("state").toString
+      val q = Stream.materialize(wire, Seq("id"), ordering = Seq("scn", "__rank"),
+        statePath, work.resolve("chk").toString)
+      q.awaitTermination()
+      Stream.readCurrentState(s, statePath)
+        .select("id", "ts", "event_type", "value", "props")
+        .orderBy("id")
+    }),
+
     "txn_group" -> ((s, dir) =>
       Ops
         .txnGroup(
@@ -423,6 +467,21 @@ object CdcQueries {
          |  UNION ALL
          |  SELECT id, scn, op, ts, event_type, value, props FROM feed)
          |SELECT id, scn, op, ts, event_type, value, props FROM (
+         |  SELECT a.*, row_number() OVER (PARTITION BY id
+         |    ORDER BY scn DESC, (op <> 'r') DESC) AS rn
+         |  FROM all_rows a)
+         |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin,
+    "snapshot_while_streaming" ->
+      s"""$feedCte, base AS (
+         |  SELECT c_custkey AS id, CAST(0 AS BIGINT) AS scn, 'r' AS op,
+         |         CAST(NULL AS TIMESTAMP) AS ts, 'snapshot' AS event_type,
+         |         c_acctbal AS value, c_name AS props
+         |  FROM customer),
+         |all_rows AS (
+         |  SELECT id, scn, op, ts, event_type, value, props FROM base
+         |  UNION ALL
+         |  SELECT id, scn, op, ts, event_type, value, props FROM feed)
+         |SELECT id, ts, event_type, value, props FROM (
          |  SELECT a.*, row_number() OVER (PARTITION BY id
          |    ORDER BY scn DESC, (op <> 'r') DESC) AS rn
          |  FROM all_rows a)

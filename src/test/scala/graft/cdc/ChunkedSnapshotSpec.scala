@@ -127,6 +127,60 @@ class ChunkedSnapshotSpec extends SparkSpec {
     assert(got(9L) == "born-live" && got(8L) == "base8")
   }
 
+  test("snapshot-while-streaming survives a restart: reads arrive while down, stale read replay can't regress") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chunkrestart")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val statePath = dir.resolve("state").resolve("t").toString
+    val chk = dir.resolve("chk").toString
+    val base = baseDf((1L to 8L).map(k => (k, s"base$k")))
+    val feed = feedDf(Seq(
+      (60L, 1L, "u", "late-update"),
+      (20L, 2L, "u", "early-update"),
+      (70L, 3L, "d", "gone"),
+      (40L, 9L, "c", "born-live")))
+    val reads = Ops.chunkReadEvents(base, feed,
+      keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 2)
+      .collect().map(r => s"""{"scn":${r.getAs[Long]("scn")},"id":${r.getAs[Long]("id")},""" +
+        s""""op":"r","payload":"${r.getAs[String]("payload")}"}""")
+    def writeLines(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(in.resolve(name), lines.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scn", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val wire = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in.toString)
+        .withColumn("__rank", when(col("op") === "r", 0L).otherwise(1L))
+      val q = Stream.materialize(wire, Seq("id"), Seq("scn", "__rank"), statePath, chk)
+      q.awaitTermination()
+    }
+    def state(): Map[Long, String] = Stream.readCurrentState(s, statePath)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    // phase 1: only the live stream has flowed; the query goes DOWN
+    writeLines("a-events.json", feed.collect().map(r =>
+      s"""{"scn":${r.getAs[Long]("scn")},"id":${r.getAs[Long]("id")},""" +
+        s""""op":"${r.getAs[String]("op")}","payload":"${r.getAs[String]("payload")}"}""").toSeq)
+    run()
+    assert(state() == Map(1L -> "late-update", 2L -> "early-update", 9L -> "born-live"),
+      "pre-restart state must be the pure stream fold")
+    // phase 2: the chunk reads landed while the query was down; restart
+    // from the same checkpoint folds ONLY the new files (no reprocessing)
+    writeLines("b-reads.json", reads.toSeq)
+    run()
+    val expect = plainApply(base, feed).map { case (k, (_, _, p)) => k -> p }
+    assert(state() == expect, s"post-restart fold diverged: ${state()} vs $expect")
+    assert(!state().contains(3L), "a read arriving after restart resurrected a delete")
+    // phase 3: an at-least-once channel REPLAYS the reads after another
+    // restart — stale reads lose to everything they already lost to
+    writeLines("c-reads-replay.json", reads.toSeq)
+    run()
+    assert(state() == expect, "replayed chunk reads must be idempotent across restarts")
+  }
+
   test("IntegerType keys spanning a wide range don't overflow the chunk arithmetic") {
     val s = spark
     import s.implicits._
