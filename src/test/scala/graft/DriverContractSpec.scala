@@ -47,7 +47,8 @@ class DriverContractSpec extends AnyFunSuite {
     val all = Seq(
       cdc.CdcQueries.queries, rel.Queries.queries, llm.TextOps.queries,
       llm.Curation.queries, llm.Sampling.queries, llm.NearDedup.queries,
-      llm.VectorOps.queries, llm.Multimodal.queries, sources.AvroCodec.queries,
+      llm.VectorOps.queries, llm.Multimodal.queries, llm.Bpe.queries,
+      sources.AvroCodec.queries,
       sources.JdbcSource.queries, sources.CsvSpool.queries,
       sources.OrcSource.queries)
     val ids = all.flatMap(_.keys)
