@@ -125,6 +125,25 @@ class BpeSpec extends SparkSpec {
     assert(m1.forall(_.pair_count >= 2) && m1.size < 20)
   }
 
+  test("pair-count aggregation is map-side combinable (partial sum before the shuffle)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // the per-iteration pair count, as trainDistributed builds it
+    val words = Seq((Seq("a", "b", Bpe.Eow), 3L), (Seq("a", "b", "c", Bpe.Eow), 2L))
+      .toDF("sym", "freq")
+    val pairs = words
+      .select(col("freq"),
+        explode(zip_with(col("sym"), slice(col("sym"), lit(2), size(col("sym"))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      s"pair counts must partial-aggregate before the shuffle:\n$plan")
+  }
+
   test("fixture corpus: 16 deterministic merges, descending-ish counts, rows for the driver") {
     val df = graft.SparkEntry.queries("bpe_merges")(spark, sf("sf0.001"))
     val rows = df.collect()
