@@ -48,6 +48,26 @@ object Engine {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism,
       org.apache.spark.sql.functions.col(key))
 
+  /** A temp work directory that is recursively deleted at JVM exit —
+    * for query ids that materialize spool/state copies per invocation
+    * (`snapshot_while_streaming`, `cdc_net_replay`). Without the hook,
+    * median-of-3 bench runs and repeated correctness runs accumulated
+    * full-table parquet+state copies in /tmp indefinitely (round-9
+    * ADVICE). Within-run accumulation stays bounded (a few invocations
+    * per process); cross-run accumulation is what the hook removes.
+    */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () }; () })
+      } catch { case _: Throwable => () }
+    }, s"graft-scratch-clean-${p.getFileName}"))
+    p
+  }
+
   /** Read one of the fixture tables under `dir` (TESTDATA.md).
     *
     * `events.ts` is nanosecond-precision parquet, which Spark 4 cannot

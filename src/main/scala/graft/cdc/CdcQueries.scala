@@ -171,7 +171,7 @@ object CdcQueries {
       val cols = Seq("id", "scn", "op", "ts", "event_type", "value", "props")
       val reads = Ops.chunkReadEvents(base, feed,
         keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 8)
-      val work = java.nio.file.Files.createTempDirectory("graft-sws")
+      val work = graft.Engine.scratchDir("graft-sws")
       val in = work.resolve("in").toString
       feed.select(cols.map(col): _*).write.mode("append").parquet(in)
       reads.select(cols.map(col): _*).write.mode("append").parquet(in)
@@ -389,7 +389,7 @@ object CdcQueries {
       val server = new graft.sources.ChangeServer()
       try {
         server.publish(lines)
-        val spool = java.nio.file.Files.createTempDirectory("graft-net-spool").toString
+        val spool = graft.Engine.scratchDir("graft-net-spool").toString
         val chan = new graft.sources.NetworkChannel("127.0.0.1", server.boundPort, spool)
         try {
           val raw = chan.replay(s) // eager drain; the spool outlives the server

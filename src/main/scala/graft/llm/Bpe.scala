@@ -89,6 +89,25 @@ object Bpe {
     } else trainDistributed(words, k, minPairCount)
   }
 
+  /** UTF-8 byte-lexicographic string order — Spark's `orderBy` on
+    * StringType compares UTF8String bytes, while Scala's default String
+    * ordering compares UTF-16 code units; the two disagree for
+    * supplementary-plane vs U+E000..U+FFFF characters. The local path
+    * breaks count ties with THIS ordering so local ≡ distributed holds
+    * for any input, not just BMP/ASCII corpora (round-9 ADVICE).
+    */
+  private[llm] val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < a.length && i < b.length) {
+      r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+  }
+
   /** In-memory merge loop over a collected word table (the small-vocab
     * fast path of [[train]]). Same greedy rule, same tiebreak.
     */
@@ -110,7 +129,8 @@ object Bpe {
       }
       val best =
         if (counts.isEmpty) None
-        else Some(counts.minBy { case ((a, b), c) => (-c, a, b) })
+        else Some(counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order)))
       best match {
         case Some(((a, b), c)) if c >= minPairCount =>
           out += Merge(rank, a, b, a + b, c)

@@ -458,7 +458,16 @@ object Multimodal {
     // container timestamp src·40 ms (uniform 40 ms delays written into
     // the GIF), and the decoded raster = the doc's ASCII bytes cycled
     // row-major from offset src — so sha256 of the cycled substring must
-    // equal the engine's sha of the decoded pixels, byte for byte
+    // equal the engine's sha of the decoded pixels, byte for byte.
+    // ASCII-ONLY FIXTURE ASSUMPTION (round-9 ADVICE, documented): this
+    // oracle (like mm_features/mm_resize above) cycles CHARACTERS via
+    // len/substring/repeat while the engine cycles the text's UTF-8
+    // BYTES; they coincide only because the documents fixture is pure
+    // ASCII (1 char = 1 byte). A byte-true DuckDB formulation needs
+    // substring/sha256 over BLOB, which this DuckDB build lacks
+    // (probed: substring(BLOB,..)/sha256(BLOB) don't bind) — a
+    // non-ASCII fixture would need the engine-side repeatedTextPixels
+    // contract re-expressed there before these three oracles apply.
     "mm_frames" ->
       """WITH dims AS (
         |  SELECT doc_id, text, len(text) AS n,

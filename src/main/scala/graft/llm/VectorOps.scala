@@ -428,9 +428,14 @@ object VectorOps {
         lit(0.0), (acc, z) => acc + z)
       dot - lit(c.map(x => x * x).sum / 2)
     }
+    // sort on (-score, centroidId) ascending so an exact score tie breaks
+    // toward the LOWER centroid id — matching ivfCell's array_position
+    // (first max index) pick, so the rank list always starts with the
+    // assigned cell (round-9 ADVICE; reverse(array_sort) broke ties the
+    // other way)
     val scored = array(centroids.indices.map(i =>
-      struct(scores(i).as("s"), lit(i).as("c"))): _*)
-    slice(reverse(array_sort(scored)), 2, math.max(ranks - 1, 0)).getField("c")
+      struct((-scores(i)).as("s"), lit(i).as("c"))): _*)
+    slice(array_sort(scored), 2, math.max(ranks - 1, 0)).getField("c")
   }
 
   /** IVF-nprobe ANN: corpus rows are assigned to their nearest-centroid
