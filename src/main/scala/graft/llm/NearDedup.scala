@@ -445,6 +445,64 @@ object NearDedup {
     } finally { newBanded.unpersist(); state.unpersist(); () }
   }
 
+  /** Exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): remove every document that
+    * shares a contiguous ≥`k`-token span with an EARLIER (lower-id)
+    * document. Any shared span of length ≥ k contains a shared k-token
+    * window, so the span test reduces exactly to k-gram ownership:
+    * hash every k-token sliding window, give each gram to its minimum
+    * doc_id (the "earliest" owner), and drop any doc holding a gram
+    * owned by a smaller id. This catches the long-verbatim-copy case
+    * MinHash/Jaccard doc-level dedup misses by design: a 50-token span
+    * embedded in an otherwise-different long doc contributes only a
+    * sliver of the shingle SET, so pair Jaccard stays far below 0.5
+    * while the span is a word-for-word training-data leak
+    * (SubstringDedupSpec plants exactly that).
+    *
+    * Scale shape (100 TB): gram generation is a narrow projection
+    * (split once BEFORE an exchange so the token array materializes —
+    * the lambda would otherwise inline the split per window, the same
+    * O(words²) trap [[shingleArrays]] documents), in-doc dedup via
+    * array_distinct caps per-doc output at distinct windows; ownership
+    * is ONE map-side-combinable min aggregation keyed by gram; the
+    * mark-back is a key join of the gram table against the (gram,
+    * owner) table — each gram row meets exactly one owner row, so a
+    * boilerplate mega-gram skews a reducer but never multiplies rows
+    * (AQE skew-join splits it). No pair emission anywhere — cost is
+    * linear in total gram count, never quadratic in a bucket.
+    */
+  def substringGrams(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    graft.Engine.spread(tok, "doc_id")
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => md5(array_join(slice(col("ws"), i, lit(k)), " "))))).as("g"))
+  }
+
+  /** Surviving documents under the [[substringGrams]] min-owner rule.
+    * The dropped-id set is materialized eagerly (localCheckpoint, like
+    * [[connectedComponents]]' result) so the gram table's persist —
+    * referenced by both the ownership agg and the mark-back join under
+    * different exchanges — can be released before the survivor plan
+    * escapes; the final anti-join is corpus ⋈ (small dropped list),
+    * AQE-broadcast when tiny.
+    */
+  def dedupSubstring(docs: DataFrame, k: Int = 20): DataFrame = {
+    val grams = substringGrams(docs, k).persist()
+    val dropped =
+      try {
+        val owners = grams.groupBy("g").agg(min(col("doc_id")).as("owner"))
+        grams.join(owners, "g")
+          .filter(col("doc_id") > col("owner"))
+          .select("doc_id").distinct()
+          .localCheckpoint()
+      } finally grams.unpersist()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** The shingle pipeline (scan → split → zip_with → array_distinct, the
     * md5-heavy CPU core of every near-dup query), persisted: each pipeline
     * references it 3× (LSH banding + both sides of the Jaccard verify, or
@@ -729,7 +787,18 @@ object NearDedup {
         .join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), md5(col("text")).as("h"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // exact substring dedup (Lee et al.): drop docs sharing a >=20-token
+    // contiguous span with an earlier doc. k=20 is proportionate to the
+    // fixture (docs are 10-99 tokens; the paper's 50-token rule targets
+    // web pages thousands of tokens long) and non-vacuous: 23 docs at
+    // sf0.01 carry a span owned by a smaller id. Fully SQL-expressible
+    // (the min-owner rule is one aggregation), so oracle-checked.
+    "dedup_substring" -> ((s, dir) =>
+      dedupSubstring(Tables(s, dir).documents, k = 20)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -890,6 +959,20 @@ object NearDedup {
         |  FROM cand c JOIN sigs s1 ON s1.doc_id = c.doc1 JOIN sigs s2 ON s2.doc_id = c.doc2)
         |SELECT doc1, doc2, hamming FROM scored WHERE hamming <= 3
         |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-20+2),
+        |    i -> md5(array_to_string(ws[i:i+20-1], ' ')))) AS g
+        |  FROM toks WHERE len(ws) >= 20),
+        |own AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY g),
+        |dropped AS (
+        |  SELECT DISTINCT gr.doc_id FROM grams gr
+        |  JOIN own o ON o.g = gr.g AND o.owner < gr.doc_id)
+        |SELECT d.doc_id, md5(d.text) AS h FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
