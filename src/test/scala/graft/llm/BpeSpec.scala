@@ -144,6 +144,69 @@ class BpeSpec extends SparkSpec {
       s"pair counts must partial-aggregate before the shuffle:\n$plan")
   }
 
+  test("encode: token stream = concatenation of the trainer's final word segmentations") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq("banana bandana banana", "ban ban banana", "aaa banana aaa")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, k = 8)
+    def segment(w: String): Vector[String] = {
+      var sym = w.map(_.toString).toVector :+ Bpe.Eow
+      merges.foreach { m =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        sym.foreach { x =>
+          if (acc.nonEmpty && acc.last == m.left && x == m.right) acc(acc.size - 1) = m.merged
+          else acc += x
+        }
+        sym = acc.toVector
+      }
+      sym
+    }
+    val got = docs.select(col("doc_id"), Bpe.encode(col("text"), merges).as("bpe"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val expect = t.split(" ").filter(_.nonEmpty).toVector.flatMap(segment)
+      assert(got(i.toLong) == expect, s"doc $i: ${got(i.toLong)} vs $expect")
+    }
+    // every emitted token is in the trained vocab: base chars, the </w>
+    // marker, or a transitively-built merged symbol
+    val vocab = corpus.flatMap(_.split(" ")).flatMap(_.map(_.toString)).toSet ++
+      Set(Bpe.Eow) ++ merges.map(_.merged)
+    val emitted = got.values.flatten.toSet
+    assert(emitted.subsetOf(vocab), s"out-of-vocab tokens: ${emitted -- vocab}")
+    // merges actually compress: fewer tokens than the char+eow baseline
+    val nBase = corpus.map(t => t.count(_ != ' ') + t.split(" ").count(_.nonEmpty)).sum
+    val nGot = got.values.map(_.size).sum
+    assert(nGot < nBase, s"expected compression, got $nGot vs baseline $nBase")
+  }
+
+  test("bpe_encode id: deterministic, merged-unit stats consistent, cached path = per-row fold") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("bpe_encode")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      assert(r.getAs[Long]("n_merged") <= r.getAs[Long]("n_tokens"))
+    }
+    // some learned unit fires somewhere on the training corpus itself
+    assert(rows.map(_.getAs[Long]("n_merged")).sum > 0)
+    val again = graft.SparkEntry.queries("bpe_encode")(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the distinct-word cache path must produce the SAME token stream as
+    // the per-row reference fold — checked on the fixture corpus itself
+    val merges = Bpe.trainedMerges(spark, sf("sf0.001"))
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val viaCache = Bpe.encodeDocs(docs, merges)
+      .select(col("doc_id"), array_join(col("bpe"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaFold = docs
+      .select(col("doc_id"), array_join(Bpe.encode(col("text"), merges), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaCache == viaFold, "cached and per-row encodes must agree token-for-token")
+  }
+
   test("fixture corpus: 16 deterministic merges, descending-ish counts, rows for the driver") {
     val df = graft.SparkEntry.queries("bpe_merges")(spark, sf("sf0.001"))
     val rows = df.collect()
