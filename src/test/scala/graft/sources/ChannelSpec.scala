@@ -168,6 +168,99 @@ class ChannelSpec extends SparkSpec {
     } finally server.close()
   }
 
+  // the ack travels client→server asynchronously (the server records it
+  // on its connection thread), so trim-state assertions wait for it
+  private def awaitTrim(server: ChangeServer, to: Long): Unit = {
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (server.trimmedTo < to && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(server.trimmedTo == to,
+      s"trim never reached $to (at ${server.trimmedTo}, acked ${server.acked})")
+  }
+
+  test("publish→ack→trim→reconnect: the server log stays bounded and resumes cleanly") {
+    val server = new ChangeServer()
+    try {
+      val lines = (0 until 50).map(i => s"""{"v":$i}""")
+      server.publish(lines)
+      assert(server.retained == 50 && server.trimmedTo == 0L)
+      val spool = Files.createTempDirectory("netspool4").toString
+      val chan = new NetworkChannel("127.0.0.1", server.boundPort, spool)
+      try {
+        chan.drainOnce() // client lands + acks all 50
+        awaitTrim(server, 50L)
+        assert(server.acked == 49L)
+        // ack-trim: everything confirmed durable is GONE from memory
+        assert(server.retained == 0, s"log must trim at the ack: ${server.retained}")
+        assert(server.size == 50L)
+        // the cycle continues: publish → drain → trim again
+        server.publish((50 until 80).map(i => s"""{"v":$i}"""))
+        assert(server.retained == 30)
+        chan.drainOnce()
+        awaitTrim(server, 80L)
+        assert(server.retained == 0)
+        // reconnect AT the trim boundary (the durable position) is fine
+        chan.drainOnce() // no-op fetch, no error
+        val s = spark
+        import s.implicits._
+        assert(chan.replay(spark).as[String].collect().length == 80)
+      } finally chan.close()
+    } finally server.close()
+  }
+
+  test("restart below the trim point fails loudly, not silently") {
+    val server = new ChangeServer()
+    try {
+      server.publish((0 until 10).map(i => s"""{"v":$i}"""))
+      val spool1 = Files.createTempDirectory("netspool5a").toString
+      val c1 = new NetworkChannel("127.0.0.1", server.boundPort, spool1)
+      c1.drainOnce() // acks 0..9 → server trims to 10
+      c1.close()
+      awaitTrim(server, 10L)
+      // a FRESH client (empty spool → from 0) asks below the boundary:
+      // the server must refuse with the trim position, and the client
+      // must surface it as an error — never serve records with a gap
+      val spool2 = Files.createTempDirectory("netspool5b").toString
+      val c2 = new NetworkChannel("127.0.0.1", server.boundPort, spool2)
+      try {
+        val e = intercept[IllegalStateException](c2.drainOnce())
+        assert(e.getMessage.contains("position_trimmed") &&
+          e.getMessage.contains("trimmed to 10"), e.getMessage)
+      } finally c2.close()
+    } finally server.close()
+  }
+
+  test("spool retention deletes fully-confirmed files; replay serves the remainder") {
+    val server = new ChangeServer()
+    try {
+      val spool = Files.createTempDirectory("netspool6").toString
+      val chan = new NetworkChannel("127.0.0.1", server.boundPort, spool)
+      try {
+        // three separate publish+drain rounds → three spool files
+        (0 until 3).foreach { r =>
+          server.publish((r * 10 until (r + 1) * 10).map(i => s"""{"v":$i}"""))
+          chan.drainOnce()
+        }
+        assert(chan.spoolFiles().map(_._1) == Seq(0L, 10L, 20L))
+        // retention below 10 deletes only the first file
+        assert(chan.retain(10L) == 1)
+        assert(chan.spoolFiles().map(_._1) == Seq(10L, 20L))
+        // a mid-file boundary deletes nothing new (file [10,20) ends at 20 > 15)
+        assert(chan.retain(15L) == 0)
+        // full retention retires every confirmed file; the durable
+        // position anchor (_next_pos) is its own file and survives
+        assert(chan.retain(1000L) == 2)
+        assert(chan.spoolFiles().isEmpty)
+        val s = spark
+        import s.implicits._
+        // the durable position is untouched: a new drain continues at 30
+        server.publish(Seq("""{"v":99}"""))
+        chan.drainOnce()
+        assert(chan.spoolFiles().map(_._1) == Seq(30L))
+        assert(chan.replay(spark).as[String].collect().toSeq == Seq("""{"v":99}"""))
+      } finally chan.close()
+    } finally server.close()
+  }
+
   test("CdcPipeline.startOn over the network channel folds the same state as the file channel") {
     val s = spark
     import s.implicits._
