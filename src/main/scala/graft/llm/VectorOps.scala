@@ -251,10 +251,14 @@ object VectorOps {
     * (key, count) partials and broadcast the tiny oversized-key set
     * back. No driver-side collect anywhere.
     */
-  private[llm] def semDedupCore(assigned: DataFrame, threshold: Double,
-      maxCell: Int = 10000): DataFrame = {
-    val s = assigned.sparkSession
-    import s.implicits._
+  /** The hot-cell split: assign every row a final group key `__grp` —
+    * the cell id refined by residual ranks (levels 1–2) for groups over
+    * `maxCell`, with a hash-segment fallback for groups still oversized
+    * (see [[semDedupCore]]'s scaladoc for the recall argument). Shared
+    * by the batch core and the incremental admission so a vector lands
+    * in the same group either way.
+    */
+  private def splitGrp(assigned: DataFrame, maxCell: Int): DataFrame = {
     val withSub = if (assigned.columns.contains("__sub")) assigned
       else assigned.withColumn("__sub", array())
     var df = withSub.withColumn("__grp", col("cell").cast("string"))
@@ -272,14 +276,37 @@ object VectorOps {
         .drop("__over")
     }
     val still = df.groupBy("__grp").agg(count(lit(1)).as("__n")).filter(col("__n") > maxCell)
-    df = df.join(broadcast(still), Seq("__grp"), "left")
+    df.join(broadcast(still), Seq("__grp"), "left")
       .withColumn("__grp", when(col("__n").isNotNull,
         concat_ws("/", col("__grp"),
           pmod(xxhash64(col("vec_id")),
             ceil(col("__n") / lit(maxCell.toDouble)).cast("long")).cast("string")))
         .otherwise(col("__grp")))
       .drop("__n")
-    df.select(col("__grp"), col("vec_id"), col("embedding").cast("array<float>"),
+  }
+
+  /** Normalize a float vector to a unit double array (greedy-scan prep). */
+  private def unitVec(e: Seq[Float]): Array[Double] = {
+    val v = new Array[Double](e.length)
+    var i = 0; var n2 = 0.0
+    while (i < e.length) { v(i) = e(i).toDouble; n2 += v(i) * v(i); i += 1 }
+    val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+    i = 0; while (i < v.length) { v(i) *= inv; i += 1 }
+    v
+  }
+
+  private def cosGE(u: Array[Double], v: Array[Double], t: Double): Boolean = {
+    var d = 0.0; var j = 0
+    while (j < u.length && j < v.length) { d += u(j) * v(j); j += 1 }
+    d >= t
+  }
+
+  private[llm] def semDedupCore(assigned: DataFrame, threshold: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    splitGrp(assigned, maxCell)
+      .select(col("__grp"), col("vec_id"), col("embedding").cast("array<float>"),
         col("cell").cast("int"))
       .groupByKey(_.getString(0))
       .flatMapGroups { (_, it) =>
@@ -288,22 +315,123 @@ object VectorOps {
         val keptVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
         rows.foreach { case (id, e, cell) =>
-          val v = new Array[Double](e.length)
-          var i = 0; var n2 = 0.0
-          while (i < e.length) { v(i) = e(i).toDouble; n2 += v(i) * v(i); i += 1 }
-          val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
-          i = 0; while (i < v.length) { v(i) *= inv; i += 1 }
-          val dup = keptVecs.exists { u =>
-            var d = 0.0; var j = 0
-            while (j < u.length && j < v.length) { d += u(j) * v(j); j += 1 }
-            d >= threshold
+          val v = unitVec(e)
+          if (!keptVecs.exists(u => cosGE(u, v, threshold))) {
+            keptVecs += v; out += ((id, cell))
           }
-          if (!dup) { keptVecs += v; out += ((id, cell)) }
         }
         out.iterator
       }
       .toDF("vec_id", "cell")
   }
+
+  /** Incremental SemDeDup admission — the embedding-space twin of
+    * [[NearDedup.admitBatch]] (round-9 verdict ask #4): a new batch of
+    * vectors is admitted against the KEEPER state (previously admitted
+    * vectors with their cell assignments), without rescanning the
+    * corpus. Batch rows land in the same (split) group a batch run
+    * would put them in ([[splitGrp]] over state ∪ batch — the split
+    * decision re-derives from current counts, so a cell that grew hot
+    * since bootstrap starts splitting exactly like the batch core);
+    * inside each group ONE bounded task seeds the greedy keeper set
+    * with the state's vectors (pre-admitted — never re-judged, the
+    * state-stability invariant) and admits new vectors in ascending
+    * vec_id order against state + earlier-admitted keepers.
+    *
+    * Only groups the batch TOUCHES are scanned: the state is
+    * semi-joined on the batch's cell set first, so per-batch cost is
+    * O(|batch| + keepers-in-touched-cells), not state-sized.
+    *
+    * Documented divergence (inherent to every streaming dedup, same as
+    * [[NearDedup.admitBatch]]'s): a new vector whose only near-dup was
+    * REJECTED earlier is admitted — the state holds survivors only.
+    */
+  private[llm] def semDedupAdmit(batch: DataFrame, state: DataFrame,
+      threshold: Double, maxCell: Int = 10000): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val touched = batch.select("cell").distinct()
+    val cols = Seq("vec_id", "embedding", "cell", "__sub")
+    val u = state.join(broadcast(touched), "cell").select(cols.map(col): _*)
+      .withColumn("__new", lit(false))
+      .unionByName(batch.select(cols.map(col): _*).withColumn("__new", lit(true)))
+    splitGrp(u, maxCell)
+      .select(col("__grp"), col("vec_id"), col("embedding").cast("array<float>"),
+        col("cell").cast("int"), col("__new"))
+      .groupByKey(_.getString(0))
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(r => (r.getLong(1), r.getSeq[Float](2), r.getInt(3), r.getBoolean(4)))
+          .toArray.sortBy(r => (r._4, r._1)) // state first, then id order
+        val keptVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        rows.foreach { case (id, e, cell, isNew) =>
+          val v = unitVec(e)
+          if (!isNew) keptVecs += v // pre-admitted state keeper
+          else if (!keptVecs.exists(u0 => cosGE(u0, v, threshold))) {
+            keptVecs += v; out += ((id, cell))
+          }
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "cell")
+      .localCheckpoint()
+  }
+
+  /** One micro-batch of the streaming semantic-dedup sink — the
+    * embedding twin of [[NearDedup.admitBatchToState]]: assign
+    * `batchEmb` (vec_id, embedding) with the FIXED quantizer
+    * `centroids` (the index-build-time model; stable across batches
+    * and restarts by contract), admit against the keeper state at
+    * `stateDir`, append admitted rows. Exactly-once under redelivery
+    * by the same id guard: vec_ids already in the state are dropped
+    * before admission, and a replayed not-yet-appended batch re-admits
+    * to identical verdicts (deterministic greedy).
+    */
+  def semAdmitToState(batchEmb: DataFrame, stateDir: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxCell: Int = 10000): Unit = {
+    val spark = batchEmb.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned = batchEmb.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"),
+      ivfCell(col("embedding"), centroids).as("cell"),
+      ivfCellRanks(col("embedding"), centroids, ranks = 3).as("__sub"))
+    val state =
+      if (fs.exists(root)) spark.read.parquet(stateDir)
+      else assigned.limit(0)
+    val fresh = assigned.join(state.select("vec_id"), Seq("vec_id"), "left_anti")
+    val admitted = semDedupAdmit(fresh, state, threshold, maxCell) // eager
+    if (!admitted.isEmpty) {
+      fresh.join(admitted.select("vec_id"), "vec_id")
+        .select("vec_id", "embedding", "cell", "__sub")
+        .write.mode("append").parquet(stateDir)
+      ()
+    }
+  }
+
+  /** Continuous semantic dedup: fold a stream of (vec_id, embedding)
+    * through [[semAdmitToState]] per micro-batch — the state at
+    * `stateDir` is always the admitted (mutually non-near-dup within
+    * each split cell) keeper set. Same shape as
+    * [[NearDedup.admitStream]].
+    */
+  def semAdmitStream(
+      emb: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        semAdmitToState(batch, stateDir, centroids, threshold)
+      }
+      .start()
 
   /** IVF coarse quantizer: k-means centroids trained with Lloyd
     * iterations on a deterministic bounded SAMPLE, driver-side. That is
@@ -383,6 +511,30 @@ object VectorOps {
       IvfIndex(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           ivfCell(col("embedding"), centroids).as("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cells)
+    })
+  }
+
+  /** Bootstrapped keeper state for `dedup_semantic_incr` (even vec_ids
+    * through [[semDedupCore]], with embeddings + split keys), memoized
+    * per (session, dir) exactly like [[NearDedup]]'s stateCache: in the
+    * real pipeline the state pre-exists, so steady-state cost is the
+    * batch admission only.
+    */
+  private val semStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[llm] def semState(s: SparkSession, dir: String, cells: Int,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    semStateCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    semStateCache.computeIfAbsent((s, dir), _ => {
+      val evens = ivfAssigned(s, dir, cells).assigned
+        .filter(col("c_id") % 2 === 0)
+        .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell"),
+          ivfCellRanks(col("c_emb"), centroids, ranks = 3).as("__sub"))
+      val keepers = semDedupCore(evens, threshold)
+      evens.join(keepers.select("vec_id"), "vec_id")
+        .select("vec_id", "embedding", "cell", "__sub")
+        .localCheckpoint()
     })
   }
 
@@ -545,6 +697,26 @@ object VectorOps {
           .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell"),
             ivfCellRanks(col("c_emb"), centroids, ranks = 3).as("__sub")),
         threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+    // incremental SemDeDup admission demo over the fixture, mirroring
+    // dedup_incremental's even/odd shape: even vec_ids play the
+    // already-admitted keeper state (bootstrapped through the batch
+    // core, memoized), odd vec_ids arrive as the new batch and are
+    // greedily admitted against state + earlier-admitted keepers in
+    // their (split) cell. Rows-only like dedup_semantic (the cell
+    // assignment is engine-internal k-means); chain/idempotence/
+    // restart semantics pinned in SemDedupIncrSpec.
+    "dedup_semantic_incr" -> ((s, dir) => {
+      val n = Tables(s, dir).embeddings.count()
+      val cells = math.min(math.max(16, (n / 2048L).toInt), 1024)
+      val centroids = ivfModel(Tables(s, dir).embeddings, cells, datasetKey = dir)
+      val state0 = semState(s, dir, cells, centroids, threshold = 0.45)
+      val batch = ivfAssigned(s, dir, cells).assigned
+        .filter(col("c_id") % 2 =!= 0)
+        .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell"),
+          ivfCellRanks(col("c_emb"), centroids, ranks = 3).as("__sub"))
+      semDedupAdmit(batch, state0, threshold = 0.45)
         .orderBy("vec_id")
     }),
     // symmetric int8 quantization (the storage/ANN-memory path: 4× smaller
