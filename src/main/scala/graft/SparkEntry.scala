@@ -42,6 +42,7 @@ object SparkEntry {
       llm.VectorOps.queries,
       llm.Multimodal.queries,
       llm.Bpe.queries,
+      llm.QualityModel.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries,
       sources.CsvSpool.queries,

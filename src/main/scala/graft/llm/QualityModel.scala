@@ -1,0 +1,204 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Model-based document quality scoring (round-9 verdict ask #6): a
+  * hashed-ngram LOGISTIC model trained in-engine — the learned
+  * counterpart of the rule-based `text_quality` heuristic, the
+  * fasttext-classifier shape every production corpus pipeline runs
+  * (CCNet/GPT-3-style quality filtering) re-expressed on DataFrames.
+  *
+  * Features: word unigrams hashed into `D` buckets (feature hashing —
+  * Weinberger et al. 2009), per-doc counts, plus a constant bias
+  * bucket. The model is a (D+1)-double weight vector — KILOBYTES — so
+  * it follows the engine's bounded-driver-model discipline (BPE merge
+  * table, IVF centroids): the heavy data-side work (feature extraction,
+  * margins, gradients) is groupBy/agg over (doc, bucket) triples; only
+  * the weight vector ever sits on the driver.
+  *
+  * Two training paths with the same update rule (full-batch gradient
+  * descent on logistic loss, fixed lr / iteration count, zero-init —
+  * deterministic):
+  *  - triple count ≤ `maxLocalTriples` → collect the SPARSE feature
+  *    triples (bounded by the threshold itself: 2M × 24 B ≈ 48 MB hard
+  *    cap, fixture corpora are ~100× under it) and run the loop
+  *    in-memory — k iterations cost zero extra Spark jobs, like
+  *    [[Bpe.train]]'s small-vocab path;
+  *  - larger corpora → [[trainDistributed]]: per iteration, margins =
+  *    features ⋈ broadcast(weights) + per-doc sum, errors = sigmoid −
+  *    label, gradient = features ⋈ errors + per-bucket sum — two
+  *    broadcast joins and two map-side-combinable aggregations over
+  *    the persisted triple table, one (D+1)-row collect per iteration.
+  *    QualityModelSpec pins the paths to agree within float tolerance
+  *    (bit-exactness is not promised across paths: distributed sums
+  *    reorder floating-point addition).
+  */
+object QualityModel {
+
+  /** Feature buckets (power of two; the +1th bucket is the bias). */
+  val D = 1024
+
+  /** (doc_id, d, x): hashed-unigram counts + one bias row per doc.
+    * xxhash64 is the engine-portable hash the sampling family already
+    * uses; counts are raw term frequencies (the classic hashed-BoW).
+    */
+  def features(docs: DataFrame): DataFrame = {
+    val grams = graft.Engine.spread(docs, "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), pmod(xxhash64(col("w")), lit(D)).as("d"))
+      .groupBy("doc_id", "d").agg(count(lit(1)).cast("double").as("x"))
+    grams.unionByName(
+      docs.select(col("doc_id"), lit(D.toLong).as("d"), lit(1.0).as("x")))
+  }
+
+  private def sigmoid(m: Double): Double = 1.0 / (1.0 + math.exp(-m))
+
+  /** Train on (doc_id, text, y) — y ∈ {0.0, 1.0} (1 = good). Returns
+    * the (D+1)-weight model, bias last.
+    */
+  def train(labeled: DataFrame, iters: Int = 60, lr: Double = 0.5,
+      maxLocalTriples: Long = 2000000L): Array[Double] = {
+    val feats = features(labeled.select("doc_id", "text")).persist()
+    try {
+      val n = feats.count() // materializes; triple count for the path choice
+      val labels = labeled.select("doc_id", "y")
+      if (n <= maxLocalTriples) {
+        // deterministic order: the local loop's FP sums run in sorted
+        // (doc, bucket) order, so identical input → identical weights
+        val t = feats.join(labels, "doc_id")
+          .select(col("doc_id"), col("d"), col("x"), col("y"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2), r.getDouble(3)))
+          .sortBy(r => (r._1, r._2))
+        trainLocal(t, iters, lr)
+      } else trainDistributed(feats, labels, iters, lr)
+    } finally { feats.unpersist(); () }
+  }
+
+  private def trainLocal(triples: Array[(Long, Int, Double, Double)],
+      iters: Int, lr: Double): Array[Double] = {
+    val docIds = triples.map(_._1).distinct.sorted
+    val docIdx = docIds.zipWithIndex.toMap
+    val nDocs = docIds.length
+    val y = new Array[Double](nDocs)
+    triples.foreach { case (id, _, _, yy) => y(docIdx(id)) = yy }
+    val w = new Array[Double](D + 1)
+    var it = 0
+    while (it < iters) {
+      val margins = new Array[Double](nDocs)
+      triples.foreach { case (id, d, x, _) => margins(docIdx(id)) += w(d) * x }
+      val grad = new Array[Double](D + 1)
+      triples.foreach { case (id, d, x, _) =>
+        grad(d) += (sigmoid(margins(docIdx(id))) - y(docIdx(id))) * x
+      }
+      var d = 0
+      while (d <= D) { w(d) -= lr * grad(d) / nDocs; d += 1 }
+      it += 1
+    }
+    w
+  }
+
+  /** The fully-distributed gradient loop (unbounded-corpus path).
+    * `feats` arrives persisted; per iteration the only driver traffic
+    * is the (D+1)-row gradient and the broadcast weight table.
+    */
+  private[llm] def trainDistributed(feats: DataFrame, labels: DataFrame,
+      iters: Int, lr: Double): Array[Double] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val withY = feats.join(labels, "doc_id").persist()
+    val nDocs = labels.count().toDouble
+    var w = new Array[Double](D + 1)
+    try {
+      var it = 0
+      while (it < iters) {
+        val wDf = broadcast(w.zipWithIndex
+          .map { case (v, d) => (d.toLong, v) }.toSeq.toDF("d", "wv"))
+        val err = withY.join(wDf, "d")
+          .groupBy("doc_id").agg(sum(col("x") * col("wv")).as("m"),
+            first(col("y")).as("y"))
+          .select(col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("e"))
+        val grad = withY.join(err, "doc_id")
+          .groupBy("d").agg(sum(col("x") * col("e")).as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        w = w.zipWithIndex.map { case (v, d) =>
+          v - lr * grad.getOrElse(d, 0.0) / nDocs }
+        it += 1
+      }
+      w
+    } finally { withY.unpersist(); () }
+  }
+
+  /** Score docs with a trained model: (doc_id, score) where score =
+    * sigmoid(w·x) rounded to 6 dp (ranking-stable; the raw margin sum
+    * is a per-doc aggregation whose FP order Spark may permute by an
+    * ulp). Features ⋈ broadcast(weights) + one map-side-combinable
+    * per-doc sum — two narrow jobs, corpus scanned once.
+    */
+  def score(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(w.zipWithIndex
+      .map { case (v, d) => (d.toLong, v) }.toSeq.toDF("d", "wv"))
+    features(docs).join(wDf, "d")
+      .groupBy("doc_id").agg(sum(col("x") * col("wv")).as("m"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("score"))
+  }
+
+  /** The planted good/bad training fixture: every corpus doc is a
+    * GOOD example (y=1), and a key-shifted BAD twin (y=0) keeps the
+    * doc's first three words then degenerates into repeated spam
+    * boilerplate — the low-quality signature (tiny vocabulary, heavy
+    * repetition, promo tokens) a learned filter must separate from
+    * fixture prose. Deterministic: pure projections of the corpus.
+    */
+  def plantedTraining(docs: DataFrame): DataFrame = {
+    val good = docs.select(col("doc_id"), col("text"), lit(1.0).as("y"))
+    val bad = docs.select(
+      (col("doc_id") + lit(1000000000L)).as("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+        array_join(array_repeat(
+          lit("click here free winner buy now limited offer"),
+          8), " ")).as("text"),
+      lit(0.0).as("y"))
+    good.unionByName(bad)
+  }
+
+  /** Hash-split: ~70% of doc_ids train, the rest hold out (the same
+    * md5-bucket determinism the sampling family uses — never rand()).
+    */
+  def trainSplit(labeled: DataFrame): (DataFrame, DataFrame) = {
+    val bucket = pmod(xxhash64(col("doc_id")), lit(10L))
+    (labeled.filter(bucket < 7), labeled.filter(bucket >= 7))
+  }
+
+  /** Trained model memoized per (session, dir) — the classifier is a
+    * per-corpus artifact like the BPE merges and IVF centroids.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Double]]()
+
+  def trainedModel(s: SparkSession, dir: String): Array[Double] = {
+    modelCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    modelCache.computeIfAbsent((s, dir), _ => {
+      val (tr, _) = trainSplit(plantedTraining(Tables(s, dir).documents))
+      train(tr)
+    })
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rows-only (the score depends on the engine-trained weight vector);
+    // AUC/determinism/path-parity pinned in QualityModelSpec
+    "quality_model_score" -> ((s, dir) =>
+      score(Tables(s, dir).documents, trainedModel(s, dir))
+        .orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hashed-ngram logistic quality scorer: deterministic training, real
+  * separation (AUC on HELD-OUT planted docs), and local ≡ distributed
+  * gradient-path parity.
+  */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Rank-based AUC of scores: P(score(good) > score(bad)) with the
+    * tie-correction of the Mann-Whitney U statistic.
+    */
+  private def auc(scored: Seq[(Double, Double)]): Double = {
+    val sorted = scored.sortBy(_._1)
+    // average ranks over ties
+    val ranks = new Array[Double](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val r = (i + 1 + j) / 2.0
+      (i until j).foreach(k => ranks(k) = r)
+      i = j
+    }
+    val nPos = sorted.count(_._2 == 1.0).toDouble
+    val nNeg = sorted.length - nPos
+    val rPos = sorted.zip(ranks).filter(_._1._2 == 1.0).map(_._2).sum
+    (rPos - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+  }
+
+  test("held-out AUC >= 0.95 on the planted good/bad fixture split") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val (tr, heldOut) = QualityModel.trainSplit(QualityModel.plantedTraining(docs))
+    val w = QualityModel.train(tr)
+    val scored = QualityModel.score(heldOut.select("doc_id", "text"), w)
+      .join(heldOut.select("doc_id", "y"), "doc_id")
+      .select("score", "y").as[(Double, Double)].collect().toSeq
+    assert(scored.nonEmpty)
+    val a = auc(scored)
+    assert(a >= 0.95, s"held-out AUC $a below 0.95 — the model failed to separate")
+    // and the separation is directional: good scores above bad on average
+    val good = scored.filter(_._2 == 1.0).map(_._1)
+    val bad = scored.filter(_._2 == 0.0).map(_._1)
+    assert(good.sum / good.size > bad.sum / bad.size + 0.2)
+  }
+
+  test("training is deterministic: same corpus, same weights, same scores") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val (tr, _) = QualityModel.trainSplit(QualityModel.plantedTraining(docs))
+    val w1 = QualityModel.train(tr)
+    val w2 = QualityModel.train(tr.repartition(8)) // partitioning-invariant
+    assert(w1.sameElements(w2), "weights must be bit-identical across runs")
+    val s1 = graft.SparkEntry.queries("quality_model_score")(spark, sf("sf0.001")).collect()
+    val s2 = graft.SparkEntry.queries("quality_model_score")(spark, sf("sf0.001")).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+  }
+
+  test("local and distributed gradient paths agree within float tolerance") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", 1.0),
+      (2L, "a calm morning walk through the old town square was pleasant", 1.0),
+      (3L, "buy now click here free winner limited offer buy now click", 0.0),
+      (4L, "free free free winner winner click click offer offer now now", 0.0),
+      (5L, "she read the long novel quietly by the warm fire last night", 1.0),
+      (6L, "click free buy winner now offer click free buy winner now offer", 0.0)
+    ).toDF("doc_id", "text", "y")
+    val wLocal = QualityModel.train(corpus, iters = 25)
+    val wDist = QualityModel.train(corpus, iters = 25, maxLocalTriples = 0L)
+    val maxDelta = wLocal.zip(wDist).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDelta < 1e-9, s"paths diverged: max |delta| = $maxDelta")
+    // both models separate the planted corpus
+    val scored = QualityModel.score(corpus.select("doc_id", "text"), wLocal)
+      .join(corpus.select("doc_id", "y"), "doc_id")
+      .select("score", "y").as[(Double, Double)].collect().toSeq
+    assert(auc(scored) == 1.0, s"in-sample AUC should be perfect on the planted corpus")
+  }
+
+  test("quality_model_score id: one score per corpus doc, probabilities in [0,1]") {
+    val df = graft.SparkEntry.queries("quality_model_score")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      // 6-dp rounding can saturate a confident sigmoid to exactly 0/1
+      assert(sc >= 0.0 && sc <= 1.0, s"score out of range: $sc")
+    }
+    // the corpus docs are the GOOD side of the planted fixture: the
+    // model should call most of them good
+    val high = rows.count(_.getAs[Double]("score") > 0.5)
+    assert(high > rows.length * 0.9, s"only $high/${rows.length} score > 0.5")
+  }
+}
