@@ -161,7 +161,8 @@ object NearDedup {
     * The fixpoint is unique (min reachable id) regardless of execution
     * order, so the DuckDB recursive-CTE oracle matches exactly.
     *
-    * Adaptive execution: the edge list is counted first, and a graph at
+    * Adaptive execution: a `take(driverEdgeLimit+1)` probes the edge
+    * list (one action — it doubles as the fetch), and a graph at
     * or under `driverEdgeLimit` runs exact union-find ON THE DRIVER —
     * identical labels (union-by-min-root makes every root its
     * component's minimum id), two Spark jobs total instead of the
@@ -185,11 +186,20 @@ object NearDedup {
            _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    val m = fwd.count()
-    if (integralIds && m <= driverEdgeLimit) {
+    // ONE action chooses the path AND fetches the edges: take(limit+1)
+    // returns at most limit+1 rows — within the limit we already hold
+    // the whole edge list (no separate count+collect, round-10: the
+    // count job was ~0.3 s of pure overhead per admission on the
+    // dedup_incremental chain); one row over means the distributed
+    // loop runs instead, and the partial scan is discarded.
+    val es0 =
+      if (integralIds)
+        fwd.select(col("a").cast("long"), col("b").cast("long"))
+          .take(driverEdgeLimit + 1)
+      else null
+    if (es0 != null && es0.length <= driverEdgeLimit) {
       try {
-        val es = fwd.select(col("a").cast("long"), col("b").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val es = es0.map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
