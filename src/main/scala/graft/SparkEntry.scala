@@ -61,6 +61,7 @@ object SparkEntry {
       llm.NearDedup.oracleSql,
       llm.VectorOps.oracleSql,
       llm.Multimodal.oracleSql,
+      llm.QualityModel.oracleSql,
       sources.AvroCodec.oracleSql,
       sources.JdbcSource.oracleSql,
       sources.CsvSpool.oracleSql,

@@ -192,13 +192,99 @@ object QualityModel {
     })
   }
 
+  /** (doc_id, w1, w2) bigram transitions of a doc table — the zip_with
+    * shifted-slice construction [[NearDedup.shingleArrays]] documents
+    * (transform+element_at would re-split per element).
+    */
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    graft.Engine.spread(docs, "doc_id")
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"),
+        explode(slice(
+          zip_with(ws, slice(ws, lit(2), size(ws)),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          lit(1), size(ws) - 1)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** N-gram LM perplexity scoring — the CCNet-style quality signal: an
+    * add-k-smoothed BIGRAM language model is trained on a held-out
+    * split (even doc_ids — the engine's portable split convention) and
+    * every doc is scored by per-transition perplexity
+    * exp(−Σ ln p(w_i|w_{i−1}) / n), where p = (c(w1,w2)+k) /
+    * (c(w1)+k·V). High perplexity = text the corpus LM finds unnatural
+    * (boilerplate, spam, wrong language) — the complement of the
+    * discriminative [[score]].
+    *
+    * Scale shape: the LM is two count tables (unigram, bigram — ONE
+    * map-side-combinable agg each over the train split), scoring is
+    * two key joins of the corpus's transitions against them (AQE
+    * broadcasts while small; at 100 TB both are plain key shuffles of
+    * narrow rows) + one per-doc agg. V (vocab size) is the lone
+    * driver scalar. Fully SQL-expressible → DuckDB oracle-checked.
+    */
+  def perplexity(docs: DataFrame, kSmooth: Double = 0.5): DataFrame = {
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val uni = train.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist()
+    val big = bigrams(train)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    try {
+      val v = uni.count().toDouble
+      bigrams(docs)
+        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+        .join(big, Seq("w1", "w2"), "left")
+        .select(col("doc_id"),
+          log((coalesce(col("cb"), lit(0L)) + lit(kSmooth)) /
+            (coalesce(col("cw"), lit(0L)) + lit(kSmooth * v))).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          round(exp(-sum(col("lp")) / count(lit(1))), 6).as("ppl"))
+    } finally { uni.unpersist(); () }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // rows-only (the score depends on the engine-trained weight vector);
     // AUC/determinism/path-parity pinned in QualityModelSpec
     "quality_model_score" -> ((s, dir) =>
       score(Tables(s, dir).documents, trainedModel(s, dir))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "text_perplexity" -> ((s, dir) =>
+      perplexity(Tables(s, dir).documents).orderBy("doc_id"))
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    // same add-0.5 bigram LM, trained on even doc_ids, scored over the
+    // whole corpus; ln-sum rounded at 6 dp like text_entropy (the
+    // per-doc sum is ~55 doubles — associativity differences sit ~9
+    // orders below the rounding)
+    "text_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cw FROM (
+        |    SELECT unnest(ws) AS w FROM toks WHERE doc_id % 2 = 0)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |bigr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+        |  FROM toks WHERE len(ws) >= 2),
+        |docbig AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bigr),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cb FROM docbig WHERE doc_id % 2 = 0
+        |  GROUP BY w1, w2)
+        |SELECT d.doc_id,
+        |  count(*) AS n_transitions,
+        |  round(exp(-sum(ln((coalesce(cb, 0) + 0.5) /
+        |                    (coalesce(cw, 0) + 0.5 * v.v))) / count(*)), 6) AS ppl
+        |FROM docbig d
+        |LEFT JOIN uni u ON u.w = d.w1
+        |LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+        |CROSS JOIN v
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  )
 }

@@ -78,6 +78,28 @@ class QualityModelSpec extends SparkSpec {
     assert(auc(scored) == 1.0, s"in-sample AUC should be perfect on the planted corpus")
   }
 
+  test("perplexity: repeated in-distribution text scores lower than unseen-vocab text") {
+    // train split = even ids; doc 0's phrase repeats across the split,
+    // so its transitions are high-probability; doc 1 (odd, scored only)
+    // reuses that phrase — LOW ppl; doc 3's vocabulary never occurs in
+    // the train split — its transitions all fall to the smoothing floor,
+    // HIGH ppl
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (4L, "the cat sat on the mat near the dog today"),
+      (1L, "the cat sat on the mat"),
+      (3L, "zulu xray yankee quebec victor whiskey november")
+    ).toDF("doc_id", "text")
+    val ppl = QualityModel.perplexity(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(ppl(1L) < ppl(3L) / 3,
+      s"in-distribution text must score far below unseen vocab: $ppl")
+    // smoothing keeps every score finite and positive
+    ppl.values.foreach(p => assert(p > 0 && !p.isInfinite))
+  }
+
   test("quality_model_score id: one score per corpus doc, probabilities in [0,1]") {
     val df = graft.SparkEntry.queries("quality_model_score")(spark, sf("sf0.001"))
     val rows = df.collect()
