@@ -492,6 +492,57 @@ object NearDedup {
           i => md5(array_join(slice(col("ws"), i, lit(k)), " "))))).as("g"))
   }
 
+  /** Position-keyed k-gram table (doc_id, i, g) — [[substringGrams]]
+    * without the in-doc distinct, for span reconstruction. Ownership
+    * derived from it is identical (min is duplicate-insensitive).
+    */
+  private def substringGramsPos(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    graft.Engine.spread(tok, "doc_id")
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => md5(array_join(slice(col("ws"), i, lit(k)), " ")))).as(Seq("i0", "g")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("g"))
+  }
+
+  /** The SPAN-level output of exact substring dedup — what Lee et al.
+    * actually remove: for every doc, the maximal token ranges
+    * [span_start, span_end] (1-based, inclusive) covered by k-gram
+    * windows owned by an EARLIER doc. Flagged window starts merge by
+    * gaps-and-islands (a start continues the current span iff its
+    * window touches the span's coverage, i.e. i ≤ prev + k); a
+    * pipeline subtracts these ranges to scrub the duplicated text
+    * while keeping the rest of the doc — the surgical alternative to
+    * [[dedupSubstring]]'s whole-doc drop.
+    *
+    * Same scale shape as the doc-level rule (min agg + key join-back)
+    * plus ONE doc-keyed window for the island merge — the window
+    * partitions by doc, so its sort is per-doc-bounded.
+    */
+  def substringSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    val grams = substringGramsPos(docs, k).persist()
+    try {
+      val owners = grams.groupBy("g").agg(min(col("doc_id")).as("owner"))
+      val flagged = grams.join(owners, "g")
+        .filter(col("owner") < col("doc_id"))
+        .select("doc_id", "i")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      flagged
+        .withColumn("__brk",
+          when(lag(col("i"), 1).over(w).isNull ||
+            col("i") > lag(col("i"), 1).over(w) + k, 1).otherwise(0))
+        .withColumn("__island", sum(col("__brk")).over(w))
+        .groupBy(col("doc_id"), col("__island"))
+        .agg(min(col("i")).as("span_start"),
+          (max(col("i")) + (k - 1)).as("span_end"))
+        .select("doc_id", "span_start", "span_end")
+        .localCheckpoint()
+    } finally { grams.unpersist(); () }
+  }
+
   /** Surviving documents under the [[substringGrams]] min-owner rule.
     * The dropped-id set is materialized eagerly (localCheckpoint, like
     * [[connectedComponents]]' result) so the gram table's persist —
@@ -808,7 +859,13 @@ object NearDedup {
     "dedup_substring" -> ((s, dir) =>
       dedupSubstring(Tables(s, dir).documents, k = 20)
         .select(col("doc_id"), md5(col("text")).as("h"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the span-level view: which token ranges ARE the duplicated
+    // material (Lee et al. scrub these, not the whole doc)
+    "dedup_substring_spans" -> ((s, dir) =>
+      substringSpans(Tables(s, dir).documents, k = 20)
+        .orderBy("doc_id", "span_start"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -983,6 +1040,32 @@ object NearDedup {
         |SELECT d.doc_id, md5(d.text) AS h FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws)-20+2)) AS i
+        |  FROM toks WHERE len(ws) >= 20),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    md5(array_to_string(ws[i:i+20-1], ' ')) AS g FROM pos),
+        |own AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY g),
+        |flagged AS (
+        |  SELECT gr.doc_id, gr.i FROM grams gr
+        |  JOIN own o ON o.g = gr.g AND o.owner < gr.doc_id),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 20
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk)
+        |SELECT doc_id, min(i) AS span_start, max(i) + 19 AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),

@@ -97,6 +97,34 @@ class SubstringDedupSpec extends SparkSpec {
     assert(NearDedup.substringGrams(rep, k = 20).count() == 1L)
   }
 
+  test("spans: a planted 50-token copy is recovered with exact boundaries") {
+    val span = words("shared", 50)
+    val d1 = words("alpha", 100) ++ span ++ words("beta", 50)   // span at tokens 101..150
+    val d2 = words("gamma", 40) ++ span ++ words("delta", 210)  // span at tokens 41..90
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = NearDedup.substringSpans(docs, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 owns every gram (smaller id) — no spans; doc 2's flagged
+    // windows are exactly those inside the copy, merging to [41, 90]
+    assert(spans.toSeq == Seq((2L, 41L, 90L)), spans.mkString(","))
+  }
+
+  test("spans: two separated copies yield two spans; a full-doc clone yields one full span") {
+    val s1 = words("one", 25)
+    val s2 = words("two", 25)
+    val owner = (s1 ++ words("mid", 30) ++ s2).mkString(" ")
+    val copier = (words("x", 10) ++ s1 ++ words("y", 40) ++ s2 ++ words("z", 10)).mkString(" ")
+    val docs = Seq((1L, owner), (2L, copier), (3L, owner))
+      .toDF("doc_id", "text")
+    val spans = NearDedup.substringSpans(docs, k = 20)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2: s1 at 11..35, s2 at 76..100; doc 3: the whole 80 tokens
+    assert(spans.toSeq == Seq((2L, 11L, 35L), (2L, 76L, 100L), (3L, 1L, 80L)),
+      spans.mkString(","))
+  }
+
   test("fixture run is non-vacuous and matches the independent min-owner replay") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val kept = NearDedup.dedupSubstring(docs, k = 20)
