@@ -543,6 +543,30 @@ object NearDedup {
     } finally { grams.unpersist(); () }
   }
 
+  /** APPLY the span scrub (the actual Lee et al. transformation):
+    * return every doc with the duplicated ranges removed — tokens
+    * covered by any [[substringSpans]] range drop, the rest keep their
+    * relative order. Docs with no flagged span pass through verbatim.
+    * Shape: spans explode to covered positions (bounded by doc length),
+    * one anti-join against the positional token table, one per-doc
+    * ordered reassembly — the [[boilerplate_lines]] pattern at token
+    * granularity.
+    */
+  def substringScrub(docs: DataFrame, k: Int = 20): DataFrame = {
+    val covered = substringSpans(docs, k)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = graft.Engine.spread(docs, "doc_id")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("scrubbed"))
+  }
+
   /** Surviving documents under the [[substringGrams]] min-owner rule.
     * The dropped-id set is materialized eagerly (localCheckpoint, like
     * [[connectedComponents]]' result) so the gram table's persist —
@@ -865,7 +889,14 @@ object NearDedup {
     // material (Lee et al. scrub these, not the whole doc)
     "dedup_substring_spans" -> ((s, dir) =>
       substringSpans(Tables(s, dir).documents, k = 20)
-        .orderBy("doc_id", "span_start"))
+        .orderBy("doc_id", "span_start")),
+
+    // the APPLICATION: corpus with duplicated ranges removed (a doc
+    // scrubbed to nothing — a full clone — drops entirely)
+    "dedup_substring_scrub" -> ((s, dir) =>
+      substringScrub(Tables(s, dir).documents, k = 20)
+        .select(col("doc_id"), md5(col("scrubbed")).as("h"))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1066,6 +1097,45 @@ object NearDedup {
         |SELECT doc_id, min(i) AS span_start, max(i) + 19 AS span_end
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws)-20+2)) AS i
+        |  FROM toks WHERE len(ws) >= 20),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    md5(array_to_string(ws[i:i+20-1], ' ')) AS g FROM pos),
+        |own AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY g),
+        |flagged AS (
+        |  SELECT gr.doc_id, gr.i FROM grams gr
+        |  JOIN own o ON o.g = gr.g AND o.owner < gr.doc_id),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 20
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS span_start, max(i) + 19 AS span_end
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (
+        |  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p
+        |  FROM spans),
+        |tok2 AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |         CAST(unnest(range(1, len(ws)+1)) AS BIGINT) AS p
+        |  FROM toks),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.w FROM tok2 t
+        |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.p IS NULL)
+        |SELECT doc_id, md5(string_agg(w, ' ' ORDER BY p)) AS h
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),

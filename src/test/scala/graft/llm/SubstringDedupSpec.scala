@@ -125,6 +125,24 @@ class SubstringDedupSpec extends SparkSpec {
       spans.mkString(","))
   }
 
+  test("scrub: duplicated ranges removed, owner and clean text untouched, full clones vanish") {
+    val span = words("shared", 50)
+    val d1 = words("alpha", 100) ++ span ++ words("beta", 50)
+    val d2 = words("gamma", 40) ++ span ++ words("delta", 210)
+    val docs = Seq(
+      (1L, d1.mkString(" ")),
+      (2L, d2.mkString(" ")),
+      (3L, d1.mkString(" ")) // full clone of doc 1 → scrubbed to nothing
+    ).toDF("doc_id", "text")
+    val got = NearDedup.substringScrub(docs, k = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // owner keeps everything; doc 2 loses exactly the copied 50 tokens;
+    // doc 3 (wholly duplicated) drops out of the result
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == d1.mkString(" "))
+    assert(got(2L) == (words("gamma", 40) ++ words("delta", 210)).mkString(" "))
+  }
+
   test("fixture run is non-vacuous and matches the independent min-owner replay") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val kept = NearDedup.dedupSubstring(docs, k = 20)
