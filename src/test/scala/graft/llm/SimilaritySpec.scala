@@ -255,6 +255,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("documents fixture is pure ASCII — the mm oracle's char=byte assumption holds") {
+    // the mm_meta/mm_features/mm_resize/mm_frames oracles cycle
+    // CHARACTERS (len/substring/repeat) while the engine cycles UTF-8
+    // BYTES; they coincide only on ASCII text. This pins the documented
+    // assumption (round-9 ADVICE) as a checked invariant: if the
+    // fixture ever grows non-ASCII text, this fails before the oracle
+    // silently diverges.
+    Seq("sf0.001", "sf0.01").foreach { d =>
+      val nonAscii = Tables(spark, sf(d)).documents
+        .filter(length(col("text")) =!=
+          length(col("text").cast("binary")).cast("int")).count()
+      assert(nonAscii == 0L, s"$d: $nonAscii docs with multi-byte chars")
+    }
+  }
+
   test("frame sampling: REAL GIF demux+decode, schedule from container metadata, batch-invariant") {
     val docs = Tables(spark, sf("sf0.001")).documents
     val media = Multimodal.encodeAnimations(docs)
