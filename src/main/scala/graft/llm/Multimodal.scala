@@ -161,6 +161,87 @@ object Multimodal {
     }
   }
 
+  case class AudioMeta(doc_id: Long, sample_rate: Int, n_samples: Long,
+      sum_amp: Long, peak: Int, pcm_sha: String)
+
+  /** Encoded WAV corpus memoized per (session, dir) — the audio leg of
+    * the multimodal family, same fixture-synthesis rationale as
+    * [[encodedCorpus]].
+    */
+  private val audioCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dataset[MediaRecord]]()
+
+  private def audioCorpus(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    audioCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    audioCache.computeIfAbsent((s, dir), _ =>
+      encodeAudio(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Encode each document as a REAL WAV via `javax.sound.sampled` — the
+    * audio analog of [[encodeImages]]: sample count seeded from the doc
+    * md5 (256–1279), 8-bit unsigned mono PCM at 8 kHz whose samples are
+    * the doc's bytes cycled — so the decode side has an independently
+    * computable ground truth, and the container really round-trips
+    * through the JDK's WAV writer (RIFF header, fmt/data chunks).
+    */
+  def encodeAudio(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        val n = 256 + ((md(3) & 0xff) % 1024)
+        val data = Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        MediaRecord(id, baos.toByteArray, "audio/wav")
+      })
+    }
+  }
+
+  /** Partition-wise batched REAL audio decode: `AudioSystem
+    * .getAudioInputStream` parses the WAV container (RIFF/fmt/data
+    * walk) on every payload, the format fields come from the PARSED
+    * header (the oracle's constant 8000 Hz only matches if the engine
+    * really read it), and the PCM reduces to integer features — sample
+    * count, summed absolute amplitude around the 8-bit midpoint, peak —
+    * plus a sha-256 of the raw sample bytes. Same narrow batched
+    * `mapPartitions` shape as the image path: payloads never shuffle.
+    */
+  def decodeAudio(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[AudioMeta] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val pcm = ais.readAllBytes()
+        var sum = 0L; var peak = 0; var i = 0
+        while (i < pcm.length) {
+          val v = pcm(i) & 0xff
+          sum += math.abs(v - 128)
+          if (v > peak) peak = v
+          i += 1
+        }
+        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(pcm)
+          .map("%02x".format(_)).mkString
+        AudioMeta(r.doc_id, fmt.getSampleRate.toInt, pcm.length.toLong, sum, peak, sha)
+      })
+    }
+  }
+
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[ImageMeta] =
     batch.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -416,7 +497,14 @@ object Multimodal {
     // the offset-cycled pixel stream — executed pixels, oracle-checked.
     "mm_frames" -> ((s, dir) =>
       sampleFrames(animatedCorpus(s, dir))
-        .toDF().orderBy("doc_id", "frame_idx"))
+        .toDF().orderBy("doc_id", "frame_idx")),
+
+    // REAL audio path (round 10): WAV encode + container-parse decode
+    // through javax.sound.sampled; integer features + PCM sha-256
+    // oracle-checked against the independent byte-cycle prediction
+    "mm_audio" -> ((s, dir) =>
+      decodeAudio(audioCorpus(s, dir))
+        .toDF().orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -468,6 +556,29 @@ object Multimodal {
     // (probed: substring(BLOB,..)/sha256(BLOB) don't bind) — a
     // non-ASCII fixture would need the engine-side repeatedTextPixels
     // contract re-expressed there before these three oracles apply.
+    // audio: sample count from md5 byte 3 (hex chars 7-8), PCM = the
+    // doc's ASCII bytes cycled; sample_rate is a constant 8000 in the
+    // oracle but comes from the PARSED WAV header in the engine — the
+    // match proves the container round-trip. Same ASCII-only fixture
+    // assumption as the image/frame oracles (documented below).
+    "mm_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, len(text) AS l,
+        |    256 + (CAST('0x' || substring(md5(text),7,2) AS INTEGER) % 1024) AS n
+        |  FROM documents WHERE len(text) > 0),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    substring(repeat(text, CAST((n + l - 1) // l AS INTEGER)), 1, CAST(n AS INTEGER)) AS px
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(1, n+1),
+        |    i -> abs(ascii(substring(px, CAST(i AS INTEGER), 1)) - 128))) AS BIGINT) AS sum_amp,
+        |  CAST(list_aggregate(list_transform(range(1, n+1),
+        |    i -> ascii(substring(px, CAST(i AS INTEGER), 1))), 'max') AS INTEGER) AS peak,
+        |  sha256(px) AS pcm_sha
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH dims AS (
         |  SELECT doc_id, text, len(text) AS n,

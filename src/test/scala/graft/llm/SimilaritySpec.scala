@@ -270,6 +270,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("real audio codec: WAV payloads round-trip through javax.sound, batch-invariant") {
+    val docs = Tables(spark, sf("sf0.001")).documents
+    val media = Multimodal.encodeAudio(docs)
+    // payloads are genuine RIFF/WAVE containers
+    val sample = media.take(5)
+    sample.foreach { r =>
+      assert(r.payload.length > 44, s"doc ${r.doc_id}: payload too small for a WAV")
+      assert(new String(r.payload.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${r.doc_id}: not a RIFF/WAVE container")
+    }
+    val a1 = Multimodal.decodeAudio(media).collect().sortBy(_.doc_id)
+    val a2 = Multimodal.decodeAudio(media, batchSize = 7).collect().sortBy(_.doc_id)
+    assert(a1.toSeq == a2.toSeq, "batch size must not change the decode result")
+    val nonEmpty = docs.filter(length(col("text")) > 0).count()
+    assert(a1.length == nonEmpty)
+    // ground truth straight from the doc text: PCM = bytes cycled to the
+    // md5-seeded sample count; the parsed header must say 8 kHz
+    val texts = docs.filter(length(col("text")) > 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a1.foreach { a =>
+      val bytes = texts(a.doc_id).getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val n = 256 + ((md(3) & 0xff) % 1024)
+      assert(a.sample_rate == 8000 && a.n_samples == n.toLong, s"doc ${a.doc_id}")
+      val pcm = Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(pcm)
+        .map("%02x".format(_)).mkString
+      assert(a.pcm_sha == sha, s"doc ${a.doc_id}: decoded PCM diverged from ground truth")
+      assert(a.peak == pcm.map(_ & 0xff).max)
+      assert(a.sum_amp == pcm.map(b => math.abs((b & 0xff) - 128).toLong).sum)
+    }
+  }
+
   test("frame sampling: REAL GIF demux+decode, schedule from container metadata, batch-invariant") {
     val docs = Tables(spark, sf("sf0.001")).documents
     val media = Multimodal.encodeAnimations(docs)
