@@ -114,6 +114,52 @@ object Curation {
       evalNgHashes(s, dir).stat.bloomFilter("h", 1L << 20, 0.01))
   }
 
+  /** (doc_id, pos, chunk, ck) pseudo-line table — the per-row HOF line
+    * chunker (sequence→slice→array_join, no shuffle to FORM lines)
+    * shared by `boilerplate_lines` (df-threshold scrub) and
+    * `dedup_lines` (first-occurrence scrub): ONE line definition, so
+    * the two scrub semantics can never drift onto different chunkings.
+    */
+  private def chunkedLines(docs: DataFrame, chunkWords: Int): DataFrame = {
+    val ws = split(col("text"), " ")
+    val lines = transform(
+      sequence(lit(0), ceil(size(ws) / lit(chunkWords.toDouble)).cast("int") - 1),
+      i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))
+    docs
+      .select(col("doc_id"), posexplode(lines).as(Seq("pos", "chunk")))
+      .withColumn("ck", ngHash(col("chunk")))
+  }
+
+  /** Core of `dedup_lines`, callable on planted corpora (CurationSpec):
+    * C4/CCNet's other line rule — corpus-wide, every repeated exact
+    * pseudo-line keeps only its FIRST occurrence (by doc_id, then
+    * position), wherever boilerplate's df-threshold would keep all
+    * copies below the threshold. First-ownership is a map-side
+    * combinable min(struct(doc_id,pos)) per 56-bit line hash — the
+    * same skew argument as the df count: hot lines collapse to one row
+    * per partition BEFORE the shuffle — then one join back on the
+    * pre-partitioned hash key and the per-doc ordered reassembly.
+    */
+  private[llm] def dedupLines(docs: DataFrame, chunkWords: Int = 3): DataFrame = {
+    val chunked = chunkedLines(docs, chunkWords)
+    val owner = chunked
+      .groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("ck"), col("first.doc_id").as("o_doc"), col("first.pos").as("o_pos"))
+    chunked.join(owner, Seq("ck"))
+      .withColumn("is_dup",
+        !(col("doc_id") === col("o_doc") && col("pos") === col("o_pos")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("is_dup").cast("long")).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!col("is_dup"), struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk"))).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"))
+  }
+
   /** Core of `boilerplate_lines`, callable on planted corpora
     * (CurationSpec) as well as the fixture tables: drop every
     * pseudo-line whose exact text recurs across >= `minDocs` distinct
@@ -121,13 +167,7 @@ object Curation {
     */
   private[llm] def removeBoilerplate(docs: DataFrame, chunkWords: Int = 3,
       minDocs: Int = 3): DataFrame = {
-    val ws = split(col("text"), " ")
-    val lines = transform(
-      sequence(lit(0), ceil(size(ws) / lit(chunkWords.toDouble)).cast("int") - 1),
-      i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))
-    val chunked = docs
-      .select(col("doc_id"), posexplode(lines).as(Seq("pos", "chunk")))
-      .withColumn("ck", ngHash(col("chunk")))
+    val chunked = chunkedLines(docs, chunkWords)
     val boiler = chunked
       .groupBy("ck").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -307,6 +347,18 @@ object Curation {
     "boilerplate_lines" -> ((s, dir) =>
       removeBoilerplate(Tables(s, dir).documents).orderBy("doc_id")),
 
+    // C4's OTHER line-level rule (Raffel et al. 2020 §2.2 "we discard
+    // all but one of any three-sentence span occurring more than once"):
+    // corpus-wide first-occurrence dedup of exact pseudo-lines —
+    // occurrence-ORDER semantics where `boilerplate_lines` is
+    // df-THRESHOLD semantics, so a line repeated in just 2 docs (below
+    // the boilerplate threshold) still loses its second copy here.
+    // Shape at 100 TB: identical three-shuffle plan as boilerplate
+    // (min-owner agg on the line hash / join-back on the same key /
+    // per-doc reassembly) — see [[dedupLines]].
+    "dedup_lines" -> ((s, dir) =>
+      dedupLines(Tables(s, dir).documents).orderBy("doc_id")),
+
     // PII scrub over a free-text column (events.props here — the fixture
     // column that actually contains digit runs): mask email-shaped
     // tokens and digit runs, and count the redactions so a pipeline can
@@ -469,6 +521,22 @@ object Curation {
         |  coalesce(string_agg(CASE WHEN NOT is_b THEN chunk END, ' ' ORDER BY pos), '') AS clean_text,
         |  count(*) AS n_chunks,
         |  count(CASE WHEN is_b THEN 1 END) AS n_removed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(ws, i*3+1, i*3+3), ' ') AS chunk
+        |  FROM words, unnest(range(CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(i)),
+        |hashed AS (SELECT doc_id, pos, chunk,
+        |  CAST('0x' || substring(md5(chunk),1,14) AS BIGINT) AS ck FROM chunks),
+        |flagged AS (SELECT doc_id, pos, chunk,
+        |  row_number() OVER (PARTITION BY ck ORDER BY doc_id, pos) AS rn
+        |  FROM hashed)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text,
+        |  count(*) AS n_chunks,
+        |  count(CASE WHEN rn > 1 THEN 1 END) AS n_removed
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """SELECT event_id,

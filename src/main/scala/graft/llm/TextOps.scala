@@ -197,6 +197,45 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Gopher rule-based quality gates (Rae et al. 2021, Appendix A —
+    // the MassiveText filter every modern corpus pipeline reruns:
+    // Dolma, FineWeb, RefinedWeb all cite these exact thresholds).
+    // Unlike `text_quality`'s composite score, this is the per-RULE
+    // boolean gate vector + the conjunction keep flag, so a pipeline
+    // can audit WHICH rule rejected a document. All five signals are
+    // per-row expressions over one split() — a single narrow scan, no
+    // shuffle (the orderBy is presentation-only); at 100 TB this is
+    // the cheapest possible filter shape, and rules short-circuit
+    // inside whole-stage codegen.
+    "gopher_rules" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val meanWl = length(translate(col("text"), " ", "")).cast("double") /
+        nullif(nWords, lit(0))
+      val symRatio = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nullif(nWords, lit(0))
+      val alphaFrac = size(filter(words, w => w.rlike("[a-z]"))).cast("double") /
+        nullif(nWords, lit(0))
+      val nStop = size(filter(words,
+        w => w.isin("the", "be", "to", "of", "and", "that", "have", "with")))
+      val wcOk = nWords >= 50 && nWords <= 100000
+      val mwlOk = meanWl >= 3.0 && meanWl <= 10.0
+      val symOk = symRatio < 0.1
+      val alphaOk = alphaFrac >= 0.8
+      val stopOk = nStop >= 2
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(meanWl, 6).as("mean_word_len"),
+        round(symRatio, 6).as("symbol_ratio"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        nStop.cast("long").as("n_stop"),
+        wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("sym_ok"),
+        alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+        (wcOk && mwlOk && symOk && alphaOk && stopOk).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // the capstone composition — a full corpus-curation pass as ONE
     // declarative plan: quality filter → language filter → exact dedup
     // (min-id survivor) → leakage-safe hash split → audit counts.
@@ -358,6 +397,33 @@ object TextOps {
         |  round(CAST(types AS DOUBLE) / n, 6) AS ttr,
         |  round(ln(n) - clc / n, 6) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "gopher_rules" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_words,
+        |    CAST(length(replace(text,' ','')) AS DOUBLE)
+        |      / nullif(len(string_split(text,' ')), 0) AS mwl,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |      / nullif(len(string_split(text,' ')), 0) AS sym,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |         w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / nullif(len(string_split(text,' ')), 0) AS alpha,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(sym, 6) AS symbol_ratio,
+        |  round(alpha, 6) AS alpha_frac,
+        |  n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+        |  (mwl >= 3.0 AND mwl <= 10.0) AS mwl_ok,
+        |  (sym < 0.1) AS sym_ok,
+        |  (alpha >= 0.8) AS alpha_ok,
+        |  (n_stop >= 2) AS stop_ok,
+        |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |   AND sym < 0.1 AND alpha >= 0.8 AND n_stop >= 2) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       """WITH d AS (
         |  SELECT source, text,

@@ -262,4 +262,75 @@ class CurationSpec extends SparkSpec {
     assert(got(6L) == (("twice only chunk", 1L, 0L)))
     assert(got(7L) == (("xx yy zz ww", 2L, 0L)), "ragged tail chunk must round-trip")
   }
+
+  test("dedup_lines keeps only the FIRST occurrence of a repeated chunk (doc order, then position)") {
+    val s = spark
+    import s.implicits._
+    // "cookie banner text" repeats across docs 1/2/5 AND twice inside
+    // doc 8 — only its (doc 1, pos 1) copy may survive; "twice only
+    // chunk" (2 docs) is BELOW boilerplate's K=3 threshold yet must
+    // still lose its second copy here (the semantics boilerplate_lines
+    // cannot express); doc 5 becomes empty-but-present; doc 7 is all
+    // unique and round-trips including the ragged tail.
+    val docs = Seq(
+      (1L, "aa bb cc cookie banner text dd ee ff"),
+      (2L, "cookie banner text gg hh ii"),
+      (4L, "pp qq rr twice only chunk"),
+      (5L, "cookie banner text"),
+      (6L, "twice only chunk"),
+      (7L, "xx yy zz ww"),
+      (8L, "cookie banner text cookie banner text")).toDF("doc_id", "text")
+    val got = Curation.dedupLines(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("aa bb cc cookie banner text dd ee ff", 3L, 0L)),
+      s"first occurrence must keep ALL chunks: ${got(1L)}")
+    assert(got(2L) == (("gg hh ii", 2L, 1L)), "cross-doc second copy must be scrubbed")
+    assert(got(4L) == (("pp qq rr twice only chunk", 2L, 0L)),
+      "first occurrence of the 2-doc chunk survives")
+    assert(got(5L) == (("", 1L, 1L)), "doc reduced to nothing must stay present as empty")
+    assert(got(6L) == (("", 1L, 1L)), "below-boilerplate-threshold repeat must STILL dedup")
+    assert(got(7L) == (("xx yy zz ww", 2L, 0L)), "unique doc round-trips")
+    assert(got(8L) == (("", 2L, 2L)), "within-doc repeat of an earlier doc's chunk: both scrubbed")
+  }
+
+  test("gopher_rules: each gate fires independently and keep is their conjunction") {
+    val s = spark
+    import s.implicits._
+    val longText = Seq.fill(60)("the good and solid text of that have with").mkString(" ")
+    val docs = Seq(
+      // 10 words (mean length 3.5), has stopwords → fails ONLY word count
+      (1L, "the cats sat upon of the mats and then slept"),
+      // symbol-heavy: every "word" is a # → fails symbol + alpha + stop
+      (2L, Seq.fill(60)("#").mkString(" ")),
+      // long alphabetic text with stopwords → passes everything
+      (3L, longText),
+      // no stopwords but otherwise fine length → fails only stop gate
+      (4L, Seq.fill(60)("word").mkString(" ")),
+      // mean word length 1 (< 3) → fails mwl
+      (5L, Seq.fill(60)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toFile
+    dir.deleteOnExit()
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    // the other fixture tables aren't read by this id; only documents is
+    val got = graft.SparkEntry.queries("gopher_rules")(s, dir.getAbsolutePath)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def gates(id: Long) = {
+      val r = got(id)
+      (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+        r.getBoolean(10), r.getBoolean(11))
+    }
+    assert(gates(1L) == ((false, true, true, true, true, false)), s"doc1 ${gates(1L)}")
+    assert(gates(2L) == ((true, false, false, false, false, false)), s"doc2 ${gates(2L)}")
+    assert(gates(3L) == ((true, true, true, true, true, true)), s"doc3 ${gates(3L)}")
+    assert(gates(4L) == ((true, true, true, true, false, false)), s"doc4 ${gates(4L)}")
+    assert(gates(5L) == ((true, false, true, true, false, false)), s"doc5 ${gates(5L)}")
+    // keep ≡ conjunction, re-checked mechanically over all rows
+    got.values.foreach { r =>
+      assert(r.getBoolean(11) == (r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8)
+        && r.getBoolean(9) && r.getBoolean(10)))
+    }
+  }
 }
