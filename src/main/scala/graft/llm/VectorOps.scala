@@ -467,6 +467,53 @@ object VectorOps {
     */
   val trainCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Distributed Lloyd k-means over the FULL corpus — the corpus
+    * clustering operator (domain discovery, data-mix balancing, the
+    * cluster step of cluster-then-filter curation), as opposed to
+    * [[ivfTrain]]'s sampled driver-side quantizer: here both the
+    * assignment and the centroid update are Spark jobs, so the model is
+    * fitted on every vector. Per iteration: one narrow assignment
+    * projection (the fused [[ivfCell]] dot products, whole-stage
+    * codegen) + one explode-to-dims aggregation whose map-side partials
+    * collapse each partition to ≤ k·dim rows BEFORE the shuffle; only
+    * the k×dim centroid table (kilobytes) ever reaches the driver —
+    * the same bounded-model discipline as the BPE loop's per-iteration
+    * top-1 row. Deterministic init (first k vectors by vec_id); an
+    * empty cell keeps its previous centroid.
+    */
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids = emb.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val stats = emb
+        .select(ivfCell(col("embedding"), centroids).as("cell"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect() // ≤ k·dim rows — model-sized, not corpus-sized
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[Array[Double]]]()
+
+  /** Train-once full-corpus k-means per (session, dir, k) — same
+    * model-vs-artifact rationale as [[ivfModel]], but keyed on the
+    * session too because the fit runs Spark jobs.
+    */
+  private def kmeansModel(s: SparkSession, dir: String, k: Int, iters: Int): Array[Array[Double]] = {
+    kmeansCache.keySet.removeIf(key => key._1.sparkContext.isStopped)
+    kmeansCache.computeIfAbsent((s, dir, k), _ =>
+      kmeansFit(Tables(s, dir).embeddings, k, iters))
+  }
+
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
 
@@ -757,6 +804,37 @@ object VectorOps {
         .filter(col("rank") <= 3)
         .select("label", "rank", "vec_id", "cos")
         .orderBy("label", "rank")
+    }),
+
+    // Full-corpus k-means cluster report: per-cluster population and
+    // within-cluster sum of squares (inertia) — the audit table of the
+    // cluster step every mix-balancing / cluster-filter pipeline runs.
+    // The fitted model is [[kmeansFit]] (distributed Lloyd, memoized
+    // per corpus); the report itself is one narrow assignment scan +
+    // a broadcast join against the k-row centroid table + one
+    // aggregation. Rows-only like the other ANN/cluster ids (the cell
+    // assignment is engine-internal k-means); planted-cluster recovery,
+    // Lloyd inertia descent, and population-partition invariants are
+    // pinned in SimilaritySpec.
+    "cluster_kmeans" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cs = kmeansModel(s, dir, k = 8, iters = 8)
+      val cent = s.createDataFrame(
+        cs.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .toDF("cell", "c_emb")
+      val assigned = emb.select(col("vec_id"),
+        col("embedding"), ivfCell(col("embedding"), cs).as("cell"))
+      assigned.join(broadcast(cent), Seq("cell"))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("c_emb"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, z) => acc + z))
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).cast("long").as("n_vecs"),
+          round(sum(col("d2")), 4).as("inertia"),
+          round(avg(sqrt(col("d2"))), 4).as("avg_dist"))
+        .orderBy("cell")
     }),
 
     "vec_quantize" -> ((s, dir) =>

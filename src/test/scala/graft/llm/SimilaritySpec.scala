@@ -414,4 +414,52 @@ class SimilaritySpec extends SparkSpec {
         s"dropped vec $v has no smaller-id intra-cell neighbor at 0.45")
     }
   }
+
+  test("distributed k-means recovers planted well-separated clusters exactly") {
+    val s = spark
+    import s.implicits._
+    // 3 clusters around scaled orthogonal axes; ids interleaved so the
+    // deterministic first-k init lands one seed in each true cluster.
+    val dim = 8
+    val pts = (0 until 60).map { id =>
+      val c = id % 3
+      val v = Array.fill(dim)(0.02f * ((id * 7 % 5) - 2)) // small noise
+      v(c) = 10f + 0.1f * (id % 4)
+      (id.toLong, v.toSeq)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val cs = VectorOps.kmeansFit(emb, k = 3, iters = 5)
+    assert(cs.length == 3)
+    // every point must land in the cell of its planted axis, and the
+    // three centroids must each dominate a distinct axis
+    val dominantAxis = cs.map(c => c.indexOf(c.max))
+    assert(dominantAxis.toSet == Set(0, 1, 2), s"axes ${dominantAxis.toSeq}")
+    val assigned = emb.select(col("vec_id"),
+      VectorOps.ivfCell(col("embedding"), cs).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    pts.foreach { case (id, v) =>
+      val planted = (id % 3).toInt
+      assert(dominantAxis(assigned(id)) == planted,
+        s"vec $id (cluster $planted) assigned to axis ${dominantAxis(assigned(id))}")
+    }
+  }
+
+  test("k-means Lloyd iterations do not increase inertia; report partitions the corpus") {
+    val s = spark
+    import s.implicits._
+    def inertia(emb: org.apache.spark.sql.DataFrame, cs: Array[Array[Double]]): Double =
+      emb.collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        cs.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }.sum
+    val emb = Tables(s, sf("sf0.001")).embeddings
+    val i1 = inertia(emb, VectorOps.kmeansFit(emb, k = 8, iters = 1))
+    val i8 = inertia(emb, VectorOps.kmeansFit(emb, k = 8, iters = 8))
+    assert(i8 <= i1 + 1e-6, s"inertia rose across Lloyd iterations: $i1 -> $i8")
+    val rep = graft.SparkEntry.queries("cluster_kmeans")(s, sf("sf0.001")).collect()
+    val n = emb.count()
+    assert(rep.map(_.getLong(1)).sum == n, "cluster populations must partition the corpus")
+    assert(rep.map(_.getInt(0)).distinct.length == rep.length, "one row per cell")
+    rep.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0))
+  }
 }
