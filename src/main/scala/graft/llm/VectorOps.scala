@@ -501,6 +501,83 @@ object VectorOps {
     centroids
   }
 
+  /** Top principal components of the embedding corpus by distributed
+    * power iteration with deflation — the embedding-QC operator
+    * (anisotropy / collapsed-dimension audits, whitening before ANN or
+    * SemDeDup). The d×d covariance is never materialized: each power
+    * step is one narrow scan computing score = (v−μ)·w per row (HOF dot
+    * against the broadcast iterate) and one explode-to-dims aggregation
+    * of score·(v−μ) whose map-side partials collapse every partition to
+    * ≤ d rows pre-shuffle — so per-iteration cost is corpus-linear with
+    * a d-row shuffle, and ONLY d-length vectors ever reach the driver
+    * (the same bounded-model discipline as [[kmeansFit]] / the BPE
+    * loop). Deflation orthogonalizes the iterate against recovered
+    * components each step, so component c is fitted in the residual
+    * subspace. Deterministic: fixed init (axis c + small uniform bias),
+    * fixed iteration count.
+    *
+    * Returns (loadings, eigenvalue) per component, eigenvalues in
+    * recovered order (descending for any spectrum with a gap).
+    */
+  def pcaTop(emb: DataFrame, components: Int = 2, iters: Int = 12)
+      : (Seq[(Array[Double], Double)], Double) = {
+    val d = probeDim(emb)
+    val n = emb.count()
+    val muCol0 = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+    val mu = new Array[Double](d)
+    muCol0.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val muCol = array(mu.map(lit): _*)
+    val centered = zip_with(col("embedding"), muCol, (x, m) => x.cast("double") - m)
+    // total variance (for the explained-variance ratio): one agg
+    val totVar = emb.select(aggregate(centered, lit(0.0), (a, z) => a + z * z).as("s"))
+      .agg(sum(col("s"))).head().getDouble(0) / n
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    var found = List.empty[(Array[Double], Double)]
+    for (c <- 0 until components) {
+      var w = Array.tabulate(d)(i => if (i == c % d) 1.0 else 0.01)
+      w = w.map(_ / norm(w))
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        // deflate: keep the iterate in the residual subspace
+        found.foreach { case (u, _) =>
+          val p = w.zip(u).map { case (a, b) => a * b }.sum
+          w = w.zip(u).map { case (a, b) => a - p * b }
+        }
+        w = w.map(_ / norm(w))
+        val wCol = array(w.map(lit): _*)
+        val score = aggregate(zip_with(centered, wCol, (x, p) => x * p),
+          lit(0.0), (acc, z) => acc + z)
+        val g = new Array[Double](d)
+        emb.select(score.as("s"), posexplode(centered).as(Seq("i", "x")))
+          .groupBy("i").agg(sum(col("x").cast("double") * col("s")).as("g"))
+          .collect() // ≤ d rows — model-sized
+          .foreach(r => g(r.getInt(0)) = r.getDouble(1))
+        lambda = norm(g) / n
+        w = g.map(_ / norm(g))
+      }
+      // canonical sign: largest-|loading| dim is positive, so the
+      // component is run-deterministic (an eigenvector's sign is free)
+      val flip = if (w(w.indices.maxBy(i => math.abs(w(i)))) < 0) -1.0 else 1.0
+      found = found :+ ((w.map(_ * flip), lambda))
+    }
+    (found, totVar)
+  }
+
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Array[Double], Double)], Double)]()
+
+  /** Train-once PCA per (session, dir) — same model-vs-artifact
+    * rationale as [[ivfModel]]/[[kmeansModel]].
+    */
+  private def pcaModel(s: SparkSession, dir: String)
+      : (Seq[(Array[Double], Double)], Double) = {
+    pcaCache.keySet.removeIf(key => key._1.sparkContext.isStopped)
+    pcaCache.computeIfAbsent((s, dir), _ =>
+      pcaTop(Tables(s, dir).embeddings))
+  }
+
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[Array[Double]]]()
 
@@ -804,6 +881,28 @@ object VectorOps {
         .filter(col("rank") <= 3)
         .select("label", "rank", "vec_id", "cos")
         .orderBy("label", "rank")
+    }),
+
+    // Top-2 principal components of the embedding corpus (distributed
+    // power iteration, [[pcaTop]]) — the anisotropy/whitening audit of
+    // an embedding QC pass. The result IS the model (2×d loadings +
+    // eigenvalues + explained-variance ratios, a 2·d-row table), so the
+    // driver-side frame construction here is model-sized by definition;
+    // all corpus-scale work happened inside the power steps. Rows-only
+    // (eigenvectors aren't SQL-expressible); axis recovery, descending
+    // eigenvalues, orthonormality, and the variance-ratio bound are
+    // pinned in SimilaritySpec.
+    "embed_pca" -> ((s, dir) => {
+      val (comps, totVar) = pcaModel(s, dir)
+      val rows = comps.zipWithIndex.flatMap { case ((w, lam), c) =>
+        w.zipWithIndex.map { case (l, i) =>
+          (c, i, math.rint(l * 1e6) / 1e6, math.rint(lam * 1e4) / 1e4,
+            math.rint(lam / totVar * 1e6) / 1e6)
+        }
+      }
+      s.createDataFrame(rows.toIndexedSeq)
+        .toDF("component", "dim", "loading", "eigenvalue", "var_ratio")
+        .orderBy("component", "dim")
     }),
 
     // Full-corpus k-means cluster report: per-cluster population and

@@ -444,6 +444,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PCA power iteration recovers a planted dominant axis; components orthonormal, eigenvalues ordered") {
+    val s = spark
+    import s.implicits._
+    // variance planted overwhelmingly along axis 3, secondarily axis 5
+    val dim = 8
+    val pts = (0 until 80).map { id =>
+      val v = new Array[Float](dim)
+      v(3) = ((id % 11) - 5) * 4f            // dominant spread
+      v(5) = ((id % 7) - 3) * 1.5f           // secondary spread
+      v(1) = ((id % 3) - 1) * 0.2f           // noise
+      (id.toLong, v.toSeq)
+    }
+    val (comps, totVar) = VectorOps.pcaTop(pts.toDF("vec_id", "embedding"))
+    val (w1, l1) = comps(0); val (w2, l2) = comps(1)
+    assert(math.abs(w1(3)) > 0.99, s"pc1 must align with axis 3: ${w1.toSeq}")
+    assert(math.abs(w2(5)) > 0.99, s"pc2 must align with axis 5: ${w2.toSeq}")
+    assert(l1 > l2 && l2 > 0, s"eigenvalues must descend: $l1, $l2")
+    val dot = w1.zip(w2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6, s"components must be orthogonal, dot=$dot")
+    assert(math.abs(w1.map(x => x * x).sum - 1.0) < 1e-9, "pc1 must be unit")
+    assert(l1 / totVar <= 1.0 + 1e-9 && (l1 + l2) / totVar <= 1.0 + 1e-9,
+      "explained variance cannot exceed total")
+    // canonical sign: largest-|loading| dim positive
+    assert(w1(3) > 0 && w2(5) > 0, "sign canonicalization")
+  }
+
   test("k-means Lloyd iterations do not increase inertia; report partitions the corpus") {
     val s = spark
     import s.implicits._
