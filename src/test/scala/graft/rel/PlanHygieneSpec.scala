@@ -256,6 +256,31 @@ class PlanHygieneSpec extends SparkSpec {
     assert(hh.contains("BroadcastNestedLoopJoin") || hh.contains("BroadcastExchange"), hh)
   }
 
+  test("round-10 plans: gopher is a pruned join-free scan, dedup_lines partial-aggregates and broadcasts the owner table, kmeans report broadcasts centroids") {
+    // gopher_rules: five gates over ONE narrow scan — no hash exchange
+    // anywhere (the only exchange is the presentation orderBy) and the
+    // scan reads exactly (doc_id, text), not the other 3 columns
+    val gr = planOf("gopher_rules")
+    assert(!gr.contains("Exchange hashpartitioning") && !gr.contains("Join"), gr)
+    val grRead = gr.linesIterator.find(_.contains("ReadSchema")).get
+    assert(grRead.contains("doc_id") && grRead.contains("text") &&
+      !grRead.contains("lang") && !grRead.contains("n_chars"), grRead)
+    // dedup_lines: the first-owner table is a map-side-combinable
+    // partial_min over the line hash, joined back as a BROADCAST (like
+    // boilerplate's df table); reassembly partials present; never a
+    // cartesian
+    val dl = planOf("dedup_lines")
+    assert(dl.contains("partial_min(struct(doc_id"), dl)
+    assert(dl.contains("BroadcastHashJoin"), dl)
+    assert(dl.contains("partial_collect_list") && dl.contains("partial_sum"), dl)
+    assert(!dl.contains("CartesianProduct"), dl)
+    // cluster_kmeans report: the k-row centroid table must broadcast
+    // into the assignment scan, never shuffle it
+    val km = planOf("cluster_kmeans")
+    assert(km.contains("BroadcastHashJoin"), km)
+    assert(!km.contains("SortMergeJoin") && !km.contains("CartesianProduct"), km)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
