@@ -76,6 +76,51 @@ object Sampling {
         .orderBy(col("df").desc, col("shingle"))
         .limit(20)),
 
+    // Sequence-length histogram (fixed 16-token bins, per source) — the
+    // packing-efficiency / truncation-loss audit run before choosing a
+    // training context length. Integer bin arithmetic (n − n mod 16, no
+    // float floor) so both engines bin identically; one narrow
+    // projection + ONE map-side-combinable count, output is bins×
+    // sources rows (bounded), never the corpus.
+    "seq_len_hist" -> ((s, dir) => {
+      val n = size(split(col("text"), " "))
+      Tables(s, dir).documents
+        .select(col("source"), (n - n % 16).cast("long").as("bin_lo"))
+        .groupBy("source", "bin_lo")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "bin_lo")
+    }),
+
+    // Data-mix rate solver (the Pile/Dolma source-weighting step):
+    // given target mix weights per source and the tokens actually
+    // available, the max achievable corpus size with NO upsampling is
+    // T* = min_s(tokens_s / p_s); each source then samples at rate
+    // p_s·T*/tokens_s (=1 for the binding source). Weights here derive
+    // deterministically from the source id (1 + suffix mod 4, then
+    // normalized) so the fixture exercises unequal targets. Shape: one
+    // corpus aggregation; everything after runs on the SOURCE table
+    // (|sources| rows) with two broadcast scalars — at 100 TB the mix
+    // solve is free once per-source token mass exists.
+    "mix_rates" -> ((s, dir) => {
+      val tok = Tables(s, dir).documents
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("double").as("t"))
+        .withColumn("w",
+          (lit(1) + substring(col("source"), 4, 10).cast("int") % 4).cast("double"))
+      val wsum = tok.agg(sum(col("w")).as("wsum"))
+      val p = tok.crossJoin(broadcast(wsum))
+        .withColumn("p", col("w") / col("wsum"))
+      val tstar = p.agg(min(col("t") / col("p")).as("tstar"))
+      p.crossJoin(broadcast(tstar))
+        .select(
+          col("source"),
+          col("t").cast("long").as("n_tokens"),
+          round(col("p"), 6).as("weight"),
+          round(col("p") * col("tstar") / col("t"), 6).as("rate"),
+          round(col("p") * col("tstar"), 2).as("sampled_tokens"))
+        .orderBy("source")
+    }),
+
     // per-source corpus statistics (doc count, token mass, mean length)
     "corpus_stats" -> ((s, dir) =>
       Tables(s, dir).documents
@@ -112,6 +157,24 @@ object Sampling {
         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
         |SELECT w AS shingle, count(*) AS df FROM words
         |GROUP BY w ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    "seq_len_hist" ->
+      """WITH n AS (
+        |  SELECT source, len(string_split(text,' ')) AS n FROM documents)
+        |SELECT source, CAST(n - n % 16 AS BIGINT) AS bin_lo, count(*) AS n_docs
+        |FROM n GROUP BY 1, 2 ORDER BY source, bin_lo""".stripMargin,
+    "mix_rates" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS t,
+        |    CAST(1 + CAST(substring(source, 4) AS INTEGER) % 4 AS DOUBLE) AS w
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT source, t, w / (SELECT sum(w) FROM tok) AS p FROM tok),
+        |ts AS (SELECT min(t / p) AS tstar FROM p)
+        |SELECT source, CAST(t AS BIGINT) AS n_tokens,
+        |  round(p, 6) AS weight,
+        |  round(p * (SELECT tstar FROM ts) / t, 6) AS rate,
+        |  round(p * (SELECT tstar FROM ts), 2) AS sampled_tokens
+        |FROM p ORDER BY source""".stripMargin,
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -293,6 +293,28 @@ class CurationSpec extends SparkSpec {
     assert(got(8L) == (("", 2L, 2L)), "within-doc repeat of an earlier doc's chunk: both scrubbed")
   }
 
+  test("mix_rates: no upsampling, the binding source saturates, sampled mass realizes the target mix") {
+    val rows = graft.SparkEntry.queries("mix_rates")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, _, w, rate, _) =>
+      assert(rate <= 1.0 + 1e-9, s"$src upsampled: rate=$rate")
+      assert(w > 0 && w < 1)
+    }
+    assert(rows.exists { case (_, _, _, rate, _) => rate >= 1.0 - 1e-6 },
+      "some source must bind (rate = 1) — otherwise T* wasn't maximal")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "weights must normalize")
+    // realized mix ≡ target mix: sampled_s / Σ sampled = weight_s
+    val total = rows.map(_._5).sum
+    rows.foreach { case (src, _, w, _, sampled) =>
+      assert(math.abs(sampled / total - w) < 1e-4, s"$src realized ${sampled / total} vs target $w")
+    }
+    // sampling never exceeds availability
+    rows.foreach { case (src, avail, _, _, sampled) =>
+      assert(sampled <= avail + 0.5, s"$src sampled $sampled of $avail")
+    }
+  }
+
   test("gopher_rules: each gate fires independently and keep is their conjunction") {
     val s = spark
     import s.implicits._
