@@ -135,6 +135,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(
       (FunctionIdentifier(NfcNormalize.functionName),
         NfcNormalize.info, NfcNormalize.builder _))
+    e.injectFunction(
+      (FunctionIdentifier(DeflateSize.functionName),
+        DeflateSize.info, DeflateSize.builder _))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     // SimplifySelfCosine is deliberately NOT injected by default: it is a
     // semantics-RELAXING rewrite (see its scaladoc — the emitted 1.0

@@ -197,6 +197,27 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Compression-ratio quality signal (the "gzip ratio" gate of
+    // CCNet-descendant pipelines): deflate_size(text)/octet_length —
+    // template spam compresses ≪ prose, base64/binary junk ≈ 1. Runs
+    // the engine's native codegen [[graft.functions.DeflateSize]]
+    // Expression, so the whole signal is ONE narrow whole-stage-codegen
+    // scan with zero per-row allocation beyond the UTF-8 copy. Rows-only
+    // (DuckDB has no deflate); ordering semantics pinned in CurationSpec
+    // on planted repetitive/prose/high-entropy docs.
+    "text_compress_ratio" -> ((s, dir) => {
+      graft.functions.DeflateSize.ensureRegistered(s)
+      val raw = octet_length(col("text")).cast("long")
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          raw.as("n_bytes"),
+          graft.functions.DeflateSize.deflate_size(col("text")).as("n_deflate"))
+        .withColumn("ratio",
+          round(col("n_deflate").cast("double") / nullif(col("n_bytes"), lit(0L)), 6))
+        .orderBy("doc_id")
+    }),
+
     // Gopher rule-based quality gates (Rae et al. 2021, Appendix A —
     // the MassiveText filter every modern corpus pipeline reruns:
     // Dolma, FineWeb, RefinedWeb all cite these exact thresholds).

@@ -315,6 +315,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("text_compress_ratio orders repetitive < prose < high-entropy; empty text yields null") {
+    val s = spark
+    import s.implicits._
+    val repetitive = Seq.fill(200)("spam").mkString(" ")
+    val prose = (0 until 200).map(i => s"word${i % 37} and the value ${i % 11}").mkString(" ")
+    // deterministic pseudo-random alnum junk (base64-shaped payload)
+    val junk = {
+      val sb = new StringBuilder; var x = 1234567891L
+      while (sb.length < 800) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(java.lang.Long.toUnsignedString(x, 36))
+      }
+      sb.toString.take(800)
+    }
+    val docs = Seq((1L, repetitive), (2L, prose), (3L, junk), (4L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("deflate").toFile
+    dir.deleteOnExit()
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = graft.SparkEntry.queries("text_compress_ratio")(s, dir.getAbsolutePath)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (rRep, rProse, rJunk) =
+      (got(1L).getDouble(3), got(2L).getDouble(3), got(3L).getDouble(3))
+    assert(rRep < rProse && rProse < rJunk,
+      s"ordering violated: rep=$rRep prose=$rProse junk=$rJunk")
+    assert(rRep < 0.1, s"repeated token must compress away: $rRep")
+    assert(rJunk > 0.5, s"high-entropy payload must resist compression: $rJunk")
+    assert(got(4L).isNullAt(3), "empty text must yield null ratio, not a division error")
+    // the expression agrees with an independent in-JVM Deflater run
+    val d = new java.util.zip.Deflater()
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    var expect = 0L
+    while (!d.finished()) expect += d.deflate(buf)
+    d.end()
+    assert(got(2L).getLong(2) == expect, "deflate_size must match a fresh JDK Deflater")
+  }
+
   test("gopher_rules: each gate fires independently and keep is their conjunction") {
     val s = spark
     import s.implicits._
