@@ -35,6 +35,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] memo build: $e"); false }
     val deconMemoBuild =
       if (memoOk) (System.nanoTime() - memoT0) / 1e9 else Double.NaN
+    // Same treatment for the round-10 embedding models (k-means
+    // centroids + PCA components): fitted once per corpus at index-build
+    // time, reported as their own line so the cluster_kmeans/embed_pca
+    // medians measure the REPORT queries, not a cold Lloyd/power fit.
+    val modelT0 = System.nanoTime()
+    val modelOk =
+      try { graft.llm.VectorOps.prepareModels(spark, sfDir); true }
+      catch { case e: Throwable => System.err.println(s"[bench] model build: $e"); false }
+    val vectorModelBuild =
+      if (modelOk) (System.nanoTime() - modelT0) / 1e9 else Double.NaN
     // noop sink: forces full evaluation of every output column (a bare
     // count() would let Catalyst prune the computed columns away and
     // under-measure), with zero write-side cost. Median-of-3 per query:
@@ -125,6 +135,7 @@ object Bench {
       s""""median_of":$timedRuns,"spread":$totalSpread,""" +
       s""""first_run_total":$firstTotal,""" +
       s""""decon_memo_build_s":${num(deconMemoBuild)},""" +
+      s""""vector_model_build_s":${num(vectorModelBuild)},""" +
       s""""r2_captured_subset_total":$r2SubsetTotal,""" +
       s""""r2_captured_subset_n":${r2Subset.size},""" +
       s""""queries":$qs,"spreads":$spreads,"sf":${q(sfDir)}}"""
