@@ -46,6 +46,7 @@ object SparkEntry {
       sources.AvroCodec.queries,
       sources.JdbcSource.queries,
       sources.CsvSpool.queries,
+      sources.JsonSpool.queries,
       sources.OrcSource.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,5 +66,6 @@ object SparkEntry {
       sources.AvroCodec.oracleSql,
       sources.JdbcSource.oracleSql,
       sources.CsvSpool.oracleSql,
+      sources.JsonSpool.oracleSql,
       sources.OrcSource.oracleSql), "oracle")
 }
