@@ -140,7 +140,7 @@ object Curation {
     * per partition BEFORE the shuffle — then one join back on the
     * pre-partitioned hash key and the per-doc ordered reassembly.
     */
-  private[llm] def dedupLines(docs: DataFrame, chunkWords: Int = 3): DataFrame = {
+  private[graft] def dedupLines(docs: DataFrame, chunkWords: Int = 3): DataFrame = {
     val chunked = chunkedLines(docs, chunkWords)
     val owner = chunked
       .groupBy("ck")

@@ -75,4 +75,63 @@ class EndToEndSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty, "vacuous end-to-end run")
   }
+
+  test("curation capstone: gopher gate → exact dedup → substring scrub → line scrub on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    // Five 60-word docs engineered so each stage removes exactly one
+    // known thing (every doc clears the Gopher word-count/length/alpha
+    // gates except doc4, which lacks stopwords):
+    //   doc1  unique prose — must survive the whole chain INTACT
+    //   doc2  exact clone of doc1 — dropped at exact dedup (min-id rule)
+    //   doc3  doc1's tokens 1..20 + 40 unique — the 20-token span is
+    //         scrubbed (Lee et al. k=20), its unique tail survives
+    //   doc4  no Gopher stopwords — dropped at the gate
+    //   doc5  doc1's first 3-token chunk + 57 unique — the chunk is
+    //         scrubbed by the C4 line rule (below substring's k, so only
+    //         line dedup can catch it)
+    def uniq(tag: String, from: Int, n: Int, stopAt: Set[Int]): Seq[String] =
+      (from until from + n).map(i =>
+        if (stopAt.contains(i - from)) (if ((i - from) % 2 == 0) "the" else "and")
+        else s"$tag$i")
+    val w1 = uniq("alpha", 1, 60, Set(30, 33))
+    val w3 = w1.take(20) ++ uniq("gamma", 21, 40, Set(20, 23))
+    val w4 = uniq("delta", 1, 60, Set.empty)
+    val w5 = w1.take(3) ++ uniq("omega", 4, 57, Set(20, 23))
+    val docs = Seq(
+      (1L, w1.mkString(" ")), (2L, w1.mkString(" ")), (3L, w3.mkString(" ")),
+      (4L, w4.mkString(" ")), (5L, w5.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = Files.createTempDirectory("capstone").toFile
+    dir.deleteOnExit()
+    docs.write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+
+    // stage 1: Gopher gate (the oracle-checked id's own keep flag)
+    val keepIds = SparkEntry.queries("gopher_rules")(s, dir.getAbsolutePath)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(keepIds == Set(1L, 2L, 3L, 5L), s"gate: $keepIds")
+    val gated = docs.filter(col("doc_id").isin(keepIds.toSeq: _*))
+
+    // stage 2: exact dedup, min-id survivor
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+    val exact = gated.withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+    assert(exact.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+
+    // stage 3: substring scrub (k=20) — doc3 loses exactly its copied span
+    val scrubbed = llm.NearDedup.substringScrub(exact.select("doc_id", "text"), k = 20)
+      .withColumnRenamed("scrubbed", "text")
+
+    // stage 4: C4 first-occurrence line scrub — doc5 loses exactly the chunk
+    val fin = llm.Curation.dedupLines(scrubbed)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin(1L) == w1.mkString(" "), "doc1 must pass through the whole chain verbatim")
+    assert(fin(3L) == w3.drop(20).mkString(" "),
+      s"doc3 must keep exactly its unique tail: ${fin(3L)}")
+    assert(fin(5L) == w5.drop(3).mkString(" "),
+      s"doc5 must lose exactly the copied first chunk: ${fin(5L)}")
+    assert(fin.keySet == Set(1L, 3L, 5L))
+  }
 }
