@@ -450,6 +450,72 @@ object Multimodal {
       }
     }
 
+  case class MotionSample(doc_id: Long, pair_idx: Int, n_pixels: Long,
+      sum_absdiff: Long, mean_absdiff: Double, changed_frac: Double)
+
+  /** Frame-to-frame motion features over the DECODED rasters of the k
+    * scheduled frames — the shot-boundary / static-clip signal a video
+    * curation pass computes (static slates and frozen frames are the
+    * video analog of boilerplate text). Same demux + decode path as
+    * [[sampleFrames]]; for each consecutive sampled pair the per-pixel
+    * |Δ| is summed over the REAL decoded pixels, so the oracle's
+    * independent byte-cycle prediction only matches if the engine's
+    * decode is exact. The emitted means are single IEEE divisions of
+    * two integers — bitwise identical across engines, no rounding
+    * contract needed. Payloads never cross a shuffle (batched narrow
+    * mapPartitions, features-only downstream).
+    */
+  def motionFeatures(media: Dataset[MediaRecord], k: Int = 4, batchSize: Int = 64): Dataset[MotionSample] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => motionBatch(b, k))
+    }
+  }
+
+  private def motionBatch(batch: Seq[MediaRecord], k: Int): Seq[MotionSample] =
+    batch.flatMap { r =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"payload of doc ${r.doc_id} has no registered demuxer")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        require(nFrames > 0, s"payload of doc ${r.doc_id} demuxed to zero frames")
+        def raster(src: Int): Array[Int] = {
+          val img = reader.read(src)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](w * h)
+          var p = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(p) = img.getRGB(x, y) & 0xff; p += 1; x += 1 }
+            y += 1
+          }
+          px
+        }
+        // decode each DISTINCT scheduled frame once, diff consecutive pairs
+        val srcs = (0 until k).map(i => i * nFrames / k)
+        val decoded = srcs.distinct.map(s0 => s0 -> raster(s0)).toMap
+        (0 until k - 1).map { i =>
+          val (a, b) = (decoded(srcs(i)), decoded(srcs(i + 1)))
+          var sum = 0L; var changed = 0L; var p = 0
+          while (p < a.length) {
+            val d = math.abs(a(p) - b(p))
+            sum += d; if (d > 0) changed += 1
+            p += 1
+          }
+          MotionSample(r.doc_id, i, a.length.toLong, sum,
+            sum.toDouble / a.length, changed.toDouble / a.length)
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+
   private def gifDelayHundredths(meta: javax.imageio.metadata.IIOMetadata): Int = {
     val root = meta.getAsTree(meta.getNativeMetadataFormatName)
     var c = root.getFirstChild
@@ -504,7 +570,15 @@ object Multimodal {
     // oracle-checked against the independent byte-cycle prediction
     "mm_audio" -> ((s, dir) =>
       decodeAudio(audioCorpus(s, dir))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // frame-to-frame motion over DECODED rasters (shot-boundary /
+    // static-clip signal); the oracle predicts every |Δ| from the
+    // byte-cycle model, so agreement proves the decode — means are
+    // single int/int IEEE divisions, bitwise identical cross-engine
+    "mm_motion" -> ((s, dir) =>
+      motionFeatures(animatedCorpus(s, dir))
+        .toDF().orderBy("doc_id", "pair_idx"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -597,6 +671,29 @@ object Multimodal {
         |  CAST(floor(h * 224.0 / greatest(w, h)) AS INTEGER) AS out_h,
         |  substring(sha256(substring(repeat(text, CAST((src + w*h) // n AS INTEGER) + 1),
         |                             CAST(src AS INTEGER) + 1, w*h)), 1, 12) AS frame_sig
-        |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_motion" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
+        |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h,
+        |    4 + (CAST('0x' || substring(md5(text),5,2) AS INTEGER) % 5) AS nf
+        |  FROM documents WHERE len(text) > 0),
+        |pairs AS (
+        |  SELECT doc_id, text, n, w, h, nf, unnest(range(3)) AS i FROM dims),
+        |x AS (
+        |  SELECT *, i * nf // 4 AS src_a, (i + 1) * nf // 4 AS src_b FROM pairs),
+        |d AS (
+        |  SELECT doc_id, i, w, h,
+        |    list_transform(range(w * h), p ->
+        |      abs(ascii(substring(text, CAST((p + src_a) % n AS INTEGER) + 1, 1)) -
+        |          ascii(substring(text, CAST((p + src_b) % n AS INTEGER) + 1, 1)))) AS diffs
+        |  FROM x)
+        |SELECT doc_id, CAST(i AS INTEGER) AS pair_idx,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_aggregate(diffs, 'sum') AS BIGINT) AS sum_absdiff,
+        |  CAST(list_aggregate(diffs, 'sum') AS DOUBLE) / (w * h) AS mean_absdiff,
+        |  CAST(len(list_filter(diffs, v -> v > 0)) AS DOUBLE) / (w * h) AS changed_frac
+        |FROM d ORDER BY doc_id, pair_idx""".stripMargin
   )
 }

@@ -415,6 +415,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mm_motion: a constant payload is a static clip (zero motion); alternating bytes move everywhere") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x" * 300),                        // constant → every frame identical
+      (2L, "ab" * 150))                       // period 2 → consecutive frames differ by |a-b| per pixel
+      .toDF("doc_id", "text")
+    val got = Multimodal.motionFeatures(Multimodal.encodeAnimations(docs))
+      .collect().groupBy(_.doc_id)
+    got(1L).foreach { m =>
+      assert(m.sum_absdiff == 0L && m.changed_frac == 0.0,
+        s"static clip must show zero motion: $m")
+    }
+    // doc2: frame f pixel p = bytes[(p+f) % 2] — consecutive frames are
+    // the swapped pattern IF the frame offsets differ by an odd step;
+    // the sampled pair steps are nf/4-ish, so assert on the model, not
+    // a constant: every pair with odd (src_b - src_a) moves everywhere
+    // at |'a'-'b'| = 1, every even-step pair is static.
+    val md = java.security.MessageDigest.getInstance("MD5").digest(("ab" * 150).getBytes("UTF-8"))
+    val nf = 4 + ((md(2) & 0xff) % 5)
+    (0 until 3).foreach { i =>
+      val step = ((i + 1) * nf / 4) - (i * nf / 4)
+      val m = got(2L).find(_.pair_idx == i).get
+      if (step % 2 == 1)
+        assert(m.mean_absdiff == 1.0 && m.changed_frac == 1.0, s"odd-step pair must fully move: $m")
+      else
+        assert(m.sum_absdiff == 0L, s"even-step pair must be static: $m")
+    }
+  }
+
   test("distributed k-means recovers planted well-separated clusters exactly") {
     val s = spark
     import s.implicits._
