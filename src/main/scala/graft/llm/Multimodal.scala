@@ -242,6 +242,51 @@ object Multimodal {
     }
   }
 
+  case class AudioResample(doc_id: Long, in_rate: Int, out_rate: Int,
+      n_in: Long, n_out: Long, sum_amp_out: Long, out_sha: String)
+
+  /** Integer sample-rate conversion over the PARSED PCM — the simplest
+    * correct decimator (factor-N box filter then downsample: each
+    * output sample is the integer mean of its N input samples, the
+    * anti-aliasing every resampler needs in its crudest form). The
+    * input rate comes from the parsed WAV header, so the emitted
+    * out_rate is wrong unless the container walk really happened; the
+    * output PCM is sha-checked against the oracle's analytic
+    * prediction. Same batched narrow `mapPartitions` as every codec
+    * stage — payloads never cross a shuffle, only the small feature row
+    * flows downstream.
+    */
+  def resampleAudio(media: Dataset[MediaRecord], factor: Int = 2,
+      batchSize: Int = 64): Dataset[AudioResample] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val pcm = ais.readAllBytes()
+        val nOut = pcm.length / factor
+        val out = new Array[Byte](nOut)
+        var i = 0
+        while (i < nOut) {
+          var acc = 0; var j = 0
+          while (j < factor) { acc += pcm(i * factor + j) & 0xff; j += 1 }
+          out(i) = (acc / factor).toByte
+          i += 1
+        }
+        var sum = 0L; i = 0
+        while (i < nOut) { sum += math.abs((out(i) & 0xff) - 128); i += 1 }
+        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
+          .map("%02x".format(_)).mkString
+        AudioResample(r.doc_id, fmt.getSampleRate.toInt,
+          fmt.getSampleRate.toInt / factor, pcm.length.toLong, nOut.toLong, sum, sha)
+      })
+    }
+  }
+
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[ImageMeta] =
     batch.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -578,7 +623,13 @@ object Multimodal {
     // single int/int IEEE divisions, bitwise identical cross-engine
     "mm_motion" -> ((s, dir) =>
       motionFeatures(animatedCorpus(s, dir))
-        .toDF().orderBy("doc_id", "pair_idx"))
+        .toDF().orderBy("doc_id", "pair_idx")),
+
+    // 2:1 integer box-filter decimation over the PARSED PCM; out_rate
+    // derives from the parsed header, resampled bytes sha-checked
+    "mm_audio_resample" -> ((s, dir) =>
+      resampleAudio(audioCorpus(s, dir))
+        .toDF().orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -672,6 +723,30 @@ object Multimodal {
         |  substring(sha256(substring(repeat(text, CAST((src + w*h) // n AS INTEGER) + 1),
         |                             CAST(src AS INTEGER) + 1, w*h)), 1, 12) AS frame_sig
         |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_audio_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, len(text) AS l,
+        |    256 + (CAST('0x' || substring(md5(text),7,2) AS INTEGER) % 1024) AS n
+        |  FROM documents WHERE len(text) > 0),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    substring(repeat(text, CAST((n + l - 1) // l AS INTEGER)), 1, CAST(n AS INTEGER)) AS px
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, n, n // 2 AS n_out,
+        |    list_transform(range(CAST(n // 2 AS INTEGER)),
+        |      i -> (ascii(substring(px, CAST(2*i + 1 AS INTEGER), 1)) +
+        |            ascii(substring(px, CAST(2*i + 2 AS INTEGER), 1))) // 2) AS vals
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS in_rate,
+        |  CAST(4000 AS INTEGER) AS out_rate,
+        |  CAST(n AS BIGINT) AS n_in,
+        |  CAST(n_out AS BIGINT) AS n_out,
+        |  CAST(list_sum(list_transform(vals, v -> abs(v - 128))) AS BIGINT) AS sum_amp_out,
+        |  sha256(list_aggregate(list_transform(vals, v -> chr(CAST(v AS INTEGER))),
+        |         'string_agg', '')) AS out_sha
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_motion" ->
       """WITH dims AS (
         |  SELECT doc_id, text, len(text) AS n,
