@@ -905,7 +905,9 @@ object VectorOps {
     // all corpus-scale work happened inside the power steps. Rows-only
     // (eigenvectors aren't SQL-expressible); axis recovery, descending
     // eigenvalues, orthonormality, and the variance-ratio bound are
-    // pinned in SimilaritySpec.
+    // pinned in SimilaritySpec. components=2 is the audit's cut, not a
+    // bound — pcaTop takes the count, each extra component costs one
+    // more set of power-step scans (never a d×d covariance).
     "embed_pca" -> ((s, dir) => {
       val (comps, totVar) = pcaModel(s, dir)
       val rows = comps.zipWithIndex.flatMap { case ((w, lam), c) =>
@@ -928,7 +930,11 @@ object VectorOps {
     // aggregation. Rows-only like the other ANN/cluster ids (the cell
     // assignment is engine-internal k-means); planted-cluster recovery,
     // Lloyd inertia descent, and population-partition invariants are
-    // pinned in SimilaritySpec.
+    // pinned in SimilaritySpec. k=8 is the REPORT's granularity, not an
+    // engine bound: kmeansFit takes k, and a 100 TB corpus clustering
+    // scales k with n exactly like dedup_semantic scales its cells
+    // (per-iteration cost is corpus-linear regardless — the shuffle
+    // stays ≤ k·dim rows, the driver model k×dim).
     "cluster_kmeans" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       val cs = kmeansModel(s, dir, k = 8, iters = 8)
