@@ -66,6 +66,13 @@ object Curation {
   private def ngHash(c: org.apache.spark.sql.Column) =
     Sampling.hashBucket(c, hexDigits = 14)
 
+  /** Memoized bootstrap state for `dedup_lines_incr` (even-doc line
+    * hashes) — same pre-existing-artifact cost model as NearDedup's
+    * stateCache.
+    */
+  private val lineStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def evalNgHashes(s: SparkSession, dir: String): DataFrame = {
     evalNgCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     evalNgCache.computeIfAbsent((s, dir), _ =>
@@ -158,6 +165,42 @@ object Curation {
             when(!col("is_dup"), struct(col("pos"), col("chunk"))))),
           x => x.getField("chunk"))).as("clean_text"))
       .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"))
+  }
+
+  /** Streaming admission for the C4 line rule — the line-level member
+    * of the incremental-dedup trio (`dedup_incremental` = LSH,
+    * `dedup_semantic_incr` = embeddings): `owned` is the line-hash set
+    * of everything admitted so far; the batch's chunks are scrubbed if
+    * their hash is owned OR loses the intra-batch first-occurrence
+    * race (min(struct(doc_id,pos)) — the same rule [[dedupLines]]
+    * applies globally, so batches arriving in doc order reproduce the
+    * one-shot result EXACTLY, spec-pinned). Returns the per-doc scrub
+    * output and the batch's newly-owned hashes; per-batch cost is
+    * O(batch chunks) + one semi-membership join against the state —
+    * never a rescan of admitted documents.
+    */
+  private[graft] def admitLines(batch: DataFrame, owned: DataFrame,
+      chunkWords: Int = 3): (DataFrame, DataFrame) = {
+    val chunked = chunkedLines(batch, chunkWords)
+    val intra = chunked.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val out = chunked
+      .join(owned.select(col("ck"), lit(true).as("seen")), Seq("ck"), "left")
+      .join(intra, Seq("ck"))
+      .withColumn("is_dup", col("seen").isNotNull ||
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("is_dup").cast("long")).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!col("is_dup"), struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk"))).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"))
+    val newOwned = intra.select("ck")
+      .join(owned.select("ck"), Seq("ck"), "left_anti")
+    (out, newOwned)
   }
 
   /** Core of `boilerplate_lines`, callable on planted corpora
@@ -358,6 +401,27 @@ object Curation {
     // per-doc reassembly) — see [[dedupLines]].
     "dedup_lines" -> ((s, dir) =>
       dedupLines(Tables(s, dir).documents).orderBy("doc_id")),
+
+    // incremental twin of `dedup_lines` (same cost model as
+    // dedup_incremental / dedup_semantic_incr): even doc_ids are the
+    // admitted state (memoized bootstrap — the persisted artifact a
+    // real pipeline admits against), odd doc_ids arrive as the batch
+    // and scrub against state ownership + intra-batch first occurrence.
+    // Rows-only (order-dependent admission); batch-chain ≡ one-shot
+    // equality and state-growth semantics pinned in CurationSpec.
+    "dedup_lines_incr" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      lineStateCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      val owned = lineStateCache.computeIfAbsent((s, dir), _ => {
+        val evens = docs.filter(col("doc_id") % 2 === 0)
+        val (_, owned0) = admitLines(evens, chunkedLines(evens.limit(0), 3).select("ck"))
+        owned0.persist()
+      })
+      val (out, _) = admitLines(docs.filter(col("doc_id") % 2 =!= 0), owned)
+      out.select(col("doc_id"), col("n_chunks"), col("n_removed"),
+          md5(col("clean_text")).as("h"))
+        .orderBy("doc_id")
+    }),
 
     // PII scrub over a free-text column (events.props here — the fixture
     // column that actually contains digit runs): mask email-shaped

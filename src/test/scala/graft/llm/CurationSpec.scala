@@ -293,6 +293,37 @@ class CurationSpec extends SparkSpec {
     assert(got(8L) == (("", 2L, 2L)), "within-doc repeat of an earlier doc's chunk: both scrubbed")
   }
 
+  test("admitLines: in-order batch chain reproduces one-shot dedup_lines exactly; re-admission scrubs fully and grows no state") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables(s, sf("sf0.001")).documents.select("doc_id", "text")
+    val oneShot = Curation.dedupLines(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // three doc-ordered batches (id RANGES — a % split would interleave
+    // ids and break the arrival-order premise) folded through admission
+    var owned = docs.limit(0).select((col("doc_id") * 0).as("ck"))
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val ranges = Seq(
+      docs.filter(col("doc_id") < cut1),
+      docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+      docs.filter(col("doc_id") >= cut2))
+    val chained = ranges.flatMap { batch =>
+      val (out, fresh) = Curation.admitLines(batch, owned)
+      owned = owned.unionByName(fresh).persist()
+      out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }.toSet
+    assert(chained == oneShot, "in-doc-order incremental admission must equal the one-shot scrub")
+    // re-admitting an already-admitted batch: every chunk is owned →
+    // fully scrubbed output, and the state gains nothing
+    val (reOut, reFresh) = Curation.admitLines(ranges(1), owned)
+    assert(reFresh.isEmpty, "re-admission must own no new lines")
+    reOut.collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getString(1).isEmpty,
+        s"re-admitted doc must scrub to empty: $r")
+    }
+  }
+
   test("mix_rates: no upsampling, the binding source saturates, sampled mass realizes the target mix") {
     val rows = graft.SparkEntry.queries("mix_rates")(spark, sf("sf0.001"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
