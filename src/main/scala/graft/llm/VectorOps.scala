@@ -516,11 +516,15 @@ object VectorOps {
     * subspace. Deterministic: fixed init (axis c + small uniform bias),
     * fixed iteration count.
     *
-    * Returns (loadings, eigenvalue) per component, eigenvalues in
-    * recovered order (descending for any spectrum with a gap).
+    * Returns the fitted [[PcaModel]]: (loadings, eigenvalue) per
+    * component in recovered order (descending for any spectrum with a
+    * gap), the total variance, and the mean vector (the model's
+    * centering — [[embed_project]]'s apply side needs it).
     */
-  def pcaTop(emb: DataFrame, components: Int = 2, iters: Int = 12)
-      : (Seq[(Array[Double], Double)], Double) = {
+  final case class PcaModel(components: Seq[(Array[Double], Double)],
+      totalVar: Double, mean: Array[Double])
+
+  def pcaTop(emb: DataFrame, components: Int = 2, iters: Int = 12): PcaModel = {
     val d = probeDim(emb)
     val n = emb.count()
     val muCol0 = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
@@ -562,17 +566,16 @@ object VectorOps {
       val flip = if (w(w.indices.maxBy(i => math.abs(w(i)))) < 0) -1.0 else 1.0
       found = found :+ ((w.map(_ * flip), lambda))
     }
-    (found, totVar)
+    PcaModel(found, totVar, mu)
   }
 
-  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Seq[(Array[Double], Double)], Double)]()
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), PcaModel]()
 
   /** Train-once PCA per (session, dir) — same model-vs-artifact
     * rationale as [[ivfModel]]/[[kmeansModel]].
     */
-  private def pcaModel(s: SparkSession, dir: String)
-      : (Seq[(Array[Double], Double)], Double) = {
+  private def pcaModel(s: SparkSession, dir: String): PcaModel = {
     pcaCache.keySet.removeIf(key => key._1.sparkContext.isStopped)
     pcaCache.computeIfAbsent((s, dir), _ =>
       pcaTop(Tables(s, dir).embeddings))
@@ -909,7 +912,8 @@ object VectorOps {
     // bound — pcaTop takes the count, each extra component costs one
     // more set of power-step scans (never a d×d covariance).
     "embed_pca" -> ((s, dir) => {
-      val (comps, totVar) = pcaModel(s, dir)
+      val model = pcaModel(s, dir)
+      val (comps, totVar) = (model.components, model.totalVar)
       val rows = comps.zipWithIndex.flatMap { case ((w, lam), c) =>
         w.zipWithIndex.map { case (l, i) =>
           (c, i, math.rint(l * 1e6) / 1e6, math.rint(lam * 1e4) / 1e4,
@@ -919,6 +923,34 @@ object VectorOps {
       s.createDataFrame(rows.toIndexedSeq)
         .toDF("component", "dim", "loading", "eigenvalue", "var_ratio")
         .orderBy("component", "dim")
+    }),
+
+    // The APPLY side of the PCA model (the fit alone would be the same
+    // gap the BPE loop closed with bpe_encode): every vector's
+    // coordinates in the fitted component basis + the residual norm —
+    // the dimensionality-reduction / outlier-scoring projection a
+    // pipeline materializes next to its embeddings. Pure per-row HOF
+    // dot products against the broadcast (literal) μ and loadings — one
+    // narrow whole-stage-codegen scan, no shuffle but the output order.
+    // Rows-only (components are engine-internal); projection parity vs
+    // an independent in-JVM computation and the variance/eigenvalue
+    // identity are pinned in SimilaritySpec.
+    "embed_project" -> ((s, dir) => {
+      val model = pcaModel(s, dir)
+      val muCol = array(model.mean.map(lit): _*)
+      val centered = zip_with(col("embedding"), muCol, (x, m) => x.cast("double") - m)
+      val projs = model.components.map { case (w, _) =>
+        aggregate(zip_with(centered, array(w.map(lit): _*), (x, p) => x * p),
+          lit(0.0), (acc, z) => acc + z)
+      }
+      val norm2 = aggregate(centered, lit(0.0), (acc, z) => acc + z * z)
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          round(projs(0), 6).as("p1"),
+          round(projs(1), 6).as("p2"),
+          round(sqrt(greatest(norm2 - projs(0) * projs(0) - projs(1) * projs(1),
+            lit(0.0))), 6).as("resid_norm"))
+        .orderBy("vec_id")
     }),
 
     // Full-corpus k-means cluster report: per-cluster population and

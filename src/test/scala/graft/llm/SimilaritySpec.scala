@@ -486,7 +486,8 @@ class SimilaritySpec extends SparkSpec {
       v(1) = ((id % 3) - 1) * 0.2f           // noise
       (id.toLong, v.toSeq)
     }
-    val (comps, totVar) = VectorOps.pcaTop(pts.toDF("vec_id", "embedding"))
+    val model = VectorOps.pcaTop(pts.toDF("vec_id", "embedding"))
+    val (comps, totVar) = (model.components, model.totalVar)
     val (w1, l1) = comps(0); val (w2, l2) = comps(1)
     assert(math.abs(w1(3)) > 0.99, s"pc1 must align with axis 3: ${w1.toSeq}")
     assert(math.abs(w2(5)) > 0.99, s"pc2 must align with axis 5: ${w2.toSeq}")
@@ -498,6 +499,28 @@ class SimilaritySpec extends SparkSpec {
       "explained variance cannot exceed total")
     // canonical sign: largest-|loading| dim positive
     assert(w1(3) > 0 && w2(5) > 0, "sign canonicalization")
+  }
+
+  test("embed_project applies the fitted basis: parity with an independent projection, residual identity") {
+    val s = spark
+    val got = graft.SparkEntry.queries("embed_project")(s, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val model = VectorOps.pcaTop(Tables(s, sf("sf0.001")).embeddings)
+    val (w1, _) = model.components(0); val (w2, _) = model.components(1)
+    assert(got.nonEmpty)
+    vecs.foreach { case (id, v) =>
+      val c = v.map(_.toDouble).zip(model.mean).map { case (x, m) => x - m }
+      val p1 = c.zip(w1).map { case (x, p) => x * p }.sum
+      val p2 = c.zip(w2).map { case (x, p) => x * p }.sum
+      val resid = math.sqrt(math.max(c.map(x => x * x).sum - p1 * p1 - p2 * p2, 0.0))
+      val (g1, g2, gr) = got(id)
+      assert(math.abs(g1 - p1) < 1e-5 && math.abs(g2 - p2) < 1e-5 && math.abs(gr - resid) < 1e-5,
+        s"vec $id projection mismatch: got ($g1,$g2,$gr) want ($p1,$p2,$resid)")
+    }
+    // mean projection ≈ 0 (the basis is centered) and every residual ≥ 0
+    val n = got.size
+    assert(math.abs(got.values.map(_._1).sum / n) < 1e-6, "p1 must be centered")
+    got.values.foreach { case (_, _, r) => assert(r >= 0.0) }
   }
 
   test("k-means Lloyd iterations do not increase inertia; report partitions the corpus") {
