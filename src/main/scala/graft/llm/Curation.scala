@@ -203,6 +203,57 @@ object Curation {
     (out, newOwned)
   }
 
+  /** Durable-state fold of [[admitLines]] — the `admitBatchToState`
+    * twin for the line rule. `stateDir/out` accumulates the per-doc
+    * scrub output (and doubles as the redelivery guard: a doc id
+    * already present there is skipped); `stateDir/owned` accumulates
+    * the line-hash set. Write ORDER is a correctness decision: out/
+    * first, owned/ second — a crash between the two appends costs only
+    * a missed future dedup for this batch's lines (the safe direction);
+    * the reverse order would let a redelivery see its own chunks as
+    * "owned" and scrub the whole batch to empty.
+    */
+  def admitLinesToState(batchDocs: DataFrame, stateDir: String, chunkWords: Int = 3): Unit = {
+    val spark = batchDocs.sparkSession
+    val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
+    val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = batchDocs.select("doc_id", "text")
+    val owned =
+      if (fs.exists(ownedP)) spark.read.parquet(ownedP.toString)
+      else chunkedLines(docs.limit(0), chunkWords).select("ck")
+    val fresh =
+      if (fs.exists(outP))
+        docs.join(spark.read.parquet(outP.toString).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docs
+    val (out, newOwned) = admitLines(fresh, owned, chunkWords)
+    val materialized = out.localCheckpoint() // both writes, one computation
+    if (!materialized.isEmpty) {
+      materialized.write.mode("append").parquet(outP.toString)
+      newOwned.write.mode("append").parquet(ownedP.toString)
+    }
+  }
+
+  /** Continuous line-level corpus scrub: the streaming twin, same
+    * foreachBatch shape as `NearDedup.admitStream` /
+    * `VectorOps.semAdmitStream`.
+    */
+  def admitLinesStream(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitLinesToState(batch, stateDir)
+      }
+      .start()
+
   /** Core of `boilerplate_lines`, callable on planted corpora
     * (CurationSpec) as well as the fixture tables: drop every
     * pseudo-line whose exact text recurs across >= `minDocs` distinct

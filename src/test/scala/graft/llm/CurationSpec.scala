@@ -324,6 +324,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("streaming line scrub: state accumulates across batches and restarts, redelivery-safe") {
+    val s = spark
+    import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("ls-in")
+    val state = java.nio.file.Files.createTempDirectory("ls-st").resolve("t").toString
+    val chk = java.nio.file.Files.createTempDirectory("ls-chk").toString
+    def line(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in.toString)
+      Curation.admitLinesStream(feed, state, chk).awaitTermination()
+    }
+    // batch 1: doc 1 owns its lines; doc 2 repeats doc 1's first chunk
+    java.nio.file.Files.write(in.resolve("a-0.json"), String.join("\n",
+      line(1, "aa bb cc dd ee ff"),
+      line(2, "aa bb cc xx yy zz")).getBytes)
+    run()
+    def outRows = s.read.parquet(s"$state/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(outRows(1L) == (("aa bb cc dd ee ff", 0L)))
+    assert(outRows(2L) == (("xx yy zz", 1L)), "in-batch repeat must scrub")
+    // batch 2 (restart, same checkpoint): REDELIVERED doc 2 (guard — its
+    // out row must not change or duplicate), doc 3 repeating an owned
+    // chunk from batch 1, and a fresh doc 4
+    java.nio.file.Files.write(in.resolve("b-0.json"), String.join("\n",
+      line(2, "aa bb cc xx yy zz"),
+      line(3, "dd ee ff qq rr ss"),
+      line(4, "totally new content here")).getBytes)
+    run()
+    val out2 = outRows
+    assert(s.read.parquet(s"$state/out").filter(col("doc_id") === 2L).count() == 1,
+      "redelivered doc must not emit a second output row")
+    assert(out2(2L) == (("xx yy zz", 1L)), "redelivery must not alter the original scrub")
+    assert(out2(3L) == (("qq rr ss", 1L)), "cross-batch owned chunk must scrub")
+    assert(out2(4L) == (("totally new content here", 0L)))
+  }
+
   test("mix_rates: no upsampling, the binding source saturates, sampled mass realizes the target mix") {
     val rows = graft.SparkEntry.queries("mix_rates")(spark, sf("sf0.001"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
