@@ -116,7 +116,11 @@ object Sampling {
           col("source"),
           col("t").cast("long").as("n_tokens"),
           round(col("p"), 6).as("weight"),
-          round(col("p") * col("tstar") / col("t"), 6).as("rate"),
+          // nullif on the availability: a zero-token source would hit
+          // 0/0, where Spark (non-ANSI) yields NULL but DuckDB yields
+          // NaN — the same latent-mismatch class the punct_ratio guard
+          // closes; with the guard both engines agree on NULL
+          round(col("p") * col("tstar") / nullif(col("t"), lit(0.0)), 6).as("rate"),
           round(col("p") * col("tstar"), 2).as("sampled_tokens"))
         .orderBy("source")
     }),
@@ -172,7 +176,7 @@ object Sampling {
         |ts AS (SELECT min(t / p) AS tstar FROM p)
         |SELECT source, CAST(t AS BIGINT) AS n_tokens,
         |  round(p, 6) AS weight,
-        |  round(p * (SELECT tstar FROM ts) / t, 6) AS rate,
+        |  round(p * (SELECT tstar FROM ts) / nullif(t, 0), 6) AS rate,
         |  round(p * (SELECT tstar FROM ts), 2) AS sampled_tokens
         |FROM p ORDER BY source""".stripMargin,
     "corpus_stats" ->
