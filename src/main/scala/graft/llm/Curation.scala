@@ -149,14 +149,27 @@ object Curation {
     */
   private[graft] def dedupLines(docs: DataFrame, chunkWords: Int = 3): DataFrame = {
     val chunked = chunkedLines(docs, chunkWords)
-    val owner = chunked
-      .groupBy("ck")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-      .select(col("ck"), col("first.doc_id").as("o_doc"), col("first.pos").as("o_pos"))
-    chunked.join(owner, Seq("ck"))
+    chunked.join(firstOwner(chunked), Seq("ck"))
       .withColumn("is_dup",
-        !(col("doc_id") === col("o_doc") && col("pos") === col("o_pos")))
-      .groupBy("doc_id")
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .transform(scrubReassemble)
+  }
+
+  /** min(struct(doc_id, pos)) first-occurrence owner per line hash —
+    * THE C4 ownership rule, one definition shared by the one-shot scrub
+    * and the incremental admission so the two can never drift.
+    */
+  private def firstOwner(chunked: DataFrame): DataFrame =
+    chunked.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+
+  /** Ordered per-doc reassembly of the non-`is_dup` chunks — the shared
+    * output contract of [[dedupLines]] and [[admitLines]] (a column
+    * rename or count fix applied to one copy but not the other would
+    * break the spec-pinned batch-chain ≡ one-shot equality).
+    */
+  private def scrubReassemble(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(
         count(lit(1)).cast("long").as("n_chunks"),
         sum(col("is_dup").cast("long")).cast("long").as("n_removed"),
@@ -165,42 +178,40 @@ object Curation {
             when(!col("is_dup"), struct(col("pos"), col("chunk"))))),
           x => x.getField("chunk"))).as("clean_text"))
       .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"))
-  }
 
   /** Streaming admission for the C4 line rule — the line-level member
     * of the incremental-dedup trio (`dedup_incremental` = LSH,
     * `dedup_semantic_incr` = embeddings): `owned` is the line-hash set
     * of everything admitted so far; the batch's chunks are scrubbed if
     * their hash is owned OR loses the intra-batch first-occurrence
-    * race (min(struct(doc_id,pos)) — the same rule [[dedupLines]]
-    * applies globally, so batches arriving in doc order reproduce the
-    * one-shot result EXACTLY, spec-pinned). Returns the per-doc scrub
-    * output and the batch's newly-owned hashes; per-batch cost is
-    * O(batch chunks) + one semi-membership join against the state —
+    * race ([[firstOwner]] — the same rule [[dedupLines]] applies
+    * globally, so batches arriving in doc order reproduce the one-shot
+    * result EXACTLY, spec-pinned). Returns the per-doc scrub output and
+    * the batch's newly-owned hashes, both MATERIALIZED (localCheckpoint
+    * — the admitBatch discipline: the chunk/owner tables feed both
+    * results under different actions, so they persist for the span of
+    * this call and are released before the results escape). Per-batch
+    * cost is O(batch chunks) + one membership join against the state —
     * never a rescan of admitted documents.
     */
   private[graft] def admitLines(batch: DataFrame, owned: DataFrame,
       chunkWords: Int = 3): (DataFrame, DataFrame) = {
-    val chunked = chunkedLines(batch, chunkWords)
-    val intra = chunked.groupBy("ck")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    val out = chunked
-      .join(owned.select(col("ck"), lit(true).as("seen")), Seq("ck"), "left")
-      .join(intra, Seq("ck"))
-      .withColumn("is_dup", col("seen").isNotNull ||
-        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).cast("long").as("n_chunks"),
-        sum(col("is_dup").cast("long")).cast("long").as("n_removed"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(
-            when(!col("is_dup"), struct(col("pos"), col("chunk"))))),
-          x => x.getField("chunk"))).as("clean_text"))
-      .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"))
-    val newOwned = intra.select("ck")
-      .join(owned.select("ck"), Seq("ck"), "left_anti")
-    (out, newOwned)
+    val chunked = chunkedLines(batch, chunkWords).persist()
+    try {
+      val intra = firstOwner(chunked).persist()
+      try {
+        val out = scrubReassemble(chunked
+          .join(owned.select(col("ck"), lit(true).as("seen")), Seq("ck"), "left")
+          .join(intra, Seq("ck"))
+          .withColumn("is_dup", col("seen").isNotNull ||
+            !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))))
+          .localCheckpoint()
+        val newOwned = intra.select("ck")
+          .join(owned.select("ck"), Seq("ck"), "left_anti")
+          .localCheckpoint()
+        (out, newOwned)
+      } finally { intra.unpersist(); () }
+    } finally { chunked.unpersist(); () }
   }
 
   /** Durable-state fold of [[admitLines]] — the `admitBatchToState`
@@ -227,10 +238,12 @@ object Curation {
         docs.join(spark.read.parquet(outP.toString).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else docs
+    // admitLines returns both results already materialized from one
+    // span-persisted chunk/owner computation, so the two appends below
+    // are pure writes
     val (out, newOwned) = admitLines(fresh, owned, chunkWords)
-    val materialized = out.localCheckpoint() // both writes, one computation
-    if (!materialized.isEmpty) {
-      materialized.write.mode("append").parquet(outP.toString)
+    if (!out.isEmpty) {
+      out.write.mode("append").parquet(outP.toString)
       newOwned.write.mode("append").parquet(ownedP.toString)
     }
   }
@@ -243,6 +256,7 @@ object Curation {
       docs: DataFrame,
       stateDir: String,
       checkpointDir: String,
+      chunkWords: Int = 3,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
@@ -250,7 +264,9 @@ object Curation {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitLinesToState(batch, stateDir)
+        // chunkWords rides through: a stream extending a state dir
+        // chunked at a non-default width must not silently re-chunk it
+        admitLinesToState(batch, stateDir, chunkWords)
       }
       .start()
 

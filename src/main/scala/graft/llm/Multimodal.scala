@@ -453,17 +453,50 @@ object Multimodal {
     }
   }
 
+  /** Open a payload with the registered demuxer, hand (reader, frame
+    * count) to `f`, and always release the reader/stream — the ONE
+    * demux scaffold shared by [[frameBatch]] and [[motionBatch]] (a
+    * reader-quirk fix applied to one copy would silently miss the
+    * other).
+    */
+  private def withDemuxer[T](r: MediaRecord)(
+      f: (javax.imageio.ImageReader, Int) => T): T = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"payload of doc ${r.doc_id} has no registered demuxer")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val nFrames = reader.getNumImages(true)
+      require(nFrames > 0, s"payload of doc ${r.doc_id} demuxed to zero frames")
+      f(reader, nFrames)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Decode frame `src` to its row-major gray raster (through the
+    * palette) — shared pixel extraction for the same one-definition
+    * reason as [[withDemuxer]].
+    */
+  private def grayRaster(reader: javax.imageio.ImageReader, src: Int): Array[Int] = {
+    val img = reader.read(src)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Int](w * h)
+    var p = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(p) = img.getRGB(x, y) & 0xff; p += 1; x += 1 }
+      y += 1
+    }
+    px
+  }
+
   private def frameBatch(batch: Seq[MediaRecord], k: Int): Seq[FrameSample] =
     batch.flatMap { r =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, s"payload of doc ${r.doc_id} has no registered demuxer")
-      val reader = readers.next()
-      try {
-        reader.setInput(iis)
-        val nFrames = reader.getNumImages(true)
-        require(nFrames > 0, s"payload of doc ${r.doc_id} demuxed to zero frames")
+      withDemuxer(r) { (reader, nFrames) =>
         // cumulative container timing: ts of frame f = Σ delay(0..f-1)
         val startMs = new Array[Long](nFrames)
         var f = 1
@@ -473,15 +506,8 @@ object Multimodal {
         }
         (0 until k).map { i =>
           val src = i * nFrames / k
-          val img = reader.read(src)
-          val (w, h) = (img.getWidth, img.getHeight)
-          val px = new Array[Byte](w * h)
-          var p = 0; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { px(p) = (img.getRGB(x, y) & 0xff).toByte; p += 1; x += 1 }
-            y += 1
-          }
+          val (w, h) = (reader.getWidth(src), reader.getHeight(src))
+          val px = grayRaster(reader, src).map(_.toByte)
           val sha = java.security.MessageDigest.getInstance("SHA-256").digest(px)
             .map("%02x".format(_)).mkString
           val m = math.max(w, h)
@@ -489,9 +515,6 @@ object Multimodal {
             math.floor(w * 224.0 / m).toInt, math.floor(h * 224.0 / m).toInt,
             sha.substring(0, 12))
         }
-      } finally {
-        reader.dispose()
-        iis.close()
       }
     }
 
@@ -520,30 +543,10 @@ object Multimodal {
 
   private def motionBatch(batch: Seq[MediaRecord], k: Int): Seq[MotionSample] =
     batch.flatMap { r =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, s"payload of doc ${r.doc_id} has no registered demuxer")
-      val reader = readers.next()
-      try {
-        reader.setInput(iis)
-        val nFrames = reader.getNumImages(true)
-        require(nFrames > 0, s"payload of doc ${r.doc_id} demuxed to zero frames")
-        def raster(src: Int): Array[Int] = {
-          val img = reader.read(src)
-          val (w, h) = (img.getWidth, img.getHeight)
-          val px = new Array[Int](w * h)
-          var p = 0; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { px(p) = img.getRGB(x, y) & 0xff; p += 1; x += 1 }
-            y += 1
-          }
-          px
-        }
+      withDemuxer(r) { (reader, nFrames) =>
         // decode each DISTINCT scheduled frame once, diff consecutive pairs
         val srcs = (0 until k).map(i => i * nFrames / k)
-        val decoded = srcs.distinct.map(s0 => s0 -> raster(s0)).toMap
+        val decoded = srcs.distinct.map(s0 => s0 -> grayRaster(reader, s0)).toMap
         (0 until k - 1).map { i =>
           val (a, b) = (decoded(srcs(i)), decoded(srcs(i + 1)))
           var sum = 0L; var changed = 0L; var p = 0
@@ -555,9 +558,6 @@ object Multimodal {
           MotionSample(r.doc_id, i, a.length.toLong, sum,
             sum.toDouble / a.length, changed.toDouble / a.length)
         }
-      } finally {
-        reader.dispose()
-        iis.close()
       }
     }
 

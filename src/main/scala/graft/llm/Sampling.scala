@@ -106,7 +106,12 @@ object Sampling {
         .groupBy("source")
         .agg(sum(size(split(col("text"), " "))).cast("double").as("t"))
         .withColumn("w",
-          (lit(1) + substring(col("source"), 4, 10).cast("int") % 4).cast("double"))
+          // substr to end-of-string (not a fixed length cap): the DuckDB
+          // oracle's substring(source, 4) takes the whole suffix, and a
+          // Spark-side length cap would silently diverge on a fixture
+          // regeneration with longer source ids
+          (lit(1) + col("source").substr(lit(4), length(col("source"))).cast("int") % 4)
+            .cast("double"))
       val wsum = tok.agg(sum(col("w")).as("wsum"))
       val p = tok.crossJoin(broadcast(wsum))
         .withColumn("p", col("w") / col("wsum"))

@@ -558,8 +558,15 @@ object VectorOps {
           .groupBy("i").agg(sum(col("x").cast("double") * col("s")).as("g"))
           .collect() // ≤ d rows — model-sized
           .foreach(r => g(r.getInt(0)) = r.getDouble(1))
-        lambda = norm(g) / n
-        w = g.map(_ / norm(g))
+        val gn = norm(g)
+        // rank-deficient corpus (variance confined to fewer directions
+        // than requested — the collapsed-dimension case this audit
+        // exists to detect): the residual subspace is flat, g ≈ 0, and
+        // dividing by its norm would emit an all-NaN model. Report the
+        // honest answer instead: eigenvalue 0 with the (unit, residual-
+        // subspace) iterate as the arbitrary-but-valid direction.
+        if (gn < 1e-12) lambda = 0.0
+        else { lambda = gn / n; w = g.map(_ / gn) }
       }
       // canonical sign: largest-|loading| dim is positive, so the
       // component is run-deterministic (an eigenvector's sign is free)
@@ -595,16 +602,19 @@ object VectorOps {
     ()
   }
 
-  private val kmeansCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[Array[Double]]]()
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), Array[Array[Double]]]()
 
-  /** Train-once full-corpus k-means per (session, dir, k) — same
+  /** Train-once full-corpus k-means per (session, dir, k, iters) — same
     * model-vs-artifact rationale as [[ivfModel]], but keyed on the
-    * session too because the fit runs Spark jobs.
+    * session too because the fit runs Spark jobs. `iters` is part of
+    * the key: two callers wanting the same k at different iteration
+    * counts are asking for different models, and a shared entry would
+    * silently hand one of them the other's fit.
     */
   private def kmeansModel(s: SparkSession, dir: String, k: Int, iters: Int): Array[Array[Double]] = {
     kmeansCache.keySet.removeIf(key => key._1.sparkContext.isStopped)
-    kmeansCache.computeIfAbsent((s, dir, k), _ =>
+    kmeansCache.computeIfAbsent((s, dir, k, iters), _ =>
       kmeansFit(Tables(s, dir).embeddings, k, iters))
   }
 
