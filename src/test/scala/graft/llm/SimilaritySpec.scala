@@ -501,6 +501,26 @@ class SimilaritySpec extends SparkSpec {
     assert(w1(3) > 0 && w2(5) > 0, "sign canonicalization")
   }
 
+  test("PCA on a rank-deficient corpus reports zero eigenvalues, never NaN") {
+    val s = spark
+    import s.implicits._
+    // all variance on ONE axis: component 2's residual subspace is flat
+    val pts = (0 until 40).map { id =>
+      val v = new Array[Float](6); v(2) = id.toFloat; (id.toLong, v.toSeq)
+    }
+    val m = VectorOps.pcaTop(pts.toDF("vec_id", "embedding"))
+    val (w1, l1) = m.components(0); val (w2, l2) = m.components(1)
+    assert(math.abs(w1(2)) > 0.999 && l1 > 0)
+    assert(l2 == 0.0, s"flat residual subspace must report eigenvalue 0, got $l2")
+    (w1 ++ w2).foreach(x => assert(!x.isNaN, "loadings must never be NaN"))
+    // degenerate corpus: every vector identical — BOTH components zero
+    val flat = (0 until 10).map(i => (i.toLong, Seq.fill(6)(3.5f)))
+    val fm = VectorOps.pcaTop(flat.toDF("vec_id", "embedding"))
+    fm.components.foreach { case (w, l) =>
+      assert(l == 0.0 && w.forall(!_.isNaN), s"degenerate corpus must yield 0-eigenvalue, got $l")
+    }
+  }
+
   test("embed_project applies the fitted basis: parity with an independent projection, residual identity") {
     val s = spark
     val got = graft.SparkEntry.queries("embed_project")(s, sf("sf0.001"))
