@@ -43,4 +43,26 @@ class SpoolTailSpec extends SparkSpec {
         s"late file must be ingested exactly once, typed: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("csv spool tail: the spooldir claim holds for the CSV reader too") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("csv_tail")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("n0.csv"),
+      "n_nationkey,n_name,n_regionkey\n0,ALGERIA,0\n1,ARGENTINA,1".getBytes("UTF-8"))
+    val q = s.readStream.schema(CsvSpool.nationSchema)
+      .option("header", "true").csv(dir.toString)
+      .writeStream.format("memory").queryName("csv_tail_q")
+      .start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.write(dir.resolve("n1.csv"),
+        "n_nationkey,n_name,n_regionkey\n2,BRAZIL,1".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT n_nationkey, n_name, n_regionkey FROM csv_tail_q")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+      assert(rows.toSeq == Seq((0, "ALGERIA", 0), (1, "ARGENTINA", 1), (2, "BRAZIL", 1)),
+        s"late csv file must be ingested exactly once, typed: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
