@@ -108,8 +108,7 @@ object AvroCodec {
       // littered /tmp and the driver block manager across a long run
       regCache.keySet.removeIf(k => k.sparkContext.isStopped)
       val (schemaId, byId) = regCache.computeIfAbsent(s, _ => {
-        val regDir = java.nio.file.Files.createTempDirectory("graft_registry")
-        regDir.toFile.deleteOnExit()
+        val regDir = graft.TempDirs.scratch("graft_registry")
         val reg = SchemaRegistry.open(regDir.toString)
         val id = reg.register("nation-value", schemaJson)
         // executors resolve writer schemas from a broadcast registry

@@ -29,13 +29,12 @@ object CsvSpool {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_scan" -> ((s, dir) => {
-      // a fresh per-invocation temp dir (deleteOnExit), not a path
+      // a fresh per-invocation temp dir (shutdown-hook cleaned), not a path
       // derived from `dir`: the old lossy sanitization could collide two
       // distinct dataset dirs onto one spool path, and two concurrent
       // processes racing the same overwrite-then-read directory could
       // each read the other's half-written spool
-      val spoolDir = java.nio.file.Files.createTempDirectory("graft_csv_spool")
-      spoolDir.toFile.deleteOnExit()
+      val spoolDir = graft.TempDirs.scratch("graft_csv_spool")
       spool(Tables(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey"),
         spoolDir.toString)
       readSpool(s, spoolDir.toString).orderBy("n_nationkey")

@@ -24,8 +24,14 @@ object JdbcSource {
     if (System.getProperty("derby.stream.error.file") == null)
       System.setProperty("derby.stream.error.file",
         s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
-    // per-dir in-memory database; seeding is idempotent (PK upsert)
-    val url = s"jdbc:derby:memory:src${math.abs(dir.hashCode)};create=true"
+    // per-dir in-memory database; seeding is idempotent (PK upsert).
+    // The db name is a truncated sha-256 of the FULL dir string —
+    // math.abs(hashCode) was the same lossy-path-mapping bug class the
+    // spool dirs fixed (two dirs with colliding Int hashes would merge
+    // their rows into one database; abs(Int.MinValue) is negative)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val url = s"jdbc:derby:memory:src$digest;create=true"
     val nation = Tables(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey")
     graft.sinks.JdbcUpsert.ensureTable(url, "nation_src", nation.schema, Seq("n_nationkey"))
     graft.sinks.JdbcUpsert.upsert(nation, url, "nation_src", Seq("n_nationkey"))

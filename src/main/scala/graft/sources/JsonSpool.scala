@@ -40,8 +40,7 @@ object JsonSpool {
     "json_scan" -> ((s, dir) => {
       // fresh per-invocation temp dir — same race/collision rationale
       // as CsvSpool.csv_scan
-      val spoolDir = java.nio.file.Files.createTempDirectory("graft_json_spool")
-      spoolDir.toFile.deleteOnExit()
+      val spoolDir = graft.TempDirs.scratch("graft_json_spool")
       spool(Tables(s, dir).supplier
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
         spoolDir.toString)

@@ -111,8 +111,13 @@ final class ChangeServer(port: Int = 0) extends AutoCloseable {
   private def recordAck(line: String): Unit = {
     val a = mapper.readTree(line)
     if (a.path("type").asText() == "ack") {
-      val p = a.path("pos").asLong(-1L)
+      val p0 = a.path("pos").asLong(-1L)
       lock.synchronized {
+        // clamp to the published end: an ack beyond it (a client wired
+        // to the wrong server, or replaying a foreign _next_pos) must
+        // not trim records nobody was ever served, nor skip position
+        // numbers — both would poison every correctly-positioned client
+        val p = math.min(p0, base + records.size() - 1)
         ackHighWater = math.max(ackHighWater, p)
         // trim: positions <= ackHighWater are confirmed durable on the
         // client; drop them (removeRange via subList — O(trimmed))
@@ -299,7 +304,24 @@ final class NetworkChannel(
     */
   private def landFresh(frames: Seq[com.fasterxml.jackson.databind.JsonNode],
       confirm: Long => Unit): Unit = ioLock.synchronized {
-    val np = nextPos
+    var np = nextPos
+    // crash reconciliation: a data file already AT the durable position
+    // means a prior commit moved the data file but died before the
+    // _next_pos move. Those records are durably landed (and may already
+    // be checkpointed by the file source, which tracks files by NAME and
+    // never re-reads one) — so advance the position past the orphan
+    // instead of rewriting it: a redelivered-but-larger batch written
+    // under the same name would silently lose the tail records from the
+    // stream.
+    val orphan = Paths.get(spoolDir, f"net-$np%012d.jsonl")
+    if (Files.exists(orphan)) {
+      val landed = Files.readAllLines(orphan, UTF_8).size
+      val ptmp = Files.createTempFile(Paths.get(spoolDir), "_tmp", ".pos")
+      Files.write(ptmp, (np + landed).toString.getBytes(UTF_8))
+      Files.move(ptmp, posPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      np += landed
+    }
     val fresh = frames.filter(f => f.path("pos").asLong(-1L) >= np)
     if (fresh.nonEmpty) {
       val first = fresh.head.path("pos").asLong()
@@ -354,10 +376,20 @@ final class NetworkChannel(
           while (!stopped) {
             val first = mapper.readTree(readFrame(in)) // blocks for push
             if (first.has("error")) {
-              // below-retention is unrecoverable — reconnecting would
-              // loop on the same refusal forever; surface and stop
+              // the refusal was computed against THIS connection's
+              // position — a concurrent drain may have durably landed
+              // and acked past it meanwhile (replay() during an open
+              // subscription is supported). Re-read the durable
+              // position: at/after the trim boundary means the refusal
+              // is stale and a reconnect from _next_pos succeeds; only
+              // a genuine retention gap is unrecoverable (reconnecting
+              // would loop on the same refusal forever).
+              val trimmedTo = first.path("trimmed_to").asLong()
+              if (ioLock.synchronized(nextPos) >= trimmedTo)
+                throw new java.io.IOException(
+                  "refusal computed against a stale position; reconnecting from _next_pos")
               fatal = s"server refused position ${first.path("requested").asLong()}: " +
-                s"${first.path("error").asText()} (log trimmed to ${first.path("trimmed_to").asLong()})"
+                s"${first.path("error").asText()} (log trimmed to $trimmedTo)"
               System.err.println(s"[network-channel] $fatal")
               stopped = true
             } else {

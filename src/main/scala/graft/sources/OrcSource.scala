@@ -27,8 +27,7 @@ object OrcSource {
     "orc_scan" -> ((s, dir) => {
       // fresh per-invocation temp dir, same race/collision rationale as
       // CsvSpool.csv_scan
-      val orcDir = java.nio.file.Files.createTempDirectory("graft_orc")
-      orcDir.toFile.deleteOnExit()
+      val orcDir = graft.TempDirs.scratch("graft_orc")
       write(Tables(s, dir).orders
         .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"),
         orcDir.toString)

@@ -170,9 +170,16 @@ final class RegistryServer(registry: SchemaRegistry, port: Int = 0) {
 final class HttpRegistryClient(baseUrl: String) {
   import RegistryHttp.mapper
 
-  private val http = java.net.http.HttpClient.newHttpClient()
+  // explicit timeouts: with the JDK defaults (none) a blackholed
+  // registry endpoint hangs register()/byId() forever and silently
+  // stalls the producer pipeline — fail loudly instead
+  private val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
 
-  private def send(req: java.net.http.HttpRequest): (Int, String) = {
+  private def send(req0: java.net.http.HttpRequest): (Int, String) = {
+    val req = java.net.http.HttpRequest.newBuilder(req0, (_, _) => true)
+      .timeout(java.time.Duration.ofSeconds(30)).build()
     val resp = http.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString(
         java.nio.charset.StandardCharsets.UTF_8))

@@ -299,6 +299,67 @@ class ChannelSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("crash between data-file and _next_pos commit: orphan is reconciled, never rewritten") {
+    val server = new ChangeServer()
+    try {
+      val lines = (0 until 5).map(i => s"""{"v":$i}""")
+      server.publish(lines)
+      // simulate the crash window: positions 0-1 landed as a data file
+      // but _next_pos was never advanced (still 0)
+      val spool = Files.createTempDirectory("netspool-orphan")
+      val orphan = spool.resolve("net-000000000000.jsonl")
+      Files.write(orphan, (lines.take(2).mkString("\n") + "\n").getBytes("UTF-8"))
+      val orphanBytes = Files.readAllBytes(orphan)
+      val chan = new NetworkChannel("127.0.0.1", server.boundPort, spool.toString)
+      try {
+        chan.drainOnce() // server resends from 0 (and MORE than the orphan holds)
+        // the orphan must be byte-identical (the file source tracks by
+        // name and never re-reads — a rewrite would silently lose rows)
+        assert(java.util.Arrays.equals(Files.readAllBytes(orphan), orphanBytes),
+          "orphan data file was rewritten")
+        // the tail (positions 2-4) lands under ITS position, not 0
+        val files = chan.spoolFiles()
+        assert(files.map(_._1) == Seq(0L, 2L), s"spool files: ${files.map(_._1)}")
+        val s = spark
+        import s.implicits._
+        val all = chan.replay(spark).as[String].collect().sorted
+        assert(all.toSeq == lines.sorted, s"records lost or duplicated: ${all.toSeq}")
+      } finally chan.close()
+    } finally server.close()
+  }
+
+  test("an ack beyond the published end is clamped: no phantom trim, accounting intact") {
+    val server = new ChangeServer()
+    try {
+      server.publish((0 until 3).map(i => s"""{"v":$i}"""))
+      // rogue client confirms a position the server never served
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val w = new java.io.OutputStreamWriter(sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
+        w.write("""{"type":"drain","from":3}""" + "\n")
+        w.write("""{"type":"ack","pos":999}""" + "\n")
+        w.flush()
+      } finally sock.close()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (server.acked < 2L && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(server.acked == 2L, s"ack must clamp to the published end, got ${server.acked}")
+      assert(server.trimmedTo == 3L && server.size == 3L,
+        s"phantom trim: trimmedTo=${server.trimmedTo}, size=${server.size}")
+      // positions continue contiguously — a later publish+drain works
+      server.publish(Seq("""{"v":3}"""))
+      val spool = Files.createTempDirectory("netspool-clamp").toString
+      val chan = new NetworkChannel("127.0.0.1", server.boundPort, spool)
+      try {
+        // start from the retention boundary (0-2 were trimmed by the rogue ack)
+        Files.write(java.nio.file.Paths.get(spool, "_next_pos"), "3".getBytes("UTF-8"))
+        chan.drainOnce()
+        val s = spark
+        import s.implicits._
+        assert(chan.replay(spark).as[String].collect().toSeq == Seq("""{"v":3}"""))
+      } finally chan.close()
+    } finally server.close()
+  }
+
   test("kafka channel reaches data-source resolution under format 'kafka'") {
     val chan = KafkaChannel("localhost:9092", "olr.events")
     val streamErr = intercept[Exception](chan.subscribe(spark))
