@@ -47,7 +47,16 @@ object CdcPipeline {
       channel: graft.sources.ChangeChannel,
       feedSchema: StructType,
       statePath: String,
-      checkpointDir: String
+      checkpointDir: String,
+      // materialize's knobs, passed through — a continuous deployment
+      // needs a processing-time trigger here (the AvailableNow default
+      // drains what exists and STOPS; fine for tests/backfills, wrong
+      // for the always-on connector lifecycle), and a pre-existing
+      // layout's bucket count must be matchable from this API
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      stateBuckets: Int = 16,
+      tombstoneRetention: Option[Long] = None
   ): Handle = {
     // 1. snapshot phase: consistent batch read → op='r' rows → state,
     //    written directly in materialize's bucketed layout so the stream
@@ -69,18 +78,25 @@ object CdcPipeline {
     //      scn > snapshotScn  → the stream event wins on scn alone.
     //    Pinned by CdcPipelineSpec's boundary-SCN test.
     val feedCols = feedSchema.fieldNames.toSeq
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Bootstrap ONCE: the snapshot is written only when no state exists.
-    // On a restart the checkpoint makes the stream skip already-committed
-    // files, so re-writing the snapshot here would silently roll the
-    // folded state back to day zero (reverting every applied change and
-    // resurrecting every delete) with nothing ever replaying the gap.
+    // Bootstrap ONCE: the snapshot is written only when no COMMITTED
+    // state exists — the check is Stream.stateCommitted (the
+    // `_state_buckets` marker, written after the parquet data), NOT
+    // bare directory existence: the output committer creates the
+    // directory at job start, so a crash mid-snapshot leaves a torn
+    // root that exists() would accept as current state, silently
+    // missing every bucket the crash never wrote — forever (nothing
+    // re-runs the snapshot). With the marker check, a torn bootstrap
+    // simply re-runs (mode=overwrite makes the re-write idempotent).
+    // On a genuine restart the checkpoint makes the stream skip
+    // already-committed files, so re-writing the snapshot then would
+    // silently roll the folded state back to day zero (reverting every
+    // applied change and resurrecting every delete) with nothing ever
+    // replaying the gap — hence commit-marker, not marker-absence-only.
     val initial: DataFrame =
-      if (!fs.exists(root)) {
+      if (!Stream.stateCommitted(spark, statePath)) {
         val snapDf = Ops.snapshot(baseTable, snapshotScn)
           .select(feedCols.map(col): _*).withColumn(SrcRankCol, lit(0))
-        Stream.writeState(snapDf, statePath, keys)
+        Stream.writeState(snapDf, statePath, keys, stateBuckets)
         snapDf
       } else {
         // resuming: hand back the CURRENT state, materialized eagerly —
@@ -96,7 +112,7 @@ object CdcPipeline {
       .select(feedCols.map(c => col(s"r.$c")): _*)
       .withColumn(SrcRankCol, lit(1))
     val q = Stream.materialize(feed, keys, ordering = Seq("scn", SrcRankCol),
-      statePath, checkpointDir)
+      statePath, checkpointDir, trigger, stateBuckets, tombstoneRetention)
     Handle(initial, q)
   }
 

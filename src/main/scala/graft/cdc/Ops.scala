@@ -124,10 +124,21 @@ object Ops {
       feed: DataFrame,
       keys: Seq[String],
       scnCol: String,
-      opCol: String
+      opCol: String,
+      // extra ordering columns appended when scn alone is not a total
+      // order per key (applyChanges documents the same requirement and
+      // lets callers add tiebreakers; this path previously could not).
+      // Duplicate-(key, scn) notes: an EXACT redelivered duplicate is
+      // benign even without a tiebreak — the two identical copies yield
+      // one empty interval (valid_to == valid_from, invisible to
+      // probeState) and one real one, same observable state either way;
+      // only DISTINCT payloads at one (key, scn) need a tiebreaker to
+      // be deterministic.
+      tiebreak: Seq[String] = Nil
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(scnCol))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((scnCol +: tiebreak).map(col): _*)
     feed
       .withColumn("valid_from", col(scnCol))
       .withColumn("valid_to", lead(col(scnCol), 1).over(w))
@@ -388,18 +399,25 @@ object Ops {
     // contiguous key-range chunk 0..nChunks-1, its read watermark, and
     // the snapshot-order tiebreak: at EQUAL scn a live change outranks
     // the scn-0 base read (base and a scn-0 event would otherwise tie
-    // nondeterministically in max_by). Every operand is cast to LONG
-    // BEFORE any arithmetic: with an IntegerType key column the
-    // subtraction (key − min) itself wraps (or, ANSI, throws) once the
-    // span exceeds 2³¹ — e.g. hash-derived ids covering
-    // Int.MinValue..Int.MaxValue — as does the denominator
-    // (max − min + 1), driving wm negative and silently DROPPING every
-    // untouched base row in the affected range.
-    val keyL = col(keyCol).cast("long")
-    val minL = col("__minkey").cast("long")
-    val maxL = col("__maxkey").cast("long")
-    val chunk = floor((keyL - minL) * nChunks / (maxL - minL + 1))
-    val wm = floor(col("__maxscn") * (chunk + 1) / nChunks)
+    // nondeterministically in max_by). ALL arithmetic runs in
+    // DECIMAL(38,0) with exact integer division ((n − n mod d) / d —
+    // an exact-multiple decimal divide can never round): a LONG key
+    // column spanning most of its range (hash-derived 64-bit ids,
+    // min ≈ Long.MinValue) wraps both (key − min) · nChunks and the
+    // denominator (max − min + 1) in long arithmetic, and a plain `/`
+    // on longs is DOUBLE division, which mis-floors past 2⁵³ — either
+    // silently drops untouched base rows (negative wm) or mis-chunks
+    // keys at the boundaries.
+    val keyD = col(keyCol).cast("decimal(38,0)")
+    val minD = col("__minkey").cast("decimal(38,0)")
+    val maxD = col("__maxkey").cast("decimal(38,0)")
+    def exactDiv(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      ((n - pmod(n, d)) / d).cast("long")
+    val num = (keyD - minD) * lit(nChunks)
+    val den = (maxD - minD) + lit(1)
+    val chunk = exactDiv(num, den)
+    val wmNum = col("__maxscn").cast("decimal(38,0)") * (chunk + 1)
+    val wm = exactDiv(wmNum, lit(nChunks).cast("decimal(38,0)"))
     val ord = struct(col(scnCol), col(opCol) =!= "r")
     tagged
       .withColumn("__wm", wm)

@@ -98,6 +98,19 @@ object Stream {
     */
   private val BucketsMeta = "_state_buckets"
 
+  /** True iff a state table at `root` COMMITTED its bootstrap/first
+    * write: the `_state_buckets` meta is written AFTER the parquet data
+    * lands, so its presence is the commit marker that bare directory
+    * existence is not — Spark's output committer creates the directory
+    * at job start, so a crash mid-snapshot leaves a torn root that
+    * exists() would happily accept as current state.
+    */
+  def stateCommitted(spark: SparkSession, statePath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(root, BucketsMeta))
+  }
+
   private def checkOrRecordBuckets(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, n: Int): Unit = {
     val meta = new org.apache.hadoop.fs.Path(root, BucketsMeta)
@@ -371,6 +384,15 @@ object Stream {
               "route malformed envelopes to a dead-letter sink " +
               "(Ops.parseEnvelope's bad-row side) before fan-out")
           val tables = tRows.map(_.getString(0)).sorted
+          // the table name is feed-derived (parsed change-event JSON —
+          // source-controlled) and becomes a PATH segment: '../'
+          // would escape stateRoot and let foldBatch rename/delete in a
+          // foreign directory; '/' or '=' silently corrupts the
+          // hive-style layout partition discovery parses. Identifier
+          // charset only — everything else dead-letters.
+          tables.foreach(t => require(t.matches("[A-Za-z0-9_.-]+") && !t.contains(".."),
+            s"materializeMulti: table name '$t' is not a safe path segment; " +
+              "route it to the dead-letter sink"))
           tables.foreach { t =>
             foldBatch(
               cached.filter(col(tableCol) === t).drop(tableCol),
@@ -390,9 +412,36 @@ object Stream {
     * not-yet-rewritten buckets' missing columns (see [[foldBatch]]).
     */
   def readCurrentState(spark: SparkSession, statePath: String,
-      opCol: String = "op", deleteOp: String = "d"): DataFrame =
+      opCol: String = "op", deleteOp: String = "d"): DataFrame = {
+    // The per-bucket swap is rename(dst→.old_N) + rename(tmp→dst):
+    // between the renames bucket N's directory is ABSENT, and a reader
+    // listing in that window would SILENTLY return a state missing that
+    // bucket's keys (the .old_ prefix is dot-invisible to the reader).
+    // A .old_N sibling with no state_bucket=N dir is exactly that
+    // window (or a crash the next batch's repair() resolves) — wait
+    // briefly for the swap to complete, then fail LOUDLY rather than
+    // serve wrong data. (The check narrows the race to list-after-check;
+    // the swap itself is two renames, microseconds.)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def midSwap(): Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith(".old_")).toSeq
+        .map(_.stripPrefix(".old_"))
+        .filter(n => !fs.exists(bucketDir(root, n)))
+    var torn = midSwap()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (torn.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      torn = midSwap()
+    }
+    require(torn.isEmpty,
+      s"state at $statePath is mid-swap for buckets ${torn.mkString(",")} " +
+        "and did not settle — a read now would silently miss those buckets' keys")
     spark.read.option("mergeSchema", "true").parquet(statePath)
       .filter(col(opCol) =!= deleteOp)
+  }
 
   /** Per-key current state maintained IN the stream via
     * `flatMapGroupsWithState` (the §2.10 custom-state surface): each

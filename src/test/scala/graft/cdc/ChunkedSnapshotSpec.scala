@@ -222,6 +222,29 @@ class ChunkedSnapshotSpec extends SparkSpec {
       s"full int key range mangled the chunk assignment: $got")
   }
 
+  test("LongType keys spanning Long.MinValue..Long.MaxValue don't overflow (decimal path)") {
+    val s = spark
+    import s.implicits._
+    // the long-cast fix alone is not enough at THIS span: (max − min + 1)
+    // wraps to 0 in 64-bit (divide-by-zero) and (key − min) · nChunks
+    // wraps negative — the arithmetic must run in DECIMAL(38,0) with
+    // exact integer division (the regression this pins; 64-bit
+    // hash-derived ids legitimately cover the whole long range)
+    val base = Seq(
+        (Long.MinValue, "lo"), (-1L, "mid-lo"), (0L, "mid-hi"),
+        (Long.MaxValue, "hi"))
+      .toDF("id", "payload")
+      .withColumn("scn", lit(0L)).withColumn("op", lit("r"))
+    val feed = Seq((10L, Long.MinValue, "u", "updated"))
+      .toDF("scn", "id", "op", "payload")
+    val got = Ops.chunkedSnapshot(base, feed,
+        keyCol = "id", scnCol = "scn", opCol = "op", nChunks = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(got == Map(Long.MinValue -> "updated", -1L -> "mid-lo",
+        0L -> "mid-hi", Long.MaxValue -> "hi"),
+      s"full long key range mangled the chunk assignment: $got")
+  }
+
   test("fixture equivalence: snapshot_chunked ≡ plain apply at sf0.001 for several chunkings") {
     val s = spark
     val dir = sf("sf0.001")
