@@ -236,18 +236,27 @@ object Bpe {
     * literals, same greedy rule — BpeSpec pins the two paths equal).
     */
   def encodeDocs(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val words = graft.Engine.spread(docs, "doc_id")
+    val spreadDocs = graft.Engine.spread(docs, "doc_id")
+    val words = spreadDocs
       .select(col("doc_id"),
         posexplode(filter(split(col("text"), " "), w => length(w) > 0))
           .as(Seq("pos", "w")))
     val vocab = words.select("w").distinct()
       .select(col("w"),
         applyMerges(concat(split(col("w"), ""), array(lit(Eow))), merges).as("toks"))
-    words.join(vocab, "w")
+    val encoded = words.join(vocab, "w")
       .groupBy("doc_id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("toks")))),
         x => x.getField("toks"))).as("bpe"))
+    // empty/whitespace-only docs explode to ZERO word rows and would
+    // vanish from the groupBy — but encode() returns [] for the same
+    // text, and a tokenizer that silently DROPS a document (instead of
+    // reporting 0 tokens) breaks the paths-equal contract; restore them
+    // with the empty segmentation
+    spreadDocs.select("doc_id").join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe"), array().cast("array<string>")).as("bpe"))
   }
 
   /** Trained merge sequence memoized per (session, dir) — the tokenizer
@@ -256,11 +265,14 @@ object Bpe {
     * measures training. Stopped-session eviction as elsewhere.
     */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Merge]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[Merge]]()
 
   def trainedMerges(s: SparkSession, dir: String, k: Int = 16): Seq[Merge] = {
     mergeCache.keySet.removeIf(k0 => k0._1.sparkContext.isStopped)
-    mergeCache.computeIfAbsent((s, dir), _ => train(Tables(s, dir).documents, k))
+    // k is part of the key: a 16-merge and a 32-merge tokenizer are
+    // different MODELS (the kmeansModel rationale) — sharing one entry
+    // would silently hand a caller the other's merge sequence
+    mergeCache.computeIfAbsent((s, dir, k), _ => train(Tables(s, dir).documents, k))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

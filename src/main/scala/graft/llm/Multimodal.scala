@@ -48,20 +48,6 @@ object Multimodal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** View the documents fixture as a binary media table (text bytes stand
-    * in for image/audio payloads; mime tagged by source).
-    */
-  def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
-    val s = docs.sparkSession
-    import s.implicits._
-    docs
-      .select(
-        col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        concat(lit("application/x-demo;source="), col("source")).as("mime"))
-      .as[MediaRecord]
-  }
-
   /** Encode each document as a REAL PNG via `javax.imageio` — the
     * fixture's stand-in for an upstream media store: dimensions are
     * seeded from the doc's md5 (8–39 px a side), the 8-bit gray raster

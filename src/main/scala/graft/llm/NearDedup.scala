@@ -117,7 +117,9 @@ object NearDedup {
     * digits); 64 is the Manku et al. width [[dedup_simhash_pairs]] uses.
     */
   def simhash(arrs: DataFrame, bits: Int = 32): DataFrame = {
-    require(bits % 4 == 0 && bits <= 128, s"bits must be 4k <= 128, got $bits")
+    require(bits >= 4 && bits % 4 == 0 && bits <= 128,
+      s"bits must be 4k in [4, 128], got $bits") // 0 would emit an empty
+      // signature: every doc collides into one bucket with no error
     // ±1 votes, MSB-first — value-identical to the original per-hex-digit
     // substr/ascii arithmetic, restructured for the interpreted HOF path
     // (lambdas don't get subexpression elimination, so per-element work

@@ -65,7 +65,9 @@ object TextOps {
           size(array_distinct(col("words"))).cast("long").as("n_uniq"),
           (length(translate(col("text"), " ", "")).cast("double") / size(col("words")))
             .as("avg_word_len"),
-          (size(filter(col("words"), w => w.isin(stopEn: _*))).cast("double") /
+          // stopScore, not an inline copy: the shared definition is the
+          // point (a stop-list tweak must reach every consumer)
+          (stopScore(col("words"), stopEn).cast("double") /
             size(col("words"))).as("stop_ratio"))
         .orderBy("doc_id")),
 

@@ -671,13 +671,17 @@ object VectorOps {
     * real pipeline the state pre-exists, so steady-state cost is the
     * batch admission only.
     */
-  private val semStateCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val semStateCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Double), DataFrame]()
 
   private[llm] def semState(s: SparkSession, dir: String, cells: Int,
       centroids: Array[Array[Double]], threshold: Double): DataFrame = {
     semStateCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    semStateCache.computeIfAbsent((s, dir), _ => {
+    // cells and threshold are part of the key (centroids derive from
+    // (dir, cells)): keepers admitted under one threshold/cell split
+    // are a DIFFERENT state than another's — the kmeansModel cache-key
+    // rationale
+    semStateCache.computeIfAbsent((s, dir, cells, threshold), _ => {
       val evens = ivfAssigned(s, dir, cells).assigned
         .filter(col("c_id") % 2 === 0)
         .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"), col("cell"),
@@ -773,10 +777,17 @@ object VectorOps {
     val probes = broadcast(
       emb.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        // sort on (-score, centroidId) so an exact score tie breaks
+        // toward the LOWER centroid id — matching ivfCell's first-max
+        // assignment (the round-9 ivfCellRanks fix; reverse(array_sort)
+        // broke ties the other way, so a duplicate-centroid tie at the
+        // nprobe cutoff could skip the cell the candidates actually
+        // live in)
         .withColumn("__scored",
-          array(centroids.indices.map(i => struct(scores(i).as("s"), lit(i).as("c"))): _*))
+          array(centroids.indices.map(i =>
+            struct((-scores(i)).as("s"), lit(i).as("c"))): _*))
         .withColumn("cell",
-          explode(slice(reverse(array_sort(col("__scored"))), 1,
+          explode(slice(array_sort(col("__scored")), 1,
             math.min(nprobe, centroids.length)).getField("c")))
         .select("q_id", "q_emb", "cell"))
     val scored = probes.join(assigned, "cell")
