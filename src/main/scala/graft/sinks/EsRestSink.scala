@@ -50,7 +50,12 @@ object EsRestSink {
       rows.sparkSession.sparkContext.longAccumulator("es-rest-sink-deletes")
     val (upserts, deletes) = counts
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      val http = java.net.http.HttpClient.newHttpClient()
+      // explicit timeouts (the RegistryHttp rule): the JDK default is
+      // NONE, so a half-open ES node would block send() forever and
+      // wedge the task instead of failing into Spark's retry
+      val http = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(10))
+        .build()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       it.grouped(maxDocsPerBulk).foreach { chunk =>
         val body = new StringBuilder
@@ -74,6 +79,7 @@ object EsRestSink {
         val req = java.net.http.HttpRequest.newBuilder(
             java.net.URI.create(s"$baseUrl/_bulk"))
           .header("Content-Type", "application/x-ndjson")
+          .timeout(java.time.Duration.ofSeconds(60))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))
           .build()
         val resp = http.send(req,

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, lower}
 
 /** Elasticsearch sink shim — the reference's secondary delivery path
   * (its Connect image installs the Elasticsearch sink connector,
@@ -68,11 +68,18 @@ object EsSink {
       // the two jobs would even split one batch into inconsistent halves
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        cached.filter(col(deletedCol) === "false").drop(deletedCol)
+        // canonical delete predicate (EsRestSink's rule): anything that
+        // is not exactly true-ish is a LIVE row. The old pair of string
+        // equality filters matched neither side for a null flag, a
+        // boolean-typed column, or "TRUE" — silently dropping live
+        // documents from both passes.
+        val isDel = coalesce(
+          lower(col(deletedCol).cast("string")) === "true", lit(false))
+        cached.filter(!isDel).drop(deletedCol)
           .write.format(Format)
           .options(writerOptions(nodes, index, idColumn))
           .mode("append").save()
-        cached.filter(col(deletedCol) === "true").select(idColumn)
+        cached.filter(isDel).select(idColumn)
           .write.format(Format)
           .options(deleteOptions(nodes, index, idColumn))
           .mode("append").save()

@@ -28,9 +28,23 @@ import org.apache.spark.sql.types._
   */
 object JdbcUpsert {
 
+  /** Quoted identifier, folded UPPER first: unquoted DDL/DML breaks on
+    * reserved-word column names (ORDER, USER, VALUE — all plausible CDC
+    * columns), while verbatim quoting would CHANGE how today's
+    * lower-case names resolve on upper-folding databases (Derby/Oracle
+    * fold unquoted ids up, so quoting "e2e_state" as-is would suddenly
+    * miss the E2E_STATE every existing deployment has). Upper-fold +
+    * quote keeps resolution identical there and makes reserved words
+    * legal. (Postgres folds unquoted ids DOWN; pre-existing
+    * unquoted-created tables there need the lower-case name passed in.)
+    */
+  private def q(id: String): String = "\"" + id.toUpperCase + "\""
+
   private def sqlType(dt: DataType, isKey: Boolean): String = dt match {
     case LongType         => "BIGINT"
     case IntegerType      => "INTEGER"
+    case ShortType        => "SMALLINT"
+    case ByteType         => "SMALLINT" // no portable TINYINT (Derby lacks it)
     case DoubleType       => "DOUBLE"
     case FloatType        => "REAL"
     case BooleanType      => "BOOLEAN"
@@ -48,6 +62,8 @@ object JdbcUpsert {
   private def jdbcType(dt: DataType): Int = dt match {
     case LongType         => java.sql.Types.BIGINT
     case IntegerType      => java.sql.Types.INTEGER
+    case ShortType        => java.sql.Types.SMALLINT
+    case ByteType         => java.sql.Types.SMALLINT
     case DoubleType       => java.sql.Types.DOUBLE
     case FloatType        => java.sql.Types.REAL
     case BooleanType      => java.sql.Types.BOOLEAN
@@ -70,15 +86,33 @@ object JdbcUpsert {
       // database folds unquoted identifiers differently (Derby/Oracle
       // upper-case, Postgres lower-case), so a cased metadata lookup
       // misses existing tables and re-attempts CREATE. The SELECT goes
-      // through the same identifier resolution the writes will use.
+      // through the same identifier resolution the writes will use —
+      // but only a TABLE-NOT-FOUND SQLState means "missing": a
+      // permissions or connection error treated as missing would run
+      // CREATE and fail with a message pointing AWAY from the real
+      // cause (or silently split reads/writes across two schemas).
+      val missingStates = Set(
+        "42X05", // Derby
+        "42P01", // PostgreSQL
+        "42S02", // MySQL / SQL-92 ODBC
+        "S0002") // older ODBC
       val exists =
-        try { conn.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
-        catch { case _: java.sql.SQLException => false }
+        try { conn.createStatement().executeQuery(s"SELECT 1 FROM ${q(table)} WHERE 1=0").close(); true }
+        catch {
+          case e: java.sql.SQLException
+              if missingStates.contains(Option(e.getSQLState).getOrElse("")) ||
+                Option(e.getMessage).exists(_.contains("ORA-00942")) => false
+          case e: java.sql.SQLException =>
+            throw new IllegalStateException(
+              s"probing $table at $url failed for a reason other than " +
+                s"table-not-found (SQLState ${e.getSQLState}) — refusing to " +
+                "CREATE over an undiagnosed error", e)
+        }
       if (!exists) {
         val cols = schema.fields
-          .map(f => s"${f.name} ${sqlType(f.dataType, keys.contains(f.name))}").mkString(", ")
-        val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.mkString(", ")})" else ""
-        conn.createStatement().execute(s"CREATE TABLE $table ($cols$pk)")
+          .map(f => s"${q(f.name)} ${sqlType(f.dataType, keys.contains(f.name))}").mkString(", ")
+        val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.map(q).mkString(", ")})" else ""
+        conn.createStatement().execute(s"CREATE TABLE ${q(table)} ($cols$pk)")
       }
     } finally conn.close()
   }
@@ -103,8 +137,8 @@ object JdbcUpsert {
     * older ts) overwrite newer sink state.
     */
   private def guardSql(cols: Seq[String]): String = cols match {
-    case Seq(c)    => s"$c <= ?"
-    case c +: rest => s"($c < ? OR ($c = ? AND ${guardSql(rest)}))"
+    case Seq(c)    => s"${q(c)} <= ?"
+    case c +: rest => s"(${q(c)} < ? OR (${q(c)} = ? AND ${guardSql(rest)}))"
   }
 
   /** Bind-parameter column sequence matching [[guardSql]]'s ? order. */
@@ -141,12 +175,12 @@ object JdbcUpsert {
     val allCols = keys ++ dataCols
     val guard = if (ordCols.nonEmpty) s" AND ${guardSql(ordCols)}" else ""
     val guardCols = if (ordCols.nonEmpty) guardBindCols(ordCols) else Seq.empty
-    val updateSql = s"UPDATE $table SET ${dataCols.map(c => s"$c = ?").mkString(", ")} " +
-      s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}$guard"
-    val insertSql = s"INSERT INTO $table (${allCols.mkString(", ")}) " +
+    val updateSql = s"UPDATE ${q(table)} SET ${dataCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+      s"WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}$guard"
+    val insertSql = s"INSERT INTO ${q(table)} (${allCols.map(q).mkString(", ")}) " +
       s"VALUES (${allCols.map(_ => "?").mkString(", ")})"
     val deleteSql =
-      s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}$guard"
+      s"DELETE FROM ${q(table)} WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}$guard"
     val idx = schema.fieldNames.zipWithIndex.toMap
     val types = schema.fields.map(f => f.name -> jdbcType(f.dataType)).toMap
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -169,6 +203,15 @@ object JdbcUpsert {
           offset + cols.length
         }
         rows.foreach { row =>
+          // a NULL ordering value is unorderable: every guard comparison
+          // against it is UNKNOWN, so the UPDATE matches nothing, the
+          // fallback INSERT hits the PK, and the swallow path would
+          // silently discard the row's data — fail loudly instead
+          ordCols.foreach { c =>
+            if (row.get(idx(c)) == null) throw new IllegalArgumentException(
+              s"row for $table has NULL ordering column '$c' — unorderable " +
+                "against the last-write-wins guard; fix or filter the feed")
+          }
           val isDelete = opCol.exists(c => row.getAs[String](c) == deleteOp)
           if (isDelete) {
             val n = bind(del, row, keys)
@@ -179,8 +222,17 @@ object JdbcUpsert {
             bind(up, row, guardCols, n)
             if (up.executeUpdate() == 0) {
               bind(ins, row, allCols)
-              try ins.executeUpdate()
-              catch {
+              // savepoint around the guarded INSERT: on PostgreSQL any
+              // statement error ABORTS the whole transaction (every
+              // later statement and the commit fail with 25P02), so
+              // swallowing the PK violation without one turns a single
+              // stale redelivery into a permanently poisoned,
+              // endlessly-retried task
+              val sp = if (ordCols.nonEmpty) conn.setSavepoint() else null
+              try {
+                ins.executeUpdate()
+                if (sp != null) conn.releaseSavepoint(sp)
+              } catch {
                 // PK collision with a NEWER row (the guard blocked the
                 // update): stale redelivery, skip. Without ordCols there
                 // is no guard, so collisions are genuine errors — and
@@ -188,6 +240,7 @@ object JdbcUpsert {
                 // FK / CHECK failure is a bad row, not a redelivery).
                 case e: java.sql.SQLException if isUniqueViolation(e) =>
                   if (ordCols.isEmpty) throw e
+                  conn.rollback(sp)
               }
             }
           }
