@@ -16,11 +16,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * Physical algorithm: both children are hash-clustered on the key with
   * a FIXED partition count (so AQE cannot coalesce the two sides
   * differently) and sorted by (key, ts, tiebreak). One synchronized
-  * forward scan per partition pairs every left row with the latest
+  * forward scan per partition pairs each left row with the latest
   * right row at-or-before its timestamp: O(|l|+|r|) work, zero
   * intermediate materialization — the plan shape the union+window
   * formulation (`cdc.Ops.asOfJoin`) approximates with two extra
   * projections and a window buffer.
+  *
+  * Semantics are INNER: a left row with no at-or-before match — or with
+  * a null key/timestamp — is dropped, exactly like the composed twin
+  * (enrichment callers wanting left-outer behavior should anti-join the
+  * result back against the left side for the unmatched rows).
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -42,6 +47,15 @@ case class AsOfJoinNode(
     s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTs.dataType == rightTs.dataType,
     s"as-of join timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+  // float keys are rejected: NormalizeFloatingNumbers only rewrites the
+  // built-in JOIN/WINDOW patterns, so -0.0 vs 0.0 (and NaN bit variants)
+  // would hash to different partitions here and silently drop matches a
+  // SQL join (where -0.0 = 0.0) emits. No sane as-of key is a float;
+  // callers with one must cast or normalize explicitly.
+  require(!Seq(org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType).contains(leftKey.dataType),
+    s"as-of join on a ${leftKey.dataType} key is not supported " +
+      "(-0.0/0.0 and NaN bit-patterns would split partitions); cast the key")
   override def output: Seq[Attribute] = left.output ++ rightPayload
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -163,20 +177,38 @@ object AsOfJoinPlan {
     val spark = left.sparkSession
     GraftStrategyRegistrar.ensure(spark)
     val lPlan = left.queryExecution.analyzed
+    // resolve names with the session's resolver (case-insensitive by
+    // default), matching DataFrame column resolution everywhere else —
+    // but FAIL on ambiguity like the analyzer does: a silent
+    // first-match pick (e.g. columns 'TS' and 'ts' both present) would
+    // join against the wrong column with no error
+    val resolver = spark.sessionState.conf.resolver
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq()    => sys.error(s"no column $n")
+        case many     => sys.error(
+          s"ambiguous column $n: matches ${many.map(_.name).mkString(", ")}")
+      }
     // ALWAYS re-alias the right side: a self (or shared-lineage) as-of
     // join carries the same exprIds on both children, and downstream
     // attribute binding resolves each id to its FIRST occurrence — the
     // left position — silently substituting the left row's own values
-    // for the matched right payload. A fresh projection mints new
-    // exprIds, like the analyzer's own DeduplicateRelations does for
-    // built-in joins.
-    val rPlan = right.select(right.columns.map(c => right(c).as(c)): _*)
-      .queryExecution.analyzed
-    // resolve names with the session's resolver (case-insensitive by
-    // default), matching DataFrame column resolution everywhere else
-    val resolver = spark.sessionState.conf.resolver
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(a => resolver(a.name, n)).getOrElse(sys.error(s"no column $n"))
+    // for the matched right payload. Alias the ANALYZED plan's output
+    // attributes directly (not a by-name right(c) round-trip, which
+    // throws on duplicate names and mis-resolves dotted ones), and
+    // prune to the referenced columns while at it: ColumnPruning cannot
+    // see through the custom node, so an unpruned right side would
+    // shuffle and sort every column for a 1-payload join.
+    val rAnalyzed = right.queryExecution.analyzed
+    val rNeededIdx = (Seq(rightKey, rightTs) ++ rightTieBreak ++ rightPayload)
+      .map(n => rAnalyzed.output.indexOf(attr(rAnalyzed, n))).distinct.sorted
+    val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rNeededIdx.map { i =>
+        val a = rAnalyzed.output(i)
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()
+      },
+      rAnalyzed)
     val node = AsOfJoinNode(
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
@@ -192,7 +224,13 @@ object AsOfJoinPlan {
   * idempotently at runtime for sessions the driver builds itself.
   */
 object GraftStrategyRegistrar {
-  def ensure(spark: SparkSession): Unit = {
+  def ensure(spark: SparkSession): Unit = synchronized {
+    // synchronized: extraStrategies is a bare read-modify-write — two
+    // concurrent first asOf() calls could both pass the exists check
+    // and register twice. (A conf-built session with GraftExtensions
+    // still ends up with one extensions-injected instance plus this
+    // one — harmless duplicate planning work on the custom node only,
+    // since both strategies no-op on every other plan shape.)
     val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // experimental.extraStrategies is the public runtime hook the planner
     // consults first; GraftExtensions covers conf-built sessions.
