@@ -78,8 +78,15 @@ object DeflateSize {
     val scratch = scratchLocal.get()
     var total = 0L
     while (!d.finished()) total += d.deflate(scratch)
+    // release the input reference: without this the idle pool thread
+    // pins the LAST document's byte copy (multi-MB for large docs)
+    // until its next call
+    d.reset()
+    d.setInput(DeflateSize.empty)
     total
   }
+
+  private val empty = new Array[Byte](0)
 
   val functionName = "deflate_size"
 
@@ -95,8 +102,7 @@ object DeflateSize {
     * engine didn't build, e.g. the driver's Verify/Bench sessions).
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(functionName), info, builder _)
+    Registration.ensure(spark, functionName, info, builder _)
 
   /** Column-API form (after ensureRegistered / extensions injection). */
   def deflate_size(c: Column): Column = call_function(functionName, c)

@@ -18,18 +18,36 @@ object LatestBy {
     * encoder a null scn crashed the whole job at deserialization
     * ("Null value appeared in non-nullable field") instead.
     */
-  val latestByScn: Aggregator[(java.lang.Long, String), (Long, String), String] =
-    new Aggregator[(java.lang.Long, String), (Long, String), String] {
-      override def zero: (Long, String) = (Long.MinValue, null)
-      override def reduce(b: (Long, String), a: (java.lang.Long, String)): (Long, String) =
+  val latestByScn: Aggregator[(java.lang.Long, String), (Boolean, Long, String), String] =
+    new Aggregator[(java.lang.Long, String), (Boolean, Long, String), String] {
+      // the buffer carries an explicit SEEN flag: a MinValue sentinel
+      // alone is indistinguishable from a REAL row with
+      // scn == Long.MinValue, and merge would then let an empty partial
+      // beat the real row and return null where max_by returns the
+      // payload
+      override def zero: (Boolean, Long, String) = (false, Long.MinValue, null)
+      private def pick(a: (Boolean, Long, String), b: (Boolean, Long, String)) =
+        if (!a._1) b
+        else if (!b._1) a
+        else if (a._2 != b._2) { if (a._2 > b._2) a else b }
+        else {
+          // deterministic scn tie-break on the payload (nulls lose):
+          // reduce used last-seen-wins and merge used b1-wins, so tied
+          // groups flipped with partition order — a comparison on the
+          // VALUES cannot
+          if (a._3 == null) b
+          else if (b._3 == null) a
+          else if (a._3.compareTo(b._3) >= 0) a else b
+        }
+      override def reduce(b: (Boolean, Long, String),
+          a: (java.lang.Long, String)): (Boolean, Long, String) =
         if (a._1 == null) b // null ordering: skip, like max_by
-        else if (a._1.longValue >= b._1) (a._1.longValue, a._2)
-        else b
-      override def merge(b1: (Long, String), b2: (Long, String)): (Long, String) =
-        if (b1._1 >= b2._1) b1 else b2
-      override def finish(r: (Long, String)): String = r._2
-      override def bufferEncoder: Encoder[(Long, String)] =
-        Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+        else pick(b, (true, a._1.longValue, a._2))
+      override def merge(b1: (Boolean, Long, String),
+          b2: (Boolean, Long, String)): (Boolean, Long, String) = pick(b1, b2)
+      override def finish(r: (Boolean, Long, String)): String = r._3
+      override def bufferEncoder: Encoder[(Boolean, Long, String)] =
+        Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong, Encoders.STRING)
       override def outputEncoder: Encoder[String] = Encoders.STRING
     }
 

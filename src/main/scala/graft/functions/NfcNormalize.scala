@@ -61,10 +61,18 @@ object NfcNormalize {
     * calls this static-forwarder directly — the logic lives once).
     */
   def normalize(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    // true zero-allocation fast path: pure-ASCII text is NFC by
+    // definition, and isFullAscii is a byte scan on the UTF8String
+    // itself — the previous code paid the UTF-8 → UTF-16 decode
+    // (s.toString) on EVERY row before asking isNormalized, exactly the
+    // per-row allocation the scaladoc claimed this path avoided
+    if (s.isFullAscii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
   }
 
   val functionName = "nfc_normalize"
@@ -81,8 +89,7 @@ object NfcNormalize {
     * engine didn't build, e.g. the driver's Verify/Bench sessions).
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(functionName), info, builder _)
+    Registration.ensure(spark, functionName, info, builder _)
 
   /** Column-API form (after ensureRegistered / extensions injection). */
   def nfc_normalize(c: Column): Column = call_function(functionName, c)

@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.DoubleType
   *    e.g. nx=5 → 0.9999999999999998); the rewrite emits exactly 1.0,
   *    so enabling the rule can change low bits of query output;
   *  - an ALL-ZERO vector yields NaN (0/0) unoptimized vs 1.0 rewritten,
-  *    and NaN/Inf elements likewise collapse to 1.0.
+  *    and NaN/Inf elements likewise collapse to 1.0;
+  *  - a null ELEMENT (not a null array) yields NULL unoptimized — the
+  *    element-null poisons the sum, see CosineSimilarity.nullSafeEval —
+  *    but 1.0 rewritten (the If only checks whole-array nullness), so a
+  *    pipeline using null propagation to flag dirty vectors must not
+  *    enable this rule.
   * For that reason the rule is NOT injected by [[GraftExtensions]] —
   * sessions opt in explicitly (experimental.extraOptimizations) when the
   * per-row O(dim) saving matters more than bit-exactness, the same
