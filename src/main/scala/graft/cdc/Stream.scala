@@ -389,8 +389,13 @@ object Stream {
           // would escape stateRoot and let foldBatch rename/delete in a
           // foreign directory; '/' or '=' silently corrupts the
           // hive-style layout partition discovery parses. Identifier
-          // charset only — everything else dead-letters.
-          tables.foreach(t => require(t.matches("[A-Za-z0-9_.-]+") && !t.contains(".."),
+          // charset only, and the FIRST character must be alphanumeric /
+          // underscore: a bare "." normalizes to stateRoot itself (its
+          // buckets would land at the root alongside sibling table
+          // dirs), and dot-prefixed names are invisible to Spark's file
+          // listing AND collide with the engine's own .old_/.tmp_ swap
+          // naming. (The leading-char rule also subsumes "..".)
+          tables.foreach(t => require(t.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") && !t.contains(".."),
             s"materializeMulti: table name '$t' is not a safe path segment; " +
               "route it to the dead-letter sink"))
           tables.foreach { t =>
@@ -439,8 +444,19 @@ object Stream {
     require(torn.isEmpty,
       s"state at $statePath is mid-swap for buckets ${torn.mkString(",")} " +
         "and did not settle — a read now would silently miss those buckets' keys")
-    spark.read.option("mergeSchema", "true").parquet(statePath)
-      .filter(col(opCol) =!= deleteOp)
+    // spark.read.parquet resolves the file index EAGERLY (schema
+    // inference walks the listing), so by the time `df` exists the
+    // bucket set this read will serve is fixed. Re-verify the .old_
+    // invariant AFTER that listing: a swap that began between the final
+    // midSwap() above and the read's own listing is the residual TOCTOU
+    // window — catching it here turns a torn read into a loud failure
+    // instead of a silently partial state.
+    val df = spark.read.option("mergeSchema", "true").parquet(statePath)
+    val tornAfter = midSwap()
+    require(tornAfter.isEmpty,
+      s"state at $statePath began a bucket swap (${tornAfter.mkString(",")}) " +
+        "while this read was resolving its file listing — retry the read")
+    df.filter(col(opCol) =!= deleteOp)
   }
 
   /** Per-key current state maintained IN the stream via

@@ -28,17 +28,53 @@ import org.apache.spark.sql.types._
   */
 object JdbcUpsert {
 
-  /** Quoted identifier, folded UPPER first: unquoted DDL/DML breaks on
-    * reserved-word column names (ORDER, USER, VALUE — all plausible CDC
-    * columns), while verbatim quoting would CHANGE how today's
-    * lower-case names resolve on upper-folding databases (Derby/Oracle
-    * fold unquoted ids up, so quoting "e2e_state" as-is would suddenly
-    * miss the E2E_STATE every existing deployment has). Upper-fold +
-    * quote keeps resolution identical there and makes reserved words
-    * legal. (Postgres folds unquoted ids DOWN; pre-existing
-    * unquoted-created tables there need the lower-case name passed in.)
+  /** Reserved words that break unquoted DDL/DML somewhere in the
+    * Derby / Postgres / MySQL / Oracle set — the plausible-CDC-column
+    * subset of SQL:2016 + dialect extras, lower-cased for the lookup.
     */
-  private def q(id: String): String = "\"" + id.toUpperCase + "\""
+  private val reservedWords: Set[String] = Set(
+    "order", "user", "value", "values", "group", "key", "keys", "table",
+    "select", "insert", "update", "delete", "from", "where", "join",
+    "index", "column", "primary", "foreign", "references", "check",
+    "constraint", "default", "level", "position", "date", "time",
+    "timestamp", "year", "month", "day", "hour", "minute", "second",
+    "action", "comment", "type", "role", "row", "rows", "range",
+    "window", "partition", "offset", "limit", "grant", "revoke", "to",
+    "in", "is", "not", "null", "and", "or", "like", "between", "case",
+    "when", "then", "else", "end", "cast", "desc", "asc", "by", "all",
+    "any", "some", "exists", "union", "except", "intersect", "current",
+    "session", "schema", "function", "procedure", "trigger", "view",
+    "sequence", "start", "number", "size", "mode", "language", "match",
+    "both", "leading", "trailing", "natural", "cross", "inner", "outer",
+    "left", "right", "full", "on", "using", "as", "distinct", "having")
+
+  /** Quote an identifier ONLY when it needs quoting (reserved word, or
+    * characters outside the plain-identifier set). Plain identifiers
+    * stay bare, so each database applies its NATIVE case folding —
+    * `e2e_state` resolves E2E_STATE on Derby/Oracle (up-folding) and
+    * e2e_state on Postgres (down-folding), exactly as pre-existing
+    * unquoted-created tables expect on BOTH families. Identifiers that
+    * do need quoting are emitted verbatim (case preserved, embedded
+    * quotes doubled): callers naming a reserved-word or odd-character
+    * object must pass the exact stored case.
+    */
+  private def q(id: String): String =
+    if (id.matches("[A-Za-z][A-Za-z0-9_]*") && !reservedWords.contains(id.toLowerCase))
+      id
+    else "\"" + id.replace("\"", "\"\"") + "\""
+
+  /** Table names may be schema-qualified (`app.state`): each
+    * dot-separated part is quoted independently, so the qualifier
+    * resolves as a schema rather than becoming one literal
+    * `"app.state"` identifier. Empty parts (leading/trailing/double
+    * dots) are rejected loudly rather than silently misresolving.
+    */
+  private def qTable(name: String): String = {
+    val parts = name.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty) && !name.endsWith("."),
+      s"bad table name '$name': empty dot-separated part")
+    parts.map(q).mkString(".")
+  }
 
   private def sqlType(dt: DataType, isKey: Boolean): String = dt match {
     case LongType         => "BIGINT"
@@ -97,7 +133,7 @@ object JdbcUpsert {
         "42S02", // MySQL / SQL-92 ODBC
         "S0002") // older ODBC
       val exists =
-        try { conn.createStatement().executeQuery(s"SELECT 1 FROM ${q(table)} WHERE 1=0").close(); true }
+        try { conn.createStatement().executeQuery(s"SELECT 1 FROM ${qTable(table)} WHERE 1=0").close(); true }
         catch {
           case e: java.sql.SQLException
               if missingStates.contains(Option(e.getSQLState).getOrElse("")) ||
@@ -112,7 +148,7 @@ object JdbcUpsert {
         val cols = schema.fields
           .map(f => s"${q(f.name)} ${sqlType(f.dataType, keys.contains(f.name))}").mkString(", ")
         val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.map(q).mkString(", ")})" else ""
-        conn.createStatement().execute(s"CREATE TABLE ${q(table)} ($cols$pk)")
+        conn.createStatement().execute(s"CREATE TABLE ${qTable(table)} ($cols$pk)")
       }
     } finally conn.close()
   }
@@ -175,12 +211,12 @@ object JdbcUpsert {
     val allCols = keys ++ dataCols
     val guard = if (ordCols.nonEmpty) s" AND ${guardSql(ordCols)}" else ""
     val guardCols = if (ordCols.nonEmpty) guardBindCols(ordCols) else Seq.empty
-    val updateSql = s"UPDATE ${q(table)} SET ${dataCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+    val updateSql = s"UPDATE ${qTable(table)} SET ${dataCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
       s"WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}$guard"
-    val insertSql = s"INSERT INTO ${q(table)} (${allCols.map(q).mkString(", ")}) " +
+    val insertSql = s"INSERT INTO ${qTable(table)} (${allCols.map(q).mkString(", ")}) " +
       s"VALUES (${allCols.map(_ => "?").mkString(", ")})"
     val deleteSql =
-      s"DELETE FROM ${q(table)} WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}$guard"
+      s"DELETE FROM ${qTable(table)} WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}$guard"
     val idx = schema.fieldNames.zipWithIndex.toMap
     val types = schema.fields.map(f => f.name -> jdbcType(f.dataType)).toMap
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

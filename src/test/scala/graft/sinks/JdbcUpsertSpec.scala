@@ -21,9 +21,11 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   private def readTable(url: String, table: String) =
-    // Derby reports identifiers uppercased
+    // Derby up-folds UNQUOTED identifiers (id→ID, scn→SCN); `value` is a
+    // reserved word, so the sink quotes it verbatim and the stored name
+    // keeps its case — exactly the only-quote-what-needs-it contract
     spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
-      .collect().map(r => (r.getAs[Long]("ID"), r.getAs[Long]("SCN"), r.getAs[Double]("VALUE")))
+      .collect().map(r => (r.getAs[Long]("ID"), r.getAs[Long]("SCN"), r.getAs[Double]("value")))
       .toSet
 
   private def expected(evs: Seq[Ev]) = {
@@ -124,5 +126,30 @@ class JdbcUpsertSpec extends SparkSpec {
       chk.toString)
     q.awaitTermination()
     assert(readTable(url, "stream_state") == expected(events))
+  }
+
+  test("schema-qualified table name resolves schema.table, not one dotted identifier") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    val df = Seq((1L, 7L, "a", "c"), (2L, 8L, "b", "c")).toDF("id", "scn", "v", "op")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.filterNot(_.name == "op"))
+    // Derby auto-creates the schema on first CREATE by the owner; the
+    // point is that app.state reaches JDBC as APP.STATE (two identifiers),
+    // not the single quoted identifier "APP.STATE"
+    JdbcUpsert.ensureTable(url, "app.sink_state", schema, Seq("id"))
+    JdbcUpsert.upsert(df, url, "app.sink_state", Seq("id"), opCol = Some("op"),
+      ordCols = Seq("scn"))
+    val got = s.read.format("jdbc").option("url", url)
+      .option("dbtable", "APP.SINK_STATE").load()
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[String]("V")).toMap
+    assert(got == Map(1L -> "a", 2L -> "b"))
+    // empty dot-parts must fail loudly, not misresolve
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.ensureTable(url, "app..t", schema, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.ensureTable(url, ".t", schema, Seq("id"))
+    }
   }
 }
