@@ -481,7 +481,20 @@ object Multimodal {
   }
 
   private def frameBatch(batch: Seq[MediaRecord], k: Int): Seq[FrameSample] =
-    batch.flatMap { r =>
+    decodeBatch(batch, k).flatMap(frameSamplesOf(_, k))
+
+  /** Per-doc decoded sample set: the k-schedule (`srcs`, container
+    * `ts_ms` per sample) plus each DISTINCT scheduled frame's decoded
+    * gray raster (`raster_srcs` aligned with `rasters`) — ONE demux +
+    * decode pass serving both the frame-sampling and the motion
+    * consumers. Rasters are byte arrays (mask 0xff to read a pixel).
+    */
+  case class DecodedFrames(doc_id: Long, w: Int, h: Int,
+      srcs: Array[Int], ts_ms: Array[Long],
+      raster_srcs: Array[Int], rasters: Array[Array[Byte]])
+
+  private def decodeBatch(batch: Seq[MediaRecord], k: Int): Seq[DecodedFrames] =
+    batch.map { r =>
       withDemuxer(r) { (reader, nFrames) =>
         // cumulative container timing: ts of frame f = Σ delay(0..f-1)
         val startMs = new Array[Long](nFrames)
@@ -490,19 +503,69 @@ object Multimodal {
           startMs(f) = startMs(f - 1) + gifDelayHundredths(reader.getImageMetadata(f - 1)) * 10L
           f += 1
         }
-        (0 until k).map { i =>
-          val src = i * nFrames / k
-          val (w, h) = (reader.getWidth(src), reader.getHeight(src))
-          val px = grayRaster(reader, src).map(_.toByte)
-          val sha = java.security.MessageDigest.getInstance("SHA-256").digest(px)
-            .map("%02x".format(_)).mkString
-          val m = math.max(w, h)
-          FrameSample(r.doc_id, i, startMs(src),
-            math.floor(w * 224.0 / m).toInt, math.floor(h * 224.0 / m).toInt,
-            sha.substring(0, 12))
-        }
+        val srcs = (0 until k).map(i => i * nFrames / k).toArray
+        val distinctSrcs = srcs.distinct
+        val rasters = distinctSrcs.map(s0 => grayRaster(reader, s0).map(_.toByte))
+        DecodedFrames(r.doc_id, reader.getWidth(srcs(0)), reader.getHeight(srcs(0)),
+          srcs, srcs.map(startMs(_)), distinctSrcs, rasters)
       }
     }
+
+  /** The frame-sampling view of one decoded set — sha + resize schedule
+    * over the ALREADY-decoded rasters ([[sampleFrames]]' exact output
+    * contract, spec-pinned identical).
+    */
+  private def frameSamplesOf(d: DecodedFrames, k: Int): Seq[FrameSample] = {
+    val byScr = d.raster_srcs.zip(d.rasters).toMap
+    val m = math.max(d.w, d.h)
+    (0 until k).map { i =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(byScr(d.srcs(i))).map("%02x".format(_)).mkString
+      FrameSample(d.doc_id, i, d.ts_ms(i),
+        math.floor(d.w * 224.0 / m).toInt, math.floor(d.h * 224.0 / m).toInt,
+        sha.substring(0, 12))
+    }
+  }
+
+  /** The motion view of one decoded set — consecutive-pair |Δ| over the
+    * same decoded rasters ([[motionFeatures]]' exact output contract).
+    */
+  private def motionSamplesOf(d: DecodedFrames, k: Int): Seq[MotionSample] = {
+    val byScr = d.raster_srcs.zip(d.rasters).toMap
+    (0 until k - 1).map { i =>
+      val (a, b) = (byScr(d.srcs(i)), byScr(d.srcs(i + 1)))
+      var sum = 0L; var changed = 0L; var p = 0
+      while (p < a.length) {
+        val dlt = math.abs((a(p) & 0xff) - (b(p) & 0xff))
+        sum += dlt; if (dlt > 0) changed += 1
+        p += 1
+      }
+      MotionSample(d.doc_id, i, a.length.toLong, sum,
+        sum.toDouble / a.length, changed.toDouble / a.length)
+    }
+  }
+
+  /** Decoded-raster corpus memoized per (session, dir, k) — the round-10
+    * verdict's duplicated-heavy-work fix: `mm_frames` and `mm_motion`
+    * each demuxed and decoded the SAME GIF corpus independently (the #1
+    * and #2 bench ids). One batched narrow decode pass now feeds both —
+    * the same per-corpus-artifact discipline as [[encodedCorpus]] /
+    * NearDedup's shingle table. MEMORY_AND_DISK: rasters are small
+    * (≤39×39 gray ≈ 1.5 KB ×4 frames/doc) but corpus-scale, so spilling
+    * beats recompute-or-OOM.
+    */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Dataset[DecodedFrames]]()
+
+  private def decodedFrames(s: SparkSession, dir: String, k: Int = 4): Dataset[DecodedFrames] = {
+    frameCache.keySet.removeIf(key => key._1.sparkContext.isStopped)
+    frameCache.computeIfAbsent((s, dir, k), _ => {
+      import s.implicits._
+      animatedCorpus(s, dir)
+        .mapPartitions(it => it.grouped(64).flatMap(b => decodeBatch(b, k)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
 
   case class MotionSample(doc_id: Long, pair_idx: Int, n_pixels: Long,
       sum_absdiff: Long, mean_absdiff: Double, changed_frac: Double)
@@ -528,24 +591,165 @@ object Multimodal {
   }
 
   private def motionBatch(batch: Seq[MediaRecord], k: Int): Seq[MotionSample] =
-    batch.flatMap { r =>
-      withDemuxer(r) { (reader, nFrames) =>
-        // decode each DISTINCT scheduled frame once, diff consecutive pairs
-        val srcs = (0 until k).map(i => i * nFrames / k)
-        val decoded = srcs.distinct.map(s0 => s0 -> grayRaster(reader, s0)).toMap
-        (0 until k - 1).map { i =>
-          val (a, b) = (decoded(srcs(i)), decoded(srcs(i + 1)))
-          var sum = 0L; var changed = 0L; var p = 0
-          while (p < a.length) {
-            val d = math.abs(a(p) - b(p))
-            sum += d; if (d > 0) changed += 1
-            p += 1
-          }
-          MotionSample(r.doc_id, i, a.length.toLong, sum,
-            sum.toDouble / a.length, changed.toDouble / a.length)
+    decodeBatch(batch, k).flatMap(motionSamplesOf(_, k))
+
+  /** 64-bit perceptual difference hash (dHash) of a decoded gray
+    * raster: box-filter the image down to a 9×8 grid of cell MEANS
+    * (means, not point samples — stable under re-encoding and resizing,
+    * which is the property that makes the hash PERCEPTUAL), then bit
+    * (y*8+x) = 1 iff cell(x,y) > cell(x+1,y). Content-identical images
+    * hash equal regardless of container/encoder; a resized copy moves
+    * each cell mean only at its boundary pixels, so copies land within
+    * a small Hamming distance while distinct images are ~32 bits apart
+    * (independent comparisons). MSB-first so bit 0 is the top-left
+    * comparison.
+    */
+  private[llm] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (gw, gh) = (9, 8)
+    val cells = new Array[Double](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh; val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw; val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        var sum = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
         }
+        cells(cy * gw + cx) = sum.toDouble / ((x1 - x0) * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L; var i = 0
+    while (i < 64) {
+      val (y, x) = (i / 8, i % 8)
+      bits = (bits << 1) | (if (cells(y * gw + x) > cells(y * gw + x + 1)) 1L else 0L)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual hash table in the 4×16-bit block layout
+    * `NearDedup.candidates` consumes (band_0..band_3): decode each
+    * payload, [[dHash64]] it, split the 64 bits into 4 disjoint 16-bit
+    * blocks — Hamming-LSH blocking with EXACT recall for distance ≤3 by
+    * pigeonhole (a ≤3-distance pair differs in at most 3 blocks, so it
+    * agrees exactly on ≥1 and meets in that block's bucket), the same
+    * guarantee `dedup_simhash_pairs` rides. Batched narrow
+    * mapPartitions; payload bytes never shuffle — only (id, 4 longs)
+    * rows leave the scan.
+    */
+  def imageHashBlocks(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
+        val hsh = dHash64(img)
+        (r.doc_id, (hsh >>> 48) & 0xffffL, (hsh >>> 32) & 0xffffL,
+          (hsh >>> 16) & 0xffffL, hsh & 0xffffL)
+      })
+    }.toDF("doc_id", "band_0", "band_1", "band_2", "band_3")
+  }
+
+  /** Re-encoded (optionally resized) copies of selected images — the
+    * planted perceptual-dup workload (a LAION-style pipeline's true
+    * positives: the same picture re-hosted through a different encoder
+    * or at a different resolution). Every `stride`-th doc is decoded,
+    * nearest-neighbor-rescaled by `num/den` (1/1 = pure transcode),
+    * and re-encoded as `format` under `doc_id + idOffset`. The GIF
+    * path writes through an explicit 256-gray palette (the
+    * [[encodeAnimations]] trick), so a gray raster transcodes
+    * losslessly — a REAL second codec, not a byte copy.
+    *
+    * Content note: resize-stability of [[dHash64]] holds for natural
+    * (spatially smooth) images — MultimodalSpec pins it on gradient
+    * fixtures; the documents corpus's byte-cycle rasters are NOISE,
+    * which no perceptual hash survives resizing, so the corpus demo
+    * plants 1/1 TRANSCODED copies (caught at distance 0 through two
+    * real codecs).
+    */
+  def reencodedCopies(media: Dataset[MediaRecord], stride: Int = 10,
+      num: Int = 1, den: Int = 1, format: String = "gif",
+      idOffset: Long = 1000000000L): Dataset[MediaRecord] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("doc_id") % stride === 0).as[MediaRecord].mapPartitions { it =>
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (ow, oh) = (math.max(1, w * num / den), math.max(1, h * num / den))
+        val out =
+          if (format == "gif")
+            new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          else
+            new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = out.getRaster
+        var y = 0
+        while (y < oh) {
+          val sy = y * h / oh
+          var x = 0
+          while (x < ow) {
+            raster.setSample(x, y, 0, img.getRGB(x * w / ow, sy) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, format, baos)
+        MediaRecord(r.doc_id + idOffset, baos.toByteArray, s"image/$format")
       }
     }
+  }
+
+  /** Perceptual near-dup PAIRS over an image corpus: block the dHash
+    * table with `NearDedup.candidates` (one shuffle on (block, value),
+    * `maxBucket` skew cap inherited), then the exact 64-bit Hamming
+    * verify on colliding pairs only — 4 XOR + bit_count integer ops.
+    * Recall is EXACTLY 1.0 for the ≤3 threshold (pigeonhole over the 4
+    * disjoint blocks); no all-pairs stage anywhere.
+    */
+  def imageDupPairs(blocks: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val ham = (0 until 4)
+      .map(b => bit_count(col(s"a_$b").bitwiseXOR(col(s"b_$b"))))
+      .reduce(_ + _)
+    NearDedup.candidates(blocks)
+      .join(blocks.select(col("doc_id").as("doc1") +:
+        (0 until 4).map(b => col(s"band_$b").as(s"a_$b")): _*), "doc1")
+      .join(blocks.select(col("doc_id").as("doc2") +:
+        (0 until 4).map(b => col(s"band_$b").as(s"b_$b")): _*), "doc2")
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming")
+  }
+
+  /** dHash block table for the perceptual-dedup demo corpus (originals
+    * + the planted resized copies), memoized per (session, dir) like
+    * [[NearDedup]]'s simhash block cache: the hash table is the
+    * per-corpus fingerprint artifact; candidates() references it via
+    * multiple exchanges.
+    */
+  private val imageHashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def imageHashBlocksFor(s: SparkSession, dir: String): DataFrame = {
+    imageHashCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    imageHashCache.computeIfAbsent((s, dir), _ => {
+      val corpus = encodedCorpus(s, dir)
+      imageHashBlocks(corpus.union(reencodedCopies(corpus))).persist()
+    })
+  }
 
   private def gifDelayHundredths(meta: javax.imageio.metadata.IIOMetadata): Int = {
     val root = meta.getAsTree(meta.getNativeMetadataFormatName)
@@ -592,9 +796,15 @@ object Multimodal {
     // metadata), decodes the scheduled frames, and the sha-256 of each
     // decoded raster must equal the oracle's independent prediction of
     // the offset-cycled pixel stream — executed pixels, oracle-checked.
-    "mm_frames" -> ((s, dir) =>
-      sampleFrames(animatedCorpus(s, dir))
-        .toDF().orderBy("doc_id", "frame_idx")),
+    // both GIF consumers ride the ONE memoized decode pass
+    // ([[decodedFrames]]) — the per-corpus-artifact discipline; the
+    // view math here is narrow and cheap (sha + schedule arithmetic)
+    "mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      decodedFrames(s, dir)
+        .flatMap(frameSamplesOf(_, 4))
+        .toDF().orderBy("doc_id", "frame_idx")
+    }),
 
     // REAL audio path (round 10): WAV encode + container-parse decode
     // through javax.sound.sampled; integer features + PCM sha-256
@@ -607,15 +817,32 @@ object Multimodal {
     // static-clip signal); the oracle predicts every |Δ| from the
     // byte-cycle model, so agreement proves the decode — means are
     // single int/int IEEE divisions, bitwise identical cross-engine
-    "mm_motion" -> ((s, dir) =>
-      motionFeatures(animatedCorpus(s, dir))
-        .toDF().orderBy("doc_id", "pair_idx")),
+    "mm_motion" -> ((s, dir) => {
+      import s.implicits._
+      decodedFrames(s, dir)
+        .flatMap(motionSamplesOf(_, 4))
+        .toDF().orderBy("doc_id", "pair_idx")
+    }),
 
     // 2:1 integer box-filter decimation over the PARSED PCM; out_rate
     // derives from the parsed header, resampled bytes sha-checked
     "mm_audio_resample" -> ((s, dir) =>
       resampleAudio(audioCorpus(s, dir))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // perceptual IMAGE near-dedup (round 11) — the LAION-style operator
+    // joining the codec family (real decoded rasters) to the dedup
+    // family (Hamming-LSH blocks): corpus = the PNG fixture + planted
+    // GIF-transcoded copies of every 10th image; a copy must pair with
+    // its original (same raster through two real codecs → distance 0)
+    // while distinct images stay ~32 bits apart. Resize-stability is
+    // pinned in MultimodalSpec on smooth gradient images (the natural-
+    // image property perceptual hashing assumes; the fixture's
+    // byte-cycle rasters are noise, which no perceptual hash survives
+    // resizing). Rows-only (the hash depends on the engine's decoder).
+    "mm_dedup" -> ((s, dir) =>
+      imageDupPairs(imageHashBlocksFor(s, dir))
+        .orderBy("doc1", "doc2"))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -543,6 +543,84 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach { case (_, _, r) => assert(r >= 0.0) }
   }
 
+  test("mm_frames/mm_motion memoized decode path equals the direct demux path") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val media = Multimodal.encodeAnimations(Tables(s, dir).documents)
+    val directFrames = Multimodal.sampleFrames(media)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq
+    val memoFrames = graft.SparkEntry.queries("mm_frames")(s, dir)
+      .as[Multimodal.FrameSample](org.apache.spark.sql.Encoders.product[Multimodal.FrameSample])
+      .collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq
+    assert(memoFrames == directFrames,
+      "shared decoded-raster memo changed mm_frames' output")
+    val directMotion = Multimodal.motionFeatures(media)
+      .collect().sortBy(m => (m.doc_id, m.pair_idx)).toSeq
+    val memoMotion = graft.SparkEntry.queries("mm_motion")(s, dir)
+      .as[Multimodal.MotionSample](org.apache.spark.sql.Encoders.product[Multimodal.MotionSample])
+      .collect().sortBy(m => (m.doc_id, m.pair_idx)).toSeq
+    assert(memoMotion == directMotion,
+      "shared decoded-raster memo changed mm_motion's output")
+  }
+
+  /** Smooth gray PNG: value = 128 + 120·sin(2π(cycles·x/w + phase)) —
+    * constant in y, spatially smooth in x (the natural-image property
+    * perceptual hashing assumes), horizontal structure set by
+    * (cycles, phase) so distinct parameterizations hash far apart.
+    */
+  private def smoothPng(id: Long, w: Int, h: Int, cycles: Double, phase: Double): Multimodal.MediaRecord = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0,
+        (128 + 120 * math.sin(2 * math.Pi * (cycles * x / w + phase))).toInt.max(0).min(255))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    Multimodal.MediaRecord(id, baos.toByteArray, "image/png")
+  }
+
+  test("perceptual image dedup: transcoded + resized copies caught, distinct images not paired") {
+    val s = spark
+    import s.implicits._
+    // four distinct smooth images (different horizontal structure)
+    val originals = Seq(
+      smoothPng(1L, 36, 30, 1.0, 0.0),
+      smoothPng(2L, 33, 27, 2.0, 0.25),
+      smoothPng(3L, 30, 36, 3.0, 0.5),
+      smoothPng(4L, 27, 33, 1.5, 0.75))
+    val media = s.createDataset(originals)
+    // GIF transcode (second real codec, same raster) — every image
+    val transcoded = Multimodal.reencodedCopies(media, stride = 1, idOffset = 100L)
+    // 2/3-scale PNG re-encode — the re-hosted-at-lower-res true positive
+    val resized = Multimodal.reencodedCopies(media, stride = 1,
+      num = 2, den = 3, format = "png", idOffset = 200L)
+    val pairs = Multimodal.imageDupPairs(
+      Multimodal.imageHashBlocks(media.union(transcoded).union(resized)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    originals.map(_.doc_id).foreach { id =>
+      assert(byPair.get((id, id + 100L)).contains(0L),
+        s"GIF transcode of image $id must pair at distance 0: ${byPair.get((id, id + 100L))}")
+      assert(byPair.contains((id, id + 200L)),
+        s"2/3-scale resized copy of image $id must be caught (≤3): $pairs")
+    }
+    // precision: no pair between DISTINCT source images (in any encoding)
+    val falsePairs = pairs.filter { case (a, b, _) => a % 100 != b % 100 }
+    assert(falsePairs.isEmpty, s"distinct images must not pair: ${falsePairs.toSeq}")
+    // noise note made executable: dHash of the same image content is
+    // encoder-invariant (distance 0) even for the fixture's noise
+    // rasters — resize-stability is what needs smoothness
+    val fixture = Multimodal.encodeImages(
+      Tables(s, sf("sf0.001")).documents.limit(20))
+    val fixturePairs = Multimodal.imageDupPairs(
+      Multimodal.imageHashBlocks(fixture.union(
+        Multimodal.reencodedCopies(fixture, stride = 1, idOffset = 1000000L))))
+      .collect()
+    assert(fixturePairs.length >= 20 &&
+      fixturePairs.forall(_.getLong(2) == 0L),
+      "every fixture image must pair with its transcode at distance 0")
+  }
+
   test("k-means Lloyd iterations do not increase inertia; report partitions the corpus") {
     val s = spark
     import s.implicits._
