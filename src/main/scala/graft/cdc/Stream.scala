@@ -394,7 +394,9 @@ object Stream {
           // buckets would land at the root alongside sibling table
           // dirs), and dot-prefixed names are invisible to Spark's file
           // listing AND collide with the engine's own .old_/.tmp_ swap
-          // naming. (The leading-char rule also subsumes "..".)
+          // naming. (The leading-char rule only covers names STARTING
+          // with '.'; interior ".." sequences — 'a..b' — are what the
+          // contains("..") clause below rejects.)
           tables.foreach(t => require(t.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") && !t.contains(".."),
             s"materializeMulti: table name '$t' is not a safe path segment; " +
               "route it to the dead-letter sink"))

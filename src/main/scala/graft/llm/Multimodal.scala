@@ -485,13 +485,17 @@ object Multimodal {
 
   /** Per-doc decoded sample set: the k-schedule (`srcs`, container
     * `ts_ms` per sample) plus each DISTINCT scheduled frame's decoded
-    * gray raster (`raster_srcs` aligned with `rasters`) — ONE demux +
-    * decode pass serving both the frame-sampling and the motion
-    * consumers. Rasters are byte arrays (mask 0xff to read a pixel).
+    * gray raster (`raster_srcs` aligned with `rasters`, per-frame
+    * `ws`/`hs` dims likewise aligned — GIF sub-images may legally have
+    * differing dimensions, so frame 0's dims must not stand in for
+    * every sampled frame's) — ONE demux + decode pass serving both the
+    * frame-sampling and the motion consumers. Rasters are byte arrays
+    * (mask 0xff to read a pixel).
     */
-  case class DecodedFrames(doc_id: Long, w: Int, h: Int,
+  case class DecodedFrames(doc_id: Long,
       srcs: Array[Int], ts_ms: Array[Long],
-      raster_srcs: Array[Int], rasters: Array[Array[Byte]])
+      raster_srcs: Array[Int], ws: Array[Int], hs: Array[Int],
+      rasters: Array[Array[Byte]])
 
   private def decodeBatch(batch: Seq[MediaRecord], k: Int): Seq[DecodedFrames] =
     batch.map { r =>
@@ -506,23 +510,27 @@ object Multimodal {
         val srcs = (0 until k).map(i => i * nFrames / k).toArray
         val distinctSrcs = srcs.distinct
         val rasters = distinctSrcs.map(s0 => grayRaster(reader, s0).map(_.toByte))
-        DecodedFrames(r.doc_id, reader.getWidth(srcs(0)), reader.getHeight(srcs(0)),
-          srcs, srcs.map(startMs(_)), distinctSrcs, rasters)
+        DecodedFrames(r.doc_id, srcs, srcs.map(startMs(_)), distinctSrcs,
+          distinctSrcs.map(reader.getWidth), distinctSrcs.map(reader.getHeight),
+          rasters)
       }
     }
 
   /** The frame-sampling view of one decoded set — sha + resize schedule
     * over the ALREADY-decoded rasters ([[sampleFrames]]' exact output
-    * contract, spec-pinned identical).
+    * contract, spec-pinned identical). Each sample's out_w/out_h derive
+    * from ITS OWN frame's dimensions.
     */
   private def frameSamplesOf(d: DecodedFrames, k: Int): Seq[FrameSample] = {
-    val byScr = d.raster_srcs.zip(d.rasters).toMap
-    val m = math.max(d.w, d.h)
+    val bySrc = d.raster_srcs.zipWithIndex.toMap
     (0 until k).map { i =>
+      val j = bySrc(d.srcs(i))
+      val (w, h) = (d.ws(j), d.hs(j))
+      val m = math.max(w, h)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(byScr(d.srcs(i))).map("%02x".format(_)).mkString
+        .digest(d.rasters(j)).map("%02x".format(_)).mkString
       FrameSample(d.doc_id, i, d.ts_ms(i),
-        math.floor(d.w * 224.0 / m).toInt, math.floor(d.h * 224.0 / m).toInt,
+        math.floor(w * 224.0 / m).toInt, math.floor(h * 224.0 / m).toInt,
         sha.substring(0, 12))
     }
   }
@@ -531,9 +539,16 @@ object Multimodal {
     * same decoded rasters ([[motionFeatures]]' exact output contract).
     */
   private def motionSamplesOf(d: DecodedFrames, k: Int): Seq[MotionSample] = {
-    val byScr = d.raster_srcs.zip(d.rasters).toMap
+    val bySrc = d.raster_srcs.zipWithIndex.toMap
     (0 until k - 1).map { i =>
-      val (a, b) = (byScr(d.srcs(i)), byScr(d.srcs(i + 1)))
+      val (ja, jb) = (bySrc(d.srcs(i)), bySrc(d.srcs(i + 1)))
+      // per-pixel |Δ| is only defined over same-shaped rasters; GIF
+      // sub-images may differ in dims, and comparing by flat index would
+      // silently misalign rows (or read OOB) — fail loudly instead
+      require(d.ws(ja) == d.ws(jb) && d.hs(ja) == d.hs(jb),
+        s"doc ${d.doc_id}: motion pair $i compares frames of differing " +
+          s"dimensions ${d.ws(ja)}x${d.hs(ja)} vs ${d.ws(jb)}x${d.hs(jb)}")
+      val (a, b) = (d.rasters(ja), d.rasters(jb))
       var sum = 0L; var changed = 0L; var p = 0
       while (p < a.length) {
         val dlt = math.abs((a(p) & 0xff) - (b(p) & 0xff))
@@ -594,33 +609,68 @@ object Multimodal {
     decodeBatch(batch, k).flatMap(motionSamplesOf(_, k))
 
   /** 64-bit perceptual difference hash (dHash) of a decoded gray
-    * raster: box-filter the image down to a 9×8 grid of cell MEANS
-    * (means, not point samples — stable under re-encoding and resizing,
-    * which is the property that makes the hash PERCEPTUAL), then bit
-    * (y*8+x) = 1 iff cell(x,y) > cell(x+1,y). Content-identical images
-    * hash equal regardless of container/encoder; a resized copy moves
-    * each cell mean only at its boundary pixels, so copies land within
-    * a small Hamming distance while distinct images are ~32 bits apart
-    * (independent comparisons). MSB-first so bit 0 is the top-left
-    * comparison.
+    * raster: box-filter the image down to a 9×8 grid of cell MEANS,
+    * then bit (y*8+x) = 1 iff cell(x,y) > cell(x+1,y). Content-identical
+    * images hash equal regardless of container/encoder; resized copies
+    * land within a small Hamming distance while distinct images are
+    * ~32 bits apart. MSB-first so bit 0 is the top-left comparison.
+    *
+    * The box filter uses EXACT-COVERAGE fractional cell boundaries
+    * (cell cx spans [cx·w/9, (cx+1)·w/9) in CONTINUOUS image space;
+    * boundary pixels contribute weighted by their overlap with the
+    * cell). Integer-floor boundaries would give cells of varying pixel
+    * width whose relative extent shifts with the raster's resolution —
+    * under a resize, a cell then averages a DIFFERENT region of the
+    * underlying picture and the cell mean moves a full comparison near
+    * sign changes (the round-11 regression: measured distance 8/16 on
+    * planted 2/3-scale copies). With exact coverage, every resolution's
+    * cell mean approximates the same continuous integral
+    * ∫cell f / area(cell), so the per-cell error is O(1/min(w,h)) of
+    * the image's local variation and a resized copy of a spatially
+    * smooth image stays within Hamming ≤3 (SimilaritySpec pins 2/3- and
+    * 3/4-scale copies of 2-D smooth NON-SEPARABLE plants — a separable
+    * or rank-1 image makes whole rows/columns of comparisons flip
+    * together, 8 bits at a time; noise rasters do NOT survive resizing
+    * under any perceptual hash — the corpus demo plants pure
+    * transcodes for those).
     */
   private[llm] def dHash64(img: java.awt.image.BufferedImage): Long = {
     val (w, h) = (img.getWidth, img.getHeight)
     val (gw, gh) = (9, 8)
+    // overlap weight of pixel index p (covering [p, p+1)) with the
+    // continuous cell span [c·n/g, (c+1)·n/g)
+    def cellMeans1D(n: Int, g: Int): Array[(Int, Int, Array[Double])] =
+      Array.tabulate(g) { c =>
+        val lo = c.toDouble * n / g; val hi = (c + 1).toDouble * n / g
+        val p0 = lo.toInt; val p1 = math.min(n - 1, math.ceil(hi).toInt - 1)
+        val ws = Array.tabulate(p1 - p0 + 1) { i =>
+          val p = p0 + i
+          math.min(hi, p + 1.0) - math.max(lo, p.toDouble)
+        }
+        (p0, p1, ws)
+      }
+    val xs = cellMeans1D(w, gw)
+    val ys = cellMeans1D(h, gh)
     val cells = new Array[Double](gw * gh)
     var cy = 0
     while (cy < gh) {
-      val y0 = cy * h / gh; val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+      val (y0, y1, wy) = ys(cy)
       var cx = 0
       while (cx < gw) {
-        val x0 = cx * w / gw; val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
-        var sum = 0L; var y = y0
-        while (y < y1) {
+        val (x0, x1, wx) = xs(cx)
+        var sum = 0.0; var area = 0.0; var y = y0
+        while (y <= y1) {
+          val rowW = wy(y - y0)
           var x = x0
-          while (x < x1) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+          while (x <= x1) {
+            val wgt = rowW * wx(x - x0)
+            sum += wgt * (img.getRGB(x, y) & 0xff)
+            area += wgt
+            x += 1
+          }
           y += 1
         }
-        cells(cy * gw + cx) = sum.toDouble / ((x1 - x0) * (y1 - y0))
+        cells(cy * gw + cx) = sum / area
         cx += 1
       }
       cy += 1
@@ -698,10 +748,15 @@ object Multimodal {
         val raster = out.getRaster
         var y = 0
         while (y < oh) {
-          val sy = y * h / oh
+          // center-mapped NN: sample the source pixel under the CENTER of
+          // the destination pixel's footprint ((2y+1)·h/(2oh)), not its
+          // left edge — edge-mapped floor sampling shifts the whole copy
+          // by ~half a source pixel, a systematic phase lag that costs
+          // perceptual-hash bits for free on every resized plant
+          val sy = (2 * y + 1) * h / (2 * oh)
           var x = 0
           while (x < ow) {
-            raster.setSample(x, y, 0, img.getRGB(x * w / ow, sy) & 0xff)
+            raster.setSample(x, y, 0, img.getRGB((2 * x + 1) * w / (2 * ow), sy) & 0xff)
             x += 1
           }
           y += 1

@@ -48,20 +48,47 @@ object JdbcUpsert {
     "both", "leading", "trailing", "natural", "cross", "inner", "outer",
     "left", "right", "full", "on", "using", "as", "distinct", "having")
 
-  /** Quote an identifier ONLY when it needs quoting (reserved word, or
-    * characters outside the plain-identifier set). Plain identifiers
+  /** The case an UNQUOTED identifier folds to on the target database —
+    * lower on the PostgreSQL family, upper on the SQL-standard family
+    * (Derby, Oracle, H2, HSQLDB, DB2). MySQL/MariaDB preserve case but
+    * compare case-insensitively on most platforms; upper is safe there.
+    */
+  private def foldCase(url: String): String => String = {
+    val u = url.toLowerCase
+    if (u.startsWith("jdbc:postgresql")) (s: String) => s.toLowerCase
+    else (s: String) => s.toUpperCase
+  }
+
+  /** Quote an identifier ONLY when it needs quoting. Plain identifiers
     * stay bare, so each database applies its NATIVE case folding —
     * `e2e_state` resolves E2E_STATE on Derby/Oracle (up-folding) and
     * e2e_state on Postgres (down-folding), exactly as pre-existing
-    * unquoted-created tables expect on BOTH families. Identifiers that
-    * do need quoting are emitted verbatim (case preserved, embedded
-    * quotes doubled): callers naming a reserved-word or odd-character
-    * object must pass the exact stored case.
+    * unquoted-created tables expect on BOTH families.
+    *
+    * A plain-shaped RESERVED word (`value`, `order`, …) must be quoted,
+    * but quoting verbatim would freeze the caller's case into the
+    * schema and split it from the unquoted up/down-folded siblings
+    * (round-11 regression: Derby table `ID, EVENT_TYPE, "value", SCN`).
+    * So it is folded to the dialect's unquoted-fold case FIRST:
+    * `"VALUE"` on Derby/Oracle, `"value"` on Postgres — byte-identical
+    * to what an unquoted CREATE would have stored, so the created
+    * schema is case-uniform and pre-existing tables (created by either
+    * the always-quote-uppercase releases on Derby/Oracle or plain
+    * unquoted DDL anywhere) keep resolving.
+    *
+    * Escape hatches for what the best-effort [[reservedWords]] list
+    * cannot know: an identifier arriving ALREADY double-quoted is
+    * passed through verbatim (caller controls the exact stored case —
+    * use this for an unlisted dialect keyword), and odd-character
+    * identifiers are quoted verbatim-case (the caller necessarily knows
+    * the stored case, since only quoted DDL can have created them).
     */
-  private def q(id: String): String =
-    if (id.matches("[A-Za-z][A-Za-z0-9_]*") && !reservedWords.contains(id.toLowerCase))
-      id
-    else "\"" + id.replace("\"", "\"\"") + "\""
+  private def q(id: String, fold: String => String): String =
+    if (id.length >= 2 && id.head == '"' && id.last == '"') id // pre-quoted: verbatim
+    else if (id.matches("[A-Za-z][A-Za-z0-9_]*")) {
+      if (reservedWords.contains(id.toLowerCase)) "\"" + fold(id) + "\""
+      else id
+    } else "\"" + id.replace("\"", "\"\"") + "\""
 
   /** Table names may be schema-qualified (`app.state`): each
     * dot-separated part is quoted independently, so the qualifier
@@ -69,11 +96,11 @@ object JdbcUpsert {
     * `"app.state"` identifier. Empty parts (leading/trailing/double
     * dots) are rejected loudly rather than silently misresolving.
     */
-  private def qTable(name: String): String = {
+  private def qTable(name: String, fold: String => String): String = {
     val parts = name.split('.')
     require(parts.nonEmpty && parts.forall(_.nonEmpty) && !name.endsWith("."),
       s"bad table name '$name': empty dot-separated part")
-    parts.map(q).mkString(".")
+    parts.map(q(_, fold)).mkString(".")
   }
 
   private def sqlType(dt: DataType, isKey: Boolean): String = dt match {
@@ -116,6 +143,7 @@ object JdbcUpsert {
     * table, FIXTURES.md A2).
     */
   def ensureTable(url: String, table: String, schema: StructType, keys: Seq[String]): Unit = {
+    val fold = foldCase(url)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       // Probe with a no-row SELECT instead of getTables metadata: each
@@ -133,7 +161,7 @@ object JdbcUpsert {
         "42S02", // MySQL / SQL-92 ODBC
         "S0002") // older ODBC
       val exists =
-        try { conn.createStatement().executeQuery(s"SELECT 1 FROM ${qTable(table)} WHERE 1=0").close(); true }
+        try { conn.createStatement().executeQuery(s"SELECT 1 FROM ${qTable(table, fold)} WHERE 1=0").close(); true }
         catch {
           case e: java.sql.SQLException
               if missingStates.contains(Option(e.getSQLState).getOrElse("")) ||
@@ -146,9 +174,9 @@ object JdbcUpsert {
         }
       if (!exists) {
         val cols = schema.fields
-          .map(f => s"${q(f.name)} ${sqlType(f.dataType, keys.contains(f.name))}").mkString(", ")
-        val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.map(q).mkString(", ")})" else ""
-        conn.createStatement().execute(s"CREATE TABLE ${qTable(table)} ($cols$pk)")
+          .map(f => s"${q(f.name, fold)} ${sqlType(f.dataType, keys.contains(f.name))}").mkString(", ")
+        val pk = if (keys.nonEmpty) s", PRIMARY KEY (${keys.map(q(_, fold)).mkString(", ")})" else ""
+        conn.createStatement().execute(s"CREATE TABLE ${qTable(table, fold)} ($cols$pk)")
       }
     } finally conn.close()
   }
@@ -172,9 +200,9 @@ object JdbcUpsert {
     * column would let a stale redelivery that TIES on it (same scn,
     * older ts) overwrite newer sink state.
     */
-  private def guardSql(cols: Seq[String]): String = cols match {
-    case Seq(c)    => s"${q(c)} <= ?"
-    case c +: rest => s"(${q(c)} < ? OR (${q(c)} = ? AND ${guardSql(rest)}))"
+  private def guardSql(cols: Seq[String], fold: String => String): String = cols match {
+    case Seq(c)    => s"${q(c, fold)} <= ?"
+    case c +: rest => s"(${q(c, fold)} < ? OR (${q(c, fold)} = ? AND ${guardSql(rest, fold)}))"
   }
 
   /** Bind-parameter column sequence matching [[guardSql]]'s ? order. */
@@ -209,14 +237,15 @@ object JdbcUpsert {
       s"upsert into $table needs at least one non-key payload column " +
         s"(got keys=$keys, op=$opCol only) — a keys-only feed has nothing to SET")
     val allCols = keys ++ dataCols
-    val guard = if (ordCols.nonEmpty) s" AND ${guardSql(ordCols)}" else ""
+    val fold = foldCase(url)
+    val guard = if (ordCols.nonEmpty) s" AND ${guardSql(ordCols, fold)}" else ""
     val guardCols = if (ordCols.nonEmpty) guardBindCols(ordCols) else Seq.empty
-    val updateSql = s"UPDATE ${qTable(table)} SET ${dataCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
-      s"WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}$guard"
-    val insertSql = s"INSERT INTO ${qTable(table)} (${allCols.map(q).mkString(", ")}) " +
+    val updateSql = s"UPDATE ${qTable(table, fold)} SET ${dataCols.map(c => s"${q(c, fold)} = ?").mkString(", ")} " +
+      s"WHERE ${keys.map(c => s"${q(c, fold)} = ?").mkString(" AND ")}$guard"
+    val insertSql = s"INSERT INTO ${qTable(table, fold)} (${allCols.map(q(_, fold)).mkString(", ")}) " +
       s"VALUES (${allCols.map(_ => "?").mkString(", ")})"
     val deleteSql =
-      s"DELETE FROM ${qTable(table)} WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}$guard"
+      s"DELETE FROM ${qTable(table, fold)} WHERE ${keys.map(c => s"${q(c, fold)} = ?").mkString(" AND ")}$guard"
     val idx = schema.fieldNames.zipWithIndex.toMap
     val types = schema.fields.map(f => f.name -> jdbcType(f.dataType)).toMap
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

@@ -563,17 +563,26 @@ class SimilaritySpec extends SparkSpec {
       "shared decoded-raster memo changed mm_motion's output")
   }
 
-  /** Smooth gray PNG: value = 128 + 120·sin(2π(cycles·x/w + phase)) —
-    * constant in y, spatially smooth in x (the natural-image property
-    * perceptual hashing assumes), horizontal structure set by
-    * (cycles, phase) so distinct parameterizations hash far apart.
+  /** Smooth 2-D NON-SEPARABLE gray PNG:
+    * 128 + 65·sin(2π(cx·x/w+px))·sin(2π(cy·y/h+py))
+    *     + 55·sin(2π((cx+0.7)·x/w+py))·sin(2π((cy+0.7)·y/h+px)).
+    * Spatial smoothness is the natural-image property perceptual
+    * hashing assumes; the rank-2 (sum-of-two-products) structure is
+    * what makes the 64 dHash comparisons INDEPENDENT — a y-constant or
+    * single-product image makes whole rows/columns flip together, so
+    * distances quantize to multiples of 8 and one marginal comparison
+    * blows the threshold (the round-11 regression's fixtures).
     */
-  private def smoothPng(id: Long, w: Int, h: Int, cycles: Double, phase: Double): Multimodal.MediaRecord = {
+  private def smoothPng(id: Long, w: Int, h: Int,
+      cx: Double, px: Double, cy: Double, py: Double): Multimodal.MediaRecord = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     for (y <- 0 until h; x <- 0 until w)
       raster.setSample(x, y, 0,
-        (128 + 120 * math.sin(2 * math.Pi * (cycles * x / w + phase))).toInt.max(0).min(255))
+        (128 + 65 * math.sin(2 * math.Pi * (cx * x / w + px))
+             * math.sin(2 * math.Pi * (cy * y / h + py))
+             + 55 * math.sin(2 * math.Pi * ((cx + 0.7) * x / w + py))
+             * math.sin(2 * math.Pi * ((cy + 0.7) * y / h + px))).toInt.max(0).min(255))
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     Multimodal.MediaRecord(id, baos.toByteArray, "image/png")
@@ -582,20 +591,25 @@ class SimilaritySpec extends SparkSpec {
   test("perceptual image dedup: transcoded + resized copies caught, distinct images not paired") {
     val s = spark
     import s.implicits._
-    // four distinct smooth images (different horizontal structure)
+    // four distinct 2-D smooth images (different frequency/phase mixes;
+    // measured hash margins: resized copies ≤1 bit, distinct pairs ≥23)
     val originals = Seq(
-      smoothPng(1L, 36, 30, 1.0, 0.0),
-      smoothPng(2L, 33, 27, 2.0, 0.25),
-      smoothPng(3L, 30, 36, 3.0, 0.5),
-      smoothPng(4L, 27, 33, 1.5, 0.75))
+      smoothPng(1L, 72, 60, 1.0, 0.0, 2.0, 0.3),
+      smoothPng(2L, 66, 54, 2.0, 0.25, 1.0, 0.6),
+      smoothPng(3L, 60, 72, 2.4, 0.5, 1.4, 0.1),
+      smoothPng(4L, 54, 66, 1.5, 0.75, 2.2, 0.9))
     val media = s.createDataset(originals)
     // GIF transcode (second real codec, same raster) — every image
     val transcoded = Multimodal.reencodedCopies(media, stride = 1, idOffset = 100L)
-    // 2/3-scale PNG re-encode — the re-hosted-at-lower-res true positive
-    val resized = Multimodal.reencodedCopies(media, stride = 1,
+    // 2/3- and 3/4-scale PNG re-encodes — the re-hosted-at-lower-res
+    // true positives (LAION-style thumbnails)
+    val resized23 = Multimodal.reencodedCopies(media, stride = 1,
       num = 2, den = 3, format = "png", idOffset = 200L)
+    val resized34 = Multimodal.reencodedCopies(media, stride = 1,
+      num = 3, den = 4, format = "png", idOffset = 300L)
     val pairs = Multimodal.imageDupPairs(
-      Multimodal.imageHashBlocks(media.union(transcoded).union(resized)))
+      Multimodal.imageHashBlocks(
+        media.union(transcoded).union(resized23).union(resized34)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
     originals.map(_.doc_id).foreach { id =>
@@ -603,6 +617,8 @@ class SimilaritySpec extends SparkSpec {
         s"GIF transcode of image $id must pair at distance 0: ${byPair.get((id, id + 100L))}")
       assert(byPair.contains((id, id + 200L)),
         s"2/3-scale resized copy of image $id must be caught (≤3): $pairs")
+      assert(byPair.contains((id, id + 300L)),
+        s"3/4-scale resized copy of image $id must be caught (≤3): $pairs")
     }
     // precision: no pair between DISTINCT source images (in any encoding)
     val falsePairs = pairs.filter { case (a, b, _) => a % 100 != b % 100 }

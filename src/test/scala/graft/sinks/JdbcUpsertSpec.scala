@@ -22,10 +22,11 @@ class JdbcUpsertSpec extends SparkSpec {
 
   private def readTable(url: String, table: String) =
     // Derby up-folds UNQUOTED identifiers (id→ID, scn→SCN); `value` is a
-    // reserved word, so the sink quotes it verbatim and the stored name
-    // keeps its case — exactly the only-quote-what-needs-it contract
+    // reserved word, so the sink quotes it — but folded to Derby's
+    // unquoted-fold case first ("VALUE"), so the created schema is
+    // case-UNIFORM: a consumer reading every column upper-cased works
     spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
-      .collect().map(r => (r.getAs[Long]("ID"), r.getAs[Long]("SCN"), r.getAs[Double]("value")))
+      .collect().map(r => (r.getAs[Long]("ID"), r.getAs[Long]("SCN"), r.getAs[Double]("VALUE")))
       .toSet
 
   private def expected(evs: Seq[Ev]) = {
@@ -151,5 +152,53 @@ class JdbcUpsertSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       JdbcUpsert.ensureTable(url, ".t", schema, Seq("id"))
     }
+  }
+
+  test("reserved-word columns beside plain columns create a case-uniform schema") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    // `order` and `value` are reserved (quoted, FOLD-cased); id/scn plain
+    // (bare, Derby up-folds). The round-11 regression created a
+    // mixed-case surface (ID, "value", SCN); the contract now is that a
+    // consumer addressing EVERY column by the dialect's fold case works.
+    val df = Seq((1L, 3L, 2.5, 9L, "c"), (2L, 4L, 7.5, 8L, "c"))
+      .toDF("id", "order", "value", "scn", "op")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.filterNot(_.name == "op"))
+    JdbcUpsert.ensureTable(url, "mixed_t", schema, Seq("id"))
+    JdbcUpsert.upsert(df, url, "mixed_t", Seq("id"), opCol = Some("op"), ordCols = Seq("scn"))
+    val got = s.read.format("jdbc").option("url", url).option("dbtable", "mixed_t").load()
+    assert(got.schema.fieldNames.toSeq == Seq("ID", "ORDER", "VALUE", "SCN"),
+      s"created schema is not case-uniform: ${got.schema.fieldNames.mkString(",")}")
+    val rows = got.collect()
+      .map(r => (r.getAs[Long]("ID"), r.getAs[Long]("ORDER"), r.getAs[Double]("VALUE"))).toSet
+    assert(rows == Set((1L, 3L, 2.5), (2L, 4L, 7.5)))
+    // update path exercises the quoted SET/WHERE spellings too
+    val upd = Seq((1L, 30L, 25.0, 10L, "u")).toDF("id", "order", "value", "scn", "op")
+    JdbcUpsert.upsert(upd, url, "mixed_t", Seq("id"), opCol = Some("op"), ordCols = Seq("scn"))
+    val after = s.read.format("jdbc").option("url", url).option("dbtable", "mixed_t").load()
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Double]("VALUE")).toMap
+    assert(after == Map(1L -> 25.0, 2L -> 7.5))
+  }
+
+  test("a table created by unquoted DDL keeps resolving (fold-case quoting = native fold)") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    // simulate a pre-existing sink table created OUTSIDE the sink with a
+    // plain unquoted CREATE — Derby stores ID/SCN/VALUE upper. The sink's
+    // quoted "VALUE" must hit that same column, and ensureTable must see
+    // the table as existing (no duplicate CREATE).
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE legacy_t (id BIGINT PRIMARY KEY, \"VALUE\" DOUBLE, scn BIGINT)")
+    finally conn.close()
+    val df = Seq((1L, 5.5, 2L, "c")).toDF("id", "value", "scn", "op")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.filterNot(_.name == "op"))
+    JdbcUpsert.ensureTable(url, "legacy_t", schema, Seq("id")) // must NOT re-CREATE
+    JdbcUpsert.upsert(df, url, "legacy_t", Seq("id"), opCol = Some("op"), ordCols = Seq("scn"))
+    val got = s.read.format("jdbc").option("url", url).option("dbtable", "legacy_t").load()
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Double]("VALUE")).toMap
+    assert(got == Map(1L -> 5.5))
   }
 }
