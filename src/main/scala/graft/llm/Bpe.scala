@@ -301,6 +301,47 @@ object Bpe {
             t => length(t) > 1 && t =!= lit(Eow))).cast("long").as("n_merged"),
           md5(array_join(col("bpe"), " ")).as("h"))
         .orderBy("doc_id")
+    }),
+
+    // the tokenize-and-pack CAPSTONE — the terminal export step of a
+    // training-data pipeline as one declarative plan: Gopher quality
+    // gate (the shared [[TextOps.GopherGate]] conjunction) → exact
+    // dedup (min-id survivor per text) → BPE encode with the
+    // corpus-trained tokenizer ([[trainedMerges]], the same model
+    // `bpe_encode` applies) → fixed-capacity shard packing on the REAL
+    // token counts (seq_pack's cumulative binning, but over BPE tokens
+    // — whitespace counts misprice packing by the merge ratio, so the
+    // shard budget would silently over/under-fill at train time).
+    // Rows-only (the token counts depend on the engine-trained merge
+    // sequence); budgets, determinism and round-trip order pinned in
+    // BpeSpec. Scale shape: gate+dedup are a narrow scan + one
+    // text-keyed window; encode is the vocab-cached key join; packing
+    // is ONE cumulative window per source shard — no all-pairs stage,
+    // nothing driver-bound.
+    "corpus_export" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val gated = docs.filter(TextOps.GopherGate.keep)
+      val wDedup = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      val survivors = gated
+        .withColumn("__keep", min(col("doc_id")).over(wDedup))
+        .filter(col("doc_id") === col("__keep"))
+        .select("doc_id", "source", "text")
+      val merges = trainedMerges(s, dir)
+      val cap = 512L
+      val wPack = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      survivors.select("doc_id", "source")
+        .join(encodeDocs(survivors.select("doc_id", "text"), merges), "doc_id")
+        .select(col("source"), col("doc_id"),
+          size(col("bpe")).cast("long").as("n_tokens"),
+          md5(array_join(col("bpe"), " ")).as("h"))
+        .withColumn("__cum", sum(col("n_tokens")).over(wPack))
+        .withColumn("shard", floor((col("__cum") - col("n_tokens")) / cap).cast("long"))
+        .withColumn("shard_offset", (col("__cum") - col("n_tokens")) % cap)
+        .select("source", "doc_id", "n_tokens", "shard", "shard_offset", "h")
+        .orderBy("source", "doc_id")
     })
   )
 }

@@ -590,6 +590,110 @@ object NearDedup {
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming admission for exact substring dedup — the fourth member
+    * of the incremental-admission trio's family (`dedup_incremental` =
+    * LSH, `dedup_semantic_incr` = embeddings, `dedup_lines_incr` = C4
+    * lines): `owned` is the k-gram hash set of every doc PROCESSED so
+    * far (admitted or rejected — the one-shot min-owner rule drops a
+    * doc sharing a span with ANY earlier doc, surviving or not, so the
+    * state must remember rejected docs' grams too; this is what makes
+    * batches-in-doc-order reproduce [[dedupSubstring]] EXACTLY,
+    * spec-pinned). A batch doc is rejected iff any of its grams is
+    * owned OR belongs to a smaller doc_id within the batch (the same
+    * intra-batch first-owner race [[Curation.admitLines]] runs at line
+    * granularity). Returns (survivor docs, the batch's newly-owned
+    * gram hashes), both MATERIALIZED (localCheckpoint — the gram/owner
+    * tables feed both results under different actions, so they persist
+    * for the span of this call and are released before the results
+    * escape).
+    *
+    * Scale shape (100 TB): per-batch cost is O(batch grams) — one
+    * narrow gram projection, one map-side-combinable intra-batch min,
+    * one gram-keyed membership join against the state — NEVER a rescan
+    * of processed documents. The state grows with the feed's distinct
+    * gram set (inherent to exact substring semantics, unlike the
+    * survivor-bounded LSH state); at scale it lives bucketed by `g` so
+    * the membership join is co-located.
+    */
+  def admitSubstring(batch: DataFrame, owned: DataFrame, k: Int = 20):
+      (DataFrame, DataFrame) = {
+    val grams = substringGrams(batch, k).persist()
+    try {
+      val intra = grams.groupBy("g").agg(min(col("doc_id")).as("owner")).persist()
+      try {
+        val dropped = grams
+          .join(owned.select(col("g"), lit(true).as("seen")), Seq("g"), "left")
+          .join(intra, Seq("g"))
+          .filter(col("seen").isNotNull || col("owner") < col("doc_id"))
+          .select("doc_id").distinct()
+        val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val newOwned = intra.select("g")
+          .join(owned.select("g"), Seq("g"), "left_anti")
+          .localCheckpoint()
+        (survivors, newOwned)
+      } finally { intra.unpersist(); () }
+    } finally { grams.unpersist(); () }
+  }
+
+  /** Durable-state fold of [[admitSubstring]] — the `admitBatchToState`
+    * twin for the substring rule. `stateDir/out` accumulates the
+    * admitted docs (and is the redelivery guard: a doc_id already there
+    * is skipped); `stateDir/owned` accumulates the gram-hash set (which
+    * also re-rejects redelivered REJECTED docs — their grams are owned,
+    * so they fail again deterministically). Write order is the
+    * [[Curation.admitLinesToState]] correctness decision: out/ first,
+    * owned/ second — a crash between the appends costs only a missed
+    * future dedup for this batch's grams (the safe direction); the
+    * reverse order would let a redelivery see its own grams as owned
+    * and reject every doc of the batch.
+    */
+  def admitSubstringToState(batchDocs: DataFrame, stateDir: String, k: Int = 20): Unit = {
+    val spark = batchDocs.sparkSession
+    val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
+    val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = batchDocs.select("doc_id", "text")
+    val owned =
+      if (fs.exists(ownedP)) spark.read.parquet(ownedP.toString)
+      else substringGrams(docs.limit(0), k).select("g")
+    val fresh =
+      if (fs.exists(outP))
+        docs.join(spark.read.parquet(outP.toString).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docs
+    val (out, newOwned) = admitSubstring(fresh, owned, k)
+    if (!fresh.isEmpty) {
+      out.write.mode("append").parquet(outP.toString)
+      newOwned.write.mode("append").parquet(ownedP.toString)
+    }
+  }
+
+  /** Continuous substring-level corpus dedup: the streaming twin, same
+    * foreachBatch shape as [[admitStream]] / `Curation.admitLinesStream`.
+    */
+  def admitSubstringStream(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      k: Int = 20,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitSubstringToState(batch, stateDir, k)
+      }
+      .start()
+
+  /** Memoized bootstrap state for `dedup_substring_incr` (even-doc gram
+    * hashes) — same pre-existing-artifact cost model as [[stateCache]].
+    */
+  private val substrStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** The shingle pipeline (scan → split → zip_with → array_distinct, the
     * md5-heavy CPU core of every near-dup query), persisted: each pipeline
     * references it 3× (LSH banding + both sides of the Jaccard verify, or
@@ -898,7 +1002,28 @@ object NearDedup {
     "dedup_substring_scrub" -> ((s, dir) =>
       substringScrub(Tables(s, dir).documents, k = 20)
         .select(col("doc_id"), md5(col("scrubbed")).as("h"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // incremental twin of `dedup_substring` (same even/odd cost model as
+    // dedup_incremental / dedup_lines_incr): even doc_ids' gram hashes
+    // are the admitted-state artifact (memoized bootstrap), odd doc_ids
+    // arrive as the batch and admit against state ownership + the
+    // intra-batch min-owner race. Rows-only (order-dependent admission);
+    // batch-chain ≡ one-shot equality, re-admission rejection and
+    // restart-redelivery safety pinned in SubstringDedupSpec.
+    "dedup_substring_incr" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      substrStateCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
+      val owned = substrStateCache.computeIfAbsent((s, dir), _ => {
+        val evens = docs.filter(col("doc_id") % 2 === 0)
+        val (_, owned0) = admitSubstring(evens,
+          substringGrams(evens.limit(0), 20).select("g"))
+        owned0.persist()
+      })
+      val (out, _) = admitSubstring(docs.filter(col("doc_id") % 2 =!= 0), owned)
+      out.select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -41,6 +41,35 @@ object TextOps {
     (nWords, stopRatio, punctRatio, q)
   }
 
+  /** The Gopher rule gate (Rae et al. 2021, Appendix A) as named column
+    * expressions over `col("text")` — ONE definition shared by the
+    * `gopher_rules` audit id and the `corpus_export` capstone (the
+    * [[qualitySignals]] one-definition discipline: an inline copy would
+    * silently de-synchronize the capstone's gate from the
+    * oracle-checked audit on the next threshold tweak). All five
+    * signals are per-row expressions over one split() — a narrow
+    * codegen'd scan, no shuffle.
+    */
+  private[llm] object GopherGate {
+    private val words = split(col("text"), " ")
+    val nWords: org.apache.spark.sql.Column = size(words)
+    val meanWl: org.apache.spark.sql.Column =
+      length(translate(col("text"), " ", "")).cast("double") / nullif(nWords, lit(0))
+    val symRatio: org.apache.spark.sql.Column =
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nullif(nWords, lit(0))
+    val alphaFrac: org.apache.spark.sql.Column =
+      size(filter(words, w => w.rlike("[a-z]"))).cast("double") / nullif(nWords, lit(0))
+    val nStop: org.apache.spark.sql.Column = size(filter(words,
+      w => w.isin("the", "be", "to", "of", "and", "that", "have", "with")))
+    val wcOk: org.apache.spark.sql.Column = nWords >= 50 && nWords <= 100000
+    val mwlOk: org.apache.spark.sql.Column = meanWl >= 3.0 && meanWl <= 10.0
+    val symOk: org.apache.spark.sql.Column = symRatio < 0.1
+    val alphaOk: org.apache.spark.sql.Column = alphaFrac >= 0.8
+    val stopOk: org.apache.spark.sql.Column = nStop >= 2
+    val keep: org.apache.spark.sql.Column = wcOk && mwlOk && symOk && alphaOk && stopOk
+  }
+
   /** Stopword-vote language prediction — shared by `lang_id` and
     * `corpus_clean` for the same single-definition reason.
     */
@@ -231,31 +260,17 @@ object TextOps {
     // the cheapest possible filter shape, and rules short-circuit
     // inside whole-stage codegen.
     "gopher_rules" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      val nWords = size(words)
-      val meanWl = length(translate(col("text"), " ", "")).cast("double") /
-        nullif(nWords, lit(0))
-      val symRatio = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
-        .cast("double") / nullif(nWords, lit(0))
-      val alphaFrac = size(filter(words, w => w.rlike("[a-z]"))).cast("double") /
-        nullif(nWords, lit(0))
-      val nStop = size(filter(words,
-        w => w.isin("the", "be", "to", "of", "and", "that", "have", "with")))
-      val wcOk = nWords >= 50 && nWords <= 100000
-      val mwlOk = meanWl >= 3.0 && meanWl <= 10.0
-      val symOk = symRatio < 0.1
-      val alphaOk = alphaFrac >= 0.8
-      val stopOk = nStop >= 2
+      val g = GopherGate
       Tables(s, dir).documents.select(
         col("doc_id"),
-        nWords.cast("long").as("n_words"),
-        round(meanWl, 6).as("mean_word_len"),
-        round(symRatio, 6).as("symbol_ratio"),
-        round(alphaFrac, 6).as("alpha_frac"),
-        nStop.cast("long").as("n_stop"),
-        wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("sym_ok"),
-        alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
-        (wcOk && mwlOk && symOk && alphaOk && stopOk).as("keep"))
+        g.nWords.cast("long").as("n_words"),
+        round(g.meanWl, 6).as("mean_word_len"),
+        round(g.symRatio, 6).as("symbol_ratio"),
+        round(g.alphaFrac, 6).as("alpha_frac"),
+        g.nStop.cast("long").as("n_stop"),
+        g.wcOk.as("wc_ok"), g.mwlOk.as("mwl_ok"), g.symOk.as("sym_ok"),
+        g.alphaOk.as("alpha_ok"), g.stopOk.as("stop_ok"),
+        g.keep.as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -311,7 +326,17 @@ object TextOps {
       val docs = Tables(s, dir).documents
       val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df derives from tf, and the sum(tf) rider is a correctness-free
+      // anchor that keeps the column pruner from reducing this branch's
+      // (doc_id, term) aggregate to a bare distinct: with both branches
+      // carrying the IDENTICAL aggregate+exchange subtree, ReusedExchange
+      // collapses them — ONE corpus scan and one (doc_id, term) shuffle
+      // feed tf and df, instead of the tokenizer scan running twice
+      // (measured 0.30× vs 0.24× of linear at the 25× probe).
+      val dfreq = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("__ctf"))
+        .filter(col("__ctf") >= 0) // always true: anchors the rider against pruning
+        .drop("__ctf")
       val n = docs.agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))

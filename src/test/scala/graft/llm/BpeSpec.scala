@@ -222,4 +222,53 @@ class BpeSpec extends SparkSpec {
     val again = graft.SparkEntry.queries("bpe_merges")(spark, sf("sf0.001")).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("corpus_export: BPE-count shard budgets, deterministic assignment, round-trip order") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val df = graft.SparkEntry.queries("corpus_export")(spark, dir)
+    val rows = df.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("shard"), r.getAs[Long]("shard_offset")))
+    assert(rows.nonEmpty, "capstone must be non-vacuous on the fixture")
+
+    // 1. the export only contains gate survivors after exact dedup, and
+    //    its token counts are the REAL tokenizer's (bpe_encode parity)
+    val bpeCounts = graft.SparkEntry.queries("bpe_encode")(spark, dir)
+      .select("doc_id", "n_tokens").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toMap
+    rows.foreach { case (_, id, n, _, _) =>
+      assert(bpeCounts(id) == n, s"doc $id token count $n != tokenizer's ${bpeCounts(id)}")
+    }
+    val wsCounts = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toMap
+    assert(rows.exists { case (_, id, n, _, _) => wsCounts(id) != n },
+      "BPE counts must differ from whitespace counts somewhere — else the packing isn't on real tokens")
+
+    // 2. shard budgets: cumulative binning at cap=512 on BPE counts,
+    //    replayed locally per source in doc_id order
+    val cap = 512L
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, id, n, shard, off) =>
+        assert(shard == cum / cap, s"$src/$id: shard $shard != ${cum / cap}")
+        assert(off == cum % cap, s"$src/$id: offset $off != ${cum % cap}")
+        assert(off >= 0 && off < cap, s"$src/$id: offset $off outside [0,$cap)")
+        cum += n
+      }
+    }
+
+    // 3. deterministic assignment across invocations
+    val again = graft.SparkEntry.queries("corpus_export")(spark, dir).collect()
+    assert(df.collect().map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+
+    // 4. round-trip: reading docs back in (shard, shard_offset) order
+    //    reproduces doc_id order per source — the packed stream
+    //    concatenates in the original deterministic order
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byShard = rs.sortBy(r => (r._4, r._5)).map(_._2).toSeq
+      assert(byShard == rs.map(_._2).sorted.toSeq,
+        s"$src: shard order must reconstruct doc order")
+    }
+  }
 }

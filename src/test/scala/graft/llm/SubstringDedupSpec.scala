@@ -167,4 +167,135 @@ class SubstringDedupSpec extends SparkSpec {
     }.toSet
     assert(kept == local.map(_._1).toSet -- expectDropped)
   }
+
+  // ---- incremental admission (admitSubstring family) ----
+
+  /** docs 1/2 share span A (2 rejected intra-batch); doc 3 shares span B
+    * with the REJECTED doc 2 only; doc 4 is all-unique. One-shot
+    * min-owner survivors: {1, 4} — doc 3 drops because ownership is by
+    * SEEN docs, not surviving ones.
+    */
+  private def chainDocs: Seq[(Long, String)] = {
+    val spanA = words("sharedA", 30)
+    val spanB = words("sharedB", 25)
+    Seq(
+      1L -> (words("alpha", 60) ++ spanA).mkString(" "),
+      2L -> (words("beta", 40) ++ spanA ++ spanB).mkString(" "),
+      3L -> (words("gamma", 50) ++ spanB).mkString(" "),
+      4L -> words("delta", 70).mkString(" "))
+  }
+
+  test("incremental admission: batches in doc order equal the one-shot rule (chain through a rejected doc)") {
+    val docs = chainDocs.toDF("doc_id", "text")
+    val oneShot = NearDedup.dedupSubstring(docs, k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot == Set(1L, 4L), s"fixture sanity: $oneShot")
+    // fold the same docs through admitSubstring in doc-ordered batches
+    var owned = NearDedup.substringGrams(docs.limit(0), 20).select("g")
+    var admitted = Set.empty[Long]
+    Seq(Seq(1L, 2L), Seq(3L, 4L)).foreach { ids =>
+      val batch = docs.filter(col("doc_id").isin(ids: _*))
+      val (out, newOwned) = NearDedup.admitSubstring(batch, owned, k = 20)
+      admitted ++= out.select("doc_id").as[Long].collect()
+      owned = owned.unionByName(newOwned)
+    }
+    assert(admitted == oneShot,
+      s"batch chain diverged from one-shot: $admitted vs $oneShot")
+  }
+
+  test("re-admission: a doc whose spans are already owned is rejected on re-send") {
+    val docs = chainDocs.toDF("doc_id", "text")
+    val (out1, owned) = NearDedup.admitSubstring(
+      docs.filter(col("doc_id") === 1L),
+      NearDedup.substringGrams(docs.limit(0), 20).select("g"), k = 20)
+    assert(out1.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // same text re-sent under a NEW id: every gram is owned → rejected
+    val resent = docs.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val (out2, newOwned) = NearDedup.admitSubstring(resent, owned, k = 20)
+    assert(out2.isEmpty, "owned-span re-send must be rejected")
+    assert(newOwned.isEmpty, "a fully-owned doc contributes no new grams")
+  }
+
+  test("durable state fold: redelivery is a no-op, rejected docs stay rejected, grams of rejected docs still own") {
+    val docs = chainDocs.toDF("doc_id", "text")
+    val stateDir = java.nio.file.Files.createTempDirectory("substr-st").resolve("t").toString
+    val b1 = docs.filter(col("doc_id").isin(1L, 2L))
+    NearDedup.admitSubstringToState(b1, stateDir)
+    def outIds = spark.read.parquet(s"$stateDir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds == Set(1L))
+    // REDELIVERY of batch 1: doc 1 guarded by out/, doc 2 re-evaluated
+    // against owned/ (its own grams) → rejected again; state unchanged
+    NearDedup.admitSubstringToState(b1, stateDir)
+    assert(outIds == Set(1L), "redelivered batch must not change the state")
+    val ownedCount = spark.read.parquet(s"$stateDir/owned").count()
+    NearDedup.admitSubstringToState(b1, stateDir)
+    assert(spark.read.parquet(s"$stateDir/owned").count() == ownedCount,
+      "redelivery must not grow the gram state")
+    // batch 2: doc 3 shares span B with the REJECTED doc 2 → still
+    // rejected (grams of rejected docs own); doc 4 admitted
+    NearDedup.admitSubstringToState(docs.filter(col("doc_id").isin(3L, 4L)), stateDir)
+    assert(outIds == Set(1L, 4L))
+  }
+
+  test("streaming admission fold: accumulates survivors across batches and restarts") {
+    val s = spark
+    val in = java.nio.file.Files.createTempDirectory("substr-in")
+    val stateDir = java.nio.file.Files.createTempDirectory("substr-sst").resolve("t").toString
+    val chk = java.nio.file.Files.createTempDirectory("substr-chk").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val byId = chainDocs.toMap
+    def line(id: Long) = s"""{"doc_id":$id,"text":"${byId(id)}"}"""
+    def run(): Unit = {
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in.toString)
+      NearDedup.admitSubstringStream(feed, stateDir, chk).awaitTermination()
+    }
+    java.nio.file.Files.write(in.resolve("a-0.json"),
+      String.join("\n", line(1L), line(2L)).getBytes)
+    run()
+    def outIds = s.read.parquet(s"$stateDir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds == Set(1L))
+    // restart on the same checkpoint: batch 2 arrives
+    java.nio.file.Files.write(in.resolve("b-0.json"),
+      String.join("\n", line(3L), line(4L)).getBytes)
+    run()
+    assert(outIds == Set(1L, 4L))
+  }
+
+  test("dedup_substring_incr id: deterministic, odd-batch survivors that respect even-state ownership") {
+    val df = graft.SparkEntry.queries("dedup_substring_incr")(spark, sf("sf0.001"))
+    val rows = df.select("doc_id").as[Long].collect()
+    assert(rows.nonEmpty && rows.forall(_ % 2 != 0), "admitted ids must be odd (the batch)")
+    assert(rows.sorted.sameElements(rows), "ordered output")
+    val again = graft.SparkEntry.queries("dedup_substring_incr")(spark, sf("sf0.001"))
+      .select("doc_id").as[Long].collect()
+    assert(rows.sameElements(again), "admission must be deterministic")
+    // independent replay of the even/odd admission in local Scala
+    val local = graft.Tables(spark, sf("sf0.001")).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val owned = scala.collection.mutable.HashSet.empty[String]
+    local.filter(_._1 % 2 == 0).foreach { case (_, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length >= 20) ws.sliding(20).foreach(w => owned += w.mkString(" "))
+    }
+    val intraOwner = scala.collection.mutable.HashMap.empty[String, Long]
+    val odds = local.filter(_._1 % 2 != 0).sortBy(_._1)
+    odds.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length >= 20) ws.sliding(20).map(_.mkString(" ")).foreach { w =>
+        if (!intraOwner.contains(w)) intraOwner(w) = id
+      }
+    }
+    val expect = odds.filter { case (id, text) =>
+      val ws = text.split(" ", -1)
+      !(ws.length >= 20 && ws.sliding(20).map(_.mkString(" ")).exists(w =>
+        owned.contains(w) || intraOwner(w) < id))
+    }.map(_._1).toSet
+    assert(rows.toSet == expect, "engine admission diverged from the local replay")
+  }
 }

@@ -281,6 +281,22 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!km.contains("SortMergeJoin") && !km.contains("CartesianProduct"), km)
   }
 
+  test("tfidf_topk: two map-side aggs, broadcast df + 1-row N, rank-limited window, no corpus self-join") {
+    val p = planOf("tfidf_topk")
+    // term-frequency and document-frequency both partial-aggregate
+    // map-side before their exchanges
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+    // the per-term df table reaches the tf join as a broadcast (term
+    // cardinality ≪ corpus) and corpus size N as a 1-row cross broadcast
+    assert(p.contains("BroadcastHashJoin [term"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    // the top-3 cut runs as a rank-limited window — WindowGroupLimit
+    // Partial prunes each map task to 3 rows/doc BEFORE the shuffle
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    // and nothing degenerates into an all-pairs stage
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
