@@ -28,6 +28,30 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** sha-256 of the UPPERCASE-hex encoding of a byte stream — the
+    * cross-engine byte-stream fingerprint every mm oracle mirrors. The
+    * oracle side cannot reconstruct arbitrary raw bytes as a DuckDB
+    * string (chr(i) for i>127 emits multi-byte UTF-8, and this DuckDB
+    * build has no substring/sha256 over BLOB), but it CAN build the hex
+    * encoding exactly (`hex(encode(text))` pair arithmetic /
+    * `printf('%02X', v)`) — and hex is injective, so sha-over-hex pins
+    * the byte stream as hard as sha-over-bytes. Uppercase matches
+    * DuckDB's `hex()`.
+    */
+  private[llm] def shaOfHex(bytes: Array[Byte]): String = {
+    val hexDigits = "0123456789ABCDEF"
+    val hx = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      hx(2 * i) = hexDigits(v >>> 4).toByte
+      hx(2 * i + 1) = hexDigits(v & 0xf).toByte
+      i += 1
+    }
+    java.security.MessageDigest.getInstance("SHA-256").digest(hx)
+      .map("%02x".format(_)).mkString
+  }
+
   case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
   case class ImageMeta(doc_id: Long, width: Int, height: Int, channels: Int,
       n_pixels: Long, pixel_sha: String)
@@ -140,9 +164,7 @@ object Multimodal {
           }
           y += 1
         }
-        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
-          .map("%02x".format(_)).mkString
-        ResizedImage(r.doc_id, w, h, outW, outH, sha)
+        ResizedImage(r.doc_id, w, h, outW, outH, shaOfHex(out))
       })
     }
   }
@@ -221,9 +243,8 @@ object Multimodal {
           if (v > peak) peak = v
           i += 1
         }
-        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(pcm)
-          .map("%02x".format(_)).mkString
-        AudioMeta(r.doc_id, fmt.getSampleRate.toInt, pcm.length.toLong, sum, peak, sha)
+        AudioMeta(r.doc_id, fmt.getSampleRate.toInt, pcm.length.toLong, sum, peak,
+          shaOfHex(pcm))
       })
     }
   }
@@ -265,10 +286,9 @@ object Multimodal {
         }
         var sum = 0L; i = 0
         while (i < nOut) { sum += math.abs((out(i) & 0xff) - 128); i += 1 }
-        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
-          .map("%02x".format(_)).mkString
         AudioResample(r.doc_id, fmt.getSampleRate.toInt,
-          fmt.getSampleRate.toInt / factor, pcm.length.toLong, nOut.toLong, sum, sha)
+          fmt.getSampleRate.toInt / factor, pcm.length.toLong, nOut.toLong, sum,
+          shaOfHex(out))
       })
     }
   }
@@ -289,9 +309,7 @@ object Multimodal {
         }
         y += 1
       }
-      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(px)
-        .map("%02x".format(_)).mkString
-      ImageMeta(r.doc_id, w, h, raster.getNumBands, w.toLong * h, sha)
+      ImageMeta(r.doc_id, w, h, raster.getNumBands, w.toLong * h, shaOfHex(px))
     }
 
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
@@ -527,8 +545,7 @@ object Multimodal {
       val j = bySrc(d.srcs(i))
       val (w, h) = (d.ws(j), d.hs(j))
       val m = math.max(w, h)
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(d.rasters(j)).map("%02x".format(_)).mkString
+      val sha = shaOfHex(d.rasters(j))
       FrameSample(d.doc_id, i, d.ts_ms(i),
         math.floor(w * 224.0 / m).toInt, math.floor(h * 224.0 / m).toInt,
         sha.substring(0, 12))
