@@ -917,25 +917,44 @@ object Multimodal {
         .orderBy("doc1", "doc2"))
   )
 
+  // BYTE-TRUE ORACLES (round 13 — the second half of the shaOfHex
+  // migration, closing the round-10 "ASCII-only fixture" caveat).
+  // The engine cycles the text's UTF-8 BYTES; DuckDB cannot hash raw
+  // bytes (no sha256/substring over BLOB in this build), but it CAN
+  // hash the byte stream's UPPERCASE-HEX encoding, which it builds
+  // exactly: `hx = hex(encode(text))` is the hex of the UTF-8 bytes,
+  // cycling BYTES ≡ cycling HEX PAIRS (repeat(hx,…) + 2·offset/2·len
+  // substring arithmetic), and a byte's VALUE is
+  // `CAST('0x' || <its hex pair> AS INTEGER)`. Hex is injective, so
+  // sha256(hex stream) — [[shaOfHex]] engine-side — pins the byte
+  // stream as hard as sha-over-bytes, for ANY input script. All
+  // cycled-stream oracles below use byte counts (octet_length), never
+  // character counts, so they hold on non-ASCII fixtures too
+  // (spec-pinned on a mixed-script corpus in MultimodalSpec).
   def oracleSql: Map[String, String] = Map(
+    // mm_meta hashes the payload DIRECTLY (sha256(text) = sha over the
+    // UTF-8 bytes in DuckDB, mirrored by sha2(text.cast(binary)) in the
+    // engine) — already byte-true with no hex detour because the
+    // payload here IS the text; only the CYCLED streams below need the
+    // hex formulation (their byte strings can't be built as VARCHAR).
     "mm_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  sha256(text) AS payload_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """WITH m AS (
-        |  SELECT doc_id, text, len(text) AS n,
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
         |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS width,
         |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS height
         |  FROM documents WHERE len(text) > 0)
         |SELECT doc_id, width, height, CAST(1 AS INTEGER) AS channels,
         |  CAST(width * height AS BIGINT) AS n_pixels,
-        |  sha256(substring(repeat(text, CAST((width * height + n - 1) // n AS INTEGER)),
-        |                   1, width * height)) AS pixel_sha
+        |  sha256(substring(repeat(hx, CAST((width * height + nb - 1) // nb AS INTEGER)),
+        |                   1, 2 * width * height)) AS pixel_sha
         |FROM m ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
-        |  SELECT doc_id, text, len(text) AS n,
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
         |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
         |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h
         |  FROM documents WHERE len(text) > 0),
@@ -943,61 +962,52 @@ object Multimodal {
         |  SELECT doc_id, w, h,
         |    greatest(1, w * 16 // greatest(w, h)) AS out_w,
         |    greatest(1, h * 16 // greatest(w, h)) AS out_h,
-        |    substring(repeat(text, CAST((w * h + n - 1) // n AS INTEGER)), 1, w * h) AS px
+        |    substring(repeat(hx, CAST((w * h + nb - 1) // nb AS INTEGER)), 1, 2 * w * h) AS pxh
         |  FROM m)
         |SELECT doc_id, w AS src_w, h AS src_h, out_w, out_h,
         |  sha256(list_aggregate(list_transform(range(out_w * out_h),
-        |    i -> substring(px,
-        |      CAST(((i // out_w) * h // out_h) * w + (i % out_w) * w // out_w AS INTEGER) + 1, 1)),
+        |    i -> substring(pxh,
+        |      2 * CAST(((i // out_w) * h // out_h) * w + (i % out_w) * w // out_w AS INTEGER) + 1, 2)),
         |    'string_agg', '')) AS resized_sha
         |FROM p ORDER BY doc_id""".stripMargin,
     // independent prediction of the DEMUXED animated GIF: dims and frame
     // count re-derived from md5, sampled source frame src = i·nf/4, its
     // container timestamp src·40 ms (uniform 40 ms delays written into
-    // the GIF), and the decoded raster = the doc's ASCII bytes cycled
-    // row-major from offset src — so sha256 of the cycled substring must
-    // equal the engine's sha of the decoded pixels, byte for byte.
-    // ASCII-ONLY FIXTURE ASSUMPTION (round-9 ADVICE, documented): this
-    // oracle (like mm_features/mm_resize above) cycles CHARACTERS via
-    // len/substring/repeat while the engine cycles the text's UTF-8
-    // BYTES; they coincide only because the documents fixture is pure
-    // ASCII (1 char = 1 byte). A byte-true DuckDB formulation needs
-    // substring/sha256 over BLOB, which this DuckDB build lacks
-    // (probed: substring(BLOB,..)/sha256(BLOB) don't bind) — a
-    // non-ASCII fixture would need the engine-side repeatedTextPixels
-    // contract re-expressed there before these three oracles apply.
+    // the GIF), and the decoded raster = the doc's UTF-8 bytes cycled
+    // row-major from BYTE offset src — hex-pair arithmetic (2·src
+    // offset, 2·w·h length), so sha256 of the cycled hex must equal the
+    // engine's shaOfHex of the decoded pixels, byte for byte.
     // audio: sample count from md5 byte 3 (hex chars 7-8), PCM = the
-    // doc's ASCII bytes cycled; sample_rate is a constant 8000 in the
+    // doc's UTF-8 bytes cycled; sample_rate is a constant 8000 in the
     // oracle but comes from the PARSED WAV header in the engine — the
-    // match proves the container round-trip. Same ASCII-only fixture
-    // assumption as the image/frame oracles (documented below).
+    // match proves the container round-trip.
     "mm_audio" ->
       """WITH m AS (
-        |  SELECT doc_id, text, len(text) AS l,
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
         |    256 + (CAST('0x' || substring(md5(text),7,2) AS INTEGER) % 1024) AS n
         |  FROM documents WHERE len(text) > 0),
         |p AS (
         |  SELECT doc_id, n,
-        |    substring(repeat(text, CAST((n + l - 1) // l AS INTEGER)), 1, CAST(n AS INTEGER)) AS px
+        |    substring(repeat(hx, CAST((n + nb - 1) // nb AS INTEGER)), 1, CAST(2 * n AS INTEGER)) AS pxh
         |  FROM m)
         |SELECT doc_id,
         |  CAST(8000 AS INTEGER) AS sample_rate,
         |  CAST(n AS BIGINT) AS n_samples,
-        |  CAST(list_sum(list_transform(range(1, n+1),
-        |    i -> abs(ascii(substring(px, CAST(i AS INTEGER), 1)) - 128))) AS BIGINT) AS sum_amp,
-        |  CAST(list_aggregate(list_transform(range(1, n+1),
-        |    i -> ascii(substring(px, CAST(i AS INTEGER), 1))), 'max') AS INTEGER) AS peak,
-        |  sha256(px) AS pcm_sha
+        |  CAST(list_sum(list_transform(range(n),
+        |    i -> abs(CAST('0x' || substring(pxh, CAST(2*i + 1 AS INTEGER), 2) AS INTEGER) - 128))) AS BIGINT) AS sum_amp,
+        |  CAST(list_aggregate(list_transform(range(n),
+        |    i -> CAST('0x' || substring(pxh, CAST(2*i + 1 AS INTEGER), 2) AS INTEGER)), 'max') AS INTEGER) AS peak,
+        |  sha256(pxh) AS pcm_sha
         |FROM p ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH dims AS (
-        |  SELECT doc_id, text, len(text) AS n,
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
         |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
         |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h,
         |    4 + (CAST('0x' || substring(md5(text),5,2) AS INTEGER) % 5) AS nf
         |  FROM documents WHERE len(text) > 0),
         |frames AS (
-        |  SELECT doc_id, text, n, w, h, nf, unnest(range(4)) AS i FROM dims),
+        |  SELECT doc_id, hx, nb, w, h, nf, unnest(range(4)) AS i FROM dims),
         |sampled AS (
         |  SELECT *, i * nf // 4 AS src FROM frames)
         |SELECT doc_id,
@@ -1005,23 +1015,23 @@ object Multimodal {
         |  CAST(src * 40 AS BIGINT) AS frame_ts_ms,
         |  CAST(floor(w * 224.0 / greatest(w, h)) AS INTEGER) AS out_w,
         |  CAST(floor(h * 224.0 / greatest(w, h)) AS INTEGER) AS out_h,
-        |  substring(sha256(substring(repeat(text, CAST((src + w*h) // n AS INTEGER) + 1),
-        |                             CAST(src AS INTEGER) + 1, w*h)), 1, 12) AS frame_sig
+        |  substring(sha256(substring(repeat(hx, CAST((src + w*h) // nb AS INTEGER) + 1),
+        |                             CAST(2 * src AS INTEGER) + 1, 2 * w * h)), 1, 12) AS frame_sig
         |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_audio_resample" ->
       """WITH m AS (
-        |  SELECT doc_id, text, len(text) AS l,
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
         |    256 + (CAST('0x' || substring(md5(text),7,2) AS INTEGER) % 1024) AS n
         |  FROM documents WHERE len(text) > 0),
         |p AS (
         |  SELECT doc_id, n,
-        |    substring(repeat(text, CAST((n + l - 1) // l AS INTEGER)), 1, CAST(n AS INTEGER)) AS px
+        |    substring(repeat(hx, CAST((n + nb - 1) // nb AS INTEGER)), 1, CAST(2 * n AS INTEGER)) AS pxh
         |  FROM m),
         |r AS (
         |  SELECT doc_id, n, n // 2 AS n_out,
         |    list_transform(range(CAST(n // 2 AS INTEGER)),
-        |      i -> (ascii(substring(px, CAST(2*i + 1 AS INTEGER), 1)) +
-        |            ascii(substring(px, CAST(2*i + 2 AS INTEGER), 1))) // 2) AS vals
+        |      i -> (CAST('0x' || substring(pxh, 4*i + 1, 2) AS INTEGER) +
+        |            CAST('0x' || substring(pxh, 4*i + 3, 2) AS INTEGER)) // 2) AS vals
         |  FROM p)
         |SELECT doc_id,
         |  CAST(8000 AS INTEGER) AS in_rate,
@@ -1029,25 +1039,25 @@ object Multimodal {
         |  CAST(n AS BIGINT) AS n_in,
         |  CAST(n_out AS BIGINT) AS n_out,
         |  CAST(list_sum(list_transform(vals, v -> abs(v - 128))) AS BIGINT) AS sum_amp_out,
-        |  sha256(list_aggregate(list_transform(vals, v -> chr(CAST(v AS INTEGER))),
+        |  sha256(list_aggregate(list_transform(vals, v -> printf('%02X', v)),
         |         'string_agg', '')) AS out_sha
         |FROM r ORDER BY doc_id""".stripMargin,
     "mm_motion" ->
       """WITH dims AS (
-        |  SELECT doc_id, text, len(text) AS n,
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
         |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
         |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h,
         |    4 + (CAST('0x' || substring(md5(text),5,2) AS INTEGER) % 5) AS nf
         |  FROM documents WHERE len(text) > 0),
         |pairs AS (
-        |  SELECT doc_id, text, n, w, h, nf, unnest(range(3)) AS i FROM dims),
+        |  SELECT doc_id, hx, nb, w, h, nf, unnest(range(3)) AS i FROM dims),
         |x AS (
         |  SELECT *, i * nf // 4 AS src_a, (i + 1) * nf // 4 AS src_b FROM pairs),
         |d AS (
         |  SELECT doc_id, i, w, h,
         |    list_transform(range(w * h), p ->
-        |      abs(ascii(substring(text, CAST((p + src_a) % n AS INTEGER) + 1, 1)) -
-        |          ascii(substring(text, CAST((p + src_b) % n AS INTEGER) + 1, 1)))) AS diffs
+        |      abs(CAST('0x' || substring(hx, 2 * CAST((p + src_a) % nb AS INTEGER) + 1, 2) AS INTEGER) -
+        |          CAST('0x' || substring(hx, 2 * CAST((p + src_b) % nb AS INTEGER) + 1, 2) AS INTEGER))) AS diffs
         |  FROM x)
         |SELECT doc_id, CAST(i AS INTEGER) AS pair_idx,
         |  CAST(w * h AS BIGINT) AS n_pixels,

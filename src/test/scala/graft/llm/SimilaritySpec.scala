@@ -184,8 +184,7 @@ class SimilaritySpec extends SparkSpec {
     m1.take(20).foreach { m =>
       val b = texts(m.doc_id).getBytes("UTF-8")
       val expected = Array.tabulate(m.n_pixels.toInt)(i => b(i % b.length))
-      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(expected)
-        .map("%02x".format(_)).mkString
+      val sha = Multimodal.shaOfHex(expected)
       assert(sha == m.pixel_sha, s"doc ${m.doc_id}: decoded raster diverged from source bytes")
     }
   }
@@ -212,8 +211,7 @@ class SimilaritySpec extends SparkSpec {
         val srcX = (i % r.out_w) * r.src_w / r.out_w
         b((srcY * r.src_w + srcX) % b.length)
       }
-      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
-        .map("%02x".format(_)).mkString
+      val sha = Multimodal.shaOfHex(out)
       assert(sha == r.resized_sha, s"doc ${r.doc_id}: resized raster diverged")
     }
   }
@@ -297,8 +295,7 @@ class SimilaritySpec extends SparkSpec {
       val n = 256 + ((md(3) & 0xff) % 1024)
       assert(a.sample_rate == 8000 && a.n_samples == n.toLong, s"doc ${a.doc_id}")
       val pcm = Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
-      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(pcm)
-        .map("%02x".format(_)).mkString
+      val sha = Multimodal.shaOfHex(pcm)
       assert(a.pcm_sha == sha, s"doc ${a.doc_id}: decoded PCM diverged from ground truth")
       assert(a.peak == pcm.map(_ & 0xff).max)
       assert(a.sum_amp == pcm.map(b => math.abs((b & 0xff) - 128).toLong).sum)
@@ -331,8 +328,7 @@ class SimilaritySpec extends SparkSpec {
         assert(f.frame_ts_ms == src * 40L,
           s"doc $id slot ${f.frame_idx}: container timing diverged (${f.frame_ts_ms})")
         val px: Array[Byte] = Array.tabulate(w * h)(p => bytes((p + src) % bytes.length))
-        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(px)
-          .map("%02x".format(_)).mkString.substring(0, 12)
+        val sha = Multimodal.shaOfHex(px).substring(0, 12)
         assert(f.frame_sig == sha,
           s"doc $id frame $src: decoded raster diverged from the planted pixels")
       }
