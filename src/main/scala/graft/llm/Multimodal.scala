@@ -938,7 +938,7 @@ object Multimodal {
     // payload here IS the text; only the CYCLED streams below need the
     // hex formulation (their byte strings can't be built as VARCHAR).
     "mm_meta" ->
-      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS payload_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
