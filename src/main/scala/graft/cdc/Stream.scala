@@ -394,9 +394,10 @@ object Stream {
           // buckets would land at the root alongside sibling table
           // dirs), and dot-prefixed names are invisible to Spark's file
           // listing AND collide with the engine's own .old_/.tmp_ swap
-          // naming. (The leading-char rule only covers names STARTING
-          // with '.'; interior ".." sequences — 'a..b' — are what the
-          // contains("..") clause below rejects.)
+          // naming. (The first-char class rejects any LEADING dot —
+          // including "." and ".." themselves; an INTERIOR ".."
+          // sequence like 'a..b' passes the regex and is rejected by
+          // the `!t.contains("..")` conjunct of the same require.)
           tables.foreach(t => require(t.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") && !t.contains(".."),
             s"materializeMulti: table name '$t' is not a safe path segment; " +
               "route it to the dead-letter sink"))

@@ -338,6 +338,14 @@ object Bpe {
           size(col("bpe")).cast("long").as("n_tokens"),
           md5(array_join(col("bpe"), " ")).as("h"))
         .withColumn("__cum", sum(col("n_tokens")).over(wPack))
+        // SPILLOVER IS INTENDED (round-13 ADVICE, documented): shard =
+        // floor(prev_cum/cap) is seq_pack-style cumulative binning —
+        // docs are never split, and a doc straddling a boundary stays
+        // in the shard its FIRST token lands in, so a shard holds up to
+        // cap + (n_tokens − 1) tokens. That is the contract loaders
+        // that concatenate-then-window expect (shard_offset tells them
+        // where the straddle starts); hard-capped shards would require
+        // splitting docs mid-sequence, a different export mode.
         .withColumn("shard", floor((col("__cum") - col("n_tokens")) / cap).cast("long"))
         .withColumn("shard_offset", (col("__cum") - col("n_tokens")) % cap)
         .select("source", "doc_id", "n_tokens", "shard", "shard_offset", "h")

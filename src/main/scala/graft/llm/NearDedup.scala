@@ -641,18 +641,36 @@ object NearDedup {
     * admitted docs (and is the redelivery guard: a doc_id already there
     * is skipped); `stateDir/owned` accumulates the gram-hash set (which
     * also re-rejects redelivered REJECTED docs — their grams are owned,
-    * so they fail again deterministically). Write order is the
-    * [[Curation.admitLinesToState]] correctness decision: out/ first,
-    * owned/ second — a crash between the appends costs only a missed
-    * future dedup for this batch's grams (the safe direction); the
-    * reverse order would let a redelivery see its own grams as owned
-    * and reject every doc of the batch.
+    * so they fail again deterministically).
+    *
+    * The two appends commit ATOMICALLY (round-13 ADVICE): a naive
+    * out-then-owned write order would let a crash between the appends
+    * ADMIT a previously-rejected doc on redelivery — the intra-batch
+    * winner is in out/ (so it leaves `fresh`), its grams are absent
+    * from owned/, and the loser re-evaluates with no owner above it,
+    * breaking the spec-pinned batch-chain ≡ one-shot equality. So both
+    * results are written to a staged batch directory first, a
+    * `_committed` marker makes the batch durable, and only then are the
+    * (uniquely-named) part files moved into out/ and owned/. Recovery
+    * runs at the START of every call: committed stages finish their
+    * moves (file moves are idempotent — already-promoted parts are gone
+    * from the stage), uncommitted stages are deleted whole. Either way
+    * a redelivered batch re-evaluates against a state that is
+    * all-or-nothing w.r.t. its previous attempt.
     */
   def admitSubstringToState(batchDocs: DataFrame, stateDir: String, k: Int = 20): Unit = {
     val spark = batchDocs.sparkSession
     val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
     val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
+    val stageRoot = new org.apache.hadoop.fs.Path(s"$stateDir/stage")
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery: complete committed stages, discard uncommitted ones
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).foreach { st =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_committed")))
+          promoteStage(fs, st.getPath, outP, ownedP)
+        else { fs.delete(st.getPath, true); () }
+      }
     val docs = batchDocs.select("doc_id", "text")
     val owned =
       if (fs.exists(ownedP)) spark.read.parquet(ownedP.toString)
@@ -662,11 +680,44 @@ object NearDedup {
         docs.join(spark.read.parquet(outP.toString).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else docs
+    // admitSubstring localCheckpoints (eagerly materializes) both
+    // results, so the state reads above are finished before any write
+    // below changes what those paths contain
     val (out, newOwned) = admitSubstring(fresh, owned, k)
     if (!fresh.isEmpty) {
-      out.write.mode("append").parquet(outP.toString)
-      newOwned.write.mode("append").parquet(ownedP.toString)
+      val stage = new org.apache.hadoop.fs.Path(stageRoot,
+        java.util.UUID.randomUUID().toString)
+      out.write.parquet(new org.apache.hadoop.fs.Path(stage, "out").toString)
+      newOwned.write.parquet(new org.apache.hadoop.fs.Path(stage, "owned").toString)
+      fs.create(new org.apache.hadoop.fs.Path(stage, "_committed")).close()
+      promoteStage(fs, stage, outP, ownedP)
     }
+  }
+
+  /** Move a committed stage's part files into the live state dirs and
+    * drop the stage. Part names carry the writing job's UUID, so moves
+    * never collide across batches and a re-run after a partial promote
+    * only moves what remains.
+    */
+  private def promoteStage(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path,
+      outP: org.apache.hadoop.fs.Path,
+      ownedP: org.apache.hadoop.fs.Path): Unit = {
+    def moveParts(sub: String, dst: org.apache.hadoop.fs.Path): Unit = {
+      val src = new org.apache.hadoop.fs.Path(stage, sub)
+      if (fs.exists(src)) {
+        fs.mkdirs(dst)
+        fs.listStatus(src)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dst, f.getPath.getName)); ()
+          }
+      }
+    }
+    moveParts("out", outP)
+    moveParts("owned", ownedP)
+    fs.delete(stage, true)
+    ()
   }
 
   /** Continuous substring-level corpus dedup: the streaming twin, same

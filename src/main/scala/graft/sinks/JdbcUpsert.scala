@@ -78,13 +78,32 @@ object JdbcUpsert {
     *
     * Escape hatches for what the best-effort [[reservedWords]] list
     * cannot know: an identifier arriving ALREADY double-quoted is
-    * passed through verbatim (caller controls the exact stored case —
-    * use this for an unlisted dialect keyword), and odd-character
-    * identifiers are quoted verbatim-case (the caller necessarily knows
-    * the stored case, since only quoted DDL can have created them).
+    * passed through verbatim after validation (caller controls the
+    * exact stored case — use this for an unlisted dialect keyword), and
+    * odd-character identifiers are quoted verbatim-case (the caller
+    * necessarily knows the stored case, since only quoted DDL can have
+    * created them).
+    *
+    * MIGRATION (pre-round-12 tables): releases before the fold fix
+    * quoted reserved columns in the caller's verbatim case, so a table
+    * auto-created then on Derby/Oracle may hold a lowercase `"value"`
+    * where this release resolves `"VALUE"`. Such tables need a one-time
+    * `RENAME COLUMN "value" TO value` (unquoted — lets the dialect
+    * re-fold), or callers can pass the pre-quoted form `"\"value\""` to
+    * keep addressing the legacy case exactly.
     */
   private def q(id: String, fold: String => String): String =
-    if (id.length >= 2 && id.head == '"' && id.last == '"') id // pre-quoted: verbatim
+    if (id.length >= 2 && id.head == '"' && id.last == '"') {
+      // pre-quoted: verbatim, but VALIDATED — every interior quote must
+      // be a doubled pair, else the pass-through could splice raw SQL
+      // into CREATE/UPDATE/INSERT text (`"x" DOUBLE); DROP TABLE t;--"`
+      // would otherwise break out of the identifier). Stripping doubled
+      // pairs first makes any remaining quote a breakout attempt.
+      val interior = id.substring(1, id.length - 1)
+      require(!interior.replace("\"\"", "").contains('"'),
+        s"bad pre-quoted identifier $id: interior quotes must be doubled")
+      id
+    }
     else if (id.matches("[A-Za-z][A-Za-z0-9_]*")) {
       if (reservedWords.contains(id.toLowerCase)) "\"" + fold(id) + "\""
       else id

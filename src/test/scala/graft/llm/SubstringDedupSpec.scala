@@ -239,6 +239,45 @@ class SubstringDedupSpec extends SparkSpec {
     assert(outIds == Set(1L, 4L))
   }
 
+  test("durable state fold: a torn batch recovers all-or-nothing (no admit-a-duplicate)") {
+    val docs = chainDocs.toDF("doc_id", "text")
+    val b1 = docs.filter(col("doc_id").isin(1L, 2L))
+    val base = java.nio.file.Files.createTempDirectory("substr-crash")
+
+    // CASE 1 — crash AFTER the commit marker, BEFORE promotion (the
+    // all-or-nothing replacement for the old torn out/-without-owned/
+    // state, which would have ADMITTED the redelivered doc 2): stage
+    // the batch's real results + _committed by hand, then redeliver.
+    val st1 = base.resolve("committed").toString
+    val emptyOwned = NearDedup.substringGrams(docs.limit(0), 20).select("g")
+    val (out1, owned1) = NearDedup.admitSubstring(b1, emptyOwned, k = 20)
+    out1.write.parquet(s"$st1/stage/b1/out")
+    owned1.write.parquet(s"$st1/stage/b1/owned")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$st1/stage/b1/_committed"))
+    NearDedup.admitSubstringToState(b1, st1)
+    assert(spark.read.parquet(s"$st1/out").select("doc_id").as[Long].collect().toSet
+      == Set(1L), "recovered redelivery must keep doc 2 rejected")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$st1/stage/b1")),
+      "committed stage must be promoted and removed")
+
+    // CASE 2 — crash BEFORE the marker: the stage is dropped whole and
+    // the redelivered batch evaluates fresh (same end state)
+    val st2 = base.resolve("uncommitted").toString
+    out1.write.parquet(s"$st2/stage/b1/out") // half-written, no marker
+    NearDedup.admitSubstringToState(b1, st2)
+    assert(spark.read.parquet(s"$st2/out").select("doc_id").as[Long].collect().toSet
+      == Set(1L), "uncommitted stage must not leak into the state")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$st2/stage/b1")),
+      "uncommitted stage must be deleted")
+
+    // both recovered states continue the chain identically
+    Seq(st1, st2).foreach { st =>
+      NearDedup.admitSubstringToState(docs.filter(col("doc_id").isin(3L, 4L)), st)
+      assert(spark.read.parquet(s"$st/out").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 4L), s"$st: chain after recovery diverged from one-shot")
+    }
+  }
+
   test("streaming admission fold: accumulates survivors across batches and restarts") {
     val s = spark
     val in = java.nio.file.Files.createTempDirectory("substr-in")

@@ -201,4 +201,28 @@ class JdbcUpsertSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Double]("VALUE")).toMap
     assert(got == Map(1L -> 5.5))
   }
+  test("a malformed pre-quoted identifier is rejected, not spliced into SQL") {
+    val s = spark
+    import s.implicits._
+    val url = newUrl()
+    // the pre-quoted escape hatch passes validated identifiers verbatim;
+    // an interior unpaired quote is a breakout attempt and must throw
+    // BEFORE any SQL text is built
+    val evil = "\"v\" DOUBLE); DROP TABLE t;--\""
+    val df = Seq((1L, 2.5, 1L, "c")).toDF("id", evil, "scn", "op")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.filterNot(_.name == "op"))
+    val e = intercept[IllegalArgumentException] {
+      JdbcUpsert.ensureTable(url, "inj_t", schema, Seq("id"))
+    }
+    assert(e.getMessage.contains("pre-quoted"), s"wrong failure: ${e.getMessage}")
+    // properly doubled interior quotes still pass through
+    val okCol = "\"we\"\"ird\""
+    val df2 = Seq((1L, 2.5, 1L, "c")).toDF("id", okCol, "scn", "op")
+    val schema2 = org.apache.spark.sql.types.StructType(df2.schema.filterNot(_.name == "op"))
+    JdbcUpsert.ensureTable(url, "inj_ok_t", schema2, Seq("id"))
+    JdbcUpsert.upsert(df2, url, "inj_ok_t", Seq("id"), opCol = Some("op"), ordCols = Seq("scn"))
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "inj_ok_t").load().collect()
+    assert(got.length == 1 && got(0).getAs[Long]("ID") == 1L)
+  }
 }
