@@ -543,6 +543,42 @@ object Curation {
         .orderBy("source", "doc_id")
     }),
 
+    // HARD-CAPPED sequence packing (round 13) — the concat-then-chunk
+    // loader view: the source stream is one token sequence cut at exact
+    // cap boundaries, and a doc straddling a boundary SPLITS into
+    // pieces (one row per (doc, bin) it touches, with the in-doc token
+    // range of each piece). The other ending of `seq_pack`/
+    // `corpus_export`'s documented spillover contract: there every bin
+    // can overflow by up to one doc; here every bin holds exactly cap
+    // tokens (the last bin of each source excepted) at the price of
+    // split docs. Pure arithmetic on ONE cumulative window + a bounded
+    // explode (a doc of n tokens emits ceil((n + offset)/cap) ≤
+    // n/cap + 1 rows) — no extra shuffle vs seq_pack, same 100 TB
+    // shape.
+    "seq_pack_split" -> ((s, dir) => {
+      val cap = 512L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin",
+          explode(sequence(floor(col("start") / cap),
+            floor((col("start") + col("n_tokens") - 1) / cap))))
+        .select(
+          col("source"), col("doc_id"), col("n_tokens"),
+          col("bin").cast("long").as("bin"),
+          (col("bin") - floor(col("start") / cap)).cast("long").as("piece_idx"),
+          greatest(lit(0L), col("bin") * cap - col("start")).cast("long").as("tok_start"),
+          least(col("n_tokens"), (col("bin") + 1) * cap - col("start")).cast("long").as("tok_end"),
+          greatest(lit(0L), col("start") - col("bin") * cap).cast("long").as("bin_offset"))
+        .withColumn("piece_len", col("tok_end") - col("tok_start"))
+        .orderBy("source", "doc_id", "bin")
+    }),
+
     // corpus mixing by TOKEN budget per domain (the data-mix recipe step;
     // stratified_sample is its count-based sibling): each source shard
     // admits docs in deterministic md5 order until the shard's token
@@ -704,6 +740,28 @@ object Curation {
         |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "seq_pack_split" ->
+      """WITH c AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text,' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM documents),
+        |s AS (SELECT source, doc_id, n_tokens, cum - n_tokens AS strt FROM c),
+        |x AS (
+        |  SELECT source, doc_id, n_tokens, strt,
+        |    unnest(range(strt // 512, (strt + n_tokens - 1) // 512 + 1)) AS bin
+        |  FROM s)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(bin AS BIGINT) AS bin,
+        |  CAST(bin - strt // 512 AS BIGINT) AS piece_idx,
+        |  CAST(greatest(0, bin * 512 - strt) AS BIGINT) AS tok_start,
+        |  CAST(least(n_tokens, (bin + 1) * 512 - strt) AS BIGINT) AS tok_end,
+        |  CAST(greatest(0, strt - bin * 512) AS BIGINT) AS bin_offset,
+        |  CAST(least(n_tokens, (bin + 1) * 512 - strt)
+        |       - greatest(0, bin * 512 - strt) AS BIGINT) AS piece_len
+        |FROM x ORDER BY source, doc_id, bin""".stripMargin,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),

@@ -129,6 +129,45 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // per-doc Unicode script composition (round 13) — the multilingual
+    // curation signal beside lang_id's stopword vote: code-point counts
+    // per script block + a deterministic dominant-script pick (priority
+    // order breaks exact ties). One narrow projection — the
+    // regexp_replace length deltas stay inside whole-stage codegen, so
+    // at 100 TB this is a pure map over the corpus scan like
+    // text_stats. Block ranges are spelled \x{...} (the class syntax
+    // Java regex and DuckDB's RE2 share, byte-identical semantics).
+    // The driver fixture is ASCII (latin-dominant everywhere — the
+    // oracle still pins the plumbing end to end); the mixed-script
+    // NonAsciiFixture differential + NonAsciiFixtureSpec give the
+    // ranges real coverage.
+    "script_profile" -> ((s, dir) => {
+      def cnt(cls: String) =
+        (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+      val nLatin  = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
+      val nCyr    = cnt("[\\x{0400}-\\x{04FF}]")
+      val nGreek  = cnt("[\\x{0370}-\\x{03FF}]")
+      val nArabic = cnt("[\\x{0600}-\\x{06FF}]")
+      val nCjk    = cnt("[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]")
+      val m = greatest(nLatin, nCyr, nGreek, nArabic, nCjk)
+      Tables(s, dir).documents
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_cp"),
+          nLatin.as("n_latin"), nCyr.as("n_cyrillic"), nGreek.as("n_greek"),
+          nArabic.as("n_arabic"), nCjk.as("n_cjk"))
+        .withColumn("main_script",
+          when(greatest(col("n_latin"), col("n_cyrillic"), col("n_greek"),
+            col("n_arabic"), col("n_cjk")) === 0, lit("none"))
+            .when(col("n_latin") === greatest(col("n_cyrillic"), col("n_greek"),
+              col("n_arabic"), col("n_cjk"), col("n_latin")), lit("latin"))
+            .when(col("n_cyrillic") === greatest(col("n_greek"), col("n_arabic"),
+              col("n_cjk"), col("n_cyrillic")), lit("cyrillic"))
+            .when(col("n_greek") === greatest(col("n_arabic"), col("n_cjk"),
+              col("n_greek")), lit("greek"))
+            .when(col("n_arabic") === greatest(col("n_cjk"), col("n_arabic")), lit("arabic"))
+            .otherwise(lit("cjk")))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, dir) => {
       // composite quality score from exact counts; all double arithmetic
       // in a fixed order so DuckDB computes bit-identical values.
@@ -404,6 +443,28 @@ object TextOps {
         |  CASE WHEN s_fr > s_en THEN 'fr' WHEN s_es > s_en THEN 'es'
         |       WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "script_profile" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_cp,
+        |    CAST(len(text) - len(regexp_replace(text,
+        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(len(text) - len(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(text) - len(regexp_replace(text,
+        |      '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |    CAST(len(text) - len(regexp_replace(text,
+        |      '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |    CAST(len(text) - len(regexp_replace(text,
+        |      '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS n_cjk
+        |  FROM documents)
+        |SELECT doc_id, n_cp, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) = 0 THEN 'none'
+        |       WHEN n_latin = greatest(n_cyrillic, n_greek, n_arabic, n_cjk, n_latin) THEN 'latin'
+        |       WHEN n_cyrillic = greatest(n_greek, n_arabic, n_cjk, n_cyrillic) THEN 'cyrillic'
+        |       WHEN n_greek = greatest(n_arabic, n_cjk, n_greek) THEN 'greek'
+        |       WHEN n_arabic = greatest(n_cjk, n_arabic) THEN 'arabic'
+        |       ELSE 'cjk' END AS main_script
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_words,
         |  CAST(len(list_filter(string_split(text,' '),

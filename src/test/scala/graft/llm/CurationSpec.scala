@@ -467,4 +467,42 @@ class CurationSpec extends SparkSpec {
         && r.getBoolean(9) && r.getBoolean(10)))
     }
   }
+
+  test("seq_pack_split: every non-final bin holds exactly cap tokens; pieces partition each doc") {
+    val s0 = spark
+    import s0.implicits._
+    val cap = 512L
+    val rows = graft.SparkEntry.queries("seq_pack_split")(s0, sf("sf0.001"))
+      .select("source", "doc_id", "n_tokens", "bin", "piece_idx", "tok_start", "tok_end", "piece_len")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // hard cap: within each source, every bin except the LAST sums to cap
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byBin = rs.groupBy(_._4).view.mapValues(_.map(_._8).sum).toMap
+      val last = byBin.keys.max
+      byBin.foreach { case (bin, tot) =>
+        if (bin != last) assert(tot == cap, s"$src bin $bin holds $tot tokens, cap is $cap")
+        else assert(tot >= 1 && tot <= cap, s"$src final bin overfull: $tot")
+      }
+      // bins are dense from 0 (concat-then-chunk leaves no gaps)
+      assert(byBin.keys.toSeq.sorted == (0L to last), s"$src has bin gaps")
+    }
+    // pieces partition [0, n_tokens) in bin order, no overlap, no loss
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((src, id), ps) =>
+      val sorted = ps.sortBy(_._5)
+      assert(sorted.head._6 == 0L, s"$src/$id first piece must start at 0")
+      assert(sorted.last._7 == sorted.head._3, s"$src/$id last piece must end at n_tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._7 == b._6, s"$src/$id pieces not contiguous")
+          assert(b._4 == a._4 + 1, s"$src/$id bins not consecutive")
+        case _ => ()
+      }
+      sorted.foreach(p => assert(p._8 == p._7 - p._6 && p._8 >= 1))
+    }
+    // only boundary-straddling docs split; a doc's piece count is
+    // ceil((offset-within-bin + n)/cap)
+    val multi = rows.groupBy(r => (r._1, r._2)).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture should contain straddling docs")
+  }
 }

@@ -142,6 +142,41 @@ class NonAsciiFixtureSpec extends SparkSpec {
       s"rank-2 must be the light-bulb pair, got ${local(2)}")
   }
 
+  test("script_profile counts real script blocks on the mixed corpus") {
+    val s = spark
+    import s.implicits._
+    val out = graft.SparkEntry.queries("script_profile")(s, dir)
+      .select("doc_id", "n_cp", "n_latin", "n_cyrillic", "n_greek", "n_arabic", "n_cjk", "main_script")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.length == 80)
+    val texts = NonAsciiFixture.docs(s)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def inRange(cp: Int, ranges: Seq[(Int, Int)]): Boolean =
+      ranges.exists { case (a, b) => cp >= a && cp <= b }
+    val latin = Seq(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt), (0xC0, 0x24F))
+    val cyr = Seq((0x400, 0x4FF)); val greek = Seq((0x370, 0x3FF))
+    val arabic = Seq((0x600, 0x6FF))
+    val cjk = Seq((0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xAC00, 0xD7AF))
+    out.foreach { case (id, nCp, nL, nCy, nG, nA, nC, main) =>
+      val cps = texts(id).codePoints.toArray
+      assert(nCp == cps.length.toLong, s"doc $id n_cp")
+      assert(nL == cps.count(inRange(_, latin)).toLong, s"doc $id latin")
+      assert(nCy == cps.count(inRange(_, cyr)).toLong, s"doc $id cyrillic")
+      assert(nG == cps.count(inRange(_, greek)).toLong, s"doc $id greek")
+      assert(nA == cps.count(inRange(_, arabic)).toLong, s"doc $id arabic")
+      assert(nC == cps.count(inRange(_, cjk)).toLong, s"doc $id cjk")
+      val counts = Map("latin" -> nL, "cyrillic" -> nCy, "greek" -> nG,
+        "arabic" -> nA, "cjk" -> nC)
+      if (counts.values.max == 0L) assert(main == "none", s"doc $id main")
+      else assert(counts(main) == counts.values.max, s"doc $id main_script not a maximum")
+    }
+    // the corpus must actually light up every non-latin class somewhere
+    assert(out.exists(_._4 > 0) && out.exists(_._5 > 0) &&
+      out.exists(_._6 > 0) && out.exists(_._7 > 0),
+      "fixture no longer covers all script blocks")
+    assert(out.map(_._8).toSet.size >= 2, "main_script should vary across docs")
+  }
+
   test("bpe_encode round-trips the mixed-script corpus") {
     val s = spark
     import s.implicits._
