@@ -565,13 +565,17 @@ object Curation {
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        // `div` (integral division), not floor(x/y): the double detour
+        // is exact only below 2^53 — integer semantics match DuckDB's
+        // `//` at ANY cumulative token count, so the boundary math
+        // cannot drift at the 100 TB design point
         .withColumn("bin",
-          explode(sequence(floor(col("start") / cap),
-            floor((col("start") + col("n_tokens") - 1) / cap))))
+          explode(sequence(expr(s"start div $cap"),
+            expr(s"(start + n_tokens - 1) div $cap"))))
         .select(
           col("source"), col("doc_id"), col("n_tokens"),
           col("bin").cast("long").as("bin"),
-          (col("bin") - floor(col("start") / cap)).cast("long").as("piece_idx"),
+          (col("bin") - expr(s"start div $cap")).cast("long").as("piece_idx"),
           greatest(lit(0L), col("bin") * cap - col("start")).cast("long").as("tok_start"),
           least(col("n_tokens"), (col("bin") + 1) * cap - col("start")).cast("long").as("tok_end"),
           greatest(lit(0L), col("start") - col("bin") * cap).cast("long").as("bin_offset"))

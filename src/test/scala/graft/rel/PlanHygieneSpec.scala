@@ -297,6 +297,28 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("round-13 plans: script_profile is a pruned join-free scan, seq_pack_split is one window + one generate") {
+    val sp = planOf("script_profile")
+    // one 2-column scan, everything else stays a narrow projection
+    val readSchema = sp.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
+    assert(!sp.contains("Join") && !sp.contains("Window"), sp)
+    // only the presentation orderBy exchanges
+    assert("Exchange".r.findAllIn(sp).size <= 1, sp)
+
+    val sq = planOf("seq_pack_split")
+    // exactly one cumulative window and one bounded generator; the bin
+    // arithmetic must stay integral (no double-floor detour whose
+    // precision would diverge from the oracle's integer `//` at scale)
+    assert("\\bWindow\\b".r.findAllIn(sq).size >= 1, sq)
+    assert(sq.contains("Generate explode(sequence"), sq)
+    assert(!sq.toLowerCase.contains("floor("), sq)
+    assert(!sq.contains("Join") && !sq.contains("CartesianProduct"), sq)
+    // window hash exchange + presentation sort range exchange, nothing more
+    assert("Exchange".r.findAllIn(sq).size <= 2, sq)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
