@@ -76,7 +76,11 @@ object NonAsciiFixture {
       val words = Vector.fill(n)(pool(rnd.nextInt(pool.length))) ++
         Vector.fill(8)(tieA) ++ Vector.fill(8)(tieB)
       val text = if (id == 79) "" else words.mkString(" ")
-      (id, text, langs((id % langs.length).toInt), s"na${id % 4}",
+      // source ids follow the driver fixture's `srcN` shape — mix_rates
+      // (and any other id keyed on the numeric source suffix) reads the
+      // chars from position 4, so a differently-shaped id crashes BOTH
+      // engines identically rather than testing anything
+      (id, text, langs((id % langs.length).toInt), s"src${id % 4}",
         text.codePointCount(0, text.length).toLong)
     }
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
