@@ -321,6 +321,33 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // fuzzy decontamination REPORT (round 13) — the overlap-ratio rule
+    // (the "contaminated if >=X% of a doc's k-grams appear in the eval
+    // set" gate the Llama/GPT eval-hygiene appendices describe), the
+    // graded complement of `decontaminate`'s binary any-hit scrub: per
+    // TRAIN doc, the distinct-shingle-hash count, how many of those
+    // hashes appear in the eval split, their ratio, and the >=20% flag
+    // (compared in integer form, n_hit*5 >= n_grams, so no float
+    // threshold boundary exists for the engines to disagree on). Rides
+    // the SAME memoized shingle table and persisted eval hash index as
+    // the scrub ids; one extra per-doc count aggregation, eval side
+    // broadcast (eval sets are tiny next to the corpus at 100 TB).
+    "decon_overlap" -> ((s, dir) => {
+      val trainNg = Sampling.splitAssign(NearDedup.shingled(s, dir), "doc_id")
+        .filter(col("split") === "train")
+        .select(col("doc_id"), explode(col("sh")).as("ng"))
+        .select(col("doc_id"), ngHash(col("ng")).as("h"))
+        .distinct()
+      val hits = evalNgHashes(s, dir).withColumn("hit", lit(1))
+      trainNg.join(broadcast(hits), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams")).as("overlap_ratio"),
+          (col("n_hit") * 5 >= col("n_grams")).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered decontamination — SAME semantics (and oracle) as
     // `decontaminate`, different 100 TB shape: the eval side's shingle
     // hashes fold into a Bloom filter (one distributed aggregate → a
@@ -654,6 +681,34 @@ object Curation {
   def oracleSql: Map[String, String] = Map(
     "decontaminate" -> decontaminateOracle,
     "decontaminate_bloom" -> decontaminateOracle,
+    "decon_overlap" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
+        |  FROM documents),
+        |train AS (SELECT doc_id, text FROM h WHERE hb < 58982),
+        |ev AS (SELECT text FROM h WHERE hb >= 62259),
+        |tng AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substring(md5(ng),1,14) AS BIGINT) AS hh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS ng
+        |    FROM train WHERE len(string_split(text,' ')) >= 3)),
+        |eng AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5(ng),1,14) AS BIGINT) AS hh FROM (
+        |    SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS ng
+        |    FROM ev WHERE len(string_split(text,' ')) >= 3)),
+        |j AS (
+        |  SELECT t.doc_id, count(*) AS n_grams, count(e.hh) AS n_hit
+        |  FROM tng t LEFT JOIN eng e ON t.hh = e.hh GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST(n_hit AS DOUBLE) / n_grams AS overlap_ratio,
+        |  n_hit * 5 >= n_grams AS contaminated
+        |FROM j ORDER BY doc_id""".stripMargin,
     "source_overlap" ->
       """WITH sraw AS (
         |  SELECT source, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),

@@ -130,6 +130,36 @@ object Sampling {
         .orderBy("source")
     }),
 
+    // temperature-scaled mixing (round 13) — the multilingual sampling
+    // rule of T5/mT5 and the Llama-family data recipes: target share
+    // p_s ∝ (tokens_s)^α with α < 1 flattening the natural distribution
+    // toward uniform (α = 0.3 here, the mT5 setting), then the same
+    // no-upsampling solve as `mix_rates` (T* = min_s tokens_s / p_s).
+    // Contrast: mix_rates takes EXTERNALLY-given weights; this derives
+    // them from the data's own mass. Same 100 TB shape — one corpus
+    // aggregation, then |sources|-row arithmetic with two broadcast
+    // scalars. pow() may differ in the last ulp across libms, so every
+    // emitted float is rounded to 6 places (the cross-engine float
+    // discipline BASELINE.md documents for order-divergent sums).
+    "mix_temperature" -> ((s, dir) => {
+      val tok = Tables(s, dir).documents
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("double").as("t"))
+        .withColumn("w", pow(col("t"), lit(0.3)))
+      val wsum = tok.agg(sum(col("w")).as("wsum"))
+      val p = tok.crossJoin(broadcast(wsum))
+        .withColumn("p", col("w") / col("wsum"))
+      val tstar = p.agg(min(col("t") / col("p")).as("tstar"))
+      p.crossJoin(broadcast(tstar))
+        .select(
+          col("source"),
+          col("t").cast("long").as("n_tokens"),
+          round(col("p"), 6).as("weight"),
+          round(col("p") * col("tstar") / nullif(col("t"), lit(0.0)), 6).as("rate"),
+          round(col("p") * col("tstar"), 2).as("sampled_tokens"))
+        .orderBy("source")
+    }),
+
     // per-source corpus statistics (doc count, token mass, mean length)
     "corpus_stats" -> ((s, dir) =>
       Tables(s, dir).documents
@@ -178,6 +208,19 @@ object Sampling {
         |    CAST(1 + CAST(substring(source, 4) AS INTEGER) % 4 AS DOUBLE) AS w
         |  FROM documents GROUP BY source),
         |p AS (SELECT source, t, w / (SELECT sum(w) FROM tok) AS p FROM tok),
+        |ts AS (SELECT min(t / p) AS tstar FROM p)
+        |SELECT source, CAST(t AS BIGINT) AS n_tokens,
+        |  round(p, 6) AS weight,
+        |  round(p * (SELECT tstar FROM ts) / nullif(t, 0), 6) AS rate,
+        |  round(p * (SELECT tstar FROM ts), 2) AS sampled_tokens
+        |FROM p ORDER BY source""".stripMargin,
+    "mix_temperature" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS t
+        |  FROM documents GROUP BY source),
+        |tw AS (SELECT source, t, pow(t, 0.3) AS w FROM tok),
+        |p AS (SELECT source, t, w / (SELECT sum(w) FROM tw) AS p FROM tw),
         |ts AS (SELECT min(t / p) AS tstar FROM p)
         |SELECT source, CAST(t AS BIGINT) AS n_tokens,
         |  round(p, 6) AS weight,

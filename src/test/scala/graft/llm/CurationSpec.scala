@@ -505,4 +505,52 @@ class CurationSpec extends SparkSpec {
     val multi = rows.groupBy(r => (r._1, r._2)).filter(_._2.length > 1)
     assert(multi.nonEmpty, "fixture should contain straddling docs")
   }
+  test("decon_overlap agrees with the exact scrub and grades by ratio") {
+    val s0 = spark
+    import s0.implicits._
+    val ov = graft.SparkEntry.queries("decon_overlap")(s0, sf("sf0.001"))
+      .select("doc_id", "n_grams", "n_hit", "overlap_ratio", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(ov.nonEmpty)
+    ov.foreach { case (id, n, h, r, c) =>
+      assert(n >= 1 && h >= 0 && h <= n, s"doc $id counts")
+      assert(math.abs(r - h.toDouble / n) < 1e-12, s"doc $id ratio")
+      assert(c == (h * 5 >= n), s"doc $id flag must be the 20% integer-form rule")
+    }
+    // cross-id consistency: `decontaminate` drops a (shingled) train doc
+    // iff it has ANY eval hit — so its survivors among shingled docs are
+    // exactly the n_hit == 0 set here
+    val survivors = graft.SparkEntry.queries("decontaminate")(s0, sf("sf0.001"))
+      .select("doc_id").as[Long].collect().toSet
+    val shingled = ov.map(_._1).toSet
+    assert(shingled.filter(id => survivors.contains(id)) == ov.filter(_._3 == 0L).map(_._1).toSet,
+      "decon_overlap's zero-hit set must equal the exact scrub's surviving shingled docs")
+    // and the graded view must be strictly richer than the binary one
+    assert(ov.exists(o => o._3 > 0 && !o._5),
+      "fixture should contain sub-threshold contamination the binary scrub would drop")
+  }
+
+  test("mix_temperature flattens the natural source distribution, no source upsampled") {
+    val s0 = spark
+    import s0.implicits._
+    val rows = graft.SparkEntry.queries("mix_temperature")(s0, sf("sf0.001"))
+      .select("source", "n_tokens", "weight", "rate", "sampled_tokens")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights must normalize")
+    rows.foreach { case (src, _, w, r, st) =>
+      assert(w > 0 && r > 0 && r <= 1.0 + 1e-9, s"$src rate must be a no-upsampling fraction")
+      assert(st >= 0, src)
+    }
+    // the binding source samples at rate 1
+    assert(rows.exists(r => math.abs(r._4 - 1.0) < 1e-6), "some source must bind at rate 1")
+    // alpha = 0.3 flattening: weight ratios are strictly compressed
+    // relative to token-mass ratios for every unequal pair
+    for (a <- rows; b <- rows if a._2 > b._2 * 1.05) {
+      val natural = a._2.toDouble / b._2
+      val scaled = a._3 / b._3
+      assert(scaled < natural && scaled > 1.0,
+        s"${a._1}/${b._1}: temperature must compress $natural toward 1, got $scaled")
+    }
+  }
 }
