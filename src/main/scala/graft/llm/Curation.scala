@@ -338,8 +338,14 @@ object Curation {
         .select(col("doc_id"), explode(col("sh")).as("ng"))
         .select(col("doc_id"), ngHash(col("ng")).as("h"))
         .distinct()
+      // no broadcast HINT on the eval side: real eval sets are fixed-
+      // size benchmarks (AQE will broadcast them from runtime stats),
+      // but under the fixture convention eval is a corpus FRACTION —
+      // a forced broadcast would grow with the corpus and OOM the
+      // executors at scale, exactly the class of pinned-strategy bug
+      // AQE exists to avoid. Let the planner choose.
       val hits = evalNgHashes(s, dir).withColumn("hit", lit(1))
-      trainNg.join(broadcast(hits), Seq("h"), "left")
+      trainNg.join(hits, Seq("h"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
         .select(col("doc_id"), col("n_grams"), col("n_hit"),

@@ -317,6 +317,15 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!sq.contains("Join") && !sq.contains("CartesianProduct"), sq)
     // window hash exchange + presentation sort range exchange, nothing more
     assert("Exchange".r.findAllIn(sq).size <= 2, sq)
+
+    // decon_overlap: one join + one per-doc aggregate over the shared
+    // shingle table; never a cartesian, and no FORCED broadcast of the
+    // eval side (AQE must stay free to pick from runtime stats — a
+    // pinned broadcast would scale with the eval split)
+    val dv = planOf("decon_overlap")
+    assert(!dv.contains("CartesianProduct"), dv)
+    assert(!dv.contains("ResolvedHint"), dv)
+    assert("partial_count".r.findAllIn(dv).nonEmpty, dv)
   }
 
   test("interval join stays an equi-join with residual time bound") {
