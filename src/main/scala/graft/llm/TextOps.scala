@@ -82,6 +82,38 @@ object TextOps {
       .otherwise("en")
   }
 
+  /** WINNOWING (Schleimer, Wilkerson & Aiken) over `(doc_id, text)`
+    * rows: 3-gram hash sequence → sliding window of w = 4 → keep each
+    * window's minimum, ties to the RIGHTMOST position, consecutive
+    * duplicates collapsed. Guarantees a fingerprint in every run of 4
+    * grams (so any shared substring of ≥ 6 tokens is detectable by
+    * fingerprint intersection) at ~2/(w+1) selection density. Pure
+    * per-row HOF arithmetic — no shuffle; shared by the query id and
+    * the planted-corpus spec.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = transform(sequence(lit(1), size(col("ws")) - 2),
+      i => Sampling.hashBucket(concat_ws(" ",
+        element_at(col("ws"), i), element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2)), hexDigits = 14))
+    val sel = transform(sequence(lit(1), size(col("hs")) - 3), j => {
+      val win = slice(col("hs"), j, lit(4))
+      val minv = array_min(win)
+      // fold over window offsets: acc ends at the LAST offset whose
+      // hash equals the minimum — the rightmost-tie winnowing rule
+      val rk = aggregate(sequence(lit(0), lit(3)), lit(0),
+        (acc, k) => when(element_at(col("hs"), j + k) === minv, k).otherwise(acc))
+      struct((j + rk).cast("long").as("pos"), minv.as("h"))
+    })
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 6) // >= 4 grams = one full window
+      .select(col("doc_id"), grams.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(sel)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -114,6 +146,19 @@ object TextOps {
         col("doc_id"),
         sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("fp")
       ).orderBy("doc_id")),
+
+    // WINNOWING (round 13) — the local fingerprint-selection algorithm
+    // of Schleimer, Wilkerson & Aiken (MOSS): over the doc's 3-gram
+    // hash sequence, slide a window of w = 4 and keep the window
+    // minimum, ties to the RIGHTMOST position; dedup consecutive
+    // selections. Guarantees every run of w grams contributes at least
+    // one fingerprint (the detection guarantee the whole-doc
+    // `fingerprint` sha lacks) at ~2/(w+1) density. Pure per-row HOF
+    // arithmetic over the split array — no shuffle but the
+    // presentation sort; the selected (pos, hash) table is exactly
+    // what a plagiarism/overlap index ingests at scale.
+    "fingerprint_winnow" -> ((s, dir) =>
+      winnowFingerprints(Tables(s, dir).documents).orderBy("doc_id", "pos")),
 
     "lang_id" -> ((s, dir) => {
       // n-gram/stopword-vote heuristic; deterministic priority tiebreak.
@@ -431,6 +476,27 @@ object TextOps {
     "fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |  WHERE len(string_split(text,' ')) >= 6),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
+        |    i -> CAST('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,14) AS BIGINT)) AS hs
+        |  FROM t),
+        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j FROM g),
+        |m AS (
+        |  SELECT doc_id, hs, j,
+        |    list_aggregate(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)], 'min') AS h
+        |  FROM w),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(j + list_aggregate(list_transform(range(4),
+        |      k -> CASE WHEN hs[CAST(j + k AS INTEGER)] = h THEN k ELSE 0 END),
+        |      'max') AS BIGINT) AS pos,
+        |    h
+        |  FROM m)
+        |SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos""".stripMargin,
     "lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

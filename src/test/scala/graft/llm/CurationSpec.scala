@@ -553,4 +553,45 @@ class CurationSpec extends SparkSpec {
         s"${a._1}/${b._1}: temperature must compress $natural toward 1, got $scaled")
     }
   }
+
+  test("winnowing: detection guarantee, rightmost ties, fingerprint intersection finds planted overlap") {
+    val s0 = spark
+    import s0.implicits._
+    // rightmost-tie rule on an all-equal window: 6 tokens -> 4 identical
+    // grams -> one window, min ties everywhere -> position 4 selected
+    val tie = TextOps.winnowFingerprints(Seq((1L, "x x x x x x")).toDF("doc_id", "text"))
+      .select("pos").as[Long].collect().toSeq
+    assert(tie == Seq(4L), s"rightmost-tie rule broken: $tie")
+
+    // detection guarantee on the real corpus: consecutive selected
+    // positions never gap by more than the window size, the first
+    // selection lands inside the first window and the last inside the
+    // final one — every 4-gram run contributes a fingerprint
+    val fps = graft.SparkEntry.queries("fingerprint_winnow")(s0, sf("sf0.001"))
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    val nGrams = graft.Tables(s0, sf("sf0.001")).documents
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 2).cast("long").as("m"))
+      .filter(col("m") >= 4).as[(Long, Long)].collect().toMap
+    assert(fps.map(_._1).toSet == nGrams.keySet, "every eligible doc must fingerprint")
+    fps.groupBy(_._1).foreach { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      assert(sorted.head <= 4 && sorted.last >= nGrams(id) - 3, s"doc $id edge coverage")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= 4, s"doc $id: gap ${b - a} > window")
+        case _ => ()
+      }
+    }
+
+    // two docs sharing a >= 6-token run MUST share a fingerprint hash —
+    // the MOSS use case the guarantee exists for
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val planted = Seq(
+      (10L, s"one two three four five six seven $shared"),
+      (11L, s"$shared red orange yellow green blue indigo")).toDF("doc_id", "text")
+    val pf = TextOps.winnowFingerprints(planted)
+      .select("doc_id", "h").as[(Long, Long)].collect()
+    val inter = pf.filter(_._1 == 10L).map(_._2).toSet
+      .intersect(pf.filter(_._1 == 11L).map(_._2).toSet)
+    assert(inter.nonEmpty, "planted 7-token overlap produced no shared fingerprint")
+  }
 }
