@@ -106,7 +106,12 @@ object TextOps {
         (acc, k) => when(element_at(col("hs"), j + k) === minv, k).otherwise(acc))
       struct((j + rk).cast("long").as("pos"), minv.as("h"))
     })
-    docs
+    // spread first: the md5-per-gram HOF is the CPU core, and the
+    // fixture parquet is single-row-group — without the exchange the
+    // whole corpus hashes in ONE task (measured 2.5 s -> sub-second at
+    // sf0.1; on a real cluster the scan itself supplies parallelism
+    // and this is a cheap balanced exchange, the Engine.spread contract)
+    graft.Engine.spread(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 6) // >= 4 grams = one full window
       .select(col("doc_id"), grams.as("hs"))
