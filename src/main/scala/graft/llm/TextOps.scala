@@ -165,6 +165,39 @@ object TextOps {
     "fingerprint_winnow" -> ((s, dir) =>
       winnowFingerprints(Tables(s, dir).documents).orderBy("doc_id", "pos")),
 
+    // MOSS pair detection (round 13) — the winnowing index applied:
+    // doc pairs sharing >= 2 selected fingerprints, scored by
+    // containment (shared / smaller fingerprint set). Same posting-
+    // list shape and df-cap guard as `dedup_jaccard` (a fingerprint
+    // in df docs emits df·(df-1)/2 pairs — ubiquitous boilerplate
+    // minima are quadratic on one key and carry no discrimination;
+    // the oracle mirrors the cap exactly so the check stays exact).
+    // Denominators use the UNCAPPED per-doc fingerprint counts, so
+    // containment is a true fraction of each doc's selection set.
+    "dedup_winnow" -> ((s, dir) => {
+      val dfCap = 100
+      val fps = winnowFingerprints(Tables(s, dir).documents)
+        .select(col("doc_id"), col("h")).distinct()
+      val postings = fps.groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, dfCap))
+      val common = postings
+        .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
+        .select(col("doc1"),
+          explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      // one row per corpus document — un-hinted, AQE picks the join
+      // strategy from runtime stats (the dedup_jaccard sizes rationale)
+      val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      common
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .select(col("doc1"), col("doc2"), col("n_shared"),
+          (col("n_shared").cast("double") / least(col("n1"), col("n2"))).as("containment"))
+        .orderBy("doc1", "doc2")
+    }),
+
     "lang_id" -> ((s, dir) => {
       // n-gram/stopword-vote heuristic; deterministic priority tiebreak.
       val d = Tables(s, dir).documents.withColumn("words", split(col("text"), " "))
@@ -502,6 +535,33 @@ object TextOps {
         |    h
         |  FROM m)
         |SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "dedup_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |  WHERE len(string_split(text,' ')) >= 6),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
+        |    i -> CAST('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,14) AS BIGINT)) AS hs
+        |  FROM t),
+        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j FROM g),
+        |m AS (
+        |  SELECT doc_id, hs, j,
+        |    list_aggregate(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)], 'min') AS h
+        |  FROM w),
+        |fp AS (SELECT DISTINCT doc_id, h FROM m),
+        |capped AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  WHERE a.h IN (SELECT h FROM capped)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id)
+        |SELECT doc1, doc2, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared AS DOUBLE) / least(s1.n, s2.n) AS containment
+        |FROM pairs
+        |JOIN sz s1 ON s1.doc_id = doc1
+        |JOIN sz s2 ON s2.doc_id = doc2
+        |ORDER BY doc1, doc2""".stripMargin,
     "lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

@@ -594,4 +594,38 @@ class CurationSpec extends SparkSpec {
       .intersect(pf.filter(_._1 == 11L).map(_._2).toSet)
     assert(inter.nonEmpty, "planted 7-token overlap produced no shared fingerprint")
   }
+
+  test("dedup_winnow: planted shared run pairs up, strangers stay unpaired, scores are true fractions") {
+    val s0 = spark
+    import s0.implicits._
+    // planted corpus written as a documents.parquet drop-in: docs 10/11
+    // share a 16-token run (>= 2 guaranteed fingerprints at density
+    // 2/(w+1)); doc 12 shares nothing
+    val run = (1 to 16).map(i => s"shared$i").mkString(" ")
+    val planted = Seq(
+      (10L, s"one two three four five six $run"),
+      (11L, s"$run red orange yellow green blue indigo violet"),
+      (12L, "totally different words nothing in common here at all twelve"))
+      .toDF("doc_id", "text")
+    val dir = graft.Engine.scratchDir("winnowpair")
+    planted.write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("dedup_winnow")(s0, dir.toString)
+      .select("doc1", "doc2", "n_shared", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((10L, 11L)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+    val (_, _, ns, ct) = pairs.head
+    assert(ns >= 2, s"16-token shared run must share >= 2 fingerprints, got $ns")
+    assert(ct > 0.0 && ct <= 1.0, s"containment must be a true fraction, got $ct")
+
+    // corpus invariants at sf0.001: ordered pairs, counts within bounds
+    val real = graft.SparkEntry.queries("dedup_winnow")(s0, sf("sf0.001"))
+      .select("doc1", "doc2", "n_shared", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(real.nonEmpty, "fixture corpus should contain winnow pairs")
+    real.foreach { case (a, b, n, c) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(n >= 2 && c > 0.0 && c <= 1.0, s"pair ($a,$b): n=$n c=$c")
+    }
+  }
 }
