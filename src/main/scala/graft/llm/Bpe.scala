@@ -318,38 +318,77 @@ object Bpe {
     // text-keyed window; encode is the vocab-cached key join; packing
     // is ONE cumulative window per source shard — no all-pairs stage,
     // nothing driver-bound.
-    "corpus_export" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val gated = docs.filter(TextOps.GopherGate.keep)
-      val wDedup = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-      val survivors = gated
-        .withColumn("__keep", min(col("doc_id")).over(wDedup))
-        .filter(col("doc_id") === col("__keep"))
-        .select("doc_id", "source", "text")
-      val merges = trainedMerges(s, dir)
-      val cap = 512L
-      val wPack = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      survivors.select("doc_id", "source")
-        .join(encodeDocs(survivors.select("doc_id", "text"), merges), "doc_id")
-        .select(col("source"), col("doc_id"),
-          size(col("bpe")).cast("long").as("n_tokens"),
-          md5(array_join(col("bpe"), " ")).as("h"))
-        .withColumn("__cum", sum(col("n_tokens")).over(wPack))
+    "corpus_export" -> ((s, dir) =>
+      exportTokenTable(s, dir)
+        .withColumn("__cum", sum(col("n_tokens")).over(exportPackWindow))
         // SPILLOVER IS INTENDED (round-13 ADVICE, documented): shard =
         // floor(prev_cum/cap) is seq_pack-style cumulative binning —
         // docs are never split, and a doc straddling a boundary stays
         // in the shard its FIRST token lands in, so a shard holds up to
         // cap + (n_tokens − 1) tokens. That is the contract loaders
         // that concatenate-then-window expect (shard_offset tells them
-        // where the straddle starts); hard-capped shards would require
-        // splitting docs mid-sequence, a different export mode.
-        .withColumn("shard", floor((col("__cum") - col("n_tokens")) / cap).cast("long"))
-        .withColumn("shard_offset", (col("__cum") - col("n_tokens")) % cap)
+        // where the straddle starts); hard-capped shards are the
+        // `corpus_export_split` mode below.
+        .withColumn("shard", floor((col("__cum") - col("n_tokens")) / ExportCap).cast("long"))
+        .withColumn("shard_offset", (col("__cum") - col("n_tokens")) % ExportCap)
         .select("source", "doc_id", "n_tokens", "shard", "shard_offset", "h")
-        .orderBy("source", "doc_id")
-    })
+        .orderBy("source", "doc_id")),
+
+    // the HARD-capped export mode (round 13) — the other ending of the
+    // spillover contract: the gated+deduped BPE token stream is cut at
+    // exact 512-token boundaries and a straddling doc SPLITS into one
+    // piece row per shard it touches (in-doc token range per piece, the
+    // `seq_pack_split` arithmetic on REAL token counts). Every
+    // non-final shard per source holds exactly cap tokens — what a
+    // loader that memory-maps fixed-size shards needs. Rows-only like
+    // `corpus_export` (token counts depend on the engine-trained merge
+    // sequence); BpeSpec pins the exact-cap invariant and consistency
+    // with the spillover view.
+    "corpus_export_split" -> ((s, dir) =>
+      exportTokenTable(s, dir)
+        .filter(col("n_tokens") > 0)
+        .withColumn("start", sum(col("n_tokens")).over(exportPackWindow) - col("n_tokens"))
+        .withColumn("shard",
+          explode(sequence(expr(s"start div $ExportCap"),
+            expr(s"(start + n_tokens - 1) div $ExportCap"))))
+        .select(
+          col("source"), col("doc_id"), col("n_tokens"), col("h"),
+          col("shard").cast("long").as("shard"),
+          (col("shard") - expr(s"start div $ExportCap")).cast("long").as("piece_idx"),
+          greatest(lit(0L), col("shard") * ExportCap - col("start")).cast("long").as("tok_start"),
+          least(col("n_tokens"), (col("shard") + 1) * ExportCap - col("start")).cast("long").as("tok_end"),
+          greatest(lit(0L), col("start") - col("shard") * ExportCap).cast("long").as("shard_offset"))
+        .withColumn("piece_len", col("tok_end") - col("tok_start"))
+        .orderBy("source", "doc_id", "shard"))
   )
+
+  /** Shared shard capacity of the export capstones (tokens per shard). */
+  val ExportCap = 512L
+
+  private def exportPackWindow =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+
+  /** The export capstones' shared front half: Gopher gate → exact dedup
+    * (min-id survivor per text) → BPE encode with the corpus-trained
+    * tokenizer ([[trainedMerges]]) → per-doc REAL token count + token-
+    * stream md5. Both packing modes consume this one table.
+    */
+  private def exportTokenTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val gated = docs.filter(TextOps.GopherGate.keep)
+    val wDedup = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val survivors = gated
+      .withColumn("__keep", min(col("doc_id")).over(wDedup))
+      .filter(col("doc_id") === col("__keep"))
+      .select("doc_id", "source", "text")
+    val merges = trainedMerges(s, dir)
+    survivors.select("doc_id", "source")
+      .join(encodeDocs(survivors.select("doc_id", "text"), merges), "doc_id")
+      .select(col("source"), col("doc_id"),
+        size(col("bpe")).cast("long").as("n_tokens"),
+        md5(array_join(col("bpe"), " ")).as("h"))
+  }
 }

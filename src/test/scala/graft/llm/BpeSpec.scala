@@ -271,4 +271,47 @@ class BpeSpec extends SparkSpec {
         s"$src: shard order must reconstruct doc order")
     }
   }
+
+  test("corpus_export_split: exact-cap shards on real token counts, consistent with the spillover view") {
+    val s0 = spark
+    import s0.implicits._
+    val cap = Bpe.ExportCap
+    val split = graft.SparkEntry.queries("corpus_export_split")(s0, sf("sf0.001"))
+      .select("source", "doc_id", "n_tokens", "h", "shard", "piece_idx", "tok_start", "tok_end", "shard_offset", "piece_len")
+      .as[(String, Long, Long, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(split.nonEmpty)
+    // every non-final shard per source holds EXACTLY cap real tokens
+    split.groupBy(_._1).foreach { case (src, rs) =>
+      val byShard = rs.groupBy(_._5).view.mapValues(_.map(_._10).sum).toMap
+      val last = byShard.keys.max
+      byShard.foreach { case (sh, tot) =>
+        if (sh != last) assert(tot == cap, s"$src shard $sh holds $tot, cap $cap")
+        else assert(tot >= 1 && tot <= cap, s"$src final shard overfull: $tot")
+      }
+      assert(byShard.keys.toSeq.sorted == (0L to last), s"$src shard gaps")
+    }
+    // pieces partition each doc's token range in consecutive shards
+    split.groupBy(r => (r._1, r._2)).foreach { case ((src, id), ps) =>
+      val sorted = ps.sortBy(_._6)
+      assert(sorted.head._7 == 0L && sorted.last._8 == sorted.head._3, s"$src/$id range")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._8 == b._7 && b._5 == a._5 + 1, s"$src/$id pieces")
+        case _ => ()
+      }
+    }
+    // consistency with corpus_export: same docs, counts, hashes; the
+    // spillover view's (shard, shard_offset) is exactly piece 0's here
+    val spill = graft.SparkEntry.queries("corpus_export")(s0, sf("sf0.001"))
+      .select("source", "doc_id", "n_tokens", "h", "shard", "shard_offset")
+      .as[(String, Long, Long, String, Long, Long)].collect()
+    val firstPieces = split.filter(_._6 == 0L)
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._9)).toMap
+    assert(spill.map(r => (r._1, r._2)).toSet == firstPieces.keySet,
+      "the two export modes must cover the same gated+deduped doc set")
+    spill.foreach { case (src, id, n, h, sh, off) =>
+      val (n2, h2, sh2, off2) = firstPieces((src, id))
+      assert(n == n2 && h == h2, s"$src/$id token table diverged between modes")
+      assert(sh == sh2 && off == off2, s"$src/$id first-piece shard/offset != spillover view")
+    }
+  }
 }
