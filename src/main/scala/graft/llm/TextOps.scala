@@ -176,20 +176,27 @@ object TextOps {
     // containment is a true fraction of each doc's selection set.
     "dedup_winnow" -> ((s, dir) => {
       val dfCap = 100
-      val fps = winnowFingerprints(Tables(s, dir).documents)
-        .select(col("doc_id"), col("h")).distinct()
-      val postings = fps.groupBy("h")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, dfCap))
+      // ONE h-keyed aggregate feeds both the pair path and the size
+      // path (array_distinct inside the list replaces a separate
+      // (doc_id, h) distinct exchange): the branches share an identical
+      // subtree, so exchange/stage reuse runs the winnow HOF and the
+      // h-shuffle ONCE — the tfidf_topk round-12 lesson applied at
+      // design time instead of after the slope probe caught it.
+      val postingsAll = winnowFingerprints(Tables(s, dir).documents)
+        .groupBy("h")
+        .agg(sort_array(array_distinct(collect_list(col("doc_id")))).as("ds"))
+      val postings = postingsAll.filter(size(col("ds")).between(2, dfCap))
       val common = postings
         .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
         .select(col("doc1"),
           explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
         .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
-      // one row per corpus document — un-hinted, AQE picks the join
-      // strategy from runtime stats (the dedup_jaccard sizes rationale)
-      val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // sizes (UNCAPPED distinct-fingerprint count per doc) derive from
+      // the same aggregate; un-hinted joins — AQE picks the strategy
+      // from runtime stats (the dedup_jaccard sizes rationale)
+      val sizes = postingsAll.select(explode(col("ds")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
       common
         .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
         .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
