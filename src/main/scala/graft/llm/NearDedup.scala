@@ -745,6 +745,108 @@ object NearDedup {
   private val substrStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Streaming winnow-fingerprint admission (round 13 — 5th member of
+    * the incremental-admission family, the MOSS analog of
+    * [[admitSubstring]]): a batch doc is REJECTED when at least
+    * `minHits` of its distinct winnow fingerprints ([[TextOps
+    * .winnowFingerprints]], the `dedup_winnow` selection) are already
+    * OWNED — by state or by a smaller-id doc of the same batch.
+    * Ownership accrues from every SEEN doc regardless of admission
+    * (the substring-rule convention), which is what makes doc-ordered
+    * batch chains ≡ the one-shot pass trivially: a doc's hit count
+    * depends only on the fingerprints of all earlier docs, never on
+    * their verdicts. Per-batch cost: the batch's winnow HOF, one
+    * map-side intra-batch min, one h-keyed membership join vs state —
+    * never a rescan of processed docs; state = owned fingerprint
+    * hashes, bucketed-by-`h` co-location at scale like every owned-set
+    * state in this family.
+    */
+  def admitWinnow(batch: DataFrame, owned: DataFrame, minHits: Int = 2):
+      (DataFrame, DataFrame) = {
+    val fps = TextOps.winnowFingerprints(batch)
+      .select(col("doc_id"), col("h")).distinct().persist()
+    try {
+      val intra = fps.groupBy("h").agg(min(col("doc_id")).as("owner")).persist()
+      try {
+        val dropped = fps
+          .join(owned.select(col("h"), lit(true).as("seen")), Seq("h"), "left")
+          .join(intra, Seq("h"))
+          .filter(col("seen").isNotNull || col("owner") < col("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") >= minHits)
+          .select("doc_id")
+        val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val newOwned = intra.select("h")
+          .join(owned.select("h"), Seq("h"), "left_anti")
+          .localCheckpoint()
+        (survivors, newOwned)
+      } finally { intra.unpersist(); () }
+    } finally { fps.unpersist(); () }
+  }
+
+  /** Durable-state fold of [[admitWinnow]] — identical all-or-nothing
+    * staged-commit protocol to [[admitSubstringToState]] (same
+    * `stage/<batch>/_committed` marker + idempotent part-file
+    * promotion), same out/-as-redelivery-guard semantics.
+    */
+  def admitWinnowToState(batchDocs: DataFrame, stateDir: String, minHits: Int = 2): Unit = {
+    val spark = batchDocs.sparkSession
+    val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
+    val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
+    val stageRoot = new org.apache.hadoop.fs.Path(s"$stateDir/stage")
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).foreach { st =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_committed")))
+          promoteStage(fs, st.getPath, outP, ownedP)
+        else { fs.delete(st.getPath, true); () }
+      }
+    val docs = batchDocs.select("doc_id", "text")
+    val owned =
+      if (fs.exists(ownedP)) spark.read.parquet(ownedP.toString)
+      else TextOps.winnowFingerprints(docs.limit(0)).select("h")
+    val fresh =
+      if (fs.exists(outP))
+        docs.join(spark.read.parquet(outP.toString).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docs
+    val (out, newOwned) = admitWinnow(fresh, owned, minHits)
+    if (!fresh.isEmpty) {
+      val stage = new org.apache.hadoop.fs.Path(stageRoot,
+        java.util.UUID.randomUUID().toString)
+      out.write.parquet(new org.apache.hadoop.fs.Path(stage, "out").toString)
+      newOwned.write.parquet(new org.apache.hadoop.fs.Path(stage, "owned").toString)
+      fs.create(new org.apache.hadoop.fs.Path(stage, "_committed")).close()
+      promoteStage(fs, stage, outP, ownedP)
+    }
+  }
+
+  /** Continuous winnow-admission stream — the foreachBatch twin, same
+    * shape as [[admitSubstringStream]].
+    */
+  def admitWinnowStream(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      minHits: Int = 2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitWinnowToState(batch, stateDir, minHits)
+      }
+      .start()
+
+  /** Memoized bootstrap state for `dedup_winnow_incr` (even-doc
+    * fingerprint hashes) — the [[substrStateCache]] cost model.
+    */
+  private val winnowStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** The shingle pipeline (scan → split → zip_with → array_distinct, the
     * md5-heavy CPU core of every near-dup query), persisted: each pipeline
     * references it 3× (LSH banding + both sides of the Jaccard verify, or
@@ -1072,6 +1174,24 @@ object NearDedup {
         owned0.persist()
       })
       val (out, _) = admitSubstring(docs.filter(col("doc_id") % 2 =!= 0), owned)
+      out.select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
+
+    // streaming MOSS admission (round 13) — the winnow-fingerprint
+    // member of the incremental quintet, same even/odd demo shape as
+    // `dedup_substring_incr` (bootstrap memoized, batch admission
+    // measured). Rows-only like its one-shot sibling `dedup_winnow`.
+    "dedup_winnow_incr" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      winnowStateCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
+      val owned = winnowStateCache.computeIfAbsent((s, dir), _ => {
+        val evens = docs.filter(col("doc_id") % 2 === 0)
+        val (_, owned0) = admitWinnow(evens,
+          TextOps.winnowFingerprints(evens.limit(0)).select("h"))
+        owned0.persist()
+      })
+      val (out, _) = admitWinnow(docs.filter(col("doc_id") % 2 =!= 0), owned)
       out.select(col("doc_id"), md5(col("text")).as("h"))
         .orderBy("doc_id")
     })

@@ -278,6 +278,53 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+
+  test("winnow admission: doc-ordered batches equal the one-shot pass, seen docs own") {
+    val docs = chainDocs.toDF("doc_id", "text")
+    val empty = TextOps.winnowFingerprints(docs.limit(0)).select("h")
+    val oneShot = NearDedup.admitWinnow(docs, empty)._1
+      .select("doc_id").as[Long].collect().toSet
+    var owned = empty
+    var admitted = Set.empty[Long]
+    Seq(Seq(1L, 2L), Seq(3L), Seq(4L)).foreach { ids =>
+      val (out, newOwned) = NearDedup.admitWinnow(
+        docs.filter(col("doc_id").isin(ids: _*)), owned)
+      admitted ++= out.select("doc_id").as[Long].collect()
+      owned = owned.unionByName(newOwned)
+    }
+    assert(admitted == oneShot, s"batch chain diverged: $admitted vs $oneShot")
+    // the spans planted for the substring rule also drive this one:
+    // docs 2 and 3 share long runs with earlier docs -> >= 2 owned
+    // fingerprints -> rejected; 1 and 4 are first-of-their-content
+    assert(oneShot == Set(1L, 4L), s"unexpected one-shot admission: $oneShot")
+    // identical text under a new id re-sends fully-owned fingerprints
+    val resent = docs.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val ownedAfter1 = NearDedup.admitWinnow(docs.filter(col("doc_id") === 1L), empty)._2
+    val (out2, new2) = NearDedup.admitWinnow(resent, ownedAfter1)
+    assert(out2.isEmpty, "owned-fingerprint re-send must be rejected")
+    assert(new2.isEmpty, "a fully-owned doc contributes no new fingerprints")
+  }
+
+  test("winnow admission durable fold: torn batch recovers all-or-nothing") {
+    val docs = chainDocs.toDF("doc_id", "text")
+    val b1 = docs.filter(col("doc_id").isin(1L, 2L))
+    val base = java.nio.file.Files.createTempDirectory("winnow-crash")
+    val st = base.resolve("t").toString
+    // commit marker written, promotion lost -> recovery must finish it
+    val empty = TextOps.winnowFingerprints(docs.limit(0)).select("h")
+    val (out1, owned1) = NearDedup.admitWinnow(b1, empty)
+    out1.write.parquet(s"$st/stage/b1/out")
+    owned1.write.parquet(s"$st/stage/b1/owned")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$st/stage/b1/_committed"))
+    NearDedup.admitWinnowToState(b1, st)
+    assert(spark.read.parquet(s"$st/out").select("doc_id").as[Long].collect().toSet
+      == Set(1L), "recovered redelivery must keep doc 2 rejected")
+    NearDedup.admitWinnowToState(docs.filter(col("doc_id").isin(3L, 4L)), st)
+    assert(spark.read.parquet(s"$st/out").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 4L), "chain after recovery diverged from one-shot")
+  }
+
   test("streaming admission fold: accumulates survivors across batches and restarts") {
     val s = spark
     val in = java.nio.file.Files.createTempDirectory("substr-in")
