@@ -628,4 +628,49 @@ class CurationSpec extends SparkSpec {
       assert(n >= 2 && c > 0.0 && c <= 1.0, s"pair ($a,$b): n=$n c=$c")
     }
   }
+
+  test("winnowing matches an independent in-JVM reference on randomized corpora") {
+    val s0 = spark
+    import s0.implicits._
+    // textbook winnowing, re-implemented from the paper with none of the
+    // engine's HOF machinery: gram hashes (the portable md5-14-hex
+    // convention), window-of-4 minima, rightmost ties, dedup
+    def naiveWinnow(text: String): Seq[(Long, Long)] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < 6) return Seq.empty
+      val hs = (0 until ws.length - 2).map { i =>
+        val g = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.substring(0, 14), 16)
+      }
+      val sel = (0 until hs.length - 3).map { j =>
+        val win = hs.slice(j, j + 4)
+        val mn = win.min
+        val pos = j + (0 until 4).filter(k => hs(j + k) == mn).max
+        (pos + 1L, mn) // engine positions are 1-based
+      }
+      sel.distinct
+    }
+    val rnd = new scala.util.Random(0xBEEF)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "repeat", "data", "x1", "y2")
+    val docs = (0L until 40L).map { id =>
+      val n = 3 + rnd.nextInt(60) // include sub-window docs (must emit nothing)
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val got = TextOps.winnowFingerprints(docs.toDF("doc_id", "text"))
+      .select("doc_id", "pos", "h").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val want = naiveWinnow(text).toSet
+      val have = got.getOrElse(id, Set.empty)
+      assert(have == want, s"doc $id diverged from the reference winnow")
+    }
+    // the tiny vocab guarantees repeated grams, so the rightmost-tie and
+    // dedup branches really execute on this corpus
+    assert(docs.exists { case (_, t) =>
+      val ws = t.split(" "); ws.length >= 6 &&
+        (0 until ws.length - 2).map(i => (ws(i), ws(i+1), ws(i+2))).distinct.size < ws.length - 2
+    }, "random corpus never repeated a gram — tie branches untested")
+  }
 }
