@@ -38,9 +38,15 @@ def table_of(df):
 
 def main(sf_dir, out_dir, only_ids=None):
     con = duckdb.connect()
+    import os as _os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # fixture tables are single files; ScaleUp replicas are
+        # Spark-written DIRECTORIES of part files — bind either layout
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
