@@ -345,22 +345,35 @@ object Bpe {
     // sequence); BpeSpec pins the exact-cap invariant and consistency
     // with the spillover view.
     "corpus_export_split" -> ((s, dir) =>
-      exportTokenTable(s, dir)
-        .filter(col("n_tokens") > 0)
-        .withColumn("start", sum(col("n_tokens")).over(exportPackWindow) - col("n_tokens"))
-        .withColumn("shard",
-          explode(sequence(expr(s"start div $ExportCap"),
-            expr(s"(start + n_tokens - 1) div $ExportCap"))))
-        .select(
-          col("source"), col("doc_id"), col("n_tokens"), col("h"),
-          col("shard").cast("long").as("shard"),
-          (col("shard") - expr(s"start div $ExportCap")).cast("long").as("piece_idx"),
-          greatest(lit(0L), col("shard") * ExportCap - col("start")).cast("long").as("tok_start"),
-          least(col("n_tokens"), (col("shard") + 1) * ExportCap - col("start")).cast("long").as("tok_end"),
-          greatest(lit(0L), col("start") - col("shard") * ExportCap).cast("long").as("shard_offset"))
-        .withColumn("piece_len", col("tok_end") - col("tok_start"))
+      splitPieces(exportTokenTable(s, dir))
         .orderBy("source", "doc_id", "shard"))
   )
+
+  /** The hard-cap piece projection of `corpus_export_split`, over a
+    * (source, doc_id, n_tokens, h) token table. Extracted so BpeSpec can
+    * exercise the zero-token path directly (the Gopher gate makes it
+    * unreachable through the full pipeline at this fixture): a doc that
+    * encodes to ZERO tokens emits one zero-length piece row
+    * (`greatest(n_tokens, 1)` bounds the shard sequence) rather than
+    * being filtered out — round-14 ADVICE: a `n_tokens > 0` filter here
+    * made the two export modes cover DIFFERENT doc sets on a corpus
+    * where a gated+deduped doc BPE-encodes empty, breaking the
+    * spec-pinned cross-mode doc-set equality with the spillover view.
+    */
+  private[llm] def splitPieces(tokens: DataFrame): DataFrame =
+    tokens
+      .withColumn("start", sum(col("n_tokens")).over(exportPackWindow) - col("n_tokens"))
+      .withColumn("shard",
+        explode(sequence(expr(s"start div $ExportCap"),
+          expr(s"(start + greatest(n_tokens, 1) - 1) div $ExportCap"))))
+      .select(
+        col("source"), col("doc_id"), col("n_tokens"), col("h"),
+        col("shard").cast("long").as("shard"),
+        (col("shard") - expr(s"start div $ExportCap")).cast("long").as("piece_idx"),
+        greatest(lit(0L), col("shard") * ExportCap - col("start")).cast("long").as("tok_start"),
+        least(col("n_tokens"), (col("shard") + 1) * ExportCap - col("start")).cast("long").as("tok_end"),
+        greatest(lit(0L), col("start") - col("shard") * ExportCap).cast("long").as("shard_offset"))
+      .withColumn("piece_len", col("tok_end") - col("tok_start"))
 
   /** Shared shard capacity of the export capstones (tokens per shard). */
   val ExportCap = 512L

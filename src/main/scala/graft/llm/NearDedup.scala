@@ -658,7 +658,26 @@ object NearDedup {
     * a redelivered batch re-evaluates against a state that is
     * all-or-nothing w.r.t. its previous attempt.
     */
-  def admitSubstringToState(batchDocs: DataFrame, stateDir: String, k: Int = 20): Unit = {
+  def admitSubstringToState(batchDocs: DataFrame, stateDir: String, k: Int = 20): Unit =
+    stagedAdmitFold(batchDocs, stateDir,
+      emptyOwned = docs => substringGrams(docs, k).select("g"),
+      admit = (fresh, owned) => admitSubstring(fresh, owned, k))
+
+  /** The staged-commit fold shared by every owned-set admission rule
+    * (round-14 ADVICE: the recovery loop, owned/fresh bootstrap, UUID
+    * stage, `_committed` marker and promotion are crash-safety-critical
+    * and existed as two verbatim copies — one fix applied to one copy
+    * would silently leave the other divergent). `emptyOwned` supplies
+    * the rule's zero-row owned-state schema (called on an empty doc
+    * slice); `admit` is the rule's admission function, which MUST
+    * eagerly materialize (localCheckpoint) both results so the state
+    * reads here finish before any write below changes those paths.
+    */
+  private def stagedAdmitFold(
+      batchDocs: DataFrame,
+      stateDir: String,
+      emptyOwned: DataFrame => DataFrame,
+      admit: (DataFrame, DataFrame) => (DataFrame, DataFrame)): Unit = {
     val spark = batchDocs.sparkSession
     val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
     val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
@@ -674,16 +693,13 @@ object NearDedup {
     val docs = batchDocs.select("doc_id", "text")
     val owned =
       if (fs.exists(ownedP)) spark.read.parquet(ownedP.toString)
-      else substringGrams(docs.limit(0), k).select("g")
+      else emptyOwned(docs.limit(0))
     val fresh =
       if (fs.exists(outP))
         docs.join(spark.read.parquet(outP.toString).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else docs
-    // admitSubstring localCheckpoints (eagerly materializes) both
-    // results, so the state reads above are finished before any write
-    // below changes what those paths contain
-    val (out, newOwned) = admitSubstring(fresh, owned, k)
+    val (out, newOwned) = admit(fresh, owned)
     if (!fresh.isEmpty) {
       val stage = new org.apache.hadoop.fs.Path(stageRoot,
         java.util.UUID.randomUUID().toString)
@@ -697,7 +713,12 @@ object NearDedup {
   /** Move a committed stage's part files into the live state dirs and
     * drop the stage. Part names carry the writing job's UUID, so moves
     * never collide across batches and a re-run after a partial promote
-    * only moves what remains.
+    * only moves what remains. Every rename is `require`d (Hadoop FS
+    * reports most move failures via the boolean, not an exception —
+    * the `Stream.materialize` convention): a failed move must fail the
+    * batch BEFORE the stage delete below, or the delete would destroy
+    * the only copy of the un-promoted rows and the all-or-nothing
+    * protocol would silently lose committed state.
     */
   private def promoteStage(fs: org.apache.hadoop.fs.FileSystem,
       stage: org.apache.hadoop.fs.Path,
@@ -710,7 +731,10 @@ object NearDedup {
         fs.listStatus(src)
           .filter(_.getPath.getName.endsWith(".parquet"))
           .foreach { f =>
-            fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dst, f.getPath.getName)); ()
+            val to = new org.apache.hadoop.fs.Path(dst, f.getPath.getName)
+            require(fs.rename(f.getPath, to),
+              s"promoteStage: rename ${f.getPath} -> $to failed; " +
+                "aborting before the stage delete (state preserved for recovery)")
           }
       }
     }
@@ -790,37 +814,10 @@ object NearDedup {
     * `stage/<batch>/_committed` marker + idempotent part-file
     * promotion), same out/-as-redelivery-guard semantics.
     */
-  def admitWinnowToState(batchDocs: DataFrame, stateDir: String, minHits: Int = 2): Unit = {
-    val spark = batchDocs.sparkSession
-    val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
-    val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
-    val stageRoot = new org.apache.hadoop.fs.Path(s"$stateDir/stage")
-    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(stageRoot))
-      fs.listStatus(stageRoot).foreach { st =>
-        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_committed")))
-          promoteStage(fs, st.getPath, outP, ownedP)
-        else { fs.delete(st.getPath, true); () }
-      }
-    val docs = batchDocs.select("doc_id", "text")
-    val owned =
-      if (fs.exists(ownedP)) spark.read.parquet(ownedP.toString)
-      else TextOps.winnowFingerprints(docs.limit(0)).select("h")
-    val fresh =
-      if (fs.exists(outP))
-        docs.join(spark.read.parquet(outP.toString).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else docs
-    val (out, newOwned) = admitWinnow(fresh, owned, minHits)
-    if (!fresh.isEmpty) {
-      val stage = new org.apache.hadoop.fs.Path(stageRoot,
-        java.util.UUID.randomUUID().toString)
-      out.write.parquet(new org.apache.hadoop.fs.Path(stage, "out").toString)
-      newOwned.write.parquet(new org.apache.hadoop.fs.Path(stage, "owned").toString)
-      fs.create(new org.apache.hadoop.fs.Path(stage, "_committed")).close()
-      promoteStage(fs, stage, outP, ownedP)
-    }
-  }
+  def admitWinnowToState(batchDocs: DataFrame, stateDir: String, minHits: Int = 2): Unit =
+    stagedAdmitFold(batchDocs, stateDir,
+      emptyOwned = docs => TextOps.winnowFingerprints(docs).select("h"),
+      admit = (fresh, owned) => admitWinnow(fresh, owned, minHits))
 
   /** Continuous winnow-admission stream — the foreachBatch twin, same
     * shape as [[admitSubstringStream]].

@@ -95,8 +95,12 @@ object NonAsciiFixture {
     java.nio.file.Files.createDirectories(out)
     val tmp = java.nio.file.Files.createTempDirectory("nafix")
     docs(spark).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet"))
+    // Files.list holds a directory handle until closed — draining does
+    // NOT release it (the SchemaRegistry.replay convention)
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally listing.close()
     require(part.length == 1, s"expected one part file, got ${part.toSeq}")
     java.nio.file.Files.move(java.nio.file.Paths.get(part(0)),
       out.resolve("documents.parquet"),

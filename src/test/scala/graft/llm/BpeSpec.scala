@@ -314,4 +314,42 @@ class BpeSpec extends SparkSpec {
       assert(sh == sh2 && off == off2, s"$src/$id first-piece shard/offset != spillover view")
     }
   }
+
+  test("splitPieces: a zero-token doc emits ONE zero-length piece, keeping the cross-mode doc sets equal") {
+    // Round-14 ADVICE: the split mode filtered n_tokens > 0, silently
+    // covering a different doc set than the spillover view whenever a
+    // gated+deduped doc BPE-encodes empty (unreachable through the full
+    // pipeline at this fixture — the Gopher gate needs >= 50 words — so
+    // the contract is pinned on the extracted projection directly).
+    val s0 = spark
+    import s0.implicits._
+    val cap = Bpe.ExportCap
+    // doc 2 is mid-shard zero-token; doc 5 lands exactly on a shard
+    // boundary (start % cap == 0); doc 6 straddles after it
+    val tokens = Seq(
+      ("s", 1L, 300L, "h1"), ("s", 2L, 0L, "h2"), ("s", 3L, 212L, "h3"),
+      ("s", 5L, 0L, "h5"), ("s", 6L, 700L, "h6"))
+      .toDF("source", "doc_id", "n_tokens", "h")
+    val ps = Bpe.splitPieces(tokens)
+      .select("doc_id", "n_tokens", "shard", "piece_idx", "tok_start", "tok_end", "shard_offset", "piece_len")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._4))
+    // every input doc appears — including the zero-token ones
+    assert(ps.map(_._1).distinct.toSeq == Seq(1L, 2L, 3L, 5L, 6L))
+    val z2 = ps.filter(_._1 == 2L)
+    assert(z2.length == 1 && z2(0)._3 == 0L && z2(0)._8 == 0L &&
+      z2(0)._5 == 0L && z2(0)._6 == 0L && z2(0)._7 == 300L,
+      s"mid-shard zero-token doc: one empty piece at its stream position, got ${z2.toSeq}")
+    val z5 = ps.filter(_._1 == 5L)
+    assert(z5.length == 1 && z5(0)._3 == 1L && z5(0)._8 == 0L && z5(0)._7 == 0L,
+      s"boundary zero-token doc: one empty piece in the NEXT shard at offset 0, got ${z5.toSeq}")
+    // the non-zero docs' piece arithmetic is unchanged by the guard
+    val d6 = ps.filter(_._1 == 6L)
+    assert(d6.map(_._3).toSeq == Seq(1L, 2L) && d6.map(_._8).sum == 700L &&
+      d6(0)._8 == cap && d6(0)._7 == 0L)
+    // piece_len sums reproduce n_tokens for EVERY doc (zero included)
+    ps.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._8).sum == rs.head._2, s"doc $id piece lengths")
+    }
+  }
 }
