@@ -83,27 +83,31 @@ object TextOps {
   }
 
   /** WINNOWING (Schleimer, Wilkerson & Aiken) over `(doc_id, text)`
-    * rows: 3-gram hash sequence → sliding window of w = 4 → keep each
+    * rows: k-gram hash sequence → sliding window of `w` → keep each
     * window's minimum, ties to the RIGHTMOST position, consecutive
-    * duplicates collapsed. Guarantees a fingerprint in every run of 4
-    * grams (so any shared substring of ≥ 6 tokens is detectable by
-    * fingerprint intersection) at ~2/(w+1) selection density. Pure
-    * per-row HOF arithmetic — no shuffle; shared by the query id and
-    * the planted-corpus spec.
+    * duplicates collapsed. Guarantees a fingerprint in every run of w
+    * grams (so any shared substring of ≥ t = w + k − 1 tokens is
+    * detectable by fingerprint intersection) at ~2/(w+1) selection
+    * density. The (w, k) surface is the tuning knob the published
+    * algorithm exposes — t is the noise threshold a corpus picks per
+    * document length (defaults match the round-13 index: w = 4, k = 3,
+    * t = 6; the guarantee is spec-pinned at BOTH a default and a
+    * non-default setting). Pure per-row HOF arithmetic — no shuffle;
+    * shared by the query ids and the planted-corpus spec.
     */
-  def winnowFingerprints(docs: DataFrame): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, w: Int = 4, k: Int = 3): DataFrame = {
+    require(w >= 2 && k >= 1, s"winnow window w=$w must be >= 2, gram k=$k >= 1")
     val ws = split(col("text"), " ")
-    val grams = transform(sequence(lit(1), size(col("ws")) - 2),
+    val grams = transform(sequence(lit(1), size(col("ws")) - (k - 1)),
       i => Sampling.hashBucket(concat_ws(" ",
-        element_at(col("ws"), i), element_at(col("ws"), i + 1),
-        element_at(col("ws"), i + 2)), hexDigits = 14))
-    val sel = transform(sequence(lit(1), size(col("hs")) - 3), j => {
-      val win = slice(col("hs"), j, lit(4))
+        (0 until k).map(o => element_at(col("ws"), i + o)): _*), hexDigits = 14))
+    val sel = transform(sequence(lit(1), size(col("hs")) - (w - 1)), j => {
+      val win = slice(col("hs"), j, lit(w))
       val minv = array_min(win)
       // fold over window offsets: acc ends at the LAST offset whose
       // hash equals the minimum — the rightmost-tie winnowing rule
-      val rk = aggregate(sequence(lit(0), lit(3)), lit(0),
-        (acc, k) => when(element_at(col("hs"), j + k) === minv, k).otherwise(acc))
+      val rk = aggregate(sequence(lit(0), lit(w - 1)), lit(0),
+        (acc, kk) => when(element_at(col("hs"), j + kk) === minv, kk).otherwise(acc))
       struct((j + rk).cast("long").as("pos"), minv.as("h"))
     })
     // spread first: the md5-per-gram HOF is the CPU core, and the
@@ -113,10 +117,66 @@ object TextOps {
     // and this is a cheap balanced exchange, the Engine.spread contract)
     graft.Engine.spread(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), ws.as("ws"))
-      .filter(size(col("ws")) >= 6) // >= 4 grams = one full window
+      .filter(size(col("ws")) >= w + k - 1) // >= w grams = one full window
       .select(col("doc_id"), grams.as("hs"))
       .select(col("doc_id"), explode(array_distinct(sel)).as("fp"))
       .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+  }
+
+  /** MOSS pair scoring (the shared core of `dedup_winnow` and the
+    * cluster/apply pair below): doc pairs sharing >= 2 winnow
+    * fingerprints with the df-cap guard, scored by containment over the
+    * UNCAPPED per-doc selection-set sizes. ONE h-keyed aggregate feeds
+    * both the pair path and the size path (array_distinct inside the
+    * list replaces a separate (doc_id, h) distinct exchange): the
+    * branches share an identical subtree, so exchange/stage reuse runs
+    * the winnow HOF and the h-shuffle ONCE — the tfidf_topk round-12
+    * lesson applied at design time. Emits (doc1, doc2, n_shared, n1,
+    * n2, containment); n1/n2 ride along so consumers can threshold in
+    * INTEGER form (no cross-engine float boundary).
+    */
+  private[llm] def winnowPairs(docs: DataFrame, dfCap: Int = 100): DataFrame = {
+    val postingsAll = winnowFingerprints(docs)
+      .groupBy("h")
+      .agg(sort_array(array_distinct(collect_list(col("doc_id")))).as("ds"))
+    val postings = postingsAll.filter(size(col("ds")).between(2, dfCap))
+    val common = postings
+      .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
+      .select(col("doc1"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    // sizes (UNCAPPED distinct-fingerprint count per doc) derive from
+    // the same aggregate; un-hinted joins — AQE picks the strategy
+    // from runtime stats (the dedup_jaccard sizes rationale)
+    val sizes = postingsAll.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("n_shared"), col("n1"), col("n2"),
+        (col("n_shared").cast("double") / least(col("n1"), col("n2"))).as("containment"))
+  }
+
+  /** Cluster labels over the MOSS pair graph, memoized per (session,
+    * dir) like NearDedup's [[NearDedup.connectedComponents]] consumers:
+    * `dedup_winnow_cluster` reports the labels and `dedup_winnow_apply`
+    * anti-joins the survivors, so the pairs+CC pipeline must run once,
+    * not once per consumer. Edges are containment >= 0.8 in INTEGER
+    * form (5·n_shared >= 4·min(n1,n2)) — no float boundary exists
+    * cross-engine, the decon_overlap convention.
+    */
+  private val winnowClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def winnowClusters(s: SparkSession, dir: String): DataFrame = {
+    winnowClusterCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
+    winnowClusterCache.computeIfAbsent((s, dir), _ => {
+      val edges = winnowPairs(Tables(s, dir).documents)
+        .filter(col("n_shared") * 5 >= least(col("n1"), col("n2")) * 4)
+        .select("doc1", "doc2")
+      NearDedup.connectedComponents(edges)
+    })
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -174,35 +234,33 @@ object TextOps {
     // the oracle mirrors the cap exactly so the check stays exact).
     // Denominators use the UNCAPPED per-doc fingerprint counts, so
     // containment is a true fraction of each doc's selection set.
-    "dedup_winnow" -> ((s, dir) => {
-      val dfCap = 100
-      // ONE h-keyed aggregate feeds both the pair path and the size
-      // path (array_distinct inside the list replaces a separate
-      // (doc_id, h) distinct exchange): the branches share an identical
-      // subtree, so exchange/stage reuse runs the winnow HOF and the
-      // h-shuffle ONCE — the tfidf_topk round-12 lesson applied at
-      // design time instead of after the slope probe caught it.
-      val postingsAll = winnowFingerprints(Tables(s, dir).documents)
-        .groupBy("h")
-        .agg(sort_array(array_distinct(collect_list(col("doc_id")))).as("ds"))
-      val postings = postingsAll.filter(size(col("ds")).between(2, dfCap))
-      val common = postings
-        .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
-        .select(col("doc1"),
-          explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-      // sizes (UNCAPPED distinct-fingerprint count per doc) derive from
-      // the same aggregate; un-hinted joins — AQE picks the strategy
-      // from runtime stats (the dedup_jaccard sizes rationale)
-      val sizes = postingsAll.select(explode(col("ds")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      common
-        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
-        .select(col("doc1"), col("doc2"), col("n_shared"),
-          (col("n_shared").cast("double") / least(col("n1"), col("n2"))).as("containment"))
-        .orderBy("doc1", "doc2")
+    "dedup_winnow" -> ((s, dir) =>
+      winnowPairs(Tables(s, dir).documents)
+        .select("doc1", "doc2", "n_shared", "containment")
+        .orderBy("doc1", "doc2")),
+
+    // MOSS pairs CONSUMED (round 14 — the application side every other
+    // dedup family already has): edges at containment >= 0.8 (integer
+    // form) -> connected components -> each cluster keeps its canonical
+    // minimum-id member. The labels come from the memoized
+    // [[winnowClusters]] table shared with `dedup_winnow_apply`.
+    "dedup_winnow_cluster" -> ((s, dir) =>
+      winnowClusters(s, dir).orderBy("doc_id")),
+
+    // the APPLICATION: corpus minus non-canonical cluster members — the
+    // operator a pipeline actually runs over the MOSS index. The
+    // cluster table is one row per CLUSTERED doc (tiny vs the corpus);
+    // AQE broadcasts the anti-join side, so the corpus is scanned once
+    // and never collected — the dedup_apply contract
+    // (NearDedup.scala `dedup_apply`) applied to the winnow family.
+    "dedup_winnow_apply" -> ((s, dir) => {
+      val dropped = winnowClusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      Tables(s, dir).documents
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
     }),
 
     "lang_id" -> ((s, dir) => {
@@ -505,6 +563,52 @@ object TextOps {
     })
   )
 
+  /** The winnow pairs+sizes CTE chain shared verbatim by the
+    * `dedup_winnow` / `dedup_winnow_cluster` / `dedup_winnow_apply`
+    * oracles (one definition — a df-cap or gram tweak must reach all
+    * three, the [[winnowPairs]] single-subtree rule mirrored on the
+    * oracle side).
+    */
+  private val winnowPairsCte =
+    """t AS (
+      |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |  WHERE len(string_split(text,' ')) >= 6),
+      |g AS (
+      |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
+      |    i -> CAST('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,14) AS BIGINT)) AS hs
+      |  FROM t),
+      |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j FROM g),
+      |m AS (
+      |  SELECT doc_id, hs, j,
+      |    list_aggregate(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)], 'min') AS h
+      |  FROM w),
+      |fp AS (SELECT DISTINCT doc_id, h FROM m),
+      |capped AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+      |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE a.h IN (SELECT h FROM capped)
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id)""".stripMargin
+
+  /** Pairs → containment-thresholded edges (INTEGER form, 0.8) → the
+    * recursive min-label walk → (doc_id, cluster_id) labels; the oracle
+    * mirror of [[winnowClusters]] (same fixpoint as the engine's CC:
+    * min reachable id, execution-order independent).
+    */
+  private val winnowLabelsCte =
+    """edges AS (
+      |  SELECT doc1, doc2 FROM pairs
+      |  JOIN sz s1 ON s1.doc_id = doc1
+      |  JOIN sz s2 ON s2.doc_id = doc2
+      |  WHERE n_shared * 5 >= 4 * least(s1.n, s2.n)),
+      |e2 AS (SELECT doc1 AS a, doc2 AS b FROM edges UNION SELECT doc2, doc1 FROM edges),
+      |walk(node, label) AS (
+      |  SELECT a, a FROM e2
+      |  UNION
+      |  SELECT e.a, wk.label FROM e2 e JOIN walk wk ON wk.node = e.b),
+      |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars2,
@@ -543,32 +647,23 @@ object TextOps {
         |  FROM m)
         |SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos""".stripMargin,
     "dedup_winnow" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
-        |  WHERE len(string_split(text,' ')) >= 6),
-        |g AS (
-        |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
-        |    i -> CAST('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,14) AS BIGINT)) AS hs
-        |  FROM t),
-        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j FROM g),
-        |m AS (
-        |  SELECT doc_id, hs, j,
-        |    list_aggregate(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)], 'min') AS h
-        |  FROM w),
-        |fp AS (SELECT DISTINCT doc_id, h FROM m),
-        |capped AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
-        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  WHERE a.h IN (SELECT h FROM capped)
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id)
+      s"""WITH $winnowPairsCte
         |SELECT doc1, doc2, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(n_shared AS DOUBLE) / least(s1.n, s2.n) AS containment
         |FROM pairs
         |JOIN sz s1 ON s1.doc_id = doc1
         |JOIN sz s2 ON s2.doc_id = doc2
         |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_winnow_cluster" ->
+      s"""WITH RECURSIVE $winnowPairsCte,
+        |$winnowLabelsCte
+        |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    "dedup_winnow_apply" ->
+      s"""WITH RECURSIVE $winnowPairsCte,
+        |$winnowLabelsCte
+        |SELECT d.doc_id, md5(d.text) AS h FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

@@ -673,4 +673,124 @@ class CurationSpec extends SparkSpec {
         (0 until ws.length - 2).map(i => (ws(i), ws(i+1), ws(i+2))).distinct.size < ws.length - 2
     }, "random corpus never repeated a gram — tie branches untested")
   }
+
+  /** Textbook winnowing at arbitrary (w, k) — the generalized reference
+    * for the parameterized surface (round 14): gram hashes via the
+    * portable md5-14-hex convention, window-of-w minima, rightmost
+    * ties, dedup. 1-based positions like the engine.
+    */
+  private def naiveWinnowWK(text: String, w: Int, k: Int): Set[(Long, Long)] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < w + k - 1) return Set.empty
+    val hs = (0 to ws.length - k).map { i =>
+      val g = (i until i + k).map(ws).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 14), 16)
+    }
+    (0 to hs.length - w).map { j =>
+      val win = hs.slice(j, j + w)
+      val mn = win.min
+      val pos = j + (0 until w).filter(kk => hs(j + kk) == mn).max
+      (pos + 1L, mn)
+    }.toSet
+  }
+
+  test("winnowing (w, k) surface: reference parity and the t = w+k-1 guarantee at a non-default setting") {
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(0xD00D)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 30L).map { id =>
+      val n = 4 + rnd.nextInt(50)
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // parity with the independent reference at TWO settings — the
+    // default (4,3) and a non-default (5,4); a literal left behind by
+    // the parameterization would fail exactly one of them
+    for ((w, k) <- Seq((4, 3), (5, 4))) {
+      val got = TextOps.winnowFingerprints(docs.toDF("doc_id", "text"), w, k)
+        .select("doc_id", "pos", "h").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      docs.foreach { case (id, text) =>
+        assert(got.getOrElse(id, Set.empty) == naiveWinnowWK(text, w, k),
+          s"doc $id diverged from the reference at (w=$w, k=$k)")
+      }
+    }
+    // detection guarantee at (5,4): t = 8 — two docs sharing an
+    // 8-token run MUST share a fingerprint at that setting (and a
+    // sub-t run of 7 tokens comes with no such promise: the same
+    // planted pair at (w=6,k=4), t=9, is allowed to miss)
+    val run8 = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val planted = Seq(
+      (20L, s"one two three four five $run8"),
+      (21L, s"$run8 red orange yellow green blue")).toDF("doc_id", "text")
+    val pf = TextOps.winnowFingerprints(planted, w = 5, k = 4)
+      .select("doc_id", "h").as[(Long, Long)].collect()
+    val inter = pf.filter(_._1 == 20L).map(_._2).toSet
+      .intersect(pf.filter(_._1 == 21L).map(_._2).toSet)
+    assert(inter.nonEmpty, "shared t-token run produced no fingerprint at (5,4)")
+  }
+
+  test("dedup_winnow_cluster/apply: planted clusters label to min id, apply keeps canonical survivors") {
+    val s0 = spark
+    import s0.implicits._
+    // planted corpus: {30,31,32} a clone cluster (pairwise containment
+    // 1.0); {40,41} a second, textually different cluster; 50 a
+    // stranger; {60,61} share a 16-token run inside much longer docs —
+    // a real dedup_winnow PAIR whose containment sits under the 0.8
+    // edge threshold, so the pair must NOT merge them
+    val cloneA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val cloneB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val run = (1 to 16).map(i => s"run$i").mkString(" ")
+    val pad1 = (1 to 50).map(i => s"p$i").mkString(" ")
+    val pad2 = (1 to 50).map(i => s"q$i").mkString(" ")
+    val planted = Seq(
+      (30L, cloneA), (31L, cloneA), (32L, cloneA),
+      (40L, cloneB), (41L, cloneB),
+      (50L, "totally different words nothing in common here at all ten tokens"),
+      (60L, s"$pad1 $run"), (61L, s"$run $pad2"))
+      .toDF("doc_id", "text")
+    val dir = graft.Engine.scratchDir("winnowapply")
+    planted.write.parquet(s"$dir/documents.parquet")
+    // sanity: 60/61 really pair up below the edge threshold (the
+    // threshold branch is exercised, not vacuously skipped)
+    val p61 = graft.SparkEntry.queries("dedup_winnow")(s0, dir.toString)
+      .filter(col("doc1") === 60L && col("doc2") === 61L)
+      .select("containment").as[Double].collect()
+    assert(p61.length == 1 && p61(0) < 0.8,
+      s"planted sub-threshold pair must exist under 0.8, got ${p61.toSeq}")
+    val labels = graft.SparkEntry.queries("dedup_winnow_cluster")(s0, dir.toString)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(labels == Map(30L -> 30L, 31L -> 30L, 32L -> 30L, 40L -> 40L, 41L -> 40L),
+      s"cluster labels diverged: $labels")
+    val survivors = graft.SparkEntry.queries("dedup_winnow_apply")(s0, dir.toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(30L, 40L, 50L, 60L, 61L),
+      s"apply must keep canonical members + unclustered docs, got $survivors")
+
+    // fixture invariants at sf0.001: the two consumers agree with each
+    // other and with an independent union-find over the >= 0.8 pairs
+    val pairs = TextOps.winnowPairs(graft.Tables(s0, sf("sf0.001")).documents)
+      .filter(col("n_shared") * 5 >= least(col("n1"), col("n2")) * 4)
+      .select("doc1", "doc2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture should contain over-threshold winnow pairs")
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val lab001 = graft.SparkEntry.queries("dedup_winnow_cluster")(s0, sf("sf0.001"))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(lab001 == want, "engine CC diverged from independent union-find")
+    val all001 = graft.Tables(s0, sf("sf0.001")).documents
+      .select("doc_id").as[Long].collect().toSet
+    val surv001 = graft.SparkEntry.queries("dedup_winnow_apply")(s0, sf("sf0.001"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv001 == all001 -- lab001.filter { case (d, c) => d != c }.keys,
+      "apply survivors must be exactly corpus minus non-canonical members")
+  }
 }
