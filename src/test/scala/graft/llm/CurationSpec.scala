@@ -732,6 +732,85 @@ class CurationSpec extends SparkSpec {
     assert(inter.nonEmpty, "shared t-token run produced no fingerprint at (5,4)")
   }
 
+  test("text_repetition_full: every Gopher signal matches an independent reference, gates fire per-signal") {
+    val s0 = spark
+    import s0.implicits._
+    // independent re-implementation of the Rae et al. App. A battery
+    // over plain Scala collections — none of the engine's tagged-explode
+    // machinery
+    def refSignals(text: String): Map[String, Option[Double]] = {
+      val ws = text.split(" ", -1).toSeq
+      val nChars = text.length
+      def chunks(cw: Int): Seq[String] =
+        (0 until math.ceil(ws.length / cw.toDouble).toInt)
+          .map(i => ws.slice(i * cw, i * cw + cw).mkString(" "))
+      def grams(n: Int): Seq[String] =
+        if (ws.length >= n) (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+        else Seq.empty
+      def counts(us: Seq[String]) = us.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def dupFrac(us: Seq[String]) =
+        Some((us.size - counts(us).size).toDouble / us.size)
+      def dupChar(us: Seq[String]) =
+        if (us.isEmpty || nChars == 0) None // no units -> signal undefined (NULL), like topChar
+        else Some(counts(us).collect { case (g, c) if c >= 2 => c * g.length }.sum.toDouble / nChars)
+      def topChar(us: Seq[String]) =
+        if (us.isEmpty || nChars == 0) None
+        else Some(counts(us).map { case (g, c) => c * g.length }.max.toDouble / nChars)
+      Map(
+        "dup_line_frac" -> dupFrac(chunks(3)), "dup_line_char_frac" -> dupChar(chunks(3)),
+        "dup_para_frac" -> dupFrac(chunks(10)), "dup_para_char_frac" -> dupChar(chunks(10))) ++
+        Seq(2, 3, 4).map(n => s"top${n}_char_frac" -> topChar(grams(n))) ++
+        (5 to 10).map(n => s"dup${n}_char_frac" -> dupChar(grams(n)))
+    }
+    // planted per-signal corpus: period-3 repetition (fires lines + all
+    // dup-n-grams), period-10 (fires paragraphs), all-distinct (all
+    // dups zero), single word (gram signals NULL -> gates pass), and a
+    // one-token spam doc (top-gram shares blow past every threshold)
+    val docs = Seq(
+      (1L, Seq.fill(20)("a b c").mkString(" ")),
+      (2L, Seq.fill(3)("p1 p2 p3 p4 p5 p6 p7 p8 p9 p10").mkString(" ")),
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (4L, "hello"),
+      (5L, Seq.fill(40)("spam").mkString(" ")))
+    val dir = graft.Engine.scratchDir("repfull")
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val names = Curation.RepetitionThresholds.map(_._1)
+    val out = graft.SparkEntry.queries("text_repetition_full")(s0, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        (names.map(n => n -> Option(r.getAs[java.lang.Double](n)).map(_.toDouble)).toMap,
+          r.getAs[Boolean]("rep_keep"))).toMap
+    docs.foreach { case (id, text) =>
+      val want = refSignals(text)
+      val (got, keep) = out(id)
+      names.foreach { n =>
+        assert(got(n) == want(n), s"doc $id signal $n: engine ${got(n)} != reference ${want(n)}")
+      }
+      val wantKeep = Curation.RepetitionThresholds.forall { case (n, th) =>
+        want(n).forall(_ <= th) // a missing signal passes its gate
+      }
+      assert(keep == wantKeep, s"doc $id rep_keep: got $keep want $wantKeep")
+    }
+    // the battery is non-vacuous exactly as planted: repetition docs
+    // fail, the distinct and sub-gram docs pass
+    assert(!out(1L)._2 && !out(2L)._2 && !out(5L)._2 && out(3L)._2 && out(4L)._2)
+    // per-signal independence: doc 2's paragraph gate fires while its
+    // line-count signal stays silent (period 10 over 30 words = ten
+    // distinct 3-word chunks), and doc 1 fires every dup-n-gram signal
+    assert(out(2L)._1("dup_para_frac").get > 0.30)
+    assert(out(2L)._1("dup_line_frac").get == 0.0)
+    (5 to 10).foreach(n => assert(out(1L)._1(s"dup${n}_char_frac").get > 0.0,
+      s"period-3 doc must fire dup$n"))
+    // fixture sanity at sf0.001: NULL only where the doc is shorter
+    // than the gram, and rep_keep is exactly the threshold conjunction
+    val fix = graft.SparkEntry.queries("text_repetition_full")(s0, sf("sf0.001")).collect()
+    fix.foreach { r =>
+      val keep = Curation.RepetitionThresholds.forall { case (n, th) =>
+        Option(r.getAs[java.lang.Double](n)).forall(_ <= th)
+      }
+      assert(r.getAs[Boolean]("rep_keep") == keep, s"doc ${r.getLong(0)} gate mismatch")
+    }
+  }
+
   test("dedup_winnow_cluster/apply: planted clusters label to min id, apply keeps canonical survivors") {
     val s0 = spark
     import s0.implicits._
