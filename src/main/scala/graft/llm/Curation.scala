@@ -121,6 +121,80 @@ object Curation {
       evalNgHashes(s, dir).stat.bloomFilter("h", 1L << 20, 0.01))
   }
 
+  /** Streaming contamination gate (round 14 — the 6th member of the
+    * incremental-admission family, the `decon_overlap` rule as a batch
+    * admission): a batch doc is REJECTED when >= `minPct`% of its
+    * distinct shingle hashes appear in `evalIdx` (the persisted
+    * eval-side hash index — [[evalNgHashes]] or its on-disk twin).
+    * Unlike the dedup quintet, the state is FIXED (eval sets change at
+    * benchmark-release cadence, not per batch), so batch chains ≡ the
+    * one-shot pass by STATELESSNESS — no ownership accrual, no
+    * intra-batch race — and the admission is oracle-expressible (the
+    * query id below is hash-checked, not rows-only). Threshold in
+    * integer form (n_hit·100 >= n_grams·minPct): no cross-engine float
+    * boundary. Per-batch cost: the batch's shingle HOF + one h-keyed
+    * membership join vs the index (AQE broadcasts real benchmark-sized
+    * eval sets; un-hinted for the same OOM-at-scale reason as
+    * `decon_overlap`). Sub-shingle docs (< 3 words) carry no evidence
+    * and are admitted.
+    */
+  def admitOverlap(batch: DataFrame, evalIdx: DataFrame, minPct: Int = 20): DataFrame = {
+    val ng = NearDedup.shingleArrays(batch.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("sh")).as("ng"))
+      .select(col("doc_id"), ngHash(col("ng")).as("h"))
+      .distinct()
+    val rejected = ng
+      .join(evalIdx.select(col("h"), lit(1).as("hit")), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") * 100 >= col("n_grams") * minPct)
+      .select("doc_id")
+    batch.join(rejected, Seq("doc_id"), "left_anti")
+  }
+
+  /** Durable fold of [[admitOverlap]]: `stateDir/out` accumulates the
+    * admitted docs and doubles as the redelivery guard. No `owned/`
+    * side and no staged commit — the eval index is immutable state
+    * passed in, so the only mutation is the one survivor append
+    * (idempotent under replay via the out/-guard; a crash before the
+    * append just re-admits the same deterministic verdicts).
+    */
+  def admitOverlapToState(batchDocs: DataFrame, evalIdx: DataFrame,
+      stateDir: String, minPct: Int = 20): Unit = {
+    val spark = batchDocs.sparkSession
+    val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = batchDocs.select("doc_id", "text")
+    val fresh =
+      if (fs.exists(outP))
+        docs.join(spark.read.parquet(outP.toString).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docs
+    val out = admitOverlap(fresh, evalIdx, minPct).localCheckpoint()
+    if (!out.isEmpty)
+      out.write.mode("append").parquet(outP.toString)
+  }
+
+  /** Continuous contamination gating — the foreachBatch twin, same
+    * shape as [[admitLinesStream]] / `NearDedup.admitWinnowStream`.
+    */
+  def admitOverlapStream(
+      docs: DataFrame,
+      evalIdx: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      minPct: Int = 20,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitOverlapToState(batch, evalIdx, stateDir, minPct)
+      }
+      .start()
+
   /** (doc_id, pos, chunk, ck) pseudo-line table — the per-row HOF line
     * chunker (sequence→slice→array_join, no shuffle to FORM lines)
     * shared by `boilerplate_lines` (df-threshold scrub) and
@@ -357,6 +431,23 @@ object Curation {
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_grams")).as("overlap_ratio"),
           (col("n_hit") * 5 >= col("n_grams")).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // the batch-admission twin of `decon_overlap` (round 14): odd
+    // doc_ids of the train split arrive as the batch and are admitted
+    // against the SAME persisted eval hash index the report rides;
+    // survivors = docs under the 20% overlap gate. The eval state is
+    // immutable, so this id is fully SQL-expressible and ORACLE-checked
+    // (unlike the dedup quintet's order-dependent admissions); the
+    // chain/redelivery contracts of the streaming fold are spec-pinned
+    // in CurationSpec.
+    "decon_overlap_incr" -> ((s, dir) => {
+      val batch = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
+        .filter(col("split") === "train" && col("doc_id") % 2 =!= 0)
+        .select("doc_id", "text")
+      admitOverlap(batch, evalNgHashes(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),
 
@@ -800,6 +891,33 @@ object Curation {
         |  CAST(n_hit AS DOUBLE) / n_grams AS overlap_ratio,
         |  n_hit * 5 >= n_grams AS contaminated
         |FROM j ORDER BY doc_id""".stripMargin,
+    "decon_overlap_incr" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
+        |  FROM documents),
+        |train AS (SELECT doc_id, text FROM h WHERE hb < 58982),
+        |ev AS (SELECT text FROM h WHERE hb >= 62259),
+        |batch AS (SELECT doc_id, text FROM train WHERE doc_id % 2 <> 0),
+        |tng AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substring(md5(ng),1,14) AS BIGINT) AS hh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS ng
+        |    FROM batch WHERE len(string_split(text,' ')) >= 3)),
+        |eng AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5(ng),1,14) AS BIGINT) AS hh FROM (
+        |    SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS ng
+        |    FROM ev WHERE len(string_split(text,' ')) >= 3)),
+        |j AS (
+        |  SELECT t.doc_id, count(*) AS n_grams, count(e.hh) AS n_hit
+        |  FROM tng t LEFT JOIN eng e ON t.hh = e.hh GROUP BY t.doc_id)
+        |SELECT doc_id, md5(text) AS h FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM j WHERE n_hit * 5 >= n_grams)
+        |ORDER BY doc_id""".stripMargin,
     "source_overlap" ->
       """WITH sraw AS (
         |  SELECT source, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),

@@ -38,11 +38,21 @@ object NearDedup {
       zip_with(ws, slice(ws, lit(2), size(ws)), (a, b) => concat(a, lit(" "), b)),
       slice(ws, lit(3), size(ws)),
       (ab, c) => concat(ab, lit(" "), c))
+    // greatest(.., 0): the slice length must stay TOTAL even though the
+    // size>=3 filter below makes short docs unreachable semantically —
+    // InferFiltersFromGenerate derives isnotnull/size>0 predicates from
+    // a downstream explode(sh), pushdown inlines this expression into
+    // the scan-side Filter, and FilterExec evaluates IsNotNull
+    // predicates FIRST: a 1-word doc then evaluates slice(.., -1)
+    // speculatively and crashes the task (hit by admitOverlap, the
+    // first consumer to shingle a raw un-memoized batch inside a plan
+    // with its own explode; the persisted shingle cache shields every
+    // older consumer behind an InMemoryRelation boundary).
     graft.Engine.spread(docs, "doc_id")
       .filter(size(ws) >= 3)
       .select(
         col("doc_id"),
-        array_distinct(slice(zipped, lit(1), size(ws) - 2)).as("sh"))
+        array_distinct(slice(zipped, lit(1), greatest(size(ws) - 2, lit(0)))).as("sh"))
   }
 
   /** doc_id → distinct word array (token-set view, used by simhash). */

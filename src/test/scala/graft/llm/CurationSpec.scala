@@ -732,6 +732,89 @@ class CurationSpec extends SparkSpec {
     assert(inter.nonEmpty, "shared t-token run produced no fingerprint at (5,4)")
   }
 
+  test("admitOverlap: contamination gate thresholds correctly, chains equal one-shot, redelivery-safe") {
+    val s0 = spark
+    import s0.implicits._
+    // eval index: the shingle hashes of one eval doc (the same 56-bit
+    // convention as evalNgHashes — built through the engine's own
+    // shingle+hash pipeline so the spec can't drift from it)
+    val evalDoc = Seq((900L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val evalIdx = NearDedup.shingleArrays(evalDoc)
+      .select(explode(col("sh")).as("ng"))
+      .select(graft.llm.Sampling.hashBucket(col("ng"), hexDigits = 14).as("h"))
+      .distinct()
+    // doc 1: 8 of its shingles are eval shingles (>= 20% of ~28) ->
+    // rejected; doc 2: zero overlap -> admitted; doc 3: one shared
+    // 3-word shingle in a 50-word doc (~2%) -> admitted; doc 4: two
+    // words, no shingles -> no evidence, admitted
+    val longPad = (1 to 20).map(i => s"pad$i").mkString(" ")
+    val batch = Seq(
+      (1L, s"the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, s"completely unrelated text $longPad"),
+      (3L, s"the quick brown cat $longPad " + (21 to 45).map(i => s"x$i").mkString(" ")),
+      (4L, "two words")).toDF("doc_id", "text")
+    val admitted = Curation.admitOverlap(batch, evalIdx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 3L, 4L), s"gate verdicts wrong: $admitted")
+
+    // statelessness makes chains trivially equal one-shot — pin it
+    // anyway (the property the incremental family is USED for), plus
+    // the durable fold's redelivery guard
+    val base = java.nio.file.Files.createTempDirectory("overlap-admit").toString
+    val oneShot = Curation.admitOverlap(batch, evalIdx).select("doc_id").as[Long].collect().toSet
+    val b1 = batch.filter(col("doc_id") <= 2)
+    val b2 = batch.filter(col("doc_id") > 2)
+    Curation.admitOverlapToState(b1, evalIdx, s"$base/st")
+    Curation.admitOverlapToState(b2, evalIdx, s"$base/st")
+    def outIds() = s0.read.parquet(s"$base/st/out").select("doc_id").as[Long].collect().toSeq
+    assert(outIds().toSet == oneShot, "batch chain diverged from one-shot")
+    // redelivery of batch 1: out/ must not grow or duplicate
+    Curation.admitOverlapToState(b1, evalIdx, s"$base/st")
+    val after = outIds()
+    assert(after.size == after.distinct.size && after.toSet == oneShot,
+      "redelivered batch duplicated state")
+  }
+
+  test("streaming contamination gate: verdicts hold across batches and restarts, redelivery-safe") {
+    val s = spark
+    import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("og-in")
+    val state = java.nio.file.Files.createTempDirectory("og-st").resolve("t").toString
+    val chk = java.nio.file.Files.createTempDirectory("og-chk").toString
+    val evalIdx = NearDedup.shingleArrays(
+      Seq((900L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text"))
+      .select(explode(col("sh")).as("ng"))
+      .select(graft.llm.Sampling.hashBucket(col("ng"), hexDigits = 14).as("h"))
+      .distinct().localCheckpoint()
+    def line(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in.toString)
+      Curation.admitOverlapStream(feed, evalIdx, state, chk).awaitTermination()
+    }
+    val pad = (1 to 20).map(i => s"pad$i").mkString(" ")
+    // batch 1: doc 1 is a near-copy of the eval doc (rejected), doc 2
+    // clean (admitted)
+    java.nio.file.Files.write(in.resolve("a-0.json"), String.join("\n",
+      line(1, "the quick brown fox jumps over the lazy dog tonight again"),
+      line(2, s"completely unrelated text $pad")).getBytes)
+    run()
+    def outIds = s.read.parquet(s"$state/out").select("doc_id").as[Long].collect().toSeq
+    assert(outIds.toSet == Set(2L), s"batch 1 verdicts: $outIds")
+    // batch 2 (restart, same checkpoint): REDELIVERED doc 2 plus a fresh
+    // clean doc 3 — the guard must not duplicate doc 2's row
+    java.nio.file.Files.write(in.resolve("b-0.json"), String.join("\n",
+      line(2, s"completely unrelated text $pad"),
+      line(3, s"more clean material $pad here")).getBytes)
+    run()
+    val after = outIds
+    assert(after.size == after.distinct.size && after.toSet == Set(2L, 3L),
+      s"batch 2 state: $after")
+  }
+
   test("text_repetition_full: every Gopher signal matches an independent reference, gates fire per-signal") {
     val s0 = spark
     import s0.implicits._
