@@ -135,7 +135,7 @@ object TextOps {
     * n2, containment); n1/n2 ride along so consumers can threshold in
     * INTEGER form (no cross-engine float boundary).
     */
-  private[llm] def winnowPairs(docs: DataFrame, dfCap: Int = 100): DataFrame = {
+  private[graft] def winnowPairs(docs: DataFrame, dfCap: Int = 100): DataFrame = {
     val postingsAll = winnowFingerprints(docs)
       .groupBy("h")
       .agg(sort_array(array_distinct(collect_list(col("doc_id")))).as("ds"))

@@ -328,6 +328,36 @@ class PlanHygieneSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(dv).nonEmpty, dv)
   }
 
+  test("round-14 plans: repetition battery is one generate + co-partitioned aggs, winnow apply anti-joins, overlap gate un-hinted") {
+    // text_repetition_full: ONE tagged explode; the three per-doc
+    // aggregates run co-partitioned behind the spread exchange (spread
+    // + presentation sort = the only exchanges), no joins anywhere
+    // (counts read the PHYSICAL section — ExtendedMode prints four)
+    val tr = planOf("text_repetition_full").split("== Physical Plan ==").last
+    assert("Generate explode".r.findAllIn(tr).size == 1, tr)
+    assert(!tr.contains("Join") && !tr.contains("CartesianProduct"), tr)
+    assert("Exchange".r.findAllIn(tr).size <= 2, tr)
+    // a 2-column pruned scan: the signals need doc_id + text only
+    val readSchema = tr.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+
+    // dedup_winnow_apply: corpus scanned once, non-canonical members
+    // removed by an anti-join against the tiny label table (broadcast
+    // under AQE at fixture scale); never a cartesian
+    val ap = planOf("dedup_winnow_apply")
+    assert(ap.contains("LeftAnti"), ap)
+    assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoopJoin"), ap)
+
+    // decon_overlap_incr: the membership join must stay UN-hinted (the
+    // decon_overlap rationale — a pinned broadcast would scale with the
+    // eval split), with map-side partial counts for the per-doc gate
+    val oi = planOf("decon_overlap_incr")
+    assert(!oi.contains("ResolvedHint"), oi)
+    assert(!oi.contains("CartesianProduct"), oi)
+    assert("partial_count".r.findAllIn(oi).nonEmpty, oi)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
