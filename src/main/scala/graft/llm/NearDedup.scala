@@ -496,11 +496,15 @@ object NearDedup {
   def substringGrams(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span length must be >= 2 tokens, got $k")
     val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // greatest(.., 1): totality insurance against speculative evaluation
+    // (the [[shingleArrays]] InferFiltersFromGenerate hazard) — a
+    // sub-k doc would otherwise walk a DESCENDING sequence into
+    // slice(ws, 0, k); docs passing the filter always have stop >= 1.
     graft.Engine.spread(tok, "doc_id")
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), size(col("ws")) - (k - 1)),
+          sequence(lit(1), greatest(size(col("ws")) - (k - 1), lit(1))),
           i => md5(array_join(slice(col("ws"), i, lit(k)), " "))))).as("g"))
   }
 
@@ -514,7 +518,7 @@ object NearDedup {
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(1), size(col("ws")) - (k - 1)),
+          sequence(lit(1), greatest(size(col("ws")) - (k - 1), lit(1))), // totality, see substringGrams
           i => md5(array_join(slice(col("ws"), i, lit(k)), " ")))).as(Seq("i0", "g")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("g"))
   }

@@ -98,10 +98,16 @@ object TextOps {
   def winnowFingerprints(docs: DataFrame, w: Int = 4, k: Int = 3): DataFrame = {
     require(w >= 2 && k >= 1, s"winnow window w=$w must be >= 2, gram k=$k >= 1")
     val ws = split(col("text"), " ")
-    val grams = transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+    // greatest(.., 1): sequence() DESCENDS when stop < start, so a
+    // sub-window doc would walk indices 0 and below (element_at(ws, 0)
+    // errors) if this expression is ever evaluated SPECULATIVELY —
+    // the InferFiltersFromGenerate hazard documented at
+    // [[NearDedup.shingleArrays]]. Docs passing the size filter below
+    // always have stop >= 1, so the floor cannot change any emitted row.
+    val grams = transform(sequence(lit(1), greatest(size(col("ws")) - (k - 1), lit(1))),
       i => Sampling.hashBucket(concat_ws(" ",
         (0 until k).map(o => element_at(col("ws"), i + o)): _*), hexDigits = 14))
-    val sel = transform(sequence(lit(1), size(col("hs")) - (w - 1)), j => {
+    val sel = transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))), j => {
       val win = slice(col("hs"), j, lit(w))
       val minv = array_min(win)
       // fold over window offsets: acc ends at the LAST offset whose
