@@ -254,37 +254,84 @@ object QualityModel {
         .orderBy("doc_id")),
 
     "text_perplexity" -> ((s, dir) =>
-      perplexity(Tables(s, dir).documents).orderBy("doc_id"))
+      perplexity(Tables(s, dir).documents).orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing (round 14 — Wenzek et al. 2020):
+    // per LANGUAGE, split the corpus into equal-depth head/middle/tail
+    // terciles of LM perplexity — the partition CCNet publishes and
+    // trains on (head = most natural text). Bucketing is ntile(3) over
+    // (ppl, doc_id) — a pure INTEGER equal-depth split of a
+    // deterministic total order, so no float threshold boundary exists
+    // for the engines to disagree on (the round(ppl, 6) values are
+    // already oracle-matched by `text_perplexity`; an interpolated
+    // 1/3-quantile threshold would put fp interpolation on the
+    // comparison path instead). Scale shape: the exact formulation
+    // sorts each language partition in one task — correct for the
+    // oracle and fine to tens of millions of docs/lang; at 100 TB a
+    // pipeline swaps the window for per-lang approx_percentile
+    // thresholds + a broadcast threshold join (the agg_approx_pct
+    // precedent), trading exact tercile depth for full distribution.
+    // Sub-bigram docs carry no ppl and are absent, as in
+    // `text_perplexity`.
+    "perplexity_buckets" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+      perplexity(Tables(s, dir).documents)
+        .join(Tables(s, dir).documents.select("doc_id", "lang"), "doc_id")
+        .withColumn("tercile", ntile(3).over(w).cast("long"))
+        .select(col("doc_id"), col("lang"), col("ppl"), col("tercile"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    })
   )
 
+  /** The bigram-LM perplexity CTE chain (train on even doc_ids, add-0.5
+    * smoothing, ln-sum rounded at 6 dp like text_entropy — the per-doc
+    * sum is ~55 doubles, associativity differences sit ~9 orders below
+    * the rounding), shared verbatim by the `text_perplexity` and
+    * `perplexity_buckets` oracles (one LM definition, the winnowPairsCte
+    * discipline).
+    */
+  private val perplexityCte =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS cw FROM (
+      |    SELECT unnest(ws) AS w FROM toks WHERE doc_id % 2 = 0)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+      |bigr AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+      |  FROM toks WHERE len(ws) >= 2),
+      |docbig AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bigr),
+      |big AS (
+      |  SELECT w1, w2, count(*) AS cb FROM docbig WHERE doc_id % 2 = 0
+      |  GROUP BY w1, w2),
+      |pplt AS (
+      |  SELECT d.doc_id,
+      |    count(*) AS n_transitions,
+      |    round(exp(-sum(ln((coalesce(cb, 0) + 0.5) /
+      |                      (coalesce(cw, 0) + 0.5 * v.v))) / count(*)), 6) AS ppl
+      |  FROM docbig d
+      |  LEFT JOIN uni u ON u.w = d.w1
+      |  LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+      |  CROSS JOIN v
+      |  GROUP BY d.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    // same add-0.5 bigram LM, trained on even doc_ids, scored over the
-    // whole corpus; ln-sum rounded at 6 dp like text_entropy (the
-    // per-doc sum is ~55 doubles — associativity differences sit ~9
-    // orders below the rounding)
     "text_perplexity" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |uni AS (
-        |  SELECT w, count(*) AS cw FROM (
-        |    SELECT unnest(ws) AS w FROM toks WHERE doc_id % 2 = 0)
-        |  WHERE len(w) > 0 GROUP BY w),
-        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
-        |bigr AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-        |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
-        |  FROM toks WHERE len(ws) >= 2),
-        |docbig AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bigr),
-        |big AS (
-        |  SELECT w1, w2, count(*) AS cb FROM docbig WHERE doc_id % 2 = 0
-        |  GROUP BY w1, w2)
-        |SELECT d.doc_id,
-        |  count(*) AS n_transitions,
-        |  round(exp(-sum(ln((coalesce(cb, 0) + 0.5) /
-        |                    (coalesce(cw, 0) + 0.5 * v.v))) / count(*)), 6) AS ppl
-        |FROM docbig d
-        |LEFT JOIN uni u ON u.w = d.w1
-        |LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
-        |CROSS JOIN v
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+      s"""WITH $perplexityCte
+        |SELECT doc_id, n_transitions, ppl FROM pplt ORDER BY doc_id""".stripMargin,
+    "perplexity_buckets" ->
+      s"""WITH $perplexityCte,
+        |lab AS (
+        |  SELECT p.doc_id, d.lang, p.ppl,
+        |    ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS tercile
+        |  FROM pplt p JOIN documents d ON d.doc_id = p.doc_id)
+        |SELECT doc_id, lang, ppl, CAST(tercile AS BIGINT) AS tercile,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lab ORDER BY doc_id""".stripMargin
   )
 }

@@ -114,4 +114,35 @@ class QualityModelSpec extends SparkSpec {
     val high = rows.count(_.getAs[Double]("score") > 0.5)
     assert(high > rows.length * 0.9, s"only $high/${rows.length} score > 0.5")
   }
+
+  test("perplexity_buckets: equal-depth per-language terciles, monotone in ppl, covers exactly the scored docs") {
+    val s0 = spark
+    import s0.implicits._
+    val rows = graft.SparkEntry.queries("perplexity_buckets")(s0, sf("sf0.001"))
+      .select("doc_id", "lang", "ppl", "tercile", "bucket")
+      .as[(Long, String, Double, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // doc set = exactly the docs text_perplexity scores (>= 2 words)
+    val scored = graft.SparkEntry.queries("text_perplexity")(s0, sf("sf0.001"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == scored, "bucketed doc set != scored doc set")
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      // equal depth: ntile(3) sizes differ by at most one
+      val sizes = rs.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)), s"$lang terciles: ${sizes.keySet}")
+      if (rs.size >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1, s"$lang depths: $sizes")
+        // CCNet semantics: head holds the LOWEST perplexity (most
+        // natural) text; buckets are contiguous ppl ranges
+        assert(rs.filter(_._4 == 1L).map(_._3).max <=
+          rs.filter(_._4 == 2L).map(_._3).min + 1e-12, s"$lang head>middle")
+        assert(rs.filter(_._4 == 2L).map(_._3).max <=
+          rs.filter(_._4 == 3L).map(_._3).min + 1e-12, s"$lang middle>tail")
+      }
+      rs.foreach { r =>
+        val want = r._4 match { case 1 => "head"; case 2 => "middle"; case _ => "tail" }
+        assert(r._5 == want, s"label mismatch: $r")
+      }
+    }
+  }
 }
