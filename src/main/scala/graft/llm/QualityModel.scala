@@ -284,6 +284,29 @@ object QualityModel {
             .when(col("tercile") === 2, "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // the 100 TB twin of `perplexity_buckets` (the agg_approx_pct
+    // precedent: exact id oracle-checked, sketch id rows-only +
+    // agreement spec): per-language t-digest approx-percentile
+    // thresholds at 1/3 and 2/3 — ONE map-side-combinable sketch agg
+    // over the scored corpus (no per-language single-task sort
+    // anywhere) — broadcast back as a |langs|-row table, each doc
+    // labeled by two comparisons. This is the formulation that holds
+    // at a billion docs per language; the exact ntile id is its
+    // correctness anchor (agreement pinned in QualityModelSpec).
+    "perplexity_buckets_approx" -> ((s, dir) => {
+      val scored = perplexity(Tables(s, dir).documents)
+        .join(Tables(s, dir).documents.select("doc_id", "lang"), "doc_id")
+      val th = scored.groupBy("lang").agg(
+        percentile_approx(col("ppl"), lit(1.0 / 3), lit(10000)).as("t1"),
+        percentile_approx(col("ppl"), lit(2.0 / 3), lit(10000)).as("t2"))
+      scored.join(broadcast(th), "lang")
+        .select(col("doc_id"), col("lang"), col("ppl"),
+          when(col("ppl") <= col("t1"), "head")
+            .when(col("ppl") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
     })
   )
 

@@ -145,4 +145,25 @@ class QualityModelSpec extends SparkSpec {
       }
     }
   }
+
+  test("perplexity_buckets_approx: sketch thresholds agree with the exact terciles on nearly every doc") {
+    val s0 = spark
+    import s0.implicits._
+    val exact = graft.SparkEntry.queries("perplexity_buckets")(s0, sf("sf0.001"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approx = graft.SparkEntry.queries("perplexity_buckets_approx")(s0, sf("sf0.001"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(approx.keySet == exact.keySet, "the two formulations must cover the same docs")
+    // the t-digest threshold can only flip docs sitting AT a tercile
+    // boundary — agreement must be near-total, and disagreements must
+    // be to an ADJACENT bucket
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val diffs = exact.keys.filter(k => exact(k) != approx(k)).toSeq
+    assert(diffs.size <= math.max(1, exact.size / 20),
+      s"${diffs.size}/${exact.size} docs disagree — sketch drifted beyond boundary noise")
+    diffs.foreach { k =>
+      assert(math.abs(order(exact(k)) - order(approx(k))) == 1,
+        s"doc $k jumped a bucket: exact=${exact(k)} approx=${approx(k)}")
+    }
+  }
 }
