@@ -717,6 +717,23 @@ class CurationSpec extends SparkSpec {
           s"doc $id diverged from the reference at (w=$w, k=$k)")
       }
     }
+    // property sweep across the whole (w, k) grid the surface admits in
+    // practice: one mixed corpus (short/sub-window docs included — the
+    // totality-guard path), engine ≡ reference at every setting
+    for (w <- 2 to 6; k <- 1 to 4) {
+      val sweep = Seq(
+        (100L, "a"), (101L, "a b"), (102L, "a b c d e"),
+        (103L, Vector.fill(12)("a b c").mkString(" ")),
+        (104L, (1 to 17).map(i => s"u$i").mkString(" ")))
+      val got = TextOps.winnowFingerprints(sweep.toDF("doc_id", "text"), w, k)
+        .select("doc_id", "pos", "h").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      sweep.foreach { case (id, text) =>
+        assert(got.getOrElse(id, Set.empty) == naiveWinnowWK(text, w, k),
+          s"doc $id diverged at (w=$w, k=$k)")
+      }
+    }
+
     // detection guarantee at (5,4): t = 8 — two docs sharing an
     // 8-token run MUST share a fingerprint at that setting (and a
     // sub-t run of 7 tokens comes with no such promise: the same
