@@ -818,8 +818,53 @@ object Curation {
         coalesce(col(name) <= th, lit(true))
       }
       sigs.withColumn("rep_keep", gates.reduce(_ && _)).orderBy("doc_id")
-    })
+    }),
+
+    // Distinct-n diversity battery (Li et al. 2016 "distinct-n", the
+    // complement of `text_repetition_full`'s duplication signals and of
+    // `text_stats`' unigram type-token ratio): per doc, the count /
+    // distinct-count / distinct-ratio of bigrams and trigrams. Pure
+    // per-row HOFs over one split() — the n-gram arrays are built and
+    // deduped INSIDE the row (`array_distinct`), so there is no
+    // explode, no shuffle, and the whole id is one narrow
+    // whole-stage-codegen scan (the cheapest possible signal shape at
+    // 100 TB — contrast text_repetition_full, which must explode
+    // because its signals need cross-unit counts). Sub-n docs get an
+    // empty gram set (guarded: sequence() DESCENDS when stop < start)
+    // and a NULL ratio via nullif, which both engines share.
+    "text_diversity" -> ((s, dir) =>
+      textDiversity(Tables(s, dir).documents).orderBy("doc_id"))
   )
+
+  /** Per-doc distinct-n signal columns — see the `text_diversity`
+    * entry. Kept callable on any (doc_id, text) frame so the spec can
+    * plant sub-n and all-repeated edge docs directly.
+    */
+  def textDiversity(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val big = slice(
+      zip_with(ws, slice(ws, lit(2), size(ws)),
+        (a, b) => concat(a, lit(" "), b)),
+      lit(1), size(ws) - 1)
+    val tri = when(size(ws) >= 3,
+      transform(sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+        i => concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    def ratio(arr: org.apache.spark.sql.Column) =
+      round(size(array_distinct(arr)).cast("double") /
+        nullif(size(arr).cast("double"), lit(0.0)), 6)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(big).cast("long").as("n2"),
+        size(array_distinct(big)).cast("long").as("u2"),
+        ratio(big).as("distinct2"),
+        size(tri).cast("long").as("n3"),
+        size(array_distinct(tri)).cast("long").as("u3"),
+        ratio(tri).as("distinct3"))
+  }
 
   /** Rae et al. 2021 App. A Table A1 repetition thresholds (signal
     * column -> max allowed value), shared by the query's `rep_keep`
@@ -861,6 +906,26 @@ object Curation {
         |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "text_diversity" ->
+      """WITH wsx AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |      ELSE [] END AS big,
+        |    CASE WHEN len(ws) >= 3
+        |      THEN list_transform(range(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      ELSE [] END AS tri
+        |  FROM wsx)
+        |SELECT doc_id,
+        |  CAST(len(big) AS BIGINT) AS n2,
+        |  CAST(len(list_distinct(big)) AS BIGINT) AS u2,
+        |  round(CAST(len(list_distinct(big)) AS DOUBLE) / nullif(len(big), 0), 6) AS distinct2,
+        |  CAST(len(tri) AS BIGINT) AS n3,
+        |  CAST(len(list_distinct(tri)) AS BIGINT) AS u3,
+        |  round(CAST(len(list_distinct(tri)) AS DOUBLE) / nullif(len(tri), 0), 6) AS distinct3
+        |FROM d ORDER BY doc_id""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     "decontaminate_bloom" -> decontaminateOracle,
     "decon_overlap" ->

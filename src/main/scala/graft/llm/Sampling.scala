@@ -169,8 +169,159 @@ object Sampling {
           sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
         .withColumn("avg_tokens",
           col("total_tokens").cast("double") / col("n_docs"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc
+    // by how much more likely its hashed n-gram bag is under a TARGET
+    // distribution than under the raw-corpus distribution —
+    // log w(x) = Σ_b c_x[b]·(ln p̂_target[b] − ln p̂_raw[b]) over B
+    // hashed feature buckets (unigrams + bigrams, the paper's feature
+    // space), add-1 smoothed. Target here = the `lang = 'en'` subset
+    // (the fixture's stand-in for the paper's Wikipedia/books target;
+    // in production the target bag comes from a curated sample).
+    // Shape: ONE gram explode → one (doc_id, b)-keyed counting agg
+    // (map-side combinable, persisted — it feeds both the B-row λ
+    // table and the per-doc score); λ = B rows broadcast back; score =
+    // per-doc sum join. No corpus-wide key beyond the B-bucket count.
+    "dsir_score" -> ((s, dir) =>
+      dsirScore(Tables(s, dir).documents).orderBy("doc_id")),
+
+    // the resampling step: keep the top importance-weight quartile.
+    // Deterministic engine twin of the paper's Gumbel-top-k draw: rank
+    // on the ROUNDED score (ties to doc_id — the tfidf_topk tiebreak
+    // discipline) and keep ntile-quartile 1, an integer equal-depth
+    // cut with no float threshold on the comparison path (the
+    // perplexity_buckets precedent). The exact formulation is one
+    // global single-task sort — correct for the oracle and fine to
+    // tens of millions of docs; the 100 TB formulation ships as
+    // `dsir_select_approx` below.
+    "dsir_select" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      dsirScore(Tables(s, dir).documents)
+        .withColumn("q", ntile(4).over(w))
+        .filter(col("q") === 1)
+        .select("doc_id", "n_feats", "score")
+        .orderBy("doc_id")
+    }),
+
+    // the 100 TB twin of `dsir_select` (the perplexity_buckets_approx
+    // precedent: exact id oracle-checked, sketch id rows-only +
+    // agreement spec): the selection threshold is a t-digest 75th
+    // percentile of the score — ONE map-side-combinable sketch agg,
+    // one broadcast scalar, one comparison per doc. No global sort
+    // anywhere; this is the formulation that holds at a billion docs.
+    "dsir_select_approx" -> ((s, dir) => {
+      val scored = dsirScore(Tables(s, dir).documents)
+      val th = scored.agg(
+        percentile_approx(col("score"), lit(0.75), lit(10000)).as("th"))
+      scored.crossJoin(broadcast(th))
+        .filter(col("score") >= col("th"))
+        .select("doc_id", "n_feats", "score")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic training-order shuffle + shard assignment — the
+    // "global shuffle" every training run needs, WITHOUT a global
+    // sort: shard = md5 bucket of doc_id (mod S), order within shard =
+    // the md5 hex string itself (ASCII hex sorts identically in both
+    // engines; doc_id tiebreak for discipline), global position =
+    // shard offset + within-shard rank. The only cross-shard
+    // coordination is the S-row shard-size table (one counting agg →
+    // an S-row prefix sum → broadcast). At 100 TB: S scales to the
+    // cluster (one sort task per shard over n/S rows — S independent
+    // sorts, not one), and the output is already laid out in write
+    // order for S training shards. Hash-order, never rand(): the
+    // permutation is reproducible across runs, partitionings and task
+    // retries (the sample_hash rationale).
+    "corpus_shuffle" -> ((s, dir) => {
+      val S = 8
+      val keyed = Tables(s, dir).documents.select(
+        col("doc_id"),
+        md5(col("doc_id").cast("string")).as("mk"),
+        (hashBucket(col("doc_id")) % S).as("shard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("mk", "doc_id")
+      val wo = org.apache.spark.sql.expressions.Window
+        .orderBy("shard")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = keyed.groupBy("shard").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(wo), lit(0L)))
+      keyed
+        .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+        .join(broadcast(offs.select("shard", "off")), "shard")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+          (col("off") + col("pos_in_shard")).as("global_pos"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** Number of hashed DSIR feature buckets. 1024 divides the 16-bit
+    * [[hashBucket]] range exactly (uniform after the mod) and keeps the
+    * add-1 smoothing mass (B) well under the fixture's gram mass, so
+    * observed counts dominate the prior.
+    */
+  private[llm] val DsirBuckets = 1024
+
+  /** Hashed unigram+bigram feature stream: one row per gram occurrence,
+    * bucketed by the engine's portable md5 idiom. Empty unigrams (split
+    * artifacts of repeated spaces) are dropped, matching the perplexity
+    * LM's token filter; bigrams are taken verbatim as both engines
+    * construct them identically.
+    */
+  private def hashedGrams(docs: DataFrame): DataFrame = {
+    val base = graft.Engine.spread(docs, "doc_id")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    val uni = base
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("g"))
+      .filter(length(col("g")) > 0)
+    val big = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(slice(
+          zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
+            (a, b) => concat(a, lit(" "), b)),
+          lit(1), size(col("ws")) - 1)).as("g"))
+    uni.unionByName(big)
+      .select(col("doc_id"), col("lang"),
+        (hashBucket(col("g")) % DsirBuckets).as("b"))
+  }
+
+  /** DSIR importance log-weight per doc — see the `dsir_score` entry.
+    * The (doc_id, b) count table is persisted because it feeds BOTH the
+    * λ derivation and the score join (the perplexity `uni` pattern); at
+    * 100 TB the same table goes MEMORY_AND_DISK or recomputes — either
+    * way it is one exploded agg, never an all-pairs stage. Docs with no
+    * grams (empty text) carry no features and are absent, as in
+    * `text_perplexity`.
+    */
+  def dsirScore(docs: DataFrame): DataFrame = {
+    val b = DsirBuckets.toDouble
+    val docb = hashedGrams(docs)
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("cxb"))
+      .persist()
+    try {
+      val counts = docb.groupBy("b").agg(
+        sum(col("cxb")).as("cr"),
+        sum(when(col("lang") === "en", col("cxb")).otherwise(lit(0L))).as("ct"))
+      val tot = counts.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+      val lam = counts.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((col("ct") + lit(1.0)) / (col("t") + lit(b))) -
+            log((col("cr") + lit(1.0)) / (col("r") + lit(b)))).as("lam"))
+      // ln may differ in the last ulp across libms; the per-doc sum is
+      // a few hundred doubles, so associativity + ulp noise sits ~7
+      // orders below the 6 dp rounding (the perplexityCte adjudication)
+      docb.join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("cxb")).cast("long").as("n_feats"),
+          round(sum(col("cxb") * col("lam")), 6).as("score"))
+        // force the plan before unpersist: the caller may lazily
+        // execute after this frame returns
+        .localCheckpoint(eager = true)
+    } finally { docb.unpersist(); () }
+  }
 
   def oracleSql: Map[String, String] = Map(
     "sample_hash" ->
@@ -231,6 +382,63 @@ object Sampling {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dsir_score" ->
+      s"""WITH $dsirCte
+        |SELECT doc_id, n_feats, score FROM sc ORDER BY doc_id""".stripMargin,
+    "dsir_select" ->
+      s"""WITH $dsirCte,
+        |sel AS (
+        |  SELECT doc_id, n_feats, score,
+        |    ntile(4) OVER (ORDER BY score DESC, doc_id) AS q
+        |  FROM sc)
+        |SELECT doc_id, n_feats, score FROM sel WHERE q = 1 ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mk,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) % 8 AS BIGINT) AS shard
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY mk, doc_id) AS BIGINT) AS pos_in_shard
+        |  FROM k),
+        |o AS (
+        |  SELECT shard,
+        |    CAST(coalesce(sum(count(*)) OVER
+        |      (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM k GROUP BY shard)
+        |SELECT p.doc_id, p.shard, p.pos_in_shard,
+        |  p.pos_in_shard + o.off AS global_pos
+        |FROM p JOIN o USING (shard) ORDER BY doc_id""".stripMargin
   )
+
+  /** The DSIR feature/weight CTE chain (hashed unigram+bigram buckets,
+    * add-1 smoothing, target = lang 'en', 6 dp rounding), shared
+    * verbatim by the `dsir_score` and `dsir_select` oracles — one
+    * feature-space definition (the perplexityCte discipline).
+    */
+  private val dsirCte =
+    """wsx AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+      |uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM wsx),
+      |big AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS g
+      |  FROM wsx WHERE len(ws) >= 2),
+      |gb AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substring(md5(g),1,4) AS INTEGER) % 1024 AS b
+      |  FROM (SELECT * FROM uni WHERE len(g) > 0 UNION ALL SELECT * FROM big)),
+      |docb AS (SELECT doc_id, lang, b, count(*) AS cxb FROM gb GROUP BY 1, 2, 3),
+      |cnt AS (
+      |  SELECT b, sum(cxb) AS cr,
+      |    sum(CASE WHEN lang = 'en' THEN cxb ELSE 0 END) AS ct
+      |  FROM docb GROUP BY b),
+      |tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM cnt),
+      |lam AS (
+      |  SELECT b, ln((ct + 1.0) / (t + 1024.0)) - ln((cr + 1.0) / (r + 1024.0)) AS lam
+      |  FROM cnt CROSS JOIN tot),
+      |sc AS (
+      |  SELECT d.doc_id, CAST(sum(cxb) AS BIGINT) AS n_feats,
+      |    round(sum(cxb * lam), 6) AS score
+      |  FROM docb d JOIN lam USING (b) GROUP BY d.doc_id)""".stripMargin
 }

@@ -128,6 +128,30 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("text_diversity: distinct-n counts and ratios, sub-n docs yield empty sets and null ratios") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),          // 3 bigrams all equal; 2 trigrams all equal
+      (2L, "a b c d"),          // all grams distinct
+      (3L, "a b a b a"),        // bigrams {a b, b a} ×2; trigrams {aba, bab}
+      (4L, "a b"),              // bigram but no trigram
+      (5L, "solo")              // neither
+    ).toDF("doc_id", "text")
+    val got = Curation.textDiversity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = got(id)
+      (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getLong(4), r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Double]))
+    }
+    assert(row(1L) == ((3L, 1L, Some(0.333333), 2L, 1L, Some(0.5))))
+    assert(row(2L) == ((3L, 3L, Some(1.0), 2L, 2L, Some(1.0))))
+    assert(row(3L) == ((4L, 2L, Some(0.5), 3L, 2L, Some(0.666667))))
+    assert(row(4L) == ((1L, 1L, Some(1.0), 0L, 0L, None)))
+    assert(row(5L) == ((0L, 0L, None, 0L, 0L, None)))
+  }
+
   test("source_overlap: symmetric pair matrix, counts shared distinct shingles, self-pairs excluded") {
     val got = graft.SparkEntry.queries("source_overlap")(spark, sf("sf0.001"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
