@@ -288,39 +288,38 @@ object Sampling {
   }
 
   /** DSIR importance log-weight per doc — see the `dsir_score` entry.
-    * The (doc_id, b) count table is persisted because it feeds BOTH the
-    * λ derivation and the score join (the perplexity `uni` pattern); at
-    * 100 TB the same table goes MEMORY_AND_DISK or recomputes — either
-    * way it is one exploded agg, never an all-pairs stage. Docs with no
-    * grams (empty text) carry no features and are absent, as in
-    * `text_perplexity`.
+    * The (doc_id, b) count table feeds BOTH the λ derivation and the
+    * score join, so the exploded aggregate evaluates twice per action —
+    * deliberately left UNcached: a checkpoint here would hide the whole
+    * pipeline behind an RDD scan (no pushdown/pruning audit, no AQE),
+    * and the recompute is one narrow map+agg (the perplexity LM makes
+    * the same trade with its train-split tables). A long-lived 100 TB
+    * pipeline persists the count table MEMORY_AND_DISK instead. Docs
+    * with no grams (empty text) carry no features and are absent, as
+    * in `text_perplexity`.
     */
   def dsirScore(docs: DataFrame): DataFrame = {
     val b = DsirBuckets.toDouble
     val docb = hashedGrams(docs)
       .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("cxb"))
-      .persist()
-    try {
-      val counts = docb.groupBy("b").agg(
-        sum(col("cxb")).as("cr"),
-        sum(when(col("lang") === "en", col("cxb")).otherwise(lit(0L))).as("ct"))
-      val tot = counts.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
-      val lam = counts.crossJoin(broadcast(tot))
-        .select(col("b"),
-          (log((col("ct") + lit(1.0)) / (col("t") + lit(b))) -
-            log((col("cr") + lit(1.0)) / (col("r") + lit(b)))).as("lam"))
-      // ln may differ in the last ulp across libms; the per-doc sum is
-      // a few hundred doubles, so associativity + ulp noise sits ~7
-      // orders below the 6 dp rounding (the perplexityCte adjudication)
-      docb.join(broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(sum(col("cxb")).cast("long").as("n_feats"),
-          round(sum(col("cxb") * col("lam")), 6).as("score"))
-        // force the plan before unpersist: the caller may lazily
-        // execute after this frame returns
-        .localCheckpoint(eager = true)
-    } finally { docb.unpersist(); () }
+    val counts = docb.groupBy("b").agg(
+      sum(col("cxb")).as("cr"),
+      sum(when(col("lang") === "en", col("cxb")).otherwise(lit(0L))).as("ct"))
+    val tot = counts.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    // λ is ≤ B rows BY CONSTRUCTION — the explicit broadcast is bounded
+    // (unlike decon_overlap's eval side, which must stay AQE-free)
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) / (col("t") + lit(b))) -
+          log((col("cr") + lit(1.0)) / (col("r") + lit(b)))).as("lam"))
+    // ln may differ in the last ulp across libms; the per-doc sum is
+    // a few hundred doubles, so associativity + ulp noise sits ~7
+    // orders below the 6 dp rounding (the perplexityCte adjudication)
+    docb.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("cxb")).cast("long").as("n_feats"),
+        round(sum(col("cxb") * col("lam")), 6).as("score"))
   }
 
   def oracleSql: Map[String, String] = Map(

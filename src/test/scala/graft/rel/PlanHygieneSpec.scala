@@ -358,6 +358,44 @@ class PlanHygieneSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(oi).nonEmpty, oi)
   }
 
+  test("round-14 cont. plans: diversity is a join-free HOF scan, DSIR broadcasts the λ table, shuffle broadcasts the offset table") {
+    // text_diversity: the distinct-n arrays dedupe INSIDE the row —
+    // no explode, no join, no window; presentation sort is the only
+    // exchange, and the scan reads exactly (doc_id, text)
+    val td = planOf("text_diversity").split("== Physical Plan ==").last
+    assert(!td.contains("Generate") && !td.contains("Join") &&
+      !td.contains("Window"), td)
+    assert("Exchange".r.findAllIn(td).size <= 1, td)
+    val tdSchema = td.linesIterator.find(_.contains("ReadSchema")).get
+    assert(tdSchema.contains("doc_id") && tdSchema.contains("text") &&
+      !tdSchema.contains("lang") && !tdSchema.contains("source"), tdSchema)
+
+    // dsir_score: the per-doc score join must consume λ as a BROADCAST
+    // (≤ B rows by construction) — a sort-merge here would shuffle the
+    // whole (doc_id, b) table a second time; counting aggs partial
+    val ds = planOf("dsir_score").split("== Physical Plan ==").last
+    assert(ds.contains("BroadcastHashJoin"), ds)
+    assert(!ds.contains("SortMergeJoin") && !ds.contains("CartesianProduct"), ds)
+    assert("partial_count".r.findAllIn(ds).nonEmpty, ds)
+    val dsSchema = ds.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!dsSchema.contains("source") && !dsSchema.contains("n_chars"), dsSchema)
+
+    // dsir_select_approx: the scale path must have NO global window —
+    // the threshold is a sketch agg + broadcast scalar
+    val da = planOf("dsir_select_approx").split("== Physical Plan ==").last
+    assert(!da.contains("Window"), da)
+    assert(da.contains("BroadcastNestedLoopJoin") || da.contains("BroadcastHashJoin"), da)
+
+    // corpus_shuffle: ONE row_number window (hash-partitioned by
+    // shard — S parallel sorts, never a global one) + the S-row offset
+    // table broadcast back; no cartesian
+    val cs = planOf("corpus_shuffle").split("== Physical Plan ==").last
+    assert("RunningWindowFunction|Window".r.findAllIn(cs).nonEmpty, cs)
+    assert(cs.contains("BroadcastHashJoin"), cs)
+    assert(!cs.contains("CartesianProduct"), cs)
+    assert(cs.contains("hashpartitioning(shard"), cs)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
