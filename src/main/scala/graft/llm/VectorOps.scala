@@ -796,6 +796,197 @@ object VectorOps {
     topkPerQuery(scored, k)
   }
 
+  // --- Product quantization (vec_pq / ann_pq) -----------------------
+  //
+  // The memory-bounded ANN path: a 64-dim float vector is 256 bytes; its
+  // PQ code (m=8 subspaces × 4-bit centroid ids) is 8 bytes — a 32×
+  // compression that is what actually lets a 100 TB embedding corpus be
+  // scanned from memory. Search is ADC (asymmetric distance): the query
+  // keeps its full vector, each candidate contributes only table lookups
+  // — one m×ks lookup table per query, broadcast, corpus cost strictly
+  // linear with ~m array probes per row. Jégou et al. 2011 (TPAMI).
+  // Vectors are unit-normalized before training/coding, so squared L2 is
+  // monotone in cosine (‖q−x‖² = 2−2cos) and ADC top-k approximates the
+  // house cosine top-k; scores are emitted as cos ≈ 1 − adist/2 so the
+  // output shape matches sim_topk/ann_lsh/ann_ivf.
+
+  /** Number of PQ trainings this JVM has run (train-once observability,
+    * mirroring [[trainCount]]; asserted in SimilaritySpec).
+    */
+  val pqTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-subspace codebooks `books(j)(c)` (length dim/m each), trained by
+    * driver-side Lloyd on a BOUNDED unit-normalized sample — the same
+    * threshold discipline as [[ivfTrain]] (the sample is a model input,
+    * never a function of n; production PQ trains once at index-build
+    * time on exactly such a sample and persists kilobytes). Deterministic
+    * init: first `ks` sample subvectors by vec_id.
+    */
+  def pqTrain(emb: DataFrame, m: Int, ks: Int, iters: Int = 10,
+      sampleN: Int = 2048): Array[Array[Array[Double]]] = {
+    pqTrainCount.incrementAndGet()
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("embedding").collect()
+      .map(r => unitVec(r.getSeq[Float](0)))
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val sv = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var centroids = sv.take(ks).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(centroids.length)(new Array[Double](sub))
+        val counts = new Array[Long](centroids.length)
+        sv.foreach { v =>
+          val c = nearestCentroid(v, centroids)
+          counts(c) += 1
+          var i = 0; while (i < sub) { sums(c)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      centroids
+    }
+  }
+
+  /** Adds a `codes` column (array<int>, length m): code j = nearest
+    * codebook-j centroid of the unit-normalized subvector — the fused
+    * v·c − ‖c‖²/2 argmin of [[ivfCell]], per subspace.
+    *
+    * Built through STAGED projections (norm → unit vector → subvector
+    * array → argmin) so each expensive intermediate is a materialized
+    * attribute evaluated once per row. The one-expression form inlined
+    * the norm aggregate and the normalized slice under every one of the
+    * m·ks centroid scores (HOFs are CodegenFallback, so nothing CSEs
+    * them) — measured 22 s for 2 000 rows at sf0.1; staged: sub-second.
+    * CollapseProject keeps the stages apart because the aliases are
+    * non-cheap and multiply referenced. `keepUnit` retains `__u`/`__subs`
+    * for consumers that also need the normalized vector (vec_pq's
+    * reconstruction audit).
+    */
+  def withPqCodes(df: DataFrame, embCol: String,
+      books: Array[Array[Array[Double]]], keepUnit: Boolean = false): DataFrame = {
+    val sub = books(0)(0).length
+    val e = col(embCol)
+    val staged = df
+      .withColumn("__nrm", sqrt(aggregate(
+        zip_with(e, e, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, z) => acc + z)))
+      .withColumn("__u", transform(e, x => x.cast("double") / col("__nrm")))
+      .withColumn("__subs", array(books.indices.map(j =>
+        slice(col("__u"), j * sub + 1, sub)): _*))
+    val codes = books.zipWithIndex.map { case (cb, j) =>
+      val sv = element_at(col("__subs"), j + 1)
+      val scores = cb.map { c =>
+        val cCol = array(c.map(lit): _*)
+        aggregate(zip_with(sv, cCol, (x, p) => x * p),
+          lit(0.0), (acc, z) => acc + z) - lit(c.map(x => x * x).sum / 2)
+      }
+      (array_position(array(scores: _*), array_max(array(scores: _*))) - 1).cast("int")
+    }
+    val coded = staged.withColumn("codes", array(codes: _*)).drop("__nrm")
+    if (keepUnit) coded else coded.drop("__u", "__subs")
+  }
+
+  private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** Train-once PQ codebooks per (datasetKey, m, ks) — the [[ivfModel]]
+    * contract applied to the product quantizer.
+    */
+  def pqModel(emb: DataFrame, m: Int, ks: Int, datasetKey: String): Array[Array[Array[Double]]] =
+    pqModelCache.computeIfAbsent((datasetKey, m, ks), _ => pqTrain(emb, m, ks))
+
+  /** A prebuilt code table (c_id, codes) WITH its codebooks — provenance
+    * pinning, as [[IvfIndex]] / [[LshIndex]].
+    */
+  final case class PqIndex(codes: DataFrame, books: Array[Array[Array[Double]]])
+
+  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), PqIndex]()
+
+  /** Memoized per-corpus PQ code table — the compressed index itself
+    * (at 100 TB this 8-byte-per-vector table IS what replaces the raw
+    * embedding column for search; built once, written alongside the
+    * corpus). Same hygiene as [[corpusBuckets]]/[[ivfAssigned]].
+    */
+  private[llm] def pqIndex(s: SparkSession, dir: String, m: Int, ks: Int): PqIndex = {
+    pqCodesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pqCodesCache.computeIfAbsent((s, dir, m, ks), _ => {
+      val emb = Tables(s, dir).embeddings
+      val books = pqModel(emb, m, ks, datasetKey = dir)
+      PqIndex(withPqCodes(emb, "embedding", books)
+          .select(col("vec_id").as("c_id"), col("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), books)
+    })
+  }
+
+  /** ADC top-k search over the PQ code table. Per query the driver
+    * computes the m×ks partial-distance lookup table (‖q_j − c‖² per
+    * subspace/centroid — |queries|·m·ks doubles, kilobytes: the same
+    * bounded-model discipline as the probe lists of [[ivfTopK]]); the
+    * LUT table broadcasts and every candidate's distance is m
+    * `element_at` probes summed — no per-candidate dot product, no
+    * embedding column anywhere in the scan. Emitted score
+    * cos = 1 − adist/2 (exact on unit vectors if the code were exact),
+    * ranked through the shared [[topkPerQuery]]. At 100 TB this composes
+    * with IVF: partition the code table by [[ivfCell]] and ADC-scan only
+    * the probed cells.
+    */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ks: Int = 16, rerank: Int = 4,
+      index: Option[PqIndex] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = index.getOrElse {
+      val books = pqTrain(emb, m, ks)
+      PqIndex(withPqCodes(emb, "embedding", books)
+        .select(col("vec_id").as("c_id"), col("codes")), books)
+    }
+    val books = idx.books
+    val sub = books(0)(0).length
+    // bounded collect: |queryIds| rows — the query set is the tiny side
+    // by definition (simTopK broadcasts the same rows as a frame)
+    val qluts = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val q = unitVec(r.getSeq[Float](1))
+        val lut = books.zipWithIndex.map { case (cb, j) =>
+          cb.map { c =>
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = q(j * sub + i) - c(i); d += t * t; i += 1 }
+            d
+          }.toSeq
+        }.toSeq
+        (r.getLong(0), lut)
+      }.toSeq
+    import spark.implicits._
+    val q = broadcast(qluts.toDF("q_id", "lut"))
+    val scored = q.join(idx.codes, col("q_id") =!= col("c_id"))
+      .withColumn("cos", lit(1.0) - aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, z) => acc + z) / 2)
+    if (rerank <= 1) topkPerQuery(scored, k)
+    else {
+      // production PQ serving shape: ADC narrows the corpus to a k·rerank
+      // shortlist per query (the only stage that scans n rows, and it
+      // scans CODES, not vectors), then ONE tiny key-join re-reads the
+      // raw vectors for shortlist rows only and exact cosine re-ranks —
+      // so emitted scores are true cosines and recall is set by the
+      // shortlist width, not by code fidelity alone
+      graft.functions.CosineSimilarity.ensureRegistered(spark)
+      val short = topkPerQuery(scored, k * rerank).select("q_id", "c_id")
+      val qv = broadcast(emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      val exact = short
+        .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+        .join(qv, "q_id")
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      topkPerQuery(exact, k)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // round(cos, 9) on the OUTPUT only (ranking uses full precision):
     // the engine accumulates the dot product in double in array order and
@@ -814,6 +1005,43 @@ object VectorOps {
         model = Some(ivfModel(emb, cells = 16, datasetKey = dir)),
         assignedOpt = Some(ivfAssigned(s, dir, cells = 16)))
     }),
+    // the PQ index id: one narrow projection emitting each vector's
+    // 8-byte code (the 32× compressed search representation) plus
+    // recon_cos — cosine between the vector and its PQ reconstruction,
+    // the in-query fidelity signal that makes this rows-only id
+    // self-auditing (SimilaritySpec bounds its corpus mean). Rows-only:
+    // the codebooks are engine-trained k-means, like ann_ivf's cells.
+    "vec_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val books = pqModel(emb, m = 8, ks = 16, datasetKey = dir)
+      val coded = withPqCodes(emb, "embedding", books, keepUnit = true)
+      // recon · u per subspace: the SELECTED centroid is an element_at
+      // into the literal codebook (model-sized constants in-plan, the
+      // ivfCell idiom); ‖recon‖² likewise from the literal ‖c‖² table.
+      // `codes`/`__subs` are attributes here (staged projections), so
+      // the argmin is evaluated once per row, not once per reference.
+      val reconDot = books.zipWithIndex.map { case (cb, j) =>
+        val cSel = element_at(typedLit(cb.map(_.toSeq).toSeq),
+          element_at(col("codes"), j + 1) + 1)
+        aggregate(zip_with(element_at(col("__subs"), j + 1), cSel,
+            (x, p) => x * p),
+          lit(0.0), (acc, z) => acc + z)
+      }.reduce(_ + _)
+      val reconSq = books.zipWithIndex.map { case (cb, j) =>
+        element_at(typedLit(cb.map(c => c.map(x => x * x).sum).toSeq),
+          element_at(col("codes"), j + 1) + 1)
+      }.reduce(_ + _)
+      coded
+        .select(col("vec_id"), col("codes"),
+          round(reconDot / sqrt(reconSq), 6).as("recon_cos"))
+        .orderBy("vec_id")
+    }),
+    // ADC search over the memoized code table — candidates contribute m
+    // table probes each, never a dot product; rows-only like the other
+    // ANN ids, recall bounded vs brute force in SimilaritySpec
+    "ann_pq" -> ((s, dir) =>
+      pqTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
+        index = Some(pqIndex(s, dir, m = 8, ks = 16)))),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4

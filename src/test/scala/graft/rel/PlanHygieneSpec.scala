@@ -396,6 +396,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(cs.contains("hashpartitioning(shard"), cs)
   }
 
+  test("PQ plans: code build is a join-free narrow scan, ADC search never sort-merges or goes cartesian") {
+    // vec_pq: codes + recon_cos are ONE projection over (vec_id,
+    // embedding) — no join, no window, no explode; the codebooks are
+    // literal constants in-plan (the ivfCell idiom)
+    val vp = planOf("vec_pq").split("== Physical Plan ==").last
+    assert(!vp.contains("Join") && !vp.contains("Window") &&
+      !vp.contains("Generate"), vp)
+    val vpSchema = vp.linesIterator.find(_.contains("ReadSchema")).get
+    assert(vpSchema.contains("vec_id") && vpSchema.contains("embedding") &&
+      !vpSchema.contains("label"), vpSchema)
+
+    // ann_pq: the corpus-scale stage is the broadcast-nested-loop of the
+    // tiny LUT table against the CODE table (m element_at probes / row);
+    // the re-rank joins are key joins on a shortlist — nothing may
+    // sort-merge or go cartesian, and top-k windows partition by q_id
+    val ap = planOf("ann_pq").split("== Physical Plan ==").last
+    assert(ap.contains("BroadcastNestedLoopJoin"), ap)
+    assert(!ap.contains("SortMergeJoin") && !ap.contains("CartesianProduct"), ap)
+    assert(ap.contains("hashpartitioning(q_id"), ap)
+  }
+
   test("interval join stays an equi-join with residual time bound") {
     // a cartesian/nested-loop here would explode at stream scale
     val sj = planOf("stream_join")
