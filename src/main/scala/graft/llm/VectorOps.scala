@@ -446,20 +446,7 @@ object VectorOps {
     val sample = emb.orderBy("vec_id").limit(sampleN)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var centroids = sample.take(k).map(_.clone())
-    for (_ <- 1 to iters) {
-      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = nearestCentroid(v, centroids)
-        counts(c) += 1
-        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
-      }
-    }
-    centroids
+    lloydFit(sample, k, iters)
   }
 
   /** Number of k-means trainings this JVM has run (observability for the
@@ -693,6 +680,30 @@ object VectorOps {
     })
   }
 
+  /** Driver-side Lloyd on an in-memory point set: deterministic init
+    * (first `k` points), an empty cluster keeps its previous centroid.
+    * The one k-means loop behind [[ivfTrain]], [[pqTrain]] and
+    * [[ivfPqTrain]] — shared so the coarse and residual quantizers of
+    * the composed index can never drift from the standalone ones.
+    */
+  private def lloydFit(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids = points.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](points(0).length))
+      val counts = new Array[Long](centroids.length)
+      points.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
@@ -832,21 +843,8 @@ object VectorOps {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     Array.tabulate(m) { j =>
-      val sv = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      var centroids = sv.take(ks).map(_.clone())
-      for (_ <- 1 to iters) {
-        val sums = Array.fill(centroids.length)(new Array[Double](sub))
-        val counts = new Array[Long](centroids.length)
-        sv.foreach { v =>
-          val c = nearestCentroid(v, centroids)
-          counts(c) += 1
-          var i = 0; while (i < sub) { sums(c)(i) += v(i); i += 1 }
-        }
-        centroids = centroids.zipWithIndex.map { case (old, c) =>
-          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
-        }
-      }
-      centroids
+      lloydFit(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), ks, iters)
     }
   }
 
@@ -876,7 +874,18 @@ object VectorOps {
       .withColumn("__u", transform(e, x => x.cast("double") / col("__nrm")))
       .withColumn("__subs", array(books.indices.map(j =>
         slice(col("__u"), j * sub + 1, sub)): _*))
-    val codes = books.zipWithIndex.map { case (cb, j) =>
+    val coded = staged.withColumn("codes", array(subspaceCodes(books): _*))
+      .drop("__nrm")
+    if (keepUnit) coded else coded.drop("__u", "__subs")
+  }
+
+  /** Per-subspace argmin code columns over a materialized `__subs`
+    * attribute — the shared coding expression of [[withPqCodes]] /
+    * [[withIvfPqCodes]]: the fused v·c − ‖c‖²/2 argmin of [[ivfCell]],
+    * per subspace.
+    */
+  private def subspaceCodes(books: Array[Array[Array[Double]]]): Seq[Column] =
+    books.zipWithIndex.toSeq.map { case (cb, j) =>
       val sv = element_at(col("__subs"), j + 1)
       val scores = cb.map { c =>
         val cCol = array(c.map(lit): _*)
@@ -885,9 +894,6 @@ object VectorOps {
       }
       (array_position(array(scores: _*), array_max(array(scores: _*))) - 1).cast("int")
     }
-    val coded = staged.withColumn("codes", array(codes: _*)).drop("__nrm")
-    if (keepUnit) coded else coded.drop("__u", "__subs")
-  }
 
   private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int), Array[Array[Array[Double]]]]()
@@ -911,7 +917,7 @@ object VectorOps {
     * embedding column for search; built once, written alongside the
     * corpus). Same hygiene as [[corpusBuckets]]/[[ivfAssigned]].
     */
-  private[llm] def pqIndex(s: SparkSession, dir: String, m: Int, ks: Int): PqIndex = {
+  private[graft] def pqIndex(s: SparkSession, dir: String, m: Int, ks: Int): PqIndex = {
     pqCodesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pqCodesCache.computeIfAbsent((s, dir, m, ks), _ => {
       val emb = Tables(s, dir).embeddings
@@ -967,15 +973,23 @@ object VectorOps {
         zip_with(col("codes"), col("lut"),
           (c, l) => element_at(l, c + 1)),
         lit(0.0), (acc, z) => acc + z) / 2)
+    rerankExact(emb, queryIds, scored, k, rerank)
+  }
+
+  /** Production quantized-ANN serving tail, shared by [[pqTopK]] and
+    * [[ivfPqTopK]]: the approximate `scored` frame narrows the corpus to
+    * a k·rerank shortlist per query (the only stage that scans n rows,
+    * and it scans CODES, not vectors), then ONE tiny key-join re-reads
+    * the raw vectors for shortlist rows only and exact cosine re-ranks —
+    * so emitted scores are true cosines and recall is set by the
+    * shortlist width, not by code fidelity alone. `rerank <= 1` keeps
+    * the pure approximate ranking (the ADC-exactness spec path).
+    */
+  private def rerankExact(emb: DataFrame, queryIds: Seq[Long],
+      scored: DataFrame, k: Int, rerank: Int): DataFrame =
     if (rerank <= 1) topkPerQuery(scored, k)
     else {
-      // production PQ serving shape: ADC narrows the corpus to a k·rerank
-      // shortlist per query (the only stage that scans n rows, and it
-      // scans CODES, not vectors), then ONE tiny key-join re-reads the
-      // raw vectors for shortlist rows only and exact cosine re-ranks —
-      // so emitted scores are true cosines and recall is set by the
-      // shortlist width, not by code fidelity alone
-      graft.functions.CosineSimilarity.ensureRegistered(spark)
+      graft.functions.CosineSimilarity.ensureRegistered(emb.sparkSession)
       val short = topkPerQuery(scored, k * rerank).select("q_id", "c_id")
       val qv = broadcast(emb.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
@@ -985,6 +999,180 @@ object VectorOps {
         .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
       topkPerQuery(exact, k)
     }
+
+  // --- IVF-PQ (ann_ivfpq): the composed memory-bounded ANN index ----
+  //
+  // ann_ivf bounds WORK (each query scans only its nprobe probed cells)
+  // and ann_pq bounds MEMORY (8-byte codes instead of 256-byte vectors);
+  // the production 100 TB recipe composes them (Jégou et al. 2011 §V —
+  // the IVFADC / FAISS "IVFPQ" layout): vectors are bucketed by a coarse
+  // quantizer and PQ encodes the RESIDUAL u − coarse(cell). Residuals
+  // live in a far smaller ball than raw vectors, so the same 4-bit/
+  // subspace budget buys strictly more fidelity where the corpus is
+  // actually clustered. Search probes nprobe cells, ADC-scans only their
+  // codes with a per-(query, cell) lookup table (the residual is
+  // cell-relative, so the LUT is too), then exact re-ranks the
+  // shortlist. Everything runs in UNIT space — coarse centroids are
+  // trained on unit-normalized samples, so ‖q_u − x_u‖² = 2 − 2cos makes
+  // the ADC ↔ cosine conversion exact algebra, unlike ann_ivf's
+  // raw-space cells which only approximate cosine order.
+
+  /** Coarse centroids + residual codebooks, trained together (the
+    * residual distribution is a function of the fitted coarse model, so
+    * the two halves are one model, never mix-and-match).
+    */
+  final case class IvfPqModel(coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]])
+
+  /** Number of IVF-PQ trainings this JVM has run (train-once
+    * observability, mirroring [[pqTrainCount]]; asserted in
+    * SimilaritySpec).
+    */
+  val ivfPqTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Two-stage trainer on ONE bounded unit-normalized sample (the
+    * [[pqTrain]] threshold discipline): Lloyd fits the coarse quantizer,
+    * the SAME sample's residuals under that fitted model train the
+    * per-subspace residual codebooks. Deterministic init throughout
+    * (first points by vec_id).
+    */
+  def ivfPqTrain(emb: DataFrame, cells: Int, m: Int, ks: Int,
+      iters: Int = 10, sampleN: Int = 2048): IvfPqModel = {
+    ivfPqTrainCount.incrementAndGet()
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("embedding").collect()
+      .map(r => unitVec(r.getSeq[Float](0)))
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val coarse = lloydFit(sample, cells, iters)
+    val residuals = sample.map { v =>
+      val cc = coarse(nearestCentroid(v, coarse))
+      val r = new Array[Double](dim)
+      var i = 0; while (i < dim) { r(i) = v(i) - cc(i); i += 1 }
+      r
+    }
+    val sub = dim / m
+    val books = Array.tabulate(m) { j =>
+      lloydFit(residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), ks, iters)
+    }
+    IvfPqModel(coarse, books)
+  }
+
+  /** Adds `cell` (coarse assignment in unit space) and `codes` (PQ codes
+    * of the residual u − coarse(cell)) through the [[withPqCodes]]
+    * staged-projection discipline: norm → unit vector → cell → residual
+    * → subvector array → per-subspace argmin, each expensive
+    * intermediate a materialized attribute evaluated once per row.
+    */
+  def withIvfPqCodes(df: DataFrame, embCol: String, model: IvfPqModel): DataFrame = {
+    val sub = model.books(0)(0).length
+    val e = col(embCol)
+    val staged = df
+      .withColumn("__nrm", sqrt(aggregate(
+        zip_with(e, e, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, z) => acc + z)))
+      .withColumn("__u", transform(e, x => x.cast("double") / col("__nrm")))
+      .withColumn("cell", ivfCell(col("__u"), model.coarse))
+      .withColumn("__res", zip_with(col("__u"),
+        element_at(typedLit(model.coarse.map(_.toSeq).toSeq), col("cell") + 1),
+        (x, c) => x - c))
+      .withColumn("__subs", array(model.books.indices.map(j =>
+        slice(col("__res"), j * sub + 1, sub)): _*))
+    staged.withColumn("codes", array(subspaceCodes(model.books): _*))
+      .drop("__nrm", "__u", "__res", "__subs")
+  }
+
+  private val ivfPqModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), IvfPqModel]()
+
+  /** Train-once IVF-PQ model per (datasetKey, cells, m, ks) — the
+    * [[pqModel]] contract applied to the composed index.
+    */
+  def ivfPqModel(emb: DataFrame, cells: Int, m: Int, ks: Int,
+      datasetKey: String): IvfPqModel =
+    ivfPqModelCache.computeIfAbsent((datasetKey, cells, m, ks),
+      _ => ivfPqTrain(emb, cells, m, ks))
+
+  /** A prebuilt (c_id, cell, codes) table WITH its model — provenance
+    * pinning, as [[PqIndex]].
+    */
+  final case class IvfPqIndex(codes: DataFrame, model: IvfPqModel)
+
+  private val ivfPqCodesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int), IvfPqIndex]()
+
+  /** Memoized per-corpus IVF-PQ code table — at 100 TB, `cell` is the
+    * table's partition/cluster key and `codes` its 8-byte payload: the
+    * whole searchable corpus in n·(8+ε) bytes, and a query touches only
+    * nprobe partitions of it. Same hygiene as [[pqIndex]].
+    */
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String,
+      cells: Int, m: Int, ks: Int): IvfPqIndex = {
+    ivfPqCodesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    ivfPqCodesCache.computeIfAbsent((s, dir, cells, m, ks), _ => {
+      val emb = Tables(s, dir).embeddings
+      val model = ivfPqModel(emb, cells, m, ks, datasetKey = dir)
+      IvfPqIndex(withIvfPqCodes(emb, "embedding", model)
+          .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), model)
+    })
+  }
+
+  /** IVF-PQ top-k search: per query the driver ranks the coarse cells by
+    * true L2 in unit space (model-sized math) and emits one m×ks ADC
+    * lookup table PER PROBED CELL — ‖(q_u − coarse(cell))_j − book_j(c)‖²
+    * — |q|·nprobe·m·ks doubles, kilobytes. The broadcast (q_id, cell,
+    * lut) rows key-join the code table ON CELL, so only the probed
+    * cells' codes are ever scanned (at 100 TB: partition pruning on the
+    * cell-partitioned code table); each candidate costs m `element_at`
+    * probes. Then the shared exact re-rank tail. Ties at the nprobe
+    * cutoff break toward the lower cell id (the ivfCell convention).
+    */
+  def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      cells: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 16,
+      rerank: Int = 4, index: Option[IvfPqIndex] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = index.getOrElse {
+      val model = ivfPqTrain(emb, cells, m, ks)
+      IvfPqIndex(withIvfPqCodes(emb, "embedding", model)
+        .select(col("vec_id").as("c_id"), col("cell"), col("codes")), model)
+    }
+    val model = idx.model
+    val dim = model.coarse(0).length
+    val sub = model.books(0)(0).length
+    val qrows = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .flatMap { r =>
+        val q = unitVec(r.getSeq[Float](1))
+        val byDist = model.coarse.zipWithIndex.map { case (c, i) =>
+          var d = 0.0; var t = 0
+          while (t < dim) { val x = q(t) - c(t); d += x * x; t += 1 }
+          (d, i)
+        }.sortBy(identity).take(math.min(nprobe, model.coarse.length))
+        byDist.map { case (_, cellId) =>
+          val cc = model.coarse(cellId)
+          val lut = model.books.zipWithIndex.map { case (cb, j) =>
+            cb.map { c =>
+              var d = 0.0; var i = 0
+              while (i < sub) {
+                val t = q(j * sub + i) - cc(j * sub + i) - c(i); d += t * t; i += 1
+              }
+              d
+            }.toSeq
+          }.toSeq
+          (r.getLong(0), cellId, lut)
+        }
+      }.toSeq
+    import spark.implicits._
+    val q = broadcast(qrows.toDF("q_id", "cell", "lut"))
+    val scored = q.join(idx.codes, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", lit(1.0) - aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, z) => acc + z) / 2)
+    rerankExact(emb, queryIds, scored, k, rerank)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1042,6 +1230,16 @@ object VectorOps {
     "ann_pq" -> ((s, dir) =>
       pqTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
         index = Some(pqIndex(s, dir, m = 8, ks = 16)))),
+    // the composed IVF-PQ id: each query probes nprobe=4 of 16 cells and
+    // ADC-scans ONLY those cells' residual codes — per-query cost =
+    // (nprobe/cells)·n rows at 8 bytes each, the FAISS IVFPQ serving
+    // shape and the only formulation where BOTH the scan fraction and
+    // the bytes-per-row are bounded. Rows-only like the other ANN ids;
+    // code/ADC exactness, probe pruning and recall bounded in
+    // SimilaritySpec.
+    "ann_ivfpq" -> ((s, dir) =>
+      ivfPqTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
+        index = Some(ivfPqIndex(s, dir, cells = 16, m = 8, ks = 16)))),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4

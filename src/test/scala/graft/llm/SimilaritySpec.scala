@@ -239,6 +239,165 @@ class SimilaritySpec extends SparkSpec {
       "ann_ivf must not retrain on a repeated run over the same dataset")
   }
 
+  // --- IVF-PQ (ann_ivfpq): the composed index ---
+
+  /** In-JVM IVF-PQ reference: unit-normalize, nearest coarse centroid,
+    * per-subspace nearest residual centroid.
+    */
+  private def ivfPqRef(v: Array[Float], model: VectorOps.IvfPqModel)
+      : (Int, Array[Int], Array[Double]) = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val u = v.map(_.toDouble / n)
+    var cell = 0; var cellD = Double.MaxValue
+    model.coarse.indices.foreach { c =>
+      var d = 0.0; var i = 0
+      while (i < u.length) { val t = u(i) - model.coarse(c)(i); d += t * t; i += 1 }
+      if (d < cellD) { cellD = d; cell = c }
+    }
+    val cc = model.coarse(cell)
+    val res = Array.tabulate(u.length)(i => u(i) - cc(i))
+    val sub = model.books(0)(0).length
+    val codes = model.books.zipWithIndex.map { case (cb, j) =>
+      var best = 0; var bestD = Double.MaxValue
+      cb.indices.foreach { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = res(j * sub + i) - cb(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    (cell, codes, u)
+  }
+
+  test("IVF-PQ codes: cell + residual codes match the in-JVM reference") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val model = VectorOps.ivfPqModel(emb, cells = 16, m = 8, ks = 16,
+      datasetKey = dir)
+    val got = VectorOps.withIvfPqCodes(emb, "embedding", model)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq))
+    assert(got.length == vecs.size)
+    got.foreach { case (id, cell, codes) =>
+      val (expCell, expCodes, _) = ivfPqRef(vecs(id), model)
+      assert(cell == expCell, s"vec $id cell")
+      assert(codes == expCodes.toSeq, s"vec $id codes")
+      assert(codes.forall(c => c >= 0 && c < 16), s"vec $id code range")
+    }
+  }
+
+  test("IVF-PQ pure ADC: candidates only from probed cells; scores are exact ADC algebra") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val idx = VectorOps.ivfPqIndex(spark, dir, cells = 16, m = 8, ks = 16)
+    val model = idx.model
+    val sub = model.books(0)(0).length
+    val nprobe = 2
+    val adc = VectorOps.ivfPqTopK(emb, 0L until 4L, k = 10, nprobe = nprobe,
+      rerank = 1, index = Some(idx)).collect()
+    assert(adc.nonEmpty)
+    adc.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val c = r.getAs[Long]("c_id")
+      val (_, _, qu) = ivfPqRef(vecs(q), model)
+      // probed-cell pruning: the candidate's cell must be among the
+      // query's nprobe nearest coarse cells (ties toward lower id)
+      val probed = model.coarse.zipWithIndex.map { case (cc, i) =>
+        var d = 0.0; var t = 0
+        while (t < qu.length) { val x = qu(t) - cc(t); d += x * x; t += 1 }
+        (d, i)
+      }.sortBy(identity).take(nprobe).map(_._2).toSet
+      val (cCell, cCodes, _) = ivfPqRef(vecs(c), model)
+      assert(probed.contains(cCell), s"($q,$c): cell $cCell not probed $probed")
+      // ADC score = 1 - ||q_u - (coarse(cell) + recon_res(codes))||^2 / 2
+      val cc = model.coarse(cCell)
+      var d = 0.0
+      model.books.indices.foreach { j =>
+        var i = 0
+        while (i < sub) {
+          val t = qu(j * sub + i) - cc(j * sub + i) - model.books(j)(cCodes(j))(i)
+          d += t * t; i += 1
+        }
+      }
+      assert(math.abs(r.getAs[Double]("cos") - (1.0 - d / 2)) < 1e-9, s"($q,$c)")
+    }
+  }
+
+  test("IVF-PQ recall: re-rank dominates pure ADC; residual codes beat raw-PQ fidelity") {
+    val k = 10
+    val qids = 0L until 8L
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val idx = Some(VectorOps.ivfPqIndex(spark, dir, cells = 16, m = 8, ks = 16))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("c_id")).toSet }
+      qids.map { q =>
+        got.get(q).map(a => (a intersect truth(q, k).toSet).size.toDouble / k)
+          .getOrElse(0.0)
+      }.sum / qids.size
+    }
+    val pure = recallOf(VectorOps.ivfPqTopK(emb, qids, k, rerank = 1, index = idx))
+    val rr = recallOf(VectorOps.ivfPqTopK(emb, qids, k, rerank = 4, index = idx))
+    // measured at sf0.001 (IvfPqProbe): pure 0.45, re-ranked 0.775 —
+    // bounds leave margin but stay far above random (k/n ≈ 0.02)
+    assert(pure > 0.3, s"pure ADC recall $pure")
+    assert(rr >= pure, s"re-rank $rr must not lose to pure ADC $pure")
+    assert(rr > 0.6, s"re-ranked recall $rr")
+    // re-ranked scores are TRUE cosines (shortlist join re-reads vectors)
+    VectorOps.ivfPqTopK(emb, 0L until 2L, k, rerank = 4, index = idx)
+      .collect().foreach { r =>
+        val exp = cosine(vecs(r.getAs[Long]("q_id")), vecs(r.getAs[Long]("c_id")))
+        assert(math.abs(r.getAs[Double]("cos") - exp) < 1e-12)
+      }
+    // the reason residual-PQ exists (Jégou et al. 2011 §V): under the
+    // SAME 8×4-bit budget, coding residuals reconstructs strictly better
+    // than coding raw unit vectors — deterministic training makes this
+    // a stable structural assertion, not a flaky benchmark
+    // (measured: residual mean recon_cos 0.7204 vs raw-PQ 0.6764)
+    val model = idx.get.model
+    val rawBooks = VectorOps.pqModel(emb, m = 8, ks = 16, datasetKey = dir)
+    val sub = model.books(0)(0).length
+    val (resF, rawF) = vecs.values.map { v =>
+      val (cell, codes, u) = ivfPqRef(v, model)
+      val cc = model.coarse(cell)
+      val recon1 = Array.tabulate(u.length) { i =>
+        cc(i) + model.books(i / sub)(codes(i / sub))(i % sub)
+      }
+      val (rawCodes, _) = pqRef(v, rawBooks)
+      val recon2 = Array.tabulate(u.length) { i =>
+        rawBooks(i / sub)(rawCodes(i / sub))(i % sub)
+      }
+      def cosTo(r: Array[Double]): Double = {
+        var dot = 0.0; var nr = 0.0; var i = 0
+        while (i < u.length) { dot += u(i) * r(i); nr += r(i) * r(i); i += 1 }
+        dot / math.sqrt(nr)
+      }
+      (cosTo(recon1), cosTo(recon2))
+    }.unzip
+    val resMean = resF.sum / resF.size
+    val rawMean = rawF.sum / rawF.size
+    assert(resMean > rawMean,
+      f"residual-PQ recon $resMean%.4f must beat raw-PQ $rawMean%.4f")
+    assert(resMean > 0.65, f"residual recon fidelity $resMean%.4f")
+  }
+
+  test("IVF-PQ model trains once per dataset, not per query") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val m1 = VectorOps.ivfPqModel(emb, cells = 16, m = 8, ks = 16, datasetKey = dir)
+    val before = VectorOps.ivfPqTrainCount.get()
+    val m2 = VectorOps.ivfPqModel(emb, cells = 16, m = 8, ks = 16, datasetKey = dir)
+    assert(m2 eq m1, "second lookup must reuse the trained model instance")
+    assert(VectorOps.ivfPqTrainCount.get() == before, "no re-training on cache hit")
+    val q = graft.SparkEntry.queries("ann_ivfpq")
+    q(spark, dir).collect()
+    val afterFirst = VectorOps.ivfPqTrainCount.get()
+    q(spark, dir).collect()
+    assert(VectorOps.ivfPqTrainCount.get() == afterFirst,
+      "ann_ivfpq must not retrain on a repeated run over the same dataset")
+  }
+
   test("native cosine nulls on a null ELEMENT, like the HOF form") {
     val s = spark
     import s.implicits._

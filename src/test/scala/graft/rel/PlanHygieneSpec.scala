@@ -415,6 +415,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert(ap.contains("BroadcastNestedLoopJoin"), ap)
     assert(!ap.contains("SortMergeJoin") && !ap.contains("CartesianProduct"), ap)
     assert(ap.contains("hashpartitioning(q_id"), ap)
+
+    // ann_ivfpq: the structural upgrade over ann_pq — the LUT rows carry
+    // the probed cell id, so the corpus-scale stage is an EQUI-join on
+    // `cell` (BroadcastHashJoin), never a nested loop over all codes:
+    // only probed cells' codes are touched (partition pruning at 100 TB)
+    val ip = planOf("ann_ivfpq").split("== Physical Plan ==").last
+    assert(ip.contains("BroadcastHashJoin [cell") ||
+      ip.contains("BroadcastHashJoin [cast(cell"), ip)
+    assert(!ip.contains("BroadcastNestedLoopJoin") &&
+      !ip.contains("SortMergeJoin") && !ip.contains("CartesianProduct"), ip)
+    assert(ip.contains("hashpartitioning(q_id"), ip)
   }
 
   test("interval join stays an equi-join with residual time bound") {
