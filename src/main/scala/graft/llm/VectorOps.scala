@@ -1132,16 +1132,27 @@ object VectorOps {
   def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       cells: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 16,
       rerank: Int = 4, index: Option[IvfPqIndex] = None): DataFrame = {
-    val spark = emb.sparkSession
     val idx = index.getOrElse {
       val model = ivfPqTrain(emb, cells, m, ks)
       IvfPqIndex(withIvfPqCodes(emb, "embedding", model)
         .select(col("vec_id").as("c_id"), col("cell"), col("codes")), model)
     }
-    val model = idx.model
+    val luts = ivfPqLuts(emb, queryIds, idx.model, nprobe)
+    rerankExact(emb, queryIds, ivfPqScore(idx.codes, luts), k, rerank)
+  }
+
+  /** Driver-side LUT builder shared by the in-memory and persisted
+    * search paths: per query, rank the coarse cells by true L2 in unit
+    * space (model-sized math) and emit one m×ks ADC lookup table PER
+    * PROBED CELL — ‖(q_u − coarse(cell))_j − book_j(c)‖². Ties at the
+    * nprobe cutoff break toward the lower cell id (the ivfCell
+    * convention).
+    */
+  private def ivfPqLuts(emb: DataFrame, queryIds: Seq[Long],
+      model: IvfPqModel, nprobe: Int): Seq[(Long, Int, Seq[Seq[Double]])] = {
     val dim = model.coarse(0).length
     val sub = model.books(0)(0).length
-    val qrows = emb.filter(col("vec_id").isin(queryIds: _*))
+    emb.filter(col("vec_id").isin(queryIds: _*))
       .select("vec_id", "embedding").collect()
       .flatMap { r =>
         val q = unitVec(r.getSeq[Float](1))
@@ -1164,16 +1175,126 @@ object VectorOps {
           (r.getLong(0), cellId, lut)
         }
       }.toSeq
+  }
+
+  /** ADC scoring stage shared by the in-memory and persisted paths: the
+    * tiny (q_id, cell, lut) table broadcast EQUI-joins the code table on
+    * `cell`, so only probed cells' codes are scanned; each candidate
+    * costs m `element_at` probes.
+    */
+  private def ivfPqScore(codes: DataFrame,
+      luts: Seq[(Long, Int, Seq[Seq[Double]])]): DataFrame = {
+    val spark = codes.sparkSession
     import spark.implicits._
-    val q = broadcast(qrows.toDF("q_id", "cell", "lut"))
-    val scored = q.join(idx.codes, "cell")
+    broadcast(luts.toDF("q_id", "cell", "lut")).join(codes, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", lit(1.0) - aggregate(
         zip_with(col("codes"), col("lut"),
           (c, l) => element_at(l, c + 1)),
         lit(0.0), (acc, z) => acc + z) / 2)
-    rerankExact(emb, queryIds, scored, k, rerank)
   }
+
+  // --- Persisted IVF-PQ index (ann_ivfpq_disk): the durable artifact --
+  //
+  // The in-memory index dies with the session; a 100 TB corpus builds
+  // its index ONCE and serves queries from it for weeks. Layout — all
+  // parquet, so doubles round-trip bit-exact and the artifact is
+  // readable by any Spark/DuckDB/engine without this library:
+  //   <path>/codes/   (c_id, codes) parquet PARTITIONED BY cell — the
+  //                   n·(8+ε)-byte searchable corpus; a query planning
+  //                   nprobe cells prunes to nprobe directories AT THE
+  //                   SCAN (PartitionFilters, zero bytes read elsewhere)
+  //   <path>/coarse/  (cell, vec) — `cells` rows, the coarse quantizer
+  //   <path>/books/   (subspace, code, vec) — m·ks rows, residual books
+  //   <path>/_graft_index_ok  commit marker, written LAST (the staged-
+  //                   commit convention: a crashed build is invisible)
+
+  /** Number of actual persisted-index builds this JVM has run (a second
+    * save over a committed index must be a no-op; asserted in
+    * SimilaritySpec).
+    */
+  val ivfPqSaveCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build and commit the persisted index at `path` (idempotent: an
+    * already-committed index is left untouched — rebuilds of a
+    * multi-day 100 TB artifact must be explicit, never accidental).
+    */
+  def saveIvfPqIndex(s: SparkSession, dir: String, path: String,
+      cells: Int = 16, m: Int = 8, ks: Int = 16): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) return
+    ivfPqSaveCount.incrementAndGet()
+    val emb = Tables(s, dir).embeddings
+    val model = ivfPqModel(emb, cells, m, ks, datasetKey = dir)
+    withIvfPqCodes(emb, "embedding", model)
+      .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    import s.implicits._
+    model.coarse.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    model.books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/books")
+    fs.create(hp, true).close()
+  }
+
+  /** Read the model half of a committed persisted index back —
+    * threshold-bounded driver materialization (`cells` + m·ks rows).
+    * Parquet doubles are bit-exact, so the loaded model reproduces the
+    * trainer's codes and LUTs identically.
+    */
+  def loadIvfPqModel(s: SparkSession, path: String): IvfPqModel = {
+    val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"no committed IVF-PQ index at $path")
+    val coarse = s.read.parquet(s"$path/coarse").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vec").toArray)
+    val bookRows = s.read.parquet(s"$path/books")
+      .orderBy("subspace", "code").collect()
+    val books = bookRows.groupBy(_.getAs[Int]("subspace")).toArray
+      .sortBy(_._1).map(_._2.sortBy(_.getAs[Int]("code"))
+        .map(_.getAs[scala.collection.Seq[Double]]("vec").toArray))
+    IvfPqModel(coarse, books)
+  }
+
+  /** Serve top-k from a committed persisted index: the probed cells are
+    * known at PLAN time (driver-side coarse ranking), so the code scan
+    * carries a static `cell IN (...)` partition filter — Spark prunes to
+    * the probed directories and reads zero bytes of the rest of the
+    * corpus. Everything downstream (broadcast LUT equi-join, ADC, exact
+    * re-rank) is the shared in-memory machinery, so disk and memory
+    * serving return identical rows for the same model.
+    */
+  def ivfPqTopKDisk(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      path: String, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val model = loadIvfPqModel(spark, path)
+    val luts = ivfPqLuts(emb, queryIds, model, nprobe)
+    val probed = luts.map(_._2).distinct
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed: _*))
+    rerankExact(emb, queryIds, ivfPqScore(codes, luts), k, rerank)
+  }
+
+  private val ivfPqDiskPaths = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), String]()
+
+  /** Deterministic per-(dataset, params) location for the query-id's
+    * persisted index, built on first use (untimed artifact, like every
+    * memoized per-corpus structure).
+    */
+  private[graft] def ivfPqDiskPath(s: SparkSession, dir: String,
+      cells: Int, m: Int, ks: Int): String =
+    ivfPqDiskPaths.computeIfAbsent((dir, cells, m, ks), _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${md}_c${cells}m${m}k$ks"
+      saveIvfPqIndex(s, dir, path, cells, m, ks)
+      path
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // round(cos, 9) on the OUTPUT only (ranking uses full precision):
@@ -1240,6 +1361,14 @@ object VectorOps {
     "ann_ivfpq" -> ((s, dir) =>
       ivfPqTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
         index = Some(ivfPqIndex(s, dir, cells = 16, m = 8, ks = 16)))),
+    // the persisted-index twin: serves the same search from the durable
+    // cell-partitioned parquet artifact — probed cells are known at plan
+    // time, so the scan carries a static partition filter and reads ZERO
+    // bytes outside the probed directories (plan-pinned). Same model →
+    // row-identical to ann_ivfpq (spec-pinned); rows-only like it.
+    "ann_ivfpq_disk" -> ((s, dir) =>
+      ivfPqTopKDisk(Tables(s, dir).embeddings, queryIds = 0L until 8L,
+        k = 10, path = ivfPqDiskPath(s, dir, cells = 16, m = 8, ks = 16))),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4

@@ -398,6 +398,47 @@ class SimilaritySpec extends SparkSpec {
       "ann_ivfpq must not retrain on a repeated run over the same dataset")
   }
 
+  test("persisted IVF-PQ index: model round-trips bit-exact, disk serving equals in-memory, scan prunes to probed cells") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val path = VectorOps.ivfPqDiskPath(spark, dir, cells = 16, m = 8, ks = 16)
+    // parquet doubles round-trip bit-exact: loaded model == trained model
+    val trained = VectorOps.ivfPqModel(emb, cells = 16, m = 8, ks = 16,
+      datasetKey = dir)
+    val loaded = VectorOps.loadIvfPqModel(spark, path)
+    assert(loaded.coarse.map(_.toSeq).toSeq == trained.coarse.map(_.toSeq).toSeq)
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      trained.books.map(_.map(_.toSeq).toSeq).toSeq)
+    // disk serving returns exactly the in-memory rows (same model, same
+    // LUTs, same ADC, same re-rank)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val mem = VectorOps.ivfPqTopK(emb, 0L until 8L, k = 10,
+      index = Some(VectorOps.ivfPqIndex(spark, dir, cells = 16, m = 8, ks = 16)))
+    val disk = VectorOps.ivfPqTopKDisk(emb, 0L until 8L, k = 10, path = path)
+    assert(rows(mem) == rows(disk))
+    // partition pruning: the cell filter must land in the code scan's
+    // PartitionFilters (applied at file LISTING — zero bytes read
+    // outside probed directories), not merely in post-scan DataFilters.
+    // df.inputFiles can't show this (it lists the whole relation), so
+    // assert on the FileSourceScanExec's own metadata.
+    val diskPlan = VectorOps.ivfPqTopKDisk(emb, 0L until 2L, k = 10,
+      path = path, rerank = 1).queryExecution.sparkPlan
+    val codeScan = diskPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("codes")) => f
+    }
+    assert(codeScan.nonEmpty, s"no codes FileSourceScan in:\n$diskPlan")
+    val partFilters = codeScan.head.metadata.getOrElse("PartitionFilters", "")
+    assert(partFilters.contains("cell") && partFilters.contains("IN"),
+      s"cell IN (...) must be a PARTITION filter, got: $partFilters")
+    // a second save over the committed artifact is a no-op (marker wins)
+    val builds = VectorOps.ivfPqSaveCount.get()
+    VectorOps.saveIvfPqIndex(spark, dir, path)
+    assert(VectorOps.ivfPqSaveCount.get() == builds,
+      "re-save over a committed index must not rebuild")
+  }
+
   test("native cosine nulls on a null ELEMENT, like the HOF form") {
     val s = spark
     import s.implicits._

@@ -426,6 +426,16 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!ip.contains("BroadcastNestedLoopJoin") &&
       !ip.contains("SortMergeJoin") && !ip.contains("CartesianProduct"), ip)
     assert(ip.contains("hashpartitioning(q_id"), ip)
+
+    // ann_ivfpq_disk: probed cells are known at plan time, so the
+    // persisted code scan must carry a STATIC cell partition filter —
+    // at 100 TB this is directory-level pruning, zero bytes elsewhere
+    val dp = planOf("ann_ivfpq_disk").split("== Physical Plan ==").last
+    val pf = dp.linesIterator.find(_.contains("PartitionFilters: ["))
+      .getOrElse(sys.error(s"no PartitionFilters in plan:\n$dp"))
+    assert(pf.contains("cell"), pf)
+    assert(!dp.contains("BroadcastNestedLoopJoin") &&
+      !dp.contains("SortMergeJoin") && !dp.contains("CartesianProduct"), dp)
   }
 
   test("interval join stays an equi-join with residual time bound") {
