@@ -1220,13 +1220,22 @@ object VectorOps {
     * multi-day 100 TB artifact must be explicit, never accidental).
     */
   def saveIvfPqIndex(s: SparkSession, dir: String, path: String,
-      cells: Int = 16, m: Int = 8, ks: Int = 16): Unit = {
+      cells: Int = 16, m: Int = 8, ks: Int = 16): Unit =
+    saveIvfPqIndexOf(Tables(s, dir).embeddings, path, cells, m, ks,
+      datasetKey = dir)
+
+  /** As [[saveIvfPqIndex]] but over an explicit corpus frame — the
+    * general form (a real pipeline indexes a filtered/deduped view, not
+    * a raw table). `datasetKey` scopes the train-once model cache.
+    */
+  def saveIvfPqIndexOf(emb: DataFrame, path: String, cells: Int = 16,
+      m: Int = 8, ks: Int = 16, datasetKey: String): Unit = {
+    val s = emb.sparkSession
     val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) return
     ivfPqSaveCount.incrementAndGet()
-    val emb = Tables(s, dir).embeddings
-    val model = ivfPqModel(emb, cells, m, ks, datasetKey = dir)
+    val model = ivfPqModel(emb, cells, m, ks, datasetKey = datasetKey)
     withIvfPqCodes(emb, "embedding", model)
       .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
@@ -1279,6 +1288,22 @@ object VectorOps {
     rerankExact(emb, queryIds, ivfPqScore(codes, luts), k, rerank)
   }
 
+  /** Append a batch of new vectors to a committed persisted index using
+    * its STORED model — no retrain, the production add path (FAISS
+    * `add_with_ids` semantics): at 100 TB the model was fitted once on a
+    * bounded sample and stays frozen; daily arrivals encode against it
+    * and land as NEW files inside their cell directories. Existing files
+    * are never rewritten, so concurrent readers stay consistent and the
+    * append costs ∝ batch, not corpus. Callers own id-uniqueness (as
+    * with FAISS add_with_ids).
+    */
+  def appendIvfPqIndex(batch: DataFrame, path: String): Unit = {
+    val model = loadIvfPqModel(batch.sparkSession, path)
+    withIvfPqCodes(batch, "embedding", model)
+      .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   private val ivfPqDiskPaths = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int, Int), String]()
 
@@ -1289,10 +1314,41 @@ object VectorOps {
   private[graft] def ivfPqDiskPath(s: SparkSession, dir: String,
       cells: Int, m: Int, ks: Int): String =
     ivfPqDiskPaths.computeIfAbsent((dir, cells, m, ks), _ => {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${md}_c${cells}m${m}k$ks"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${pathKey(dir)}_c${cells}m${m}k$ks"
       saveIvfPqIndex(s, dir, path, cells, m, ks)
+      path
+    })
+
+  private def pathKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  private val ivfPqAppendPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The append demo's index (ann_ivfpq_append): built from the EVEN
+    * vec_ids only — the model never sees an odd vector — then the odd
+    * half is appended through [[appendIvfPqIndex]] and a second marker
+    * commits the whole two-step build. Every odd c_id the search then
+    * returns is proof the no-retrain add path serves, end to end. The
+    * recovery guard re-derives idempotence from CONTENT (any odd c_id
+    * present?) before appending, so a run torn between the append write
+    * and its marker cannot double-append on restart.
+    */
+  private[graft] def ivfPqAppendDemoPath(s: SparkSession, dir: String): String =
+    ivfPqAppendPaths.computeIfAbsent(dir, _ => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpqapp_${pathKey(dir)}_c16m8k16"
+      val done = new org.apache.hadoop.fs.Path(path, "_graft_append_ok")
+      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val emb = Tables(s, dir).embeddings
+        saveIvfPqIndexOf(emb.filter(col("vec_id") % 2 === 0), path,
+          datasetKey = s"$dir#even")
+        val hasOdd = s.read.parquet(s"$path/codes")
+          .filter(col("c_id") % 2 === 1).limit(1).count() > 0
+        if (!hasOdd) appendIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), path)
+        fs.create(done, true).close()
+      }
       path
     })
 
@@ -1369,6 +1425,14 @@ object VectorOps {
     "ann_ivfpq_disk" -> ((s, dir) =>
       ivfPqTopKDisk(Tables(s, dir).embeddings, queryIds = 0L until 8L,
         k = 10, path = ivfPqDiskPath(s, dir, cells = 16, m = 8, ks = 16))),
+    // index maintenance without retrain (FAISS add_with_ids): the served
+    // index was built from the EVEN vec_ids only and the odd half was
+    // APPENDED against the frozen model — every odd c_id in the result
+    // is proof the add path works end to end. Deterministic across runs
+    // (two-marker build with a content-derived recovery guard).
+    "ann_ivfpq_append" -> ((s, dir) =>
+      ivfPqTopKDisk(Tables(s, dir).embeddings, queryIds = 0L until 8L,
+        k = 10, path = ivfPqAppendDemoPath(s, dir))),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4

@@ -439,6 +439,62 @@ class SimilaritySpec extends SparkSpec {
       "re-save over a committed index must not rebuild")
   }
 
+  test("IVF-PQ append: new vectors serve without retrain; existing files untouched") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_append")
+      .toString + "/idx"
+    VectorOps.saveIvfPqIndexOf(emb, path, datasetKey = s"$dir#appendspec")
+    def codeFiles: Set[String] = {
+      val base = new java.io.File(s"$path/codes")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = codeFiles
+    // the serving corpus view includes appended vectors (re-rank re-reads
+    // candidate vectors from it — an index entry with no corpus row is
+    // dropped at the re-rank join, by design)
+    val twins = emb.withColumn("vec_id",
+      col("vec_id") + org.apache.spark.sql.functions.lit(100000L))
+    val full = emb.unionByName(twins)
+    // pre-append: no twin ids exist in the index
+    val pre = VectorOps.ivfPqTopKDisk(full, 0L until 4L, k = 10, path = path)
+      .collect()
+    assert(pre.forall(_.getAs[Long]("c_id") < 100000L))
+    // append the SAME vectors under shifted ids — encoded against the
+    // stored model, no retrain
+    VectorOps.appendIvfPqIndex(twins, path)
+    // the appended twin of each query is an identical vector: it must
+    // now be rank-1 with an exact cosine of 1 (re-rank emits true cos)
+    val post = VectorOps.ivfPqTopKDisk(full, 0L until 4L, k = 10, path = path)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    (0L until 4L).foreach { q =>
+      val top = post(q).minBy(_.getAs[Long]("rank"))
+      assert(top.getAs[Long]("c_id") == q + 100000L,
+        s"query $q top: ${top.getAs[Long]("c_id")}")
+      assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-12)
+    }
+    // append added files; it rewrote or deleted NOTHING (readers of the
+    // live index stay consistent through the append)
+    val after = codeFiles
+    assert(before.subsetOf(after), "append must not rewrite existing files")
+    assert(after.size > before.size, "append must add files")
+  }
+
+  test("ann_ivfpq_append id: odd half served from an even-trained index, runs deterministic") {
+    val dir = sf("sf0.001")
+    val q = graft.SparkEntry.queries("ann_ivfpq_append")
+    val run1 = q(spark, dir).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val run2 = q(spark, dir).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(run1 == run2, "repeated runs must not re-append or drift")
+    // the model never saw an odd vector; odd candidates in the results
+    // prove the append path end to end (and evens prove the base build)
+    // row layout is (q_id, rank, c_id, cos) — c_id at index 2
+    val parities = run1.map(r => r(2).asInstanceOf[Long] % 2).toSet
+    assert(parities == Set(0L, 1L), s"expected both parities, got $parities")
+  }
+
   test("native cosine nulls on a null ELEMENT, like the HOF form") {
     val s = spark
     import s.implicits._
