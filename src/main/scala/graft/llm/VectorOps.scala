@@ -1283,7 +1283,7 @@ object VectorOps {
     val model = loadIvfPqModel(spark, path)
     val luts = ivfPqLuts(emb, queryIds, model, nprobe)
     val probed = luts.map(_._2).distinct
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
       .filter(col("cell").isin(probed: _*))
     rerankExact(emb, queryIds, ivfPqScore(codes, luts), k, rerank)
   }
@@ -1298,10 +1298,89 @@ object VectorOps {
     * with FAISS add_with_ids).
     */
   def appendIvfPqIndex(batch: DataFrame, path: String): Unit = {
-    val model = loadIvfPqModel(batch.sparkSession, path)
+    val s = batch.sparkSession
+    val model = loadIvfPqModel(s, path)
     withIvfPqCodes(batch, "embedding", model)
       .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/${currentCodesDir(s, path)}")
+  }
+
+  // --- Index compaction: the generation-pointer protocol --------------
+  //
+  // Daily appends accrete small files inside each cell directory — the
+  // classic small-file problem: at 100 TB a year of appends turns the
+  // nprobe-pruned scan into thousands of file opens per cell.
+  // Compaction rewrites the live code set into ONE file per cell in a
+  // NEW generation directory (codes-00000001, codes-00000002, …) and
+  // then atomically swaps a `_current` pointer file to it — the
+  // root-pointer pattern table formats use (Iceberg/Delta): readers
+  // resolve the pointer at plan time, so they see either the old
+  // generation or the new one in full, never a half-written mix; the
+  // superseded generation stays on disk for in-flight readers until an
+  // explicit GC. No pointer file means generation "codes" (the layout
+  // the initial build writes), so existing indexes need no migration.
+
+  /** The live code directory name: `_current`'s contents, or the
+    * initial build's `codes` when no compaction has happened yet.
+    */
+  private def currentCodesDir(s: SparkSession, path: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(path, "_current")
+    val fs = cur.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur)) "codes"
+    else {
+      val in = fs.open(cur)
+      try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    }
+  }
+
+  /** Rewrite the live code set as one file per cell in a new generation
+    * and atomically repoint `_current` at it. Old generations are left
+    * for [[gcIvfPqIndex]] — an in-flight reader that already resolved
+    * the pointer keeps a consistent view.
+    */
+  def compactIvfPqIndex(s: SparkSession, path: String): Unit = {
+    val live = currentCodesDir(s, path)
+    val gen = if (live == "codes") 1 else live.stripPrefix("codes-").toInt + 1
+    val next = f"codes-$gen%08d"
+    // one shuffle hash-partitioned on cell: every cell's rows land in
+    // exactly one task, so partitionBy emits exactly one file per cell
+    s.read.parquet(s"$path/$live")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$next")
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_current.$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    // FileContext rename with OVERWRITE is the atomic primitive plain
+    // FileSystem.rename lacks (it refuses an existing destination)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(root).toUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new org.apache.hadoop.fs.Path(path, "_current")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete superseded code generations (everything named `codes` or
+    * `codes-*` except the live one). Returns what was removed. Run it
+    * once in-flight readers of the old generation have drained.
+    */
+  def gcIvfPqIndex(s: SparkSession, path: String): Seq[String] = {
+    val live = currentCodesDir(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n != live && (n == "codes" || n.startsWith("codes-")))
+      .map { n =>
+        require(fs.delete(new org.apache.hadoop.fs.Path(path, n), true),
+          s"failed to delete superseded generation $n")
+        n
+      }
   }
 
   private val ivfPqDiskPaths = new java.util.concurrent.ConcurrentHashMap[
@@ -1344,7 +1423,7 @@ object VectorOps {
         val emb = Tables(s, dir).embeddings
         saveIvfPqIndexOf(emb.filter(col("vec_id") % 2 === 0), path,
           datasetKey = s"$dir#even")
-        val hasOdd = s.read.parquet(s"$path/codes")
+        val hasOdd = s.read.parquet(s"$path/${currentCodesDir(s, path)}")
           .filter(col("c_id") % 2 === 1).limit(1).count() > 0
         if (!hasOdd) appendIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), path)
         fs.create(done, true).close()

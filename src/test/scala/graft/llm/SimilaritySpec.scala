@@ -495,6 +495,61 @@ class SimilaritySpec extends SparkSpec {
     assert(parities == Set(0L, 1L), s"expected both parities, got $parities")
   }
 
+  test("IVF-PQ compaction: one file per cell, atomic generation pointer, GC, results invariant") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_compact")
+      .toString + "/idx"
+    VectorOps.saveIvfPqIndexOf(emb, path, datasetKey = s"$dir#compactspec")
+    val twins = emb.withColumn("vec_id",
+      col("vec_id") + org.apache.spark.sql.functions.lit(200000L))
+    val full = emb.unionByName(twins)
+    VectorOps.appendIvfPqIndex(twins, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def search() = rows(VectorOps.ivfPqTopKDisk(full, 0L until 4L, k = 10,
+      path = path))
+    val before = search()
+    def filesPerCell(gen: String): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/$gen")).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getName).map { case (c, fs) => c -> fs.size }
+    }
+    // base build + append = at least one cell with multiple files (the
+    // small-file accretion compaction exists to undo)
+    assert(filesPerCell("codes").values.exists(_ > 1))
+    VectorOps.compactIvfPqIndex(spark, path)
+    // new generation: exactly ONE file per cell; results row-identical
+    val post = filesPerCell("codes-00000001")
+    assert(post.nonEmpty && post.values.forall(_ == 1), post)
+    assert(search() == before, "compaction must not change results")
+    // the superseded generation stays for in-flight readers until GC
+    assert(new java.io.File(s"$path/codes").isDirectory)
+    assert(VectorOps.gcIvfPqIndex(spark, path) == Seq("codes"))
+    assert(!new java.io.File(s"$path/codes").exists())
+    assert(search() == before, "GC must not touch the live generation")
+    // appends land in the LIVE generation; a second identical twin ranks
+    // right behind the first (same cos 1.0, id tiebreak)
+    val twins2 = emb.withColumn("vec_id",
+      col("vec_id") + org.apache.spark.sql.functions.lit(400000L))
+    VectorOps.appendIvfPqIndex(twins2, path)
+    assert(filesPerCell("codes-00000001").values.exists(_ > 1),
+      "append must write into the current generation")
+    val top2 = VectorOps
+      .ivfPqTopKDisk(full.unionByName(twins2), 0L until 2L, k = 10, path = path)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    (0L until 2L).foreach { q =>
+      val ids = top2(q).sortBy(_.getAs[Long]("rank")).take(2)
+        .map(_.getAs[Long]("c_id")).toSeq
+      assert(ids == Seq(q + 200000L, q + 400000L), s"query $q top-2: $ids")
+    }
+    // second compaction bumps the generation and supersedes the first
+    VectorOps.compactIvfPqIndex(spark, path)
+    assert(filesPerCell("codes-00000002").values.forall(_ == 1))
+    assert(VectorOps.gcIvfPqIndex(spark, path) == Seq("codes-00000001"))
+  }
+
   test("native cosine nulls on a null ELEMENT, like the HOF form") {
     val s = spark
     import s.implicits._
