@@ -1144,6 +1144,34 @@ object NearDedup {
         .orderBy("doc_id")
     }),
 
+    // quality-aware canonical selection (the RefinedWeb/FineWeb rule):
+    // when a dup cluster spans SOURCES, keep the member from the
+    // preferred source, not the arbitrary minimum id — production
+    // pipelines rank curated > web dumps so the surviving copy is the
+    // cleanest one. Priority here = the source's numeric suffix (src0
+    // outranks src7), tie-broken by doc_id for determinism. The keeper
+    // is row_number()=1 over (prio, doc_id) within the cluster — a
+    // window over the TINY label table (one row per clustered doc), not
+    // the corpus; the corpus is touched once by the final anti-join
+    // (AQE broadcasts the dropped list). Labels come from the memoized
+    // [[clusters]] run shared with dedup_cluster/dedup_apply. At sf0.01
+    // this is non-vacuous vs dedup_apply: 13 of 23 clusters keep a
+    // different member.
+    "dedup_apply_priority" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ranked = clusters(s, dir)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("prio",
+          regexp_extract(col("source"), "(\\d+)$", 1).cast("int"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("prio"), col("doc_id"))
+      val dropped = ranked.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select("doc_id")
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
+
     // exact substring dedup (Lee et al.): drop docs sharing a >=20-token
     // contiguous span with an earlier doc. k=20 is proportionate to the
     // fixture (docs are 10-99 tokens; the paper's 50-token rule targets
@@ -1333,6 +1361,51 @@ object NearDedup {
         |SELECT d.doc_id, md5(d.text) AS h
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "dedup_apply_priority" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |salted AS (
+        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+        |bands AS (
+        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+        |  FROM salted GROUP BY 1, 2),
+        |bucket_ok AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY c.doc1, c.doc2),
+        |pairs AS (
+        |  SELECT doc1, doc2
+        |  FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |edges AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b),
+        |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+        |ranked AS (
+        |  SELECT c.doc_id,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |           ORDER BY CAST(regexp_extract(d.source, '(\d+)$', 1) AS INT), c.doc_id) AS rn
+        |  FROM cc c JOIN documents d ON d.doc_id = c.doc_id)
+        |SELECT d.doc_id, d.source, md5(d.text) AS h
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       """WITH words AS (

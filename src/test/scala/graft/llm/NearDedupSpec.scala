@@ -108,6 +108,53 @@ class NearDedupSpec extends SparkSpec {
     assert(canonicals.subsetOf(survivors))
   }
 
+  test("dedup_apply_priority: keeper is the (source-priority, doc_id)-minimal member, not the min id") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    // independent re-derivation: expected keeper per cluster from the
+    // labels + the raw source column, folded in plain Scala
+    val srcOf = graft.Tables(s, dir).documents
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    def prio(src: String): Int = "(\\d+)$".r.findFirstIn(src).get.toInt
+    val labels = NearDedup.queries("dedup_cluster")(s, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val expectedDropped = labels.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1)
+      val keeper = ids.minBy(d => (prio(srcOf(d)), d))
+      ids.filterNot(_ == keeper)
+    }.toSet
+    val all = srcOf.keySet
+    val survivors = NearDedup.queries("dedup_apply_priority")(s, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == all -- expectedDropped)
+    // exactly one survivor per cluster
+    val byCluster = labels.groupBy(_._2).view
+      .mapValues(_.map(_._1).count(survivors.contains)).toMap
+    assert(byCluster.values.forall(_ == 1), byCluster.filter(_._2 != 1))
+  }
+
+  test("dedup_apply_priority: planted cross-source cluster keeps the preferred source's LARGER id") {
+    val s = spark
+    import s.implicits._
+    // doc 1 (src5) and doc 2 (src2) are exact dups: priority picks 2,
+    // plain dedup_apply picks min-id 1 — the behaviors must diverge
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("prio_fixture").toString
+    Seq(
+      (1L, dup, "en", "src5", dup.length.toLong),
+      (2L, dup, "en", "src2", dup.length.toLong),
+      (3L, "totally unrelated content nothing shared here with anyone else", "en", "src9", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val prioKeep = NearDedup.queries("dedup_apply_priority")(s, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val minKeep = NearDedup.queries("dedup_apply")(s, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prioKeep == Set(2L, 3L), s"priority keeper wrong: $prioKeep")
+    assert(minKeep == Set(1L, 3L), s"min-id keeper wrong: $minKeep")
+  }
+
   test("incremental admission: state dups rejected, chains through the batch rejected, fresh admitted, idempotent") {
     val s = spark
     import s.implicits._
