@@ -1100,21 +1100,28 @@ object VectorOps {
   final case class IvfPqIndex(codes: DataFrame, model: IvfPqModel)
 
   private val ivfPqCodesCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int), IvfPqIndex]()
+    (SparkSession, String, Int, Int, Int, Seq[String]), IvfPqIndex]()
 
   /** Memoized per-corpus IVF-PQ code table — at 100 TB, `cell` is the
     * table's partition/cluster key and `codes` its 8-byte payload: the
     * whole searchable corpus in n·(8+ε) bytes, and a query touches only
     * nprobe partitions of it. Same hygiene as [[pqIndex]].
+    *
+    * `attrs` names corpus columns stored ALONGSIDE the codes — the
+    * payload-field pattern every production vector store uses for
+    * filtered search (FAISS keeps them in a sidecar docstore, Milvus/
+    * Vespa inline them like this): a candidate predicate must be
+    * evaluable during the code scan itself, without a corpus join.
     */
   private[graft] def ivfPqIndex(s: SparkSession, dir: String,
-      cells: Int, m: Int, ks: Int): IvfPqIndex = {
+      cells: Int, m: Int, ks: Int, attrs: Seq[String] = Nil): IvfPqIndex = {
     ivfPqCodesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    ivfPqCodesCache.computeIfAbsent((s, dir, cells, m, ks), _ => {
+    ivfPqCodesCache.computeIfAbsent((s, dir, cells, m, ks, attrs), _ => {
       val emb = Tables(s, dir).embeddings
       val model = ivfPqModel(emb, cells, m, ks, datasetKey = dir)
       IvfPqIndex(withIvfPqCodes(emb, "embedding", model)
-          .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
+          .select(col("vec_id").as("c_id") +: col("cell") +: col("codes") +:
+            attrs.map(col): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), model)
     })
   }
@@ -1139,6 +1146,42 @@ object VectorOps {
     }
     val luts = ivfPqLuts(emb, queryIds, idx.model, nprobe)
     rerankExact(emb, queryIds, ivfPqScore(idx.codes, luts), k, rerank)
+  }
+
+  /** Filtered ANN (the FAISS IDSelector / Milvus-Vespa filtered-search
+    * operation): per-query top-k restricted to candidates satisfying
+    * `where`. The predicate is evaluated DURING the cell-pruned code
+    * scan, BEFORE ADC ranking — a post-filter over an unfiltered
+    * shortlist underfills k whenever the predicate is selective (a 10%
+    * predicate leaves ~k·rerank/10 qualifying shortlist rows), while
+    * pre-filtering keeps the full shortlist budget on qualifying
+    * candidates, so recall targets apply to the FILTERED set.
+    *
+    * `where` may reference the candidate's attribute columns (stored in
+    * the code table — see [[ivfPqIndex]]'s `attrs`) and, for per-query
+    * bound values, `q_`-prefixed query attributes (e.g.
+    * `col("label") === col("q_label")` for same-class search): the
+    * query side rides the already-broadcast LUT join, so the filter
+    * costs zero extra shuffles — the plan is the unfiltered plan plus
+    * one codegen'd predicate inside the probed-cell scan.
+    */
+  def ivfPqTopKWhere(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      where: Column, attrCols: Seq[String],
+      cells: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 16,
+      rerank: Int = 4, index: Option[IvfPqIndex] = None): DataFrame = {
+    val idx = index.getOrElse {
+      val model = ivfPqTrain(emb, cells, m, ks)
+      IvfPqIndex(withIvfPqCodes(emb, "embedding", model)
+        .select(col("vec_id").as("c_id") +: col("cell") +: col("codes") +:
+          attrCols.map(col): _*), model)
+    }
+    val luts = ivfPqLuts(emb, queryIds, idx.model, nprobe)
+    val qAttrs = broadcast(emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id") +:
+        attrCols.map(c => col(c).as(s"q_$c")): _*))
+    val scored = ivfPqScore(idx.codes, luts).join(qAttrs, "q_id")
+      .filter(where)
+    rerankExact(emb, queryIds, scored, k, rerank)
   }
 
   /** Driver-side LUT builder shared by the in-memory and persisted
@@ -1512,6 +1555,21 @@ object VectorOps {
     "ann_ivfpq_append" -> ((s, dir) =>
       ivfPqTopKDisk(Tables(s, dir).embeddings, queryIds = 0L until 8L,
         k = 10, path = ivfPqAppendDemoPath(s, dir))),
+    // filtered ANN (FAISS IDSelector / Milvus filtered search): top-k
+    // restricted to candidates sharing the QUERY's label — same-class
+    // retrieval, the commonest production filter shape. The label is
+    // stored alongside the codes and the predicate evaluates inside the
+    // probed-cell scan BEFORE ADC ranking (a post-filter would underfill
+    // k); the query's own label rides the broadcast LUT join, so the
+    // plan is ann_ivfpq's plan plus one codegen'd predicate. Rows-only
+    // like the other ANN ids; subset/parity/pre-vs-post-filter semantics
+    // pinned in SimilaritySpec.
+    "ann_ivfpq_where" -> ((s, dir) =>
+      ivfPqTopKWhere(Tables(s, dir).embeddings, queryIds = 0L until 8L,
+        k = 10, where = col("label") === col("q_label"),
+        attrCols = Seq("label"),
+        index = Some(ivfPqIndex(s, dir, cells = 16, m = 8, ks = 16,
+          attrs = Seq("label"))))),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4

@@ -550,6 +550,54 @@ class SimilaritySpec extends SparkSpec {
     assert(VectorOps.gcIvfPqIndex(spark, path) == Seq("codes-00000001"))
   }
 
+  test("filtered ANN: predicate on every row; all-cells+wide-rerank ≡ label-restricted brute force; pre-filter beats post-filter") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val labels: Map[Long, Int] = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qids = 0L until 8L
+    val idx = Some(VectorOps.ivfPqIndex(spark, dir, cells = 16, m = 8,
+      ks = 16, attrs = Seq("label")))
+    val sameLabel = col("label") === col("q_label")
+    val filtered = VectorOps.ivfPqTopKWhere(emb, qids, k = 10,
+      where = sameLabel, attrCols = Seq("label"), index = idx).collect()
+    // 1. the predicate holds on every emitted row (and never the query)
+    assert(filtered.nonEmpty)
+    filtered.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val c = r.getAs[Long]("c_id")
+      assert(c != q, s"query $q returned itself")
+      assert(labels(c) == labels(q), s"($q,$c): label mismatch")
+    }
+    // 2. exactness: probing ALL cells with a shortlist wide enough to
+    // cover the whole label class makes the approximate path exact —
+    // result must equal the label-restricted brute-force top-k
+    val classSize = labels.values.groupBy(identity).values.map(_.size).max
+    val all = VectorOps.ivfPqTopKWhere(emb, qids, k = 10, where = sameLabel,
+      attrCols = Seq("label"), nprobe = 16, rerank = classSize / 10 + 2,
+      index = idx)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("c_id")).toSeq }
+    def truthLabel(q: Long, k: Int): Seq[Long] =
+      vecs.collect { case (id, v) if id != q && labels(id) == labels(q) =>
+        (id, cosine(vecs(q), v)) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    qids.foreach(q => assert(all(q) == truthLabel(q, 10), s"query $q"))
+    // 3. pre-filter dominates post-filter: filtering the UNfiltered
+    // top-k after the fact underfills (label selectivity ~1/10 leaves
+    // ~1 qualifying row in 10) — the reason the predicate must sit
+    // inside the scan, not after the shortlist
+    val unfiltered = VectorOps.ivfPqTopK(emb, qids, k = 10,
+      index = Some(VectorOps.ivfPqIndex(spark, dir, cells = 16, m = 8, ks = 16)))
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    val pre = filtered.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.size).toMap
+    val post = qids.map(q => q -> unfiltered(q)
+      .count(r => labels(r.getAs[Long]("c_id")) == labels(q))).toMap
+    qids.foreach(q => assert(pre.getOrElse(q, 0) >= post(q), s"query $q"))
+    assert(qids.map(q => pre.getOrElse(q, 0)).sum > qids.map(post).sum,
+      s"pre-filter must strictly beat post-filter on this fixture: $pre vs $post")
+  }
+
   test("native cosine nulls on a null ELEMENT, like the HOF form") {
     val s = spark
     import s.implicits._
