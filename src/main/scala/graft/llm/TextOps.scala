@@ -543,6 +543,82 @@ object TextOps {
         .orderBy("doc_id", "rank")
     }),
 
+    // BM25 ranked retrieval (Robertson k1=1.2 b=0.75, Lucene's
+    // non-negative idf form): the lexical half of every retrieval
+    // stack. Queries are docs 0..7 as bags of DISTINCT terms (qtf=1,
+    // the standard practical form). ONE tokenize scan feeds tf, df AND
+    // doc length via the tfidf_topk ReusedExchange discipline (tf's
+    // (doc_id, term) aggregate is the shared subtree; df and dl both
+    // derive from it); query terms and the (N, avgdl) scalars are
+    // broadcast, so the corpus-sized stages are the postings join and
+    // ONE (q_id, c_id)-keyed sum. Score rounds to 6 dp before ranking
+    // (ln ulp noise sits ~7 orders below — the dsir_score
+    // adjudication), ties to c_id: deterministic cross-engine.
+    "bm25_topk" -> ((s, dir) => {
+      val (k1, b) = (1.2, 0.75)
+      val docs = Tables(s, dir).documents
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("__ctf"))
+        .filter(col("__ctf") >= 0).drop("__ctf") // ReusedExchange anchor (see tfidf_topk)
+      val dlen = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+        .crossJoin(dlen.agg(avg(col("dl")).as("avgdl")))
+      val qterms = broadcast(tf.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("q_id"), col("term")))
+      // df restricted to QUERY terms before broadcasting: the full df
+      // table is corpus-vocabulary-sized (billions of terms at 100 TB,
+      // unbroadcastable); (q_id, term, df) is |query terms| rows
+      val qdf = broadcast(qterms.join(dfreq, "term"))
+      val contrib = qdf
+        .join(tf.withColumnRenamed("doc_id", "c_id"), "term")
+        .filter(col("c_id") =!= col("q_id"))
+        .join(dlen.withColumnRenamed("doc_id", "c_id"), "c_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("w",
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+      contrib.groupBy("q_id", "c_id")
+        .agg(round(sum(col("w")), 6).as("score"))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("q_id", "rank", "c_id", "score")
+        .orderBy("q_id", "rank")
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    // rrf_k=60) of the BM25 list and the exact-cosine list (sim_topk)
+    // — the standard lexical+vector fusion every production retrieval
+    // stack runs. RRF is RANK-based: each list contributes
+    // 1/(60+rank), so the fused score is two exact double divisions
+    // from integer ranks — hash-exact cross-engine with no rounding
+    // adjudication at all (the reason RRF beats score-interpolation
+    // for an oracle-checked id AND for real systems: no score
+    // calibration between incomparable scales). Both input lists are
+    // |q|·10 rows, so the fusion stage costs nothing at any corpus
+    // size — scale lives entirely in the input retrievers, both
+    // already probed at 25×.
+    "retrieve_hybrid" -> ((s, dir) => {
+      val bm = queries("bm25_topk")(s, dir)
+        .select(col("q_id"), col("c_id"), col("rank").as("r_bm"))
+      val cs = VectorOps.queries("sim_topk")(s, dir)
+        .select(col("q_id"), col("c_id"), col("rank").as("r_cos"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
+      bm.join(cs, Seq("q_id", "c_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("q_id", "rank", "c_id", "rrf", "r_bm", "r_cos")
+        .orderBy("q_id", "rank")
+    }),
+
     // corpus vocabulary with cumulative coverage — the tokenizer-training
     // input (which terms cover X% of the token stream). The groupBy count
     // is the distributed part (the only corpus-sized stage, map-side
@@ -851,6 +927,80 @@ object TextOps {
         |    ORDER BY tfidf DESC, term) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "bm25_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT q.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+        |  JOIN df d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |scored AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |           FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, c_id, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM scored)
+        |SELECT q_id, rank, c_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "retrieve_hybrid" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT q.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+        |  JOIN df d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |bscored AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |            FROM contrib GROUP BY 1, 2),
+        |branked AS (SELECT q_id, c_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM bscored),
+        |bm AS (SELECT q_id, c_id, rank AS r_bm FROM branked WHERE rank <= 10),
+        |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |       WHERE vec_id BETWEEN 0 AND 7),
+        |cscored AS (
+        |  SELECT qv.q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(qv.q_emb)+1),
+        |      i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+        |  FROM qv JOIN embeddings c ON c.vec_id <> qv.q_id),
+        |cranked AS (SELECT q_id, c_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank FROM cscored),
+        |cs AS (SELECT q_id, c_id, rank AS r_cos FROM cranked WHERE rank <= 10),
+        |fused AS (
+        |  SELECT COALESCE(b.q_id, c.q_id) AS q_id,
+        |         COALESCE(b.c_id, c.c_id) AS c_id,
+        |         COALESCE(1.0 / (60 + b.r_bm), 0) +
+        |           COALESCE(1.0 / (60 + c.r_cos), 0) AS rrf,
+        |         b.r_bm, c.r_cos
+        |  FROM bm b FULL JOIN cs c ON b.q_id = c.q_id AND b.c_id = c.c_id),
+        |franked AS (SELECT q_id, c_id, rrf, r_bm, r_cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rrf DESC, c_id) AS BIGINT) AS rank FROM fused)
+        |SELECT q_id, rank, c_id, rrf, r_bm, r_cos FROM franked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "vocab_coverage" ->
       """WITH counts AS (
         |  SELECT term, count(*) AS cnt FROM (

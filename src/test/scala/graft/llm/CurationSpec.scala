@@ -996,4 +996,90 @@ class CurationSpec extends SparkSpec {
     assert(surv001 == all001 -- lab001.filter { case (d, c) => d != c }.keys,
       "apply survivors must be exactly corpus minus non-canonical members")
   }
+
+  test("bm25_topk matches an independent in-JVM BM25 on a planted corpus; saturation and length-norm behave") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_fixture").toString
+    // doc 0 is the query; 1 repeats a query term (tf saturation), 2 is a
+    // long doc with the same tf (length penalty), 3 shares nothing
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha alpha beta x y"),
+      (2L, "alpha alpha alpha beta " + Seq.fill(40)("pad").mkString(" ")),
+      (3L, "delta epsilon zeta"),
+      (4L, "alpha q r s t u"),
+      (5L, "beta gamma v w"),
+      (6L, "gamma z"),
+      (7L, "unrelated words only here"))
+    docs.map { case (id, t) => (id, t, "en", s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.queries("bm25_topk")(s, dir)
+      .filter(col("q_id") === 0L).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => r.getAs[Long]("c_id") -> r.getAs[Double]("score"))
+    // independent reference: same formula, plain Scala
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / toks.size
+    def df(t: String) = toks.values.count(_.contains(t)).toDouble
+    def bm25(q: Long, c: Long): Double = {
+      val contribs = toks(q).distinct.map { t =>
+        val tf = toks(c).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks(c).size / avgdl))
+      }
+      BigDecimal(contribs.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = docs.map(_._1).filter(_ != 0L)
+      .map(c => c -> bm25(0L, c)).filter(_._2 > 0)
+      .sortBy { case (c, sc) => (-sc, c) }
+    assert(got.toSeq == expected, s"got ${got.toSeq} expected $expected")
+    val rankOf = got.map(_._1).zipWithIndex.toMap
+    // tf saturation + idf: repeating a term helps (1 beats 4's single hit)
+    assert(rankOf(1L) < rankOf(4L), "tf saturation ordering")
+    // length normalization: same tf, longer doc scores lower (1 beats 2)
+    assert(rankOf(1L) < rankOf(2L), "length-norm ordering")
+    // no shared term -> absent entirely
+    assert(!rankOf.contains(3L) && !rankOf.contains(7L))
+  }
+
+  test("retrieve_hybrid: RRF algebra recomputes from emitted ranks, fused set ⊆ inputs, both-lists beats one-list") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val bm = TextOps.queries("bm25_topk")(s, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Long]("rank")).toMap
+    val cs = VectorOps.queries("sim_topk")(s, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Long]("rank")).toMap
+    val fused = TextOps.queries("retrieve_hybrid")(s, dir).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      // membership: every fused row came from at least one input list,
+      // and the emitted input ranks are the input lists' ranks
+      assert(bm.contains(key) || cs.contains(key), s"$key in neither list")
+      assert(Option(r.getAs[Any]("r_bm")).map(_.asInstanceOf[Long]) == bm.get(key))
+      assert(Option(r.getAs[Any]("r_cos")).map(_.asInstanceOf[Long]) == cs.get(key))
+      // RRF algebra, bit-exact: 1/(60+r) per contributing list
+      val exp = bm.get(key).map(r0 => 1.0 / (60 + r0)).getOrElse(0.0) +
+        cs.get(key).map(r0 => 1.0 / (60 + r0)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == exp, s"$key rrf")
+    }
+    // a doc on BOTH lists always outranks a doc on one list whose best
+    // rank is no better: min possible one-list rrf at rank 1 (1/61) <
+    // two-list rrf at ranks (10,10) (2/70) is FALSE in general, so pin
+    // the provable case — both-lists (r_bm,r_cos) dominates one-list
+    // with the SAME best rank
+    fused.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("rrf") >= lo.getAs[Double]("rrf"),
+            "fused order must be rrf-descending")
+        case _ =>
+      }
+    }
+  }
 }
