@@ -185,6 +185,155 @@ object TextOps {
     })
   }
 
+  /** The BM25 per-(query-term, candidate) weight shared by the inline
+    * (`bm25_topk`) and index-served (`bm25_disk`) paths — ONE formula
+    * body, so disk ≡ memory is structural, not a coincidence of two
+    * transcriptions. Robertson k1=1.2 b=0.75, Lucene's non-negative
+    * idf ln(1+(N−df+0.5)/(df+0.5)).
+    */
+  private def bm25Weight(tf: org.apache.spark.sql.Column,
+      df: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+      dl: org.apache.spark.sql.Column,
+      avgdl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (k1, b) = (1.2, 0.75)
+    log(lit(1.0) + (n - df + 0.5) / (df + 0.5)) * (tf * (k1 + 1)) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+  }
+
+  /** The shared BM25 tail: per-(q,c) sum rounded to 6 dp (the
+    * dsir_score ulp adjudication) ranked with c_id ties, top-k.
+    */
+  private def bm25Rank(contrib: DataFrame, k: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    contrib.groupBy("q_id", "c_id")
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  // --- Persisted inverted index (bm25_disk) --------------------------
+  //
+  // The lexical twin of ann_ivfpq_disk: a 100 TB corpus tokenizes and
+  // aggregates its postings ONCE, then serves queries from the durable
+  // artifact for weeks. Layout — all plain parquet:
+  //   <path>/postings/ (term, c_id, tf) range-partitioned AND sorted by
+  //                    term: every file/row-group carries a tight
+  //                    (min,max) term range, so a query's static term
+  //                    filter skips whole files at the scan. This is
+  //                    the right pruning tool for an OPEN key space
+  //                    (vocabulary), where ann_ivfpq_disk's directory-
+  //                    per-key partitioning would create millions of
+  //                    directories.
+  //   <path>/df/      (term, df) — same layout
+  //   <path>/doclen/  (c_id, dl)
+  //   <path>/stats/   (n, avgdl) — 1 row
+  //   <path>/_graft_index_ok — commit marker written LAST (staged-
+  //                    commit convention; re-save over a committed
+  //                    index is a no-op)
+
+  /** Number of text-index builds this JVM has run (save-once
+    * observability, mirroring VectorOps.ivfPqSaveCount).
+    */
+  val textIndexSaveCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def saveTextIndex(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
+    if (fs.exists(marker)) return
+    textIndexSaveCount.incrementAndGet()
+    // staged commit (the Stream.scala/NearDedup protocol): build the
+    // whole artifact — marker INCLUDED — in a sibling stage dir, then
+    // one rename publishes it. A reader never sees a half-written
+    // index (bm25TopKDisk requires the marker, which only exists
+    // inside a fully-built tree), and a build torn by a crash leaves
+    // only an orphan stage dir, not a corrupt root.
+    val stage = new org.apache.hadoop.fs.Path(
+      path + ".stage-" + java.util.UUID.randomUUID)
+    val tf = docs
+      .select(col("doc_id").as("c_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("c_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds postings, df and doclen; released below
+    tf.repartitionByRange(col("term")).sortWithinPartitions("term", "c_id")
+      .write.mode("overwrite").parquet(s"$stage/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$stage/df")
+    tf.groupBy("c_id").agg(sum(col("tf")).cast("double").as("dl"))
+      .write.mode("overwrite").parquet(s"$stage/doclen")
+    tf.unpersist()
+    docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(s.read.parquet(s"$stage/doclen").agg(avg(col("dl")).as("avgdl")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_graft_index_ok"), true)
+      .close()
+    if (fs.exists(root)) {
+      if (fs.exists(marker)) {
+        // a concurrent builder won with a complete index; ours is surplus
+        require(fs.delete(stage, true), s"failed to discard stage $stage")
+        return
+      }
+      // torn remains of an earlier non-staged attempt: safe to clear —
+      // no marker means no reader ever accepted it
+      require(fs.delete(root, true), s"failed to clear torn index at $path")
+    }
+    require(fs.rename(stage, root), s"failed to publish text index $stage -> $path")
+  }
+
+  /** BM25 served from a committed [[saveTextIndex]] artifact. The query
+    * is driver-side (as in any search engine), so its distinct terms —
+    * bounded by |queries|·doc-length — become a STATIC `term IN (...)`
+    * filter on the postings and df scans, pushed to parquet column
+    * statistics; with term-sorted files that is file/row-group
+    * skipping, the lexical analogue of the disk ANN path's partition
+    * pruning. Same weight formula and ranking tail as `bm25_topk`, so
+    * disk ≡ memory row-for-row (spec-pinned).
+    */
+  def bm25TopKDisk(docs: DataFrame, queryIds: Seq[Long], k: Int,
+      path: String): DataFrame = {
+    val s = docs.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"no committed text index at $path")
+    import s.implicits._
+    val qt = docs.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct().as[(Long, String)].collect()
+    val terms = qt.map(_._2).distinct.toSeq
+    val post = s.read.parquet(s"$path/postings").filter(col("term").isin(terms: _*))
+    val dfq = s.read.parquet(s"$path/df").filter(col("term").isin(terms: _*))
+    val dlen = s.read.parquet(s"$path/doclen")
+    val stats = broadcast(s.read.parquet(s"$path/stats"))
+    val contrib = broadcast(qt.toSeq.toDF("q_id", "term").join(dfq, "term"))
+      .join(post, "term")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(dlen, "c_id")
+      .crossJoin(stats)
+      .withColumn("w",
+        bm25Weight(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")))
+    bm25Rank(contrib, k)
+  }
+
+  private val textIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic per-corpus location for the demo id's persisted
+    * index, built on first use (untimed artifact, like every memoized
+    * per-corpus structure).
+    */
+  private[graft] def textIndexPath(s: SparkSession, dir: String): String =
+    textIndexPaths.computeIfAbsent(dir, _ => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_textidx_$key"
+      saveTextIndex(Tables(s, dir).documents, path)
+      path
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -555,7 +704,6 @@ object TextOps {
     // (ln ulp noise sits ~7 orders below — the dsir_score
     // adjudication), ties to c_id: deterministic cross-engine.
     "bm25_topk" -> ((s, dir) => {
-      val (k1, b) = (1.2, 0.75)
       val docs = Tables(s, dir).documents
       val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -577,18 +725,20 @@ object TextOps {
         .join(dlen.withColumnRenamed("doc_id", "c_id"), "c_id")
         .crossJoin(broadcast(stats))
         .withColumn("w",
-          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-      contrib.groupBy("q_id", "c_id")
-        .agg(round(sum(col("w")), 6).as("score"))
-        .withColumn("rank", row_number().over(win).cast("long"))
-        .filter(col("rank") <= 10)
-        .select("q_id", "rank", "c_id", "score")
-        .orderBy("q_id", "rank")
+          bm25Weight(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")))
+      bm25Rank(contrib, 10)
     }),
+
+    // the index-served twin: the same BM25 search answered from the
+    // persisted inverted index ([[saveTextIndex]]) — postings/df/
+    // doclen/stats read back from parquet, query terms applied as a
+    // STATIC pushed filter on the term-sorted postings scan. Same
+    // weight body and ranking tail as bm25_topk, same ORACLE as
+    // bm25_topk: the index must be a lossless representation of the
+    // corpus statistics, and the differential proves it at 3 SFs.
+    "bm25_disk" -> ((s, dir) =>
+      bm25TopKDisk(Tables(s, dir).documents, queryIds = 0L until 8L,
+        k = 10, path = textIndexPath(s, dir))),
 
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     // rrf_k=60) of the BM25 list and the exact-cosine list (sim_topk)
@@ -928,6 +1078,33 @@ object TextOps {
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "bm25_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT q.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+        |  JOIN df d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |scored AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |           FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, c_id, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM scored)
+        |SELECT q_id, rank, c_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // the index-served path must answer the SAME question as the inline
+    // one, so it shares bm25_topk's oracle verbatim — the differential
+    // doubles as a lossless-index proof
+    "bm25_disk" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),

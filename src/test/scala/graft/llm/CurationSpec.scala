@@ -1046,6 +1046,38 @@ class CurationSpec extends SparkSpec {
     assert(!rankOf.contains(3L) && !rankOf.contains(7L))
   }
 
+  test("bm25_disk: persisted index serves row-identically; term filter pushed into the postings scan; re-save no-op") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val docs = graft.Tables(s, dir).documents
+    val path = java.nio.file.Files.createTempDirectory("textidx").toString + "/idx"
+    TextOps.saveTextIndex(docs, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // disk ≡ memory: same weight body, same tail, same rows
+    val mem = rows(TextOps.queries("bm25_topk")(s, dir))
+    val disk = rows(TextOps.bm25TopKDisk(docs, 0L until 8L, k = 10, path))
+    assert(disk == mem, "index-served BM25 must be row-identical to inline")
+    // the static term filter reaches the postings scan as a PUSHED
+    // parquet filter (file/row-group skipping on the term-sorted
+    // layout), not merely a post-scan condition
+    val plan = TextOps.bm25TopKDisk(docs, 0L until 8L, k = 10, path)
+      .queryExecution.sparkPlan
+    val postScan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("postings")) => f
+    }
+    assert(postScan.nonEmpty, s"no postings FileSourceScan in:\n$plan")
+    val pushed = postScan.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("term"),
+      s"term filter must be PUSHED to the postings scan, got: $pushed")
+    // a second save over the committed artifact is a no-op (marker wins)
+    val builds = TextOps.textIndexSaveCount.get()
+    TextOps.saveTextIndex(docs, path)
+    assert(TextOps.textIndexSaveCount.get() == builds,
+      "re-save over a committed index must not rebuild")
+  }
+
   test("retrieve_hybrid: RRF algebra recomputes from emitted ranks, fused set ⊆ inputs, both-lists beats one-list") {
     val s = spark
     val dir = sf("sf0.001")
