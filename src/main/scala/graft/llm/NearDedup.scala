@@ -922,6 +922,13 @@ object NearDedup {
         .persist())
   }
 
+  /** The memoized cluster-label table, shared beyond this object:
+    * `Sampling.split_leakage_safe` keys its split assignment on the
+    * cluster canonical id so near-dups never straddle splits.
+    */
+  private[llm] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
+
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     clusterCache.computeIfAbsent((s, dir), _ => {

@@ -64,6 +64,26 @@ object Sampling {
         .agg(count(lit(1)).as("n"))
         .orderBy("source", "split")),
 
+    // leakage-safe split: hash the near-dup CLUSTER's canonical id, not
+    // the doc id — a plain per-doc hash puts near-identical docs on
+    // both sides of the train/test boundary, and test metrics then
+    // measure memorization of training near-dups rather than
+    // generalization (the standard eval-leakage failure dedup exists
+    // to prevent; same rationale as decontaminate, applied to the
+    // split itself). Assignment unit = coalesce(cluster canonical,
+    // doc_id); the label table is the memoized near-dup cluster run
+    // (one row per CLUSTERED doc — tiny), left-joined once against the
+    // corpus ids, so the whole id costs one broadcastable join + the
+    // split_train_test hash projection.
+    "split_leakage_safe" -> ((s, dir) => {
+      val keyed = Tables(s, dir).documents.select(col("doc_id"))
+        .join(NearDedup.clusterLabels(s, dir), Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      splitAssign(keyed, "split_key")
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide top trigram shingles by document frequency: narrow
     // shingle projection → explode → ONE counting aggregate (map-side
     // partials) → top-k. The boilerplate-detection companion to the
@@ -338,6 +358,51 @@ object Sampling {
         |  CASE WHEN hb < 58982 THEN 'train' WHEN hb < 62259 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "split_leakage_safe" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |salted AS (
+        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+        |bands AS (
+        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+        |  FROM salted GROUP BY 1, 2),
+        |bucket_ok AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY c.doc1, c.doc2),
+        |pairs AS (
+        |  SELECT doc1, doc2
+        |  FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |edges AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b),
+        |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+        |keyed AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id),
+        |h AS (SELECT doc_id, split_key,
+        |  CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)),1,4) AS INTEGER) AS hb
+        |  FROM keyed)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN hb < 58982 THEN 'train' WHEN hb < 62259 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
     "ngram_topk" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),

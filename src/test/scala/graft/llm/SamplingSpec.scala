@@ -127,4 +127,36 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
     assert(rows.map(r => r._1 -> r._4).toMap == again, "shuffle must be reproducible")
   }
+
+  test("split_leakage_safe: no cluster straddles splits, unclustered docs keep the plain hash split, non-vacuous") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val got = Sampling.queries("split_leakage_safe")(s, dir)
+      .as[(Long, Long, String)].collect()
+    val splitOf = got.map(t => t._1 -> t._3).toMap
+    val labels = NearDedup.clusterLabels(s, dir)
+      .as[(Long, Long)].collect()
+    // the leakage guarantee: every cluster is entirely inside ONE split
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      val splits = members.map(m => splitOf(m._1)).distinct
+      assert(splits.length == 1, s"cluster $cid straddles splits: $splits")
+    }
+    // unclustered docs are split exactly like split_train_test (the
+    // plain doc_id hash) — the guard changes ONLY clustered docs
+    val plain = Sampling.splitAssign(
+      graft.Tables(s, dir).documents.select("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    val clustered = labels.map(_._1).toSet
+    got.filterNot(t => clustered(t._1)).foreach { t =>
+      assert(t._2 == t._1, s"unclustered ${t._1} must key on itself")
+      assert(t._3 == plain(t._1), s"unclustered ${t._1} split changed")
+    }
+    // non-vacuous on this fixture: at least one clustered doc lands in
+    // a different split than its plain hash would give — the exact
+    // failure mode the op exists to prevent
+    val moved = got.filter(t => clustered(t._1)).filter(t => t._3 != plain(t._1))
+    assert(moved.nonEmpty,
+      "fixture has no doc whose split changes under cluster keying — vacuous")
+  }
 }
