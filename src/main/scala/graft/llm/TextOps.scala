@@ -266,8 +266,15 @@ object TextOps {
     tf.groupBy("c_id").agg(sum(col("tf")).cast("double").as("dl"))
       .write.mode("overwrite").parquet(s"$stage/doclen")
     tf.unpersist()
+    // stats as ADDITIVE components, not derived ratios: appends write
+    // one more (n, n_len, total_dl) row and serving sums before the
+    // one division — the LSM trick that lets df/stats merge at read.
+    // dl is an integer-valued double, so the sums are exact and
+    // sum/count is bit-identical to the inline path's avg(dl).
     docs.agg(count(lit(1)).cast("double").as("n"))
-      .crossJoin(s.read.parquet(s"$stage/doclen").agg(avg(col("dl")).as("avgdl")))
+      .crossJoin(s.read.parquet(s"$stage/doclen")
+        .agg(count(lit(1)).cast("double").as("n_len"),
+          sum(col("dl")).as("total_dl")))
       .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
     fs.create(new org.apache.hadoop.fs.Path(stage, "_graft_index_ok"), true)
       .close()
@@ -305,9 +312,17 @@ object TextOps {
       .distinct().as[(Long, String)].collect()
     val terms = qt.map(_._2).distinct.toSeq
     val post = s.read.parquet(s"$path/postings").filter(col("term").isin(terms: _*))
+    // read-time merge of the LSM generations ([[appendTextIndex]]):
+    // batches have disjoint doc ids, so df rows are ADDITIVE per term
+    // (summed here, AFTER the pushed term filter — query-vocab rows
+    // only) and the stats components sum before the one division. On a
+    // never-appended index both reduce to the single build's values.
     val dfq = s.read.parquet(s"$path/df").filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
     val dlen = s.read.parquet(s"$path/doclen")
-    val stats = broadcast(s.read.parquet(s"$path/stats"))
+    val stats = broadcast(s.read.parquet(s"$path/stats")
+      .agg(sum(col("n")).as("n"),
+        (sum(col("total_dl")) / sum(col("n_len"))).as("avgdl")))
     val contrib = broadcast(qt.toSeq.toDF("q_id", "term").join(dfq, "term"))
       .join(post, "term")
       .filter(col("c_id") =!= col("q_id"))
@@ -317,6 +332,72 @@ object TextOps {
         bm25Weight(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")))
     bm25Rank(contrib, k)
   }
+
+  /** Index maintenance without rebuild — the lexical `add_with_ids`:
+    * a batch of NEW documents (ids disjoint from the indexed corpus —
+    * the same contract as [[graft.llm.VectorOps.appendIvfPqIndex]])
+    * lands as appended files; existing files are never rewritten, so
+    * concurrent readers stay consistent and the append costs ∝ batch.
+    * Postings and doclen rows are per-doc facts (plain appends); df
+    * and stats are AGGREGATES, so the batch appends its own partial
+    * rows — per-term df deltas, one (n, n_len, total_dl) component row
+    * — and [[bm25TopKDisk]] merges them at read (sum per term after
+    * the pushed filter; sum the stats components): the LSM write path,
+    * where ann_ivfpq_append needed none because codes carry no
+    * corpus-level aggregate.
+    */
+  def appendTextIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"no committed text index at $path")
+    val tf = batch
+      .select(col("doc_id").as("c_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("c_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    tf.repartitionByRange(col("term")).sortWithinPartitions("term", "c_id")
+      .write.mode("append").parquet(s"$path/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$path/df")
+    val dlen = tf.groupBy("c_id").agg(sum(col("tf")).cast("double").as("dl"))
+    dlen.write.mode("append").parquet(s"$path/doclen")
+    tf.unpersist()
+    batch.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dlen.agg(count(lit(1)).cast("double").as("n_len"),
+        sum(col("dl")).as("total_dl")))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+  }
+
+  private val textIndexAppendPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The append demo's index (bm25_append): built from the EVEN doc_ids
+    * only, then the odd half is appended through [[appendTextIndex]]
+    * and a second marker commits the two-step build — the
+    * ivfPqAppendDemoPath convention, including the content-derived
+    * recovery guard (odd ids already in doclen?) that keeps a run torn
+    * between the append and its marker from double-appending, which
+    * here would corrupt the ADDITIVE df/stats rows, not just duplicate
+    * code rows.
+    */
+  private[graft] def textIndexAppendDemoPath(s: SparkSession, dir: String): String =
+    textIndexAppendPaths.computeIfAbsent(dir, _ => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_textidxapp_$key"
+      val done = new org.apache.hadoop.fs.Path(path, "_graft_append_ok")
+      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val docs = Tables(s, dir).documents
+        saveTextIndex(docs.filter(col("doc_id") % 2 === 0), path)
+        val hasOdd = s.read.parquet(s"$path/doclen")
+          .filter(col("c_id") % 2 === 1).limit(1).count() > 0
+        if (!hasOdd) appendTextIndex(docs.filter(col("doc_id") % 2 === 1), path)
+        fs.create(done, true).close()
+      }
+      path
+    })
 
   private val textIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -740,6 +821,17 @@ object TextOps {
       bm25TopKDisk(Tables(s, dir).documents, queryIds = 0L until 8L,
         k = 10, path = textIndexPath(s, dir))),
 
+    // index maintenance without rebuild: the served index was built
+    // from the EVEN doc_ids and the odd half APPENDED as LSM partials
+    // (per-term df deltas, an additive stats component row) merged at
+    // read. Shares bm25_topk's oracle verbatim — the differential
+    // proves the merged statistics are EXACTLY the full-corpus
+    // statistics, i.e. the append path is lossless, not approximately
+    // right.
+    "bm25_append" -> ((s, dir) =>
+      bm25TopKDisk(Tables(s, dir).documents, queryIds = 0L until 8L,
+        k = 10, path = textIndexAppendDemoPath(s, dir))),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     // rrf_k=60) of the BM25 list and the exact-cosine list (sim_topk)
     // — the standard lexical+vector fusion every production retrieval
@@ -1105,6 +1197,32 @@ object TextOps {
     // one, so it shares bm25_topk's oracle verbatim — the differential
     // doubles as a lossless-index proof
     "bm25_disk" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT q.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+        |  JOIN df d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |scored AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |           FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, c_id, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM scored)
+        |SELECT q_id, rank, c_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // even-build + odd-append must reconstruct the FULL corpus
+    // statistics exactly, so the append id shares the same oracle too
+    "bm25_append" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),

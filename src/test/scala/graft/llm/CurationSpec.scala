@@ -1078,6 +1078,39 @@ class CurationSpec extends SparkSpec {
       "re-save over a committed index must not rebuild")
   }
 
+  test("appendTextIndex: even-build + odd-append ≡ one-shot full build; no file rewritten; df merges exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables(s, dir).documents
+    val base = java.nio.file.Files.createTempDirectory("textidx_app").toString
+    val full = s"$base/full"; val lsm = s"$base/lsm"
+    TextOps.saveTextIndex(docs, full)
+    TextOps.saveTextIndex(docs.filter(col("doc_id") % 2 === 0), lsm)
+    def files(sub: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$lsm/$sub")).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = Seq("postings", "df", "doclen", "stats").map(files).reduce(_ ++ _)
+    TextOps.appendTextIndex(docs.filter(col("doc_id") % 2 === 1), lsm)
+    val after = Seq("postings", "df", "doclen", "stats").map(files).reduce(_ ++ _)
+    // append-only: every pre-append file survives, new files were added
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files and never rewrite existing ones")
+    // the merged index answers EXACTLY like the one-shot full build
+    def rows(path: String) =
+      TextOps.bm25TopKDisk(docs, 0L until 8L, k = 10, path).collect().map(_.toSeq).toSeq
+    assert(rows(lsm) == rows(full), "LSM-merged serving must equal full build")
+    // df merges exactly: per-term sum over generations == full-corpus df
+    val merged = s.read.parquet(s"$lsm/df").groupBy("term")
+      .agg(sum(col("df")).as("df")).as[(String, Long)].collect().toMap
+    val oneShot = s.read.parquet(s"$full/df")
+      .as[(String, Long)].collect().toMap
+    assert(merged == oneShot, "merged df table must equal the one-shot df")
+  }
+
   test("retrieve_hybrid: RRF algebra recomputes from emitted ranks, fused set ⊆ inputs, both-lists beats one-list") {
     val s = spark
     val dir = sf("sf0.001")
