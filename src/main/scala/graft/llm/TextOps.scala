@@ -573,6 +573,33 @@ object TextOps {
         .select(col("keep_id"), col("n_copies"), md5(col("text")).as("h"))
         .orderBy("keep_id")),
 
+    // token-budget corpus selection: a training run buys a FIXED token
+    // budget, so take the highest-quality documents first until it is
+    // spent — the greedy knapsack every budget-constrained data
+    // curation ends with (quality per token is uniform here; a
+    // value-density variant divides quality by n_tokens in the sort
+    // key). Order = (quality desc, doc_id) — quality is the
+    // text_quality composite already proven bit-identical cross-engine,
+    // so no rounding adjudication is needed; the running total is an
+    // exact integer sum. Keep while cum ≤ budget (the boundary doc that
+    // would overflow is dropped). Like dsir_select, the exact form is
+    // one global window — correct to tens of millions of docs; the
+    // 100 TB twin thresholds on an approx quality quantile chosen from
+    // the tokens-per-quality histogram (the dsir_select_approx shape).
+    "select_budget" -> ((s, dir) => {
+      val (nWords, _, _, quality) = qualitySignals(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("doc_id"), nWords.cast("long").as("n_tokens"),
+          quality.as("quality"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 10000)
+        .orderBy("doc_id")
+    }),
+
     // Training-window chunking: split each document into fixed-size word
     // windows with overlap (chunk 16, stride 8 — the sliding-context
     // shape every pretraining tokenizer pipeline feeds). One narrow
@@ -1033,6 +1060,23 @@ object TextOps {
         |    + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
         |    AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "select_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+        |      + (CAST(len(list_filter(string_split(text,' '),
+        |           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
+        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
+        |      AS quality
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, quality, cum_tokens
+        |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

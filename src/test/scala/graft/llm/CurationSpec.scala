@@ -1111,6 +1111,40 @@ class CurationSpec extends SparkSpec {
     assert(merged == oneShot, "merged df table must equal the one-shot df")
   }
 
+  test("select_budget: selection is the exact greedy prefix, budget never exceeded, next doc would overflow") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val sel = TextOps.queries("select_budget")(s, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(sel.nonEmpty)
+    // budget invariant
+    val spent = sel.map(_._2).sum
+    assert(spent <= 10000L, s"budget exceeded: $spent")
+    // the selection is a PREFIX of the (quality desc, doc_id) order:
+    // derive the full order independently from text_quality
+    val all = TextOps.queries("text_quality")(s, dir)
+      .select("doc_id", "n_words", "quality")
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, q) => (-q, id) }
+    val prefix = all.take(sel.length)
+    assert(prefix.map(_._1).toSet == sel.map(_._1).toSet,
+      "selected docs must be exactly the greedy prefix")
+    // maximality: the next doc in the order would overflow the budget
+    val next = all.drop(sel.length).headOption
+    next.foreach { case (_, nTok, _) =>
+      assert(spent + nTok > 10000L,
+        s"selection not maximal: next doc ($nTok tokens) still fits")
+    }
+    // cum_tokens is the running total in the greedy order
+    val cumOf = sel.map(t => t._1 -> t._4).toMap
+    var running = 0L
+    prefix.foreach { case (id, nTok, _) =>
+      running += nTok
+      assert(cumOf(id) == running, s"cum_tokens wrong for doc $id")
+    }
+  }
+
   test("retrieve_hybrid: RRF algebra recomputes from emitted ranks, fused set ⊆ inputs, both-lists beats one-list") {
     val s = spark
     val dir = sf("sf0.001")
