@@ -306,21 +306,22 @@ object TextOps {
     val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(hp), s"no committed text index at $path")
+    val live = currentTextGen(s, path)
     import s.implicits._
     val qt = docs.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("q_id"), explode(split(col("text"), " ")).as("term"))
       .distinct().as[(Long, String)].collect()
     val terms = qt.map(_._2).distinct.toSeq
-    val post = s.read.parquet(s"$path/postings").filter(col("term").isin(terms: _*))
+    val post = s.read.parquet(s"$live/postings").filter(col("term").isin(terms: _*))
     // read-time merge of the LSM generations ([[appendTextIndex]]):
     // batches have disjoint doc ids, so df rows are ADDITIVE per term
     // (summed here, AFTER the pushed term filter — query-vocab rows
     // only) and the stats components sum before the one division. On a
     // never-appended index both reduce to the single build's values.
-    val dfq = s.read.parquet(s"$path/df").filter(col("term").isin(terms: _*))
+    val dfq = s.read.parquet(s"$live/df").filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
-    val dlen = s.read.parquet(s"$path/doclen")
-    val stats = broadcast(s.read.parquet(s"$path/stats")
+    val dlen = s.read.parquet(s"$live/doclen")
+    val stats = broadcast(s.read.parquet(s"$live/stats")
       .agg(sum(col("n")).as("n"),
         (sum(col("total_dl")) / sum(col("n_len"))).as("avgdl")))
     val contrib = broadcast(qt.toSeq.toDF("q_id", "term").join(dfq, "term"))
@@ -331,6 +332,93 @@ object TextOps {
       .withColumn("w",
         bm25Weight(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")))
     bm25Rank(contrib, k)
+  }
+
+  // --- Text-index compaction: the generation-pointer protocol --------
+  //
+  // Appends accrete small postings files AND df/stats delta rows; at
+  // 100 TB a year of daily appends turns the pushed-filter scan into
+  // thousands of file opens and the read-time df merge into a real
+  // aggregation. Compaction rewrites the LIVE generation with the
+  // merges APPLIED (df one row per term, stats one row, postings
+  // re-sorted by term) into a new `gen-NNNNNNNN` directory and
+  // atomically repoints `_current` — the same root-pointer protocol as
+  // the IVF-PQ index (VectorOps.compactIvfPqIndex): readers resolve
+  // the pointer at plan time and see a whole generation, never a
+  // half-written mix; no pointer means the initial build's root
+  // layout, so existing indexes need no migration.
+
+  /** The live generation's path prefix: `<path>` for the initial root
+    * layout, `<path>/gen-NNNNNNNN` after a compaction.
+    */
+  private def currentTextGen(s: SparkSession, path: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(path, "_current")
+    val fs = cur.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur)) path
+    else {
+      val in = fs.open(cur)
+      val gen = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      s"$path/$gen"
+    }
+  }
+
+  /** Rewrite the live generation with all LSM merges applied and
+    * atomically repoint `_current` at it. Superseded generations stay
+    * for in-flight readers until [[gcTextIndex]].
+    */
+  def compactTextIndex(s: SparkSession, path: String): Unit = {
+    val live = currentTextGen(s, path)
+    val gen =
+      if (live == path) 1
+      else live.substring(live.lastIndexOf("gen-") + 4).toInt + 1
+    val next = f"gen-$gen%08d"
+    s.read.parquet(s"$live/postings")
+      .repartitionByRange(col("term")).sortWithinPartitions("term", "c_id")
+      .write.mode("overwrite").parquet(s"$path/$next/postings")
+    s.read.parquet(s"$live/df").groupBy("term").agg(sum(col("df")).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/$next/df")
+    s.read.parquet(s"$live/doclen")
+      .write.mode("overwrite").parquet(s"$path/$next/doclen")
+    s.read.parquet(s"$live/stats")
+      .agg(sum(col("n")).as("n"), sum(col("n_len")).as("n_len"),
+        sum(col("total_dl")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$next/stats")
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_current.$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    // FileContext rename with OVERWRITE: the atomic primitive plain
+    // FileSystem.rename lacks (it refuses an existing destination)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(root).toUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new org.apache.hadoop.fs.Path(path, "_current")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete superseded generations — older `gen-*` directories and,
+    * once a compaction exists, the initial root-layout tables. Returns
+    * what was removed. Run once in-flight readers have drained.
+    */
+  def gcTextIndex(s: SparkSession, path: String): Seq[String] = {
+    val live = currentTextGen(s, path)
+    if (live == path) return Nil // nothing compacted yet: root IS live
+    val liveName = live.substring(live.lastIndexOf('/') + 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n != liveName &&
+        (n.startsWith("gen-") || Seq("postings", "df", "doclen", "stats").contains(n)))
+      .map { n =>
+        require(fs.delete(new org.apache.hadoop.fs.Path(path, n), true),
+          s"failed to delete superseded generation piece $n")
+        n
+      }
   }
 
   /** Index maintenance without rebuild — the lexical `add_with_ids`:
@@ -351,22 +439,23 @@ object TextOps {
     val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(hp), s"no committed text index at $path")
+    val live = currentTextGen(s, path)
     val tf = batch
       .select(col("doc_id").as("c_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("c_id", "term").agg(count(lit(1)).as("tf"))
       .persist()
     tf.repartitionByRange(col("term")).sortWithinPartitions("term", "c_id")
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("append").parquet(s"$live/postings")
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .repartitionByRange(col("term")).sortWithinPartitions("term")
-      .write.mode("append").parquet(s"$path/df")
+      .write.mode("append").parquet(s"$live/df")
     val dlen = tf.groupBy("c_id").agg(sum(col("tf")).cast("double").as("dl"))
-    dlen.write.mode("append").parquet(s"$path/doclen")
+    dlen.write.mode("append").parquet(s"$live/doclen")
     tf.unpersist()
     batch.agg(count(lit(1)).cast("double").as("n"))
       .crossJoin(dlen.agg(count(lit(1)).cast("double").as("n_len"),
         sum(col("dl")).as("total_dl")))
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+      .coalesce(1).write.mode("append").parquet(s"$live/stats")
   }
 
   private val textIndexAppendPaths =
@@ -391,7 +480,7 @@ object TextOps {
       if (!fs.exists(done)) {
         val docs = Tables(s, dir).documents
         saveTextIndex(docs.filter(col("doc_id") % 2 === 0), path)
-        val hasOdd = s.read.parquet(s"$path/doclen")
+        val hasOdd = s.read.parquet(s"${currentTextGen(s, path)}/doclen")
           .filter(col("c_id") % 2 === 1).limit(1).count() > 0
         if (!hasOdd) appendTextIndex(docs.filter(col("doc_id") % 2 === 1), path)
         fs.create(done, true).close()

@@ -1145,6 +1145,55 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("compactTextIndex: merges LSM deltas into a new generation behind the pointer; GC; results invariant") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables(s, dir).documents
+    val path = java.nio.file.Files.createTempDirectory("textidx_cmp").toString + "/idx"
+    TextOps.saveTextIndex(docs.filter(col("doc_id") % 2 === 0), path)
+    TextOps.appendTextIndex(docs.filter(col("doc_id") % 2 === 1), path)
+    def rows() =
+      TextOps.bm25TopKDisk(docs, 0L until 8L, k = 10, path).collect().map(_.toSeq).toSeq
+    val before = rows()
+    // the problem compaction exists to undo: df has DELTA rows (some
+    // term appears in both the build and the append batch)
+    def dfDupTerms(p: String): Long = s.read.parquet(p)
+      .groupBy("term").count().filter(col("count") > 1).count()
+    assert(dfDupTerms(s"$path/df") > 0, "fixture has no df deltas — vacuous")
+    TextOps.compactTextIndex(s, path)
+    // new generation: df merged to ONE row per term, stats to one row,
+    // results row-identical; the root layout survives for in-flight readers
+    assert(dfDupTerms(s"$path/gen-00000001/df") == 0)
+    assert(s.read.parquet(s"$path/gen-00000001/stats").count() == 1)
+    assert(rows() == before, "compaction must not change results")
+    assert(new java.io.File(s"$path/postings").isDirectory)
+    // GC removes exactly the superseded root tables
+    assert(TextOps.gcTextIndex(s, path).toSet ==
+      Set("postings", "df", "doclen", "stats"))
+    assert(!new java.io.File(s"$path/postings").exists())
+    assert(rows() == before, "GC must not touch the live generation")
+    // appends land in the LIVE generation; a second compact+GC cycles it
+    val twins = docs.filter(col("doc_id") < 4)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    TextOps.appendTextIndex(twins, path)
+    assert(s.read.parquet(s"$path/gen-00000001/doclen")
+      .filter(col("c_id") >= 100000L).count() > 0,
+      "append must write into the current generation")
+    val withTwins = TextOps.bm25TopKDisk(docs.unionByName(twins),
+      0L until 4L, k = 10, path).collect()
+    // an appended exact twin of each query doc must surface (same text
+    // -> shares every query term) — proves the appended rows serve
+    (0L until 4L).foreach { q =>
+      assert(withTwins.exists(r => r.getAs[Long]("q_id") == q &&
+        r.getAs[Long]("c_id") == q + 100000L),
+        s"appended twin of query $q not served")
+    }
+    TextOps.compactTextIndex(s, path)
+    assert(dfDupTerms(s"$path/gen-00000002/df") == 0)
+    assert(TextOps.gcTextIndex(s, path) == Seq("gen-00000001"))
+  }
+
   test("retrieve_hybrid: RRF algebra recomputes from emitted ranks, fused set ⊆ inputs, both-lists beats one-list") {
     val s = spark
     val dir = sf("sf0.001")
