@@ -312,16 +312,18 @@ object TextOps {
       .select(col("doc_id").as("q_id"), explode(split(col("text"), " ")).as("term"))
       .distinct().as[(Long, String)].collect()
     val terms = qt.map(_._2).distinct.toSeq
-    val post = s.read.parquet(s"$live/postings").filter(col("term").isin(terms: _*))
+    val post = s.read.parquet(tablePaths(s, live, "postings"): _*)
+      .filter(col("term").isin(terms: _*))
     // read-time merge of the LSM generations ([[appendTextIndex]]):
     // batches have disjoint doc ids, so df rows are ADDITIVE per term
     // (summed here, AFTER the pushed term filter — query-vocab rows
     // only) and the stats components sum before the one division. On a
     // never-appended index both reduce to the single build's values.
-    val dfq = s.read.parquet(s"$live/df").filter(col("term").isin(terms: _*))
+    val dfq = s.read.parquet(tablePaths(s, live, "df"): _*)
+      .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
-    val dlen = s.read.parquet(s"$live/doclen")
-    val stats = broadcast(s.read.parquet(s"$live/stats")
+    val dlen = s.read.parquet(tablePaths(s, live, "doclen"): _*)
+    val stats = broadcast(s.read.parquet(tablePaths(s, live, "stats"): _*)
       .agg(sum(col("n")).as("n"),
         (sum(col("total_dl")) / sum(col("n_len"))).as("avgdl")))
     val contrib = broadcast(qt.toSeq.toDF("q_id", "term").join(dfq, "term"))
@@ -372,15 +374,16 @@ object TextOps {
       if (live == path) 1
       else live.substring(live.lastIndexOf("gen-") + 4).toInt + 1
     val next = f"gen-$gen%08d"
-    s.read.parquet(s"$live/postings")
+    s.read.parquet(tablePaths(s, live, "postings"): _*)
       .repartitionByRange(col("term")).sortWithinPartitions("term", "c_id")
       .write.mode("overwrite").parquet(s"$path/$next/postings")
-    s.read.parquet(s"$live/df").groupBy("term").agg(sum(col("df")).as("df"))
+    s.read.parquet(tablePaths(s, live, "df"): _*)
+      .groupBy("term").agg(sum(col("df")).as("df"))
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/$next/df")
-    s.read.parquet(s"$live/doclen")
+    s.read.parquet(tablePaths(s, live, "doclen"): _*)
       .write.mode("overwrite").parquet(s"$path/$next/doclen")
-    s.read.parquet(s"$live/stats")
+    s.read.parquet(tablePaths(s, live, "stats"): _*)
       .agg(sum(col("n")).as("n"), sum(col("n_len")).as("n_len"),
         sum(col("total_dl")).as("total_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$next/stats")
@@ -413,7 +416,8 @@ object TextOps {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(n => n != liveName &&
-        (n.startsWith("gen-") || Seq("postings", "df", "doclen", "stats").contains(n)))
+        (n.startsWith("gen-") || n.startsWith("delta-") ||
+          Seq("postings", "df", "doclen", "stats").contains(n)))
       .map { n =>
         require(fs.delete(new org.apache.hadoop.fs.Path(path, n), true),
           s"failed to delete superseded generation piece $n")
@@ -424,7 +428,7 @@ object TextOps {
   /** Index maintenance without rebuild — the lexical `add_with_ids`:
     * a batch of NEW documents (ids disjoint from the indexed corpus —
     * the same contract as [[graft.llm.VectorOps.appendIvfPqIndex]])
-    * lands as appended files; existing files are never rewritten, so
+    * lands as one atomically-committed delta directory; existing files are never rewritten, so
     * concurrent readers stay consistent and the append costs ∝ batch.
     * Postings and doclen rows are per-doc facts (plain appends); df
     * and stats are AGGREGATES, so the batch appends its own partial
@@ -440,23 +444,124 @@ object TextOps {
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(hp), s"no committed text index at $path")
     val live = currentTextGen(s, path)
+    // the batch's four tables land as ONE `delta-<uuid>` directory,
+    // built under a `_stage-` prefix (invisible to readers — Spark's
+    // file index skips `_`/`.` paths) and committed by one directory
+    // rename: the batch is fully visible or fully absent, never torn.
+    // Four independent mode-append writes could not give this — a crash
+    // between the postings and doclen appends would duplicate the
+    // batch's postings on redelivery and silently corrupt scores.
+    // Existing files are never touched, so concurrent readers stay
+    // consistent and the append costs ∝ batch.
+    val id = java.util.UUID.randomUUID.toString
+    val stage = s"$live/_stage-$id"
     val tf = batch
       .select(col("doc_id").as("c_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("c_id", "term").agg(count(lit(1)).as("tf"))
       .persist()
     tf.repartitionByRange(col("term")).sortWithinPartitions("term", "c_id")
-      .write.mode("append").parquet(s"$live/postings")
+      .write.mode("overwrite").parquet(s"$stage/postings")
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .repartitionByRange(col("term")).sortWithinPartitions("term")
-      .write.mode("append").parquet(s"$live/df")
+      .write.mode("overwrite").parquet(s"$stage/df")
     val dlen = tf.groupBy("c_id").agg(sum(col("tf")).cast("double").as("dl"))
-    dlen.write.mode("append").parquet(s"$live/doclen")
+    dlen.write.mode("overwrite").parquet(s"$stage/doclen")
     tf.unpersist()
     batch.agg(count(lit(1)).cast("double").as("n"))
       .crossJoin(dlen.agg(count(lit(1)).cast("double").as("n_len"),
         sum(col("dl")).as("total_dl")))
-      .coalesce(1).write.mode("append").parquet(s"$live/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage),
+      new org.apache.hadoop.fs.Path(s"$live/delta-$id")),
+      s"failed to commit index delta $stage")
   }
+
+  /** All committed locations of table `name` in the live generation:
+    * the base build plus every committed delta, oldest-first (`_stage-`
+    * dirs are in flight and excluded; Spark's own file index would skip
+    * their `_` prefix anyway).
+    */
+  private def tablePaths(s: SparkSession, live: String, name: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(live)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("delta-")).sorted
+    s"$live/$name" +: deltas.map(d => s"$live/$d/$name")
+  }
+
+  /** One micro-batch of continuous indexing: admit `batch` against the
+    * index at `path` — the first batch BUILDS the index, later ones
+    * append a committed delta. Exactly-once under redelivery: docs
+    * whose id is already in the live doclen are dropped before the
+    * append (the [[NearDedup.admitBatchToState]] guard — an
+    * at-least-once source replays whole batches, and a replayed batch
+    * here would double-count the ADDITIVE df/stats partials, not just
+    * duplicate rows). A crash inside [[appendTextIndex]] leaves only an
+    * invisible `_stage-` dir, so redelivery re-admits the same docs to
+    * one committed delta — the batch is atomic.
+    */
+  def indexBatchToState(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) { saveTextIndex(batch, path); return }
+    val live = currentTextGen(s, path)
+    val seen = s.read.parquet(tablePaths(s, live, "doclen"): _*)
+      .select(col("c_id").as("doc_id"))
+    val fresh = batch.join(seen, Seq("doc_id"), "left_anti")
+    if (!fresh.isEmpty) appendTextIndex(fresh, path)
+  }
+
+  /** Continuous indexing: a stream of (doc_id, text) documents folded
+    * through [[indexBatchToState]] per micro-batch — the index at
+    * `path` is always a committed, serveable artifact, readable
+    * concurrently by [[bm25TopKDisk]]. The streaming twin of
+    * [[appendTextIndex]], same foreachBatch shape as
+    * `NearDedup.admitStream` / `cdc.Stream.materialize`.
+    */
+  def indexStream(
+      docs: DataFrame,
+      path: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        indexBatchToState(batch, path)
+      }
+      .start()
+
+  private val textIndexStreamPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The continuous-indexing demo's index (bm25_stream): the corpus
+    * arrives as three batches (doc_id mod 3) folded through
+    * [[indexBatchToState]], with batch 0 REDELIVERED after batch 2 —
+    * the at-least-once failure the guard exists for. Sharing
+    * bm25_topk's oracle then proves both ends: the incremental build
+    * reconstructs the full corpus statistics exactly, AND the
+    * redelivered batch changed nothing.
+    */
+  private[graft] def textIndexStreamDemoPath(s: SparkSession, dir: String): String =
+    textIndexStreamPaths.computeIfAbsent(dir, _ => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_textidxstream_$key"
+      val done = new org.apache.hadoop.fs.Path(path, "_graft_stream_ok")
+      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val docs = Tables(s, dir).documents
+        (0 to 2).foreach(b =>
+          indexBatchToState(docs.filter(col("doc_id") % 3 === b), path))
+        indexBatchToState(docs.filter(col("doc_id") % 3 === 0), path) // redelivery
+        fs.create(done, true).close()
+      }
+      path
+    })
 
   private val textIndexAppendPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -480,7 +585,10 @@ object TextOps {
       if (!fs.exists(done)) {
         val docs = Tables(s, dir).documents
         saveTextIndex(docs.filter(col("doc_id") % 2 === 0), path)
-        val hasOdd = s.read.parquet(s"${currentTextGen(s, path)}/doclen")
+        val hasOdd = {
+          val live = currentTextGen(s, path)
+          s.read.parquet(tablePaths(s, live, "doclen"): _*)
+        }
           .filter(col("c_id") % 2 === 1).limit(1).count() > 0
         if (!hasOdd) appendTextIndex(docs.filter(col("doc_id") % 2 === 1), path)
         fs.create(done, true).close()
@@ -948,6 +1056,17 @@ object TextOps {
       bm25TopKDisk(Tables(s, dir).documents, queryIds = 0L until 8L,
         k = 10, path = textIndexAppendDemoPath(s, dir))),
 
+    // continuous indexing: the served index was built by folding the
+    // corpus through indexBatchToState as THREE micro-batches, with the
+    // first batch REDELIVERED afterwards (the at-least-once failure the
+    // doc-id guard exists for). Shares bm25_topk's oracle verbatim:
+    // equality proves the incremental build reconstructs the full
+    // corpus statistics exactly AND the redelivered batch changed
+    // nothing — exactly-once, checked by the differential itself.
+    "bm25_stream" -> ((s, dir) =>
+      bm25TopKDisk(Tables(s, dir).documents, queryIds = 0L until 8L,
+        k = 10, path = textIndexStreamDemoPath(s, dir))),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     // rrf_k=60) of the BM25 list and the exact-cosine list (sim_topk)
     // — the standard lexical+vector fusion every production retrieval
@@ -1354,7 +1473,33 @@ object TextOps {
         |SELECT q_id, rank, c_id, score FROM ranked
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // even-build + odd-append must reconstruct the FULL corpus
-    // statistics exactly, so the append id shares the same oracle too
+    // statistics exactly, so the append id shares the same oracle too;
+    // likewise the stream-built index (three micro-batches + a
+    // redelivered batch) — equality doubles as an exactly-once proof
+    "bm25_stream" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT q.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+        |  JOIN df d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |scored AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |           FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, c_id, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM scored)
+        |SELECT q_id, rank, c_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "bm25_append" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),

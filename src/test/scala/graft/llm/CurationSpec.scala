@@ -1087,24 +1087,31 @@ class CurationSpec extends SparkSpec {
     val full = s"$base/full"; val lsm = s"$base/lsm"
     TextOps.saveTextIndex(docs, full)
     TextOps.saveTextIndex(docs.filter(col("doc_id") % 2 === 0), lsm)
-    def files(sub: String): Set[String] = {
+    def files(): Set[String] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$lsm/$sub")).map(_.getPath)
+      walk(new java.io.File(lsm)).map(_.getPath)
         .filter(_.endsWith(".parquet")).toSet
     }
-    val before = Seq("postings", "df", "doclen", "stats").map(files).reduce(_ ++ _)
+    val before = files()
     TextOps.appendTextIndex(docs.filter(col("doc_id") % 2 === 1), lsm)
-    val after = Seq("postings", "df", "doclen", "stats").map(files).reduce(_ ++ _)
-    // append-only: every pre-append file survives, new files were added
+    val after = files()
+    // append-only: every pre-append file survives; the batch arrives as
+    // ONE committed delta-<uuid> directory (atomic rename, no torn
+    // multi-table appends) and no in-flight _stage- dir remains
     assert(before.subsetOf(after) && after.size > before.size,
       "append must add files and never rewrite existing ones")
+    val deltas = new java.io.File(lsm).listFiles()
+      .filter(_.getName.startsWith("delta-"))
+    assert(deltas.length == 1, s"expected one committed delta, got ${deltas.toSeq}")
+    assert(!new java.io.File(lsm).listFiles().exists(_.getName.startsWith("_stage-")),
+      "no in-flight stage dir may survive a committed append")
     // the merged index answers EXACTLY like the one-shot full build
     def rows(path: String) =
       TextOps.bm25TopKDisk(docs, 0L until 8L, k = 10, path).collect().map(_.toSeq).toSeq
     assert(rows(lsm) == rows(full), "LSM-merged serving must equal full build")
-    // df merges exactly: per-term sum over generations == full-corpus df
-    val merged = s.read.parquet(s"$lsm/df").groupBy("term")
+    // df merges exactly: per-term sum over base + deltas == one-shot df
+    val merged = s.read.parquet(s"$lsm/df", s"${deltas(0)}/df").groupBy("term")
       .agg(sum(col("df")).as("df")).as[(String, Long)].collect().toMap
     val oneShot = s.read.parquet(s"$full/df")
       .as[(String, Long)].collect().toMap
@@ -1156,30 +1163,42 @@ class CurationSpec extends SparkSpec {
     def rows() =
       TextOps.bm25TopKDisk(docs, 0L until 8L, k = 10, path).collect().map(_.toSeq).toSeq
     val before = rows()
-    // the problem compaction exists to undo: df has DELTA rows (some
-    // term appears in both the build and the append batch)
-    def dfDupTerms(p: String): Long = s.read.parquet(p)
+    // the problem compaction exists to undo: the live generation holds
+    // base + delta df rows (some term appears in both batches)
+    def dfPaths(gen: String): Seq[String] = {
+      val g = new java.io.File(gen)
+      s"$gen/df" +: g.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("delta-"))
+        .map(d => s"$d/df")
+    }
+    def dfDupTerms(gen: String): Long = s.read.parquet(dfPaths(gen): _*)
       .groupBy("term").count().filter(col("count") > 1).count()
-    assert(dfDupTerms(s"$path/df") > 0, "fixture has no df deltas — vacuous")
+    assert(dfDupTerms(path) > 0, "fixture has no df deltas — vacuous")
     TextOps.compactTextIndex(s, path)
     // new generation: df merged to ONE row per term, stats to one row,
     // results row-identical; the root layout survives for in-flight readers
-    assert(dfDupTerms(s"$path/gen-00000001/df") == 0)
+    assert(dfDupTerms(s"$path/gen-00000001") == 0)
     assert(s.read.parquet(s"$path/gen-00000001/stats").count() == 1)
     assert(rows() == before, "compaction must not change results")
     assert(new java.io.File(s"$path/postings").isDirectory)
-    // GC removes exactly the superseded root tables
-    assert(TextOps.gcTextIndex(s, path).toSet ==
-      Set("postings", "df", "doclen", "stats"))
+    // GC removes exactly the superseded root layout: the four base
+    // tables and the root's committed delta dir
+    val gced = TextOps.gcTextIndex(s, path)
+    assert(gced.count(_.startsWith("delta-")) == 1 &&
+      gced.filterNot(_.startsWith("delta-")).toSet ==
+        Set("postings", "df", "doclen", "stats"), gced)
     assert(!new java.io.File(s"$path/postings").exists())
     assert(rows() == before, "GC must not touch the live generation")
     // appends land in the LIVE generation; a second compact+GC cycles it
     val twins = docs.filter(col("doc_id") < 4)
       .withColumn("doc_id", col("doc_id") + lit(100000L))
     TextOps.appendTextIndex(twins, path)
-    assert(s.read.parquet(s"$path/gen-00000001/doclen")
-      .filter(col("c_id") >= 100000L).count() > 0,
-      "append must write into the current generation")
+    val genDeltas = new java.io.File(s"$path/gen-00000001").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-"))
+    assert(genDeltas.length == 1 &&
+      s.read.parquet(s"${genDeltas(0)}/doclen")
+        .filter(col("c_id") >= 100000L).count() > 0,
+      "append must commit a delta inside the current generation")
     val withTwins = TextOps.bm25TopKDisk(docs.unionByName(twins),
       0L until 4L, k = 10, path).collect()
     // an appended exact twin of each query doc must surface (same text
@@ -1190,8 +1209,41 @@ class CurationSpec extends SparkSpec {
         s"appended twin of query $q not served")
     }
     TextOps.compactTextIndex(s, path)
-    assert(dfDupTerms(s"$path/gen-00000002/df") == 0)
+    assert(dfDupTerms(s"$path/gen-00000002") == 0)
     assert(TextOps.gcTextIndex(s, path) == Seq("gen-00000001"))
+  }
+
+  test("indexBatchToState: first batch builds, redelivery is a no-op, mixed batch admits only fresh docs") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables(s, dir).documents
+    val path = java.nio.file.Files.createTempDirectory("textidx_str").toString + "/idx"
+    def deltas() = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith("delta-"))
+    val b1 = docs.filter(col("doc_id") < 100)
+    val b2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    TextOps.indexBatchToState(b1, path) // bootstrap: BUILDS the index
+    assert(deltas() == 0)
+    TextOps.indexBatchToState(b2, path)
+    assert(deltas() == 1)
+    TextOps.indexBatchToState(b1, path) // redelivery: guard drops all
+    assert(deltas() == 1, "a fully-redelivered batch must commit nothing")
+    // mixed batch: one already-indexed doc + fresh docs -> one delta
+    // containing ONLY the fresh docs
+    val mixed = docs.filter(col("doc_id") === 0 ||
+      (col("doc_id") >= 200 && col("doc_id") < 210))
+    TextOps.indexBatchToState(mixed, path)
+    assert(deltas() == 2)
+    val served = TextOps.bm25TopKDisk(docs, 0L until 4L, k = 10, path)
+    // the incrementally-built index equals a one-shot build over the
+    // same admitted corpus
+    val oneShot = java.nio.file.Files.createTempDirectory("textidx_str2").toString + "/idx"
+    TextOps.saveTextIndex(docs.filter(col("doc_id") < 210), oneShot)
+    assert(served.collect().map(_.toSeq).toSeq ==
+      TextOps.bm25TopKDisk(docs, 0L until 4L, k = 10, oneShot)
+        .collect().map(_.toSeq).toSeq,
+      "incremental build with redelivery must equal the one-shot build")
   }
 
   test("retrieve_hybrid: RRF algebra recomputes from emitted ranks, fused set ⊆ inputs, both-lists beats one-list") {
