@@ -200,6 +200,40 @@ object TextOps {
       (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
   }
 
+  /** Corpus statistics for inline BM25 passes: ONE tokenize scan feeds
+    * tf, df and doc length via the tfidf_topk ReusedExchange discipline
+    * (tf's (doc_id, term) aggregate is the shared subtree).
+    */
+  private def bm25Corpus(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("__ctf"))
+      .filter(col("__ctf") >= 0).drop("__ctf") // ReusedExchange anchor (see tfidf_topk)
+    val dlen = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dlen.agg(avg(col("dl")).as("avgdl")))
+    (tf, dfreq, dlen, stats)
+  }
+
+  /** One BM25 scoring pass for a broadcastable (q_id, term) query set:
+    * df is restricted to the query terms BEFORE broadcasting (the full
+    * df table is corpus-vocabulary-sized — billions of terms at 100 TB,
+    * unbroadcastable; (q_id, term, df) is |query terms| rows), then one
+    * postings join and the per-candidate weight.
+    */
+  private def bm25Contrib(qterms: DataFrame, tf: DataFrame,
+      dfreq: DataFrame, dlen: DataFrame, stats: DataFrame): DataFrame = {
+    val qdf = broadcast(qterms.join(dfreq, "term"))
+    qdf.join(tf.withColumnRenamed("doc_id", "c_id"), "term")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(dlen.withColumnRenamed("doc_id", "c_id"), "c_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        bm25Weight(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")))
+  }
+
   /** The shared BM25 tail: per-(q,c) sum rounded to 6 dp (the
     * dsir_score ulp adjudication) ranked with c_id ties, top-k.
     */
@@ -1009,29 +1043,42 @@ object TextOps {
     // (ln ulp noise sits ~7 orders below — the dsir_score
     // adjudication), ties to c_id: deterministic cross-engine.
     "bm25_topk" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term")
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("__ctf"))
-        .filter(col("__ctf") >= 0).drop("__ctf") // ReusedExchange anchor (see tfidf_topk)
-      val dlen = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
-      val stats = docs.agg(count(lit(1)).cast("double").as("n"))
-        .crossJoin(dlen.agg(avg(col("dl")).as("avgdl")))
+      val (tf, dfreq, dlen, stats) = bm25Corpus(Tables(s, dir).documents)
       val qterms = broadcast(tf.filter(col("doc_id") < 8)
         .select(col("doc_id").as("q_id"), col("term")))
-      // df restricted to QUERY terms before broadcasting: the full df
-      // table is corpus-vocabulary-sized (billions of terms at 100 TB,
-      // unbroadcastable); (q_id, term, df) is |query terms| rows
-      val qdf = broadcast(qterms.join(dfreq, "term"))
-      val contrib = qdf
-        .join(tf.withColumnRenamed("doc_id", "c_id"), "term")
-        .filter(col("c_id") =!= col("q_id"))
-        .join(dlen.withColumnRenamed("doc_id", "c_id"), "c_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("w",
-          bm25Weight(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")))
-      bm25Rank(contrib, 10)
+      bm25Rank(bm25Contrib(qterms, tf, dfreq, dlen, stats), 10)
+    }),
+
+    // pseudo-relevance-feedback query expansion (Rocchio-style
+    // two-pass retrieval, the RM3 shape with unweighted union): round
+    // 1 = BM25 top-10; expansion = the 5 terms with the highest total
+    // tf across the feedback docs that are NOT already query terms
+    // (integer sum, term tiebreak — deterministic cross-engine); round
+    // 2 = BM25 over original ∪ expansion terms. Fixes the lexical-gap
+    // failure every pure term-match retriever has: a relevant doc
+    // using synonyms of the query surfaces through co-occurrence in
+    // the feedback set. Everything stays query-vocab-sized on the
+    // broadcast side: feedback lists are |q|·10 rows, expansion adds
+    // ≤5 terms/query, and the corpus-sized stages remain the one
+    // postings join + one (q,c) sum per pass.
+    "bm25_prf" -> ((s, dir) => {
+      val (tf, dfreq, dlen, stats) = bm25Corpus(Tables(s, dir).documents)
+      val qterms = broadcast(tf.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("q_id"), col("term")))
+      val fb = bm25Rank(bm25Contrib(qterms, tf, dfreq, dlen, stats), 10)
+        .select(col("q_id"), col("c_id"))
+      val expWin = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("tw").desc, col("term"))
+      val expansion = fb
+        .join(tf.withColumnRenamed("doc_id", "c_id"), "c_id")
+        .groupBy("q_id", "term").agg(sum(col("tf")).as("tw"))
+        .join(qterms, Seq("q_id", "term"), "left_anti")
+        .withColumn("r", row_number().over(expWin))
+        .filter(col("r") <= 5)
+        .select("q_id", "term")
+      val q2 = broadcast(qterms.select("q_id", "term")
+        .unionByName(expansion))
+      bm25Rank(bm25Contrib(q2, tf, dfreq, dlen, stats), 10)
     }),
 
     // the index-served twin: the same BM25 search answered from the
@@ -1471,6 +1518,53 @@ object TextOps {
         |  CAST(row_number() OVER (PARTITION BY q_id
         |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM scored)
         |SELECT q_id, rank, c_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "bm25_prf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |contrib1 AS (
+        |  SELECT q.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+        |  JOIN df d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |scored1 AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |            FROM contrib1 GROUP BY 1, 2),
+        |fb AS (SELECT q_id, c_id FROM (
+        |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS rank FROM scored1) WHERE rank <= 10),
+        |expw AS (
+        |  SELECT f.q_id, t.term, sum(t.tf) AS tw
+        |  FROM fb f JOIN tf t ON t.doc_id = f.c_id GROUP BY 1, 2),
+        |exp AS (SELECT q_id, term FROM (
+        |  SELECT e.q_id, e.term,
+        |    row_number() OVER (PARTITION BY e.q_id ORDER BY e.tw DESC, e.term) AS r
+        |  FROM expw e
+        |  WHERE NOT EXISTS (SELECT 1 FROM q
+        |    WHERE q.q_id = e.q_id AND q.term = e.term)) WHERE r <= 5),
+        |q2 AS (SELECT q_id, term FROM q UNION ALL SELECT q_id, term FROM exp),
+        |contrib2 AS (
+        |  SELECT q2.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q2 JOIN tf t ON t.term = q2.term AND t.doc_id <> q2.q_id
+        |  JOIN df d ON d.term = q2.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |scored2 AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |            FROM contrib2 GROUP BY 1, 2),
+        |ranked2 AS (SELECT q_id, c_id, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM scored2)
+        |SELECT q_id, rank, c_id, score FROM ranked2
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // even-build + odd-append must reconstruct the FULL corpus
     // statistics exactly, so the append id shares the same oracle too;

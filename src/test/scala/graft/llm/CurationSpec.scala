@@ -1213,6 +1213,40 @@ class CurationSpec extends SparkSpec {
     assert(TextOps.gcTextIndex(s, path) == Seq("gen-00000001"))
   }
 
+  test("bm25_prf: expansion bridges the lexical gap — a no-shared-term doc surfaces via feedback co-occurrence") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prf_fixture").toString
+    // query doc 0 (alpha beta); feedback doc 1 co-occurs alpha/beta with
+    // the synonym-ish term "gamma"; doc 2 contains ONLY gamma — pure
+    // BM25 can never return it for query 0, PRF must
+    val docs = Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta gamma gamma"),
+      (2L, "gamma gamma gamma x y z"),
+      (3L, "unrelated filler words here"),
+      (4L, "more filler content entirely"),
+      (5L, "alpha w"),
+      (6L, "beta v"),
+      (7L, "filler filler filler"))
+    docs.map { case (id, t) => (id, t, "en", s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def ids(q: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame], name: String): Set[Long] =
+      q(name)(s, dir).filter(col("q_id") === 0L)
+        .select("c_id").as[Long].collect().toSet
+    val pure = ids(TextOps.queries, "bm25_topk")
+    val prf = ids(TextOps.queries, "bm25_prf")
+    assert(!pure.contains(2L), "doc 2 shares no query term — pure BM25 must miss it")
+    assert(prf.contains(2L), "PRF must surface doc 2 through the expanded term")
+    // original-term matches are not lost by expansion
+    assert(Set(1L, 5L, 6L).subsetOf(prf), s"original-term docs missing: $prf")
+    // determinism: two evaluations agree exactly
+    assert(TextOps.queries("bm25_prf")(s, dir).collect().toSeq ==
+      TextOps.queries("bm25_prf")(s, dir).collect().toSeq)
+  }
+
   test("indexBatchToState: first batch builds, redelivery is a no-op, mixed batch admits only fresh docs") {
     val s = spark
     import s.implicits._
