@@ -303,6 +303,36 @@ object Bpe {
         .orderBy("doc_id")
     }),
 
+    // tokenizer fertility per language — the standard multilingual
+    // tokenizer-quality report (tokens/word and bytes/token; a
+    // tokenizer trained on skewed data inflates fertility for the
+    // under-represented languages, so this table is what decides
+    // whether the vocab budget is spent fairly). Rows-only like every
+    // id downstream of the engine-trained merge sequence; per-language
+    // consistency with bpe_encode's own token counts and the
+    // fertility ≥ 1 bound (word-based BPE never merges across word
+    // boundaries) pinned in BpeSpec. One encode join + one lang-keyed
+    // aggregate — map-side combinable, |langs| output rows.
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val enc = encodeDocs(docs.select("doc_id", "text"), trainedMerges(s, dir))
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_tokens"))
+      docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .withColumn("fertility",
+          round(col("total_tokens").cast("double") / col("total_words"), 6))
+        .withColumn("bytes_per_token",
+          round(col("total_bytes").cast("double") / col("total_tokens"), 6))
+        .orderBy("lang")
+    }),
+
     // the tokenize-and-pack CAPSTONE — the terminal export step of a
     // training-data pipeline as one declarative plan: Gopher quality
     // gate (the shared [[TextOps.GopherGate]] conjunction) → exact

@@ -352,4 +352,36 @@ class BpeSpec extends SparkSpec {
       assert(rs.map(_._8).sum == rs.head._2, s"doc $id piece lengths")
     }
   }
+
+  test("bpe_fertility: per-language table recomputes from bpe_encode's own counts; fertility >= 1") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val got = Bpe.queries("bpe_fertility")(s, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // independent recomposition: bpe_encode's n_tokens joined with the
+    // raw corpus's word/byte counts, folded per language in plain Scala
+    val tok = Bpe.queries("bpe_encode")(s, dir)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val byLang = docs.filter(d => tok.contains(d._1)).groupBy(_._2)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ds) =>
+      val (n, t, w, b) = (ds.size.toLong,
+        ds.map(d => tok(d._1)).sum,
+        ds.map(_._3.split(" ").length.toLong).sum,
+        ds.map(_._3.getBytes("UTF-8").length.toLong).sum)
+      val row = got(lang)
+      assert((row._2, row._3, row._4, row._5) == ((n, t, w, b)), s"$lang totals")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row._6 == r6(t.toDouble / w), s"$lang fertility")
+      assert(row._7 == r6(b.toDouble / t), s"$lang bytes/token")
+      // word-based BPE never merges across word boundaries
+      assert(row._6 >= 1.0, s"$lang fertility below 1")
+    }
+  }
 }
