@@ -1272,15 +1272,21 @@ object VectorOps {
     * a raw table). `datasetKey` scopes the train-once model cache.
     */
   def saveIvfPqIndexOf(emb: DataFrame, path: String, cells: Int = 16,
-      m: Int = 8, ks: Int = 16, datasetKey: String): Unit = {
+      m: Int = 8, ks: Int = 16, datasetKey: String,
+      attrs: Seq[String] = Nil): Unit = {
     val s = emb.sparkSession
     val hp = new org.apache.hadoop.fs.Path(path, "_graft_index_ok")
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) return
     ivfPqSaveCount.incrementAndGet()
     val model = ivfPqModel(emb, cells, m, ks, datasetKey = datasetKey)
+    // `attrs` columns persist ALONGSIDE the codes (the in-memory
+    // ivfPqIndex payload-field pattern made durable): a filtered
+    // search's predicate then evaluates inside the cell-pruned,
+    // column-stat-pushed parquet scan — no corpus join at serve time
     withIvfPqCodes(emb, "embedding", model)
-      .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
+      .select(col("vec_id").as("c_id") +: col("cell") +: col("codes") +:
+        attrs.map(col): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     import s.implicits._
     model.coarse.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
@@ -1321,14 +1327,28 @@ object VectorOps {
     * serving return identical rows for the same model.
     */
   def ivfPqTopKDisk(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      path: String, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+      path: String, nprobe: Int = 4, rerank: Int = 4,
+      where: Option[Column] = None, attrCols: Seq[String] = Nil): DataFrame = {
     val spark = emb.sparkSession
     val model = loadIvfPqModel(spark, path)
     val luts = ivfPqLuts(emb, queryIds, model, nprobe)
     val probed = luts.map(_._2).distinct
     val codes = spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
       .filter(col("cell").isin(probed: _*))
-    rerankExact(emb, queryIds, ivfPqScore(codes, luts), k, rerank)
+    // filtered serving (the ivfPqTopKWhere semantics on the durable
+    // index): candidate attrs were persisted with the codes, so the
+    // predicate lands in the SAME pruned scan — static cell partition
+    // filter + pushed data filter — before ADC ranking; per-query
+    // bound values ride the broadcast LUT join as q_-prefixed columns
+    val scored = where match {
+      case None => ivfPqScore(codes, luts)
+      case Some(pred) =>
+        val qAttrs = broadcast(emb.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("q_id") +:
+            attrCols.map(c => col(c).as(s"q_$c")): _*))
+        ivfPqScore(codes, luts).join(qAttrs, "q_id").filter(pred)
+    }
+    rerankExact(emb, queryIds, scored, k, rerank)
   }
 
   /** Append a batch of new vectors to a committed persisted index using
@@ -1340,13 +1360,22 @@ object VectorOps {
     * append costs ∝ batch, not corpus. Callers own id-uniqueness (as
     * with FAISS add_with_ids).
     */
-  def appendIvfPqIndex(batch: DataFrame, path: String): Unit = {
+  def appendIvfPqIndex(batch: DataFrame, path: String,
+      attrs: Seq[String] = Nil): Unit = {
     val s = batch.sparkSession
     val model = loadIvfPqModel(s, path)
-    withIvfPqCodes(batch, "embedding", model)
-      .select(col("vec_id").as("c_id"), col("cell"), col("codes"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/${currentCodesDir(s, path)}")
+    val live = currentCodesDir(s, path)
+    val sel = withIvfPqCodes(batch, "embedding", model)
+      .select(col("vec_id").as("c_id") +: col("cell") +: col("codes") +:
+        attrs.map(col): _*)
+    // an append whose columns differ from the stored code schema would
+    // land null-attr rows that silently drop out of filtered search —
+    // fail at write time instead (cell is a partition column on read)
+    val stored = s.read.parquet(s"$path/$live").schema.fieldNames.toSet + "cell"
+    require(sel.columns.toSet == stored,
+      s"append columns ${sel.columns.toSet} != stored code schema $stored " +
+        "(pass the index's attrs to appendIvfPqIndex)")
+    sel.write.mode("append").partitionBy("cell").parquet(s"$path/$live")
   }
 
   // --- Index compaction: the generation-pointer protocol --------------

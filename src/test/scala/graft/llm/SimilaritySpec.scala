@@ -596,6 +596,25 @@ class SimilaritySpec extends SparkSpec {
     qids.foreach(q => assert(pre.getOrElse(q, 0) >= post(q), s"query $q"))
     assert(qids.map(q => pre.getOrElse(q, 0)).sum > qids.map(post).sum,
       s"pre-filter must strictly beat post-filter on this fixture: $pre vs $post")
+    // 4. the DURABLE index serves the same filtered search: attrs
+    // persist alongside the codes, the predicate rides the pruned scan,
+    // and disk ≡ memory row-for-row
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_where")
+      .toString + "/idx"
+    VectorOps.saveIvfPqIndexOf(emb, path, datasetKey = dir,
+      attrs = Seq("label"))
+    val disk = VectorOps.ivfPqTopKDisk(emb, qids, k = 10, path = path,
+      where = Some(sameLabel), attrCols = Seq("label")).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(key(disk) == key(filtered),
+      "disk-served filtered search must equal the in-memory path")
+    // an attrs-less append against an attrs-carrying index must fail
+    // loudly, not land null-attr rows that drop out of every filter
+    intercept[IllegalArgumentException] {
+      VectorOps.appendIvfPqIndex(
+        emb.withColumn("vec_id", col("vec_id") + 900000L), path)
+    }
   }
 
   test("native cosine nulls on a null ELEMENT, like the HOF form") {
