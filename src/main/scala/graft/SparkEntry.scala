@@ -47,7 +47,8 @@ object SparkEntry {
       sources.JdbcSource.queries,
       sources.CsvSpool.queries,
       sources.JsonSpool.queries,
-      sources.OrcSource.queries), "query")
+      sources.OrcSource.queries,
+      sources.ZOrder.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -67,5 +68,6 @@ object SparkEntry {
       sources.JdbcSource.oracleSql,
       sources.CsvSpool.oracleSql,
       sources.JsonSpool.oracleSql,
-      sources.OrcSource.oracleSql), "oracle")
+      sources.OrcSource.oracleSql,
+      sources.ZOrder.oracleSql), "oracle")
 }
