@@ -1114,6 +1114,33 @@ object TextOps {
       bm25TopKDisk(Tables(s, dir).documents, queryIds = 0L until 8L,
         k = 10, path = textIndexStreamDemoPath(s, dir))),
 
+    // offline retrieval evaluation as an operator — the ranking-metric
+    // battery (recall@10, MRR, binary nDCG@10) of the lexical list
+    // against the exact-cosine list as relevance truth: the report a
+    // pipeline runs to decide retriever settings before A/B cost.
+    // Rank-based: recall and MRR are exact integer/rational arithmetic;
+    // nDCG's log2 discounts round at 6 dp (the dsir adjudication — and
+    // IDCG is a 10-term constant both engines fold in the same
+    // ascending order). Metric inputs are the two |q|·10-row lists, so
+    // the metric stage itself is free at any corpus size.
+    "retrieve_metrics" -> ((s, dir) => {
+      val truth = VectorOps.queries("sim_topk")(s, dir)
+        .select(col("q_id"), col("c_id"), lit(1).as("relv"))
+      val bm = queries("bm25_topk")(s, dir).select("q_id", "c_id", "rank")
+      val idcg = (1 to 10).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+      bm.join(truth, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(
+          round(sum(coalesce(col("relv"), lit(0))).cast("double") / 10, 6)
+            .as("recall10"),
+          round(coalesce(lit(1.0) /
+            min(when(col("relv") === 1, col("rank"))), lit(0.0)), 6).as("mrr"),
+          round(sum(when(col("relv") === 1,
+            lit(1.0) / log(2.0, col("rank") + 1)).otherwise(lit(0.0))) / idcg, 6)
+            .as("ndcg10"))
+        .orderBy("q_id")
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     // rrf_k=60) of the BM25 list and the exact-cosine list (sim_topk)
     // — the standard lexical+vector fusion every production retrieval
@@ -1519,6 +1546,54 @@ object TextOps {
         |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM scored)
         |SELECT q_id, rank, c_id, score FROM ranked
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "retrieve_metrics" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT q.q_id, t.doc_id AS c_id,
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+        |  FROM q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+        |  JOIN df d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |bscored AS (SELECT q_id, c_id, round(sum(w), 6) AS score
+        |            FROM contrib GROUP BY 1, 2),
+        |bm AS (SELECT q_id, c_id, rank FROM (
+        |  SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS BIGINT) AS rank FROM bscored)
+        |  WHERE rank <= 10),
+        |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |       WHERE vec_id BETWEEN 0 AND 7),
+        |cscored AS (
+        |  SELECT qv.q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(qv.q_emb)+1),
+        |      i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+        |  FROM qv JOIN embeddings c ON c.vec_id <> qv.q_id),
+        |truth AS (SELECT q_id, c_id, 1 AS relv FROM (
+        |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, c_id) AS rank FROM cscored) WHERE rank <= 10),
+        |idcg AS (SELECT sum(1.0 / log2(CAST(i AS DOUBLE) + 1)) AS v
+        |         FROM (SELECT unnest(range(1, 11)) AS i)),
+        |joined AS (
+        |  SELECT b.q_id, b.rank, t.relv
+        |  FROM bm b LEFT JOIN truth t ON t.q_id = b.q_id AND t.c_id = b.c_id)
+        |SELECT q_id,
+        |  round(CAST(sum(COALESCE(relv, 0)) AS DOUBLE) / 10, 6) AS recall10,
+        |  round(COALESCE(1.0 / min(CASE WHEN relv = 1 THEN rank END), 0.0), 6) AS mrr,
+        |  round(sum(CASE WHEN relv = 1 THEN 1.0 / log2(CAST(rank AS DOUBLE) + 1)
+        |            ELSE 0.0 END) / (SELECT v FROM idcg), 6) AS ndcg10
+        |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin,
     "bm25_prf" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),

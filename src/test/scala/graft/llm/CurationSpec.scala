@@ -1213,6 +1213,55 @@ class CurationSpec extends SparkSpec {
     assert(TextOps.gcTextIndex(s, path) == Seq("gen-00000001"))
   }
 
+  test("retrieve_metrics: recomputes from the two lists; planted perfect-agreement corpus scores exactly 1.0") {
+    val s = spark
+    import s.implicits._
+    // independent recomposition on the real fixture
+    val dir = sf("sf0.001")
+    val truth = VectorOps.queries("sim_topk")(s, dir).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val bm = TextOps.queries("bm25_topk")(s, dir).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(r => r.getAs[Long]("rank") -> r.getAs[Long]("c_id"))).toMap
+    val idcg = (1 to 10).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.queries("retrieve_metrics")(s, dir)
+      .as[(Long, Double, Double, Double)].collect()
+    got.foreach { case (q, recall, mrr, ndcg) =>
+      val hits = bm(q).filter { case (_, c) => truth(q)(c) }
+      assert(recall == r6(hits.size / 10.0), s"q$q recall")
+      assert(mrr == r6(hits.map(_._1).minOption.map(1.0 / _).getOrElse(0.0)), s"q$q mrr")
+      assert(ndcg == r6(hits.map { case (r, _) =>
+        1.0 / (math.log(r + 1) / math.log(2)) }.sum / idcg), s"q$q ndcg")
+    }
+    // planted corpus: queries 0..7 live in an 11-doc group of IDENTICAL
+    // text and identical embeddings; filler docs share neither terms
+    // nor direction — both retrievers must return exactly the 10
+    // co-group members, so every metric is exactly 1.0
+    val pdir = java.nio.file.Files.createTempDirectory("metrics_fixture").toString
+    val groupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L to 10L).map(i => (i, groupText)) ++
+      (11L to 40L).map(i => (i, s"filler${i}a filler${i}b filler${i}c"))
+    docs.map { case (id, t) => (id, t, "en", s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$pdir/documents.parquet")
+    val dim = 16
+    docs.map { case (id, _) =>
+      val v = Array.fill(dim)(0f)
+      if (id <= 10) v(0) = 1f else v((id % (dim - 1)).toInt + 1) = 1f
+      (id, v.toSeq, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$pdir/embeddings.parquet")
+    val planted = TextOps.queries("retrieve_metrics")(s, pdir)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(planted.length == 8)
+    planted.foreach { case (q, recall, mrr, ndcg) =>
+      assert(recall == 1.0 && mrr == 1.0 && ndcg == 1.0,
+        s"q$q expected perfect metrics, got ($recall, $mrr, $ndcg)")
+    }
+  }
+
   test("bm25_prf: expansion bridges the lexical gap — a no-shared-term doc surfaces via feedback co-occurrence") {
     val s = spark
     import s.implicits._
