@@ -608,6 +608,36 @@ object Queries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // time-series gap-fill + forward-fill (time_bucket_gapfill / LOCF —
+    // the op every monitoring/feature pipeline needs before resampling):
+    // per user, DENSE hourly buckets from first to last activity via
+    // sequence()+explode (no self-join, no driver loop), left-joined
+    // with the hourly aggregate; empty buckets carry n=0 and the value
+    // forward-fills with last(ignoreNulls) — one window. Money sums in
+    // exact DECIMAL before the double cast (the house order-independence
+    // rule), so every column is deterministic cross-engine. At scale the
+    // generated rows are bounded by users×span-hours and the whole plan
+    // is one agg + one broadcastable span table + one window, all
+    // co-partitioned on user_id.
+    "ts_gapfill" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+      val agg = ev.groupBy("user_id", "bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val spans = ev.groupBy("user_id")
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"),
+            expr("interval 1 hour"))).as("bucket"))
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spans.join(agg, Seq("user_id", "bucket"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .orderBy("user_id", "bucket")
+    }),
+
     "win_range" -> ((s, dir) => {
       // moving 1-hour sum per user; money in exact integer cents so the
       // frame aggregation is order-independent in both engines.
@@ -1652,6 +1682,25 @@ object Queries {
         |    ORDER BY epoch_ms(ts)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "ts_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket, value FROM events),
+        |agg AS (
+        |  SELECT user_id, bucket, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM ev GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.bucket, COALESCE(a.n, 0) AS n, a.v
+        |  FROM spans s LEFT JOIN agg a
+        |    ON a.user_id = s.user_id AND a.bucket = s.bucket)
+        |SELECT user_id, bucket, n, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "sort_global" ->
       "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY o_totalprice DESC, o_orderkey",
     "topk" ->
