@@ -51,7 +51,8 @@ class DriverContractSpec extends AnyFunSuite {
       llm.QualityModel.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries, sources.CsvSpool.queries,
-      sources.JsonSpool.queries, sources.OrcSource.queries)
+      sources.JsonSpool.queries, sources.OrcSource.queries,
+      sources.ZOrder.queries)
     val ids = all.flatMap(_.keys)
     val dupes = ids.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query ids: $dupes")
