@@ -638,6 +638,41 @@ object Queries {
         .orderBy("user_id", "bucket")
     }),
 
+    // rolling z-score anomaly detection (the monitoring staple): each
+    // event scored against the PREVIOUS 20 events of its user (frame
+    // excludes current — scoring a point against a window containing
+    // itself dilutes the very outlier being tested). Every aggregate is
+    // an exact integer in cents (the win_range idiom): Σx and Σx² over
+    // the frame are exact longs, so μ = Σx/n, var = (Σx² − (Σx)²/n)/
+    // (n−1) and z = (x−μ)/σ are single fixed-order double expressions —
+    // deterministic cross-engine with no float-sum order anywhere.
+    // Emits only |z| > 3 with n ≥ 10 prior events (cold keys and
+    // zero-variance windows are not scoreable).
+    "ts_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val n = count(lit(1)).over(w).cast("double")
+      val s1 = sum(col("cents")).over(w).cast("double")
+      val s2 = sum(col("cents") * col("cents")).over(w).cast("double")
+      val varE = (s2 - s1 * s1 / n) / (n - 1)
+      // NESTED guards, not one &&: the outer n≥10 branch keeps the
+      // variance's (n−1) divisor away from cold keys (ANSI mode makes
+      // 0-divides an ERROR, and And does not short-circuit under
+      // codegen); the inner var>0 branch nulls out zero-variance
+      // windows (a constant history makes z undefined — emitting ±inf
+      // would flag every next value, the classic monitoring bug)
+      val z = when(col("n_prev") >= 10,
+        when(varE > 0, round((col("cents") - s1 / n) / sqrt(varE), 6)))
+      Tables(s, dir).events
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 3)
+        .select("user_id", "event_id", "cents", "n_prev", "z")
+        .orderBy("user_id", "event_id")
+    }),
+
     "win_range" -> ((s, dir) => {
       // moving 1-hour sum per user; money in exact integer cents so the
       // frame aggregation is order-independent in both engines.
@@ -1682,6 +1717,31 @@ object Queries {
         |    ORDER BY epoch_ms(ts)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "ts_anomaly" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, cents,
+        |    count(*) OVER fr AS n_prev,
+        |    CAST(sum(cents) OVER fr AS DOUBLE) AS s1,
+        |    CAST(sum(cents * cents) OVER fr AS DOUBLE) AS s2
+        |  FROM c
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT user_id, event_id, cents, n_prev,
+        |    CASE WHEN n_prev >= 10 THEN
+        |      CASE WHEN (s2 - s1 * s1 / n_prev) / (n_prev - 1) > 0 THEN
+        |        round((cents - s1 / n_prev) /
+        |          sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)), 6)
+        |      END
+        |    END AS z
+        |  FROM w)
+        |SELECT user_id, event_id, cents, n_prev, z
+        |FROM scored WHERE abs(z) > 3
+        |ORDER BY user_id, event_id""".stripMargin,
     "ts_gapfill" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket, value FROM events),

@@ -40,4 +40,40 @@ class TimeSeriesSpec extends SparkSpec {
     val u2 = rows.filter(_._1 == 2L)
     assert(u2.length == 1 && u2(0)._3 == 1L && u2(0)._5 == Some(1.00))
   }
+
+  test("ts_anomaly: planted spike flagged with the hand-computed z; cold keys and flat windows never flag") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    // user 1: 20 alternating baseline values then one wild spike;
+    // user 2: a wild value with only 5 prior events (cold key);
+    // user 3: 15 CONSTANT values then a spike (zero variance — z is
+    // undefined and must not be emitted, not infinity-flagged)
+    val base = (0 until 20).map(i =>
+      (i.toLong, f"2024-01-01 00:${i}%02d:00", 1L, "m",
+        if (i % 2 == 0) 1.00 else 2.00, "{}"))
+    val spike = Seq((20L, "2024-01-01 00:20:00", 1L, "m", 50.00, "{}"))
+    val cold = (0 until 5).map(i =>
+      (30L + i, f"2024-01-01 01:${i}%02d:00", 2L, "m", 1.00, "{}")) ++
+      Seq((35L, "2024-01-01 01:05:00", 2L, "m", 999.00, "{}"))
+    val flat = (0 until 15).map(i =>
+      (40L + i, f"2024-01-01 02:${i}%02d:00", 3L, "m", 5.00, "{}")) ++
+      Seq((55L, "2024-01-01 02:15:00", 3L, "m", 500.00, "{}"))
+    (base ++ spike ++ cold ++ flat)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Queries.queries("ts_anomaly")(s, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // hand-computed z for the spike: prior 20 cents values alternate
+    // 100/200 -> s1=3000, s2=500000, n=20; mu=150,
+    // var=(500000-450000)/19, z=(5000-150)/sqrt(var)
+    val varr = (500000.0 - 3000.0 * 3000.0 / 20) / 19
+    val expZ = BigDecimal((5000.0 - 150.0) / math.sqrt(varr))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the flat-window user's constant prefix must also not flag the
+    // spike at event 55 (sigma = 0 -> z is NULL, filtered)
+    assert(got.toSeq == Seq((1L, 20L, 5000L, 20L, expZ)),
+      s"expected exactly the planted spike, got ${got.toSeq}")
+  }
 }
