@@ -638,6 +638,45 @@ object Queries {
         .orderBy("user_id", "bucket")
     }),
 
+    // first-order Markov transition matrix of event types (the user-
+    // journey report): P(next | current) from one lag window per user +
+    // one counting aggregate; probabilities are count/count divisions
+    // of exact longs (round 6 for cross-engine safety), denominators
+    // via a window over the COUNT table (|types|² rows — free).
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir).events
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy("cur")
+      pairs
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(tot), 6))
+        .orderBy("cur", "nxt")
+    }),
+
+    // top user-journey trigrams (path analysis): the 3-step sequences
+    // users actually walk, from two lead windows + one count — no
+    // per-user collect, no explode of whole histories.
+    "event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ord = Window.orderBy(col("n").desc, col("path"))
+      Tables(s, dir).events
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "path", "n")
+        .orderBy("rank")
+    }),
+
     // rolling z-score anomaly detection (the monitoring staple): each
     // event scored against the PREVIOUS 20 events of its user (frame
     // excludes current — scoring a point against a window containing
@@ -1717,6 +1756,32 @@ object Queries {
         |    ORDER BY epoch_ms(ts)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cnt AS (
+        |  SELECT cur, nxt, count(*) AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6) AS p
+        |FROM cnt ORDER BY cur, nxt""".stripMargin,
+    "event_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |paths AS (
+        |  SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |  FROM t WHERE t3 IS NOT NULL GROUP BY 1)
+        |SELECT rank, path, n FROM (
+        |  SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
+        |    AS BIGINT) AS rank FROM paths)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "ts_anomaly" ->
       """WITH c AS (
         |  SELECT user_id, event_id, ts,

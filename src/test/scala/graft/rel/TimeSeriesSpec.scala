@@ -76,4 +76,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 20L, 5000L, 20L, expZ)),
       s"expected exactly the planted spike, got ${got.toSeq}")
   }
+
+  test("event_transitions/event_paths: planted journey gives exact probabilities and trigram counts") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("journeys").toString
+    // user 1 walks a,b,a,b,c; user 2 walks a,b,c — transitions pool
+    // across users, probabilities condition on the current type
+    val ev = Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "a"), (1L, "2024-01-01 00:01:00", 1L, "b"),
+      (2L, "2024-01-01 00:02:00", 1L, "a"), (3L, "2024-01-01 00:03:00", 1L, "b"),
+      (4L, "2024-01-01 00:04:00", 1L, "c"),
+      (5L, "2024-01-01 00:00:00", 2L, "a"), (6L, "2024-01-01 00:01:00", 2L, "b"),
+      (7L, "2024-01-01 00:02:00", 2L, "c"))
+    ev.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$dir/events.parquet")
+    val trans = Queries.queries("event_transitions")(s, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // a->b 3 of 3; b->a 1 of 3, b->c 2 of 3 (rounded 6)
+    assert(trans == Map(
+      ("a", "b") -> (3L, 1.0),
+      ("b", "a") -> (1L, 0.333333),
+      ("b", "c") -> (2L, 0.666667)), trans)
+    val paths = Queries.queries("event_paths")(s, dir)
+      .as[(Long, String, Long)].collect().map(t => t._2 -> t._3).toMap
+    // trigrams: u1 a>b>a, b>a>b, a>b>c; u2 a>b>c
+    assert(paths == Map("a>b>c" -> 2L, "a>b>a" -> 1L, "b>a>b" -> 1L), paths)
+  }
 }
