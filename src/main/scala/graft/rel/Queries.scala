@@ -638,6 +638,47 @@ object Queries {
         .orderBy("user_id", "bucket")
     }),
 
+    // per-bucket latency-style percentile report (the P50/P95/P99 table
+    // every monitoring dashboard renders): exact interpolated
+    // percentiles per hour, all three riding ONE aggregation buffer
+    // (the agg_percentile array idiom — one counts-map per bucket, not
+    // three)
+    "ts_percentiles" -> ((s, dir) =>
+      Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("value"),
+            array(lit(0.5), lit(0.95), lit(0.99))).as("ps"))
+        .select(col("bucket"), col("n"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p95"),
+          element_at(col("ps"), 3).as("p99"))
+        .orderBy("bucket")),
+
+    // RFM segmentation (the classic customer-analytics cut): per user,
+    // recency (last activity), frequency (events) and monetary (exact
+    // cents) quartiled into 4×4×4 segments — ntile over deterministic
+    // (metric, user_id) orders, so the integer cut is engine-agnostic
+    // (the perplexity_buckets discipline); one events aggregate + three
+    // windows over the |users|-row metric table.
+    "rfm_segments" -> ((s, dir) => {
+      val m = Tables(s, dir).events
+        .groupBy("user_id")
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val rW = Window.orderBy(col("last_ts").desc, col("user_id"))
+      val fW = Window.orderBy(col("freq").desc, col("user_id"))
+      val mW = Window.orderBy(col("cents").desc, col("user_id"))
+      m.withColumn("r", ntile(4).over(rW).cast("long"))
+        .withColumn("f", ntile(4).over(fW).cast("long"))
+        .withColumn("m", ntile(4).over(mW).cast("long"))
+        .withColumn("segment",
+          concat(col("r"), lit("-"), col("f"), lit("-"), col("m")))
+        .select("user_id", "last_ts", "freq", "cents", "r", "f", "m", "segment")
+        .orderBy("user_id")
+    }),
+
     // first-order Markov transition matrix of event types (the user-
     // journey report): P(next | current) from one lag window per user +
     // one counting aggregate; probabilities are count/count divisions
@@ -1756,6 +1797,27 @@ object Queries {
         |    ORDER BY epoch_ms(ts)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "ts_percentiles" ->
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rfm_segments" ->
+      """WITH m AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT user_id, last_ts, freq, cents,
+        |    CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r,
+        |    CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
+        |    CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS m
+        |  FROM m)
+        |SELECT user_id, last_ts, freq, cents, r, f, m,
+        |  CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' ||
+        |    CAST(m AS VARCHAR) AS segment
+        |FROM q ORDER BY user_id""".stripMargin,
     "event_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS cur,

@@ -106,4 +106,44 @@ class TimeSeriesSpec extends SparkSpec {
     // trigrams: u1 a>b>a, b>a>b, a>b>c; u2 a>b>c
     assert(paths == Map("a>b>c" -> 2L, "a>b>a" -> 1L, "b>a>b" -> 1L), paths)
   }
+
+  test("ts_percentiles: linear interpolation exact on 1..100; rfm_segments: planted users hit known quartiles") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pctl").toString
+    // one hourly bucket holding values 1..100, a second with a single
+    // value; four users with strictly ordered recency/frequency/spend
+    val bucketEvents = (1 to 100).map(i =>
+      (i.toLong, f"2024-01-01 00:${i % 60}%02d:${i / 60}%02d", (i % 4).toLong + 10L, "m", i.toDouble, "{}"))
+    val single = Seq((200L, "2024-01-01 01:00:00", 10L, "m", 7.0, "{}"))
+    (bucketEvents ++ single)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$dir/events.parquet")
+    val p = Queries.queries("ts_percentiles")(s, dir)
+      .withColumn("h", hour(col("bucket"))).collect()
+      .map(r => r.getAs[Int]("h") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p95"), r.getAs[Double]("p99"))).toMap
+    // 1..100: quantile_cont(q) = 1 + q*99 exactly
+    assert(p(0) == ((100L, 50.5, 95.05, 99.01)), p(0))
+    assert(p(1) == ((1L, 7.0, 7.0, 7.0)), "single-value bucket: all pctls equal it")
+    // rfm on four users whose three metrics all order 10 < 11 < 12 < 13
+    // EXCEPT recency which user 10 wins via the extra hour-1 event
+    val rfm = Queries.queries("rfm_segments")(s, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("r"), r.getAs[Long]("f"), r.getAs[Long]("m"))).toMap
+    // frequencies: user10 has 26 events (25 + the single), 11:25, 12:25, 13:25
+    // -> f quartiles by (freq desc, id): 10->1, 11->2, 12->3, 13->4
+    assert(rfm(10L)._2 == 1L && rfm(11L)._2 == 2L &&
+      rfm(12L)._2 == 3L && rfm(13L)._2 == 4L, rfm)
+    // recency: user 10 alone has the hour-1 event -> r=1
+    assert(rfm(10L)._1 == 1L, rfm)
+    // four users, ntile(4): each metric assigns each user a distinct
+    // quartile — a 1:1 map
+    Seq(1, 2).foreach { i =>
+      val vals = rfm.values.map(t => i match { case 1 => t._1; case 2 => t._2 }).toSeq.sorted
+      assert(vals == Seq(1L, 2L, 3L, 4L), s"metric $i quartiles: $rfm")
+    }
+  }
 }
