@@ -755,57 +755,45 @@ object Curation {
     // the FULL Gopher repetition battery (round 14 — Rae et al. 2021
     // App. A, the half of the published rule set `text_repetition`'s
     // top-2-gram share left uncovered): per doc, duplicate pseudo-line
-    // and pseudo-paragraph fractions (count- AND character-based),
-    // top-{2,3,4}-gram character share, and duplicate-{5..10}-gram
-    // character fraction, plus the paper-threshold conjunction
-    // `rep_keep`. ONE exploded pass: every unit (3-word lines, 10-word
-    // paragraphs — the corpus has no newlines, so the [[chunkArray]]
-    // pseudo-line definition shared with the scrub family stands in —
-    // and n-grams for n = 2..10) is tagged and exploded once, then two
-    // map-side-combinable per-doc aggregations produce all 13 signals;
-    // no joins, no corpus-wide key — the shuffle is (doc_id, tag, g)
-    // with ~9.4 rows per word, the same shape the judge's round-13
-    // brief prescribed. Missing signals (doc shorter than n words) are
-    // NULL and pass their gate (the CASE-less max() convention both
-    // engines share); divisions are single int/int IEEE ops
+    // and pseudo-paragraph fractions (count- AND character-based, the
+    // 3-/10-word [[chunkArray]] pseudo-unit definitions shared with the
+    // scrub family — the corpus has no newlines), top-{2,3,4}-gram
+    // character share, and duplicate-{5..10}-gram character fraction,
+    // plus the paper-threshold conjunction `rep_keep`.
+    //
+    // ZERO-shuffle (round 15): every signal is a pure per-document
+    // function, so the whole battery is ONE native-Expression scan —
+    // [[graft.functions.RepetitionSignals]] hashes, sorts and
+    // run-length-folds each doc's ~9.4·n_words units inside a single
+    // eval over primitive long arrays. The declarative
+    // explode + two-level-agg form this replaces shuffled a
+    // mostly-distinct (doc, tag, gram) key: 31 s in the round-14
+    // driver suite (12% of the board), 0.73× linear at 25×; hashing
+    // the gram key (the source_overlap idiom) only got it to 0.46×
+    // because the exchange itself remained, and interpreted HOF folds
+    // cost as much as the shuffle (tools/RepProbe probes all four
+    // shapes). The 47-bit word-hash chain and capped unit lengths are
+    // mirrored verbatim in the oracle so a collision cannot diverge.
+    // Missing signals (doc shorter than n words) are NULL sub-structs
+    // and pass their gate; divisions are single int/int IEEE ops
     // (bitwise-identical cross-engine), n_chars nullif-guarded.
     // `gopher_rules`' shared gate is deliberately NOT extended: the
     // gate feeds `corpus_export`'s doc set, and widening it would
     // silently reshuffle every export capstone's shards — rep_keep is
     // the composable signal a pipeline ANDs in where it wants it.
     "text_repetition_full" -> ((s, dir) => {
-      val tagged = (tag: Int, arr: org.apache.spark.sql.Column) =>
-        transform(arr, x => struct(lit(tag).as("tag"), x.as("g")))
-      val ngr = (n: Int) => {
-        val grams = transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(col("ws"), i + o)): _*))
-        // sequence() DESCENDS when stop < start — guard short docs to an
-        // empty gram set instead of a [1, 0] index walk
-        when(size(col("ws")) >= n, grams).otherwise(array())
-      }
-      val entries = concat(
-        Seq(tagged(0, chunkArray(col("ws"), 3)), tagged(1, chunkArray(col("ws"), 10))) ++
-          (2 to 10).map(n => tagged(n, ngr(n))): _*)
-      val perTag = graft.Engine.spread(Tables(s, dir).documents, "doc_id")
+      graft.functions.RepetitionSignals.ensureRegistered(s)
+      val base = Tables(s, dir).documents
         .select(col("doc_id"), length(col("text")).as("n_chars"),
-          split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("n_chars"), explode(entries).as("e"))
-        .select(col("doc_id"), col("n_chars"), col("e.tag").as("tag"), col("e.g").as("g"))
-        .groupBy("doc_id", "tag", "g")
-        .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"))
-        .groupBy("doc_id", "tag")
-        .agg(
-          max(col("n_chars")).as("n_chars"),
-          sum(col("cnt")).as("total"),
-          count(lit(1)).as("n_distinct"),
-          max(col("cnt") * length(col("g"))).as("top_chars"),
-          sum(when(col("cnt") >= 2, col("cnt") * length(col("g"))).otherwise(0L)).as("dup_chars"))
+          graft.functions.RepetitionSignals
+            .repetition_signals(split(col("text"), " ")).as("rs"))
       val nc = nullif(col("n_chars"), lit(0))
-      def sig(t: Int, c: org.apache.spark.sql.Column) = max(when(col("tag") === t, c))
-      def dupFrac(t: Int) = sig(t, (col("total") - col("n_distinct")).cast("double") / col("total"))
-      def dupChar(t: Int) = sig(t, col("dup_chars").cast("double") / nc)
-      def topChar(t: Int) = sig(t, col("top_chars").cast("double") / nc)
-      val sigs = perTag.groupBy("doc_id").agg(
+      def f(t: Int, fld: String) = col(s"rs.t$t.$fld")
+      def dupFrac(t: Int) =
+        (f(t, "total") - f(t, "n_distinct")).cast("double") / f(t, "total")
+      def dupChar(t: Int) = f(t, "dup_chars").cast("double") / nc
+      def topChar(t: Int) = f(t, "top_chars").cast("double") / nc
+      val sigs = base.select(col("doc_id"),
         dupFrac(0).as("dup_line_frac"), dupChar(0).as("dup_line_char_frac"),
         dupFrac(1).as("dup_para_frac"), dupChar(1).as("dup_para_char_frac"),
         topChar(2).as("top2_char_frac"), topChar(3).as("top3_char_frac"),
@@ -1109,21 +1097,41 @@ object Curation {
 
   /** The `text_repetition_full` oracle: one tagged UNION ALL of the
     * eleven unit definitions (3-word lines, 10-word paragraphs,
-    * n = 2..10 grams), then the same two-level per-doc aggregation as
-    * the engine. Branches are generated from the same (tag, n) lists
-    * as the engine plan so the two surfaces can't drift unit-by-unit.
+    * n = 2..10 grams) emitting each unit's identity HASH and capped
+    * char length — the exact [[graft.functions.RepetitionSignals]]
+    * contract: word hash = `int(md5_hex(w)[0:12], 16) % 2^47`, unit
+    * hash = base-31 chain `(acc*31 + h) % 2^47` seeded by the first
+    * word's hash, unit length = `least(Σ length(w) + (words-1), 65535)`
+    * — then the same two-level per-doc aggregation the Expression's
+    * run-length fold performs. Branches are generated from the same
+    * (tag, n) lists as the engine so the two surfaces can't drift
+    * unit-by-unit, and the shared hash means a collision merges the
+    * same units on both engines.
     */
   private def repetitionFullOracle: String = {
+    val M = 140737488355328L // 2^47
     def chunkBranch(tag: Int, cw: Int) =
       s"""SELECT doc_id, n_chars, $tag AS tag,
-         |  unnest(list_transform(range(0, CAST(ceil(len(ws)/$cw.0) AS INTEGER)),
-         |    i -> array_to_string(ws[CAST(i*$cw+1 AS INTEGER):CAST(i*$cw+$cw AS INTEGER)], ' '))) AS g
-         |FROM d""".stripMargin
-    def gramBranch(n: Int) =
-      s"""SELECT doc_id, n_chars, $n AS tag,
-         |  unnest(list_transform(range(1, len(ws) - ${n - 2}),
-         |    i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + ${n - 1} AS INTEGER)], ' '))) AS g
-         |FROM d WHERE len(ws) >= $n""".stripMargin
+         |  list_reduce(hs, (a, b) -> (a * 31 + b) % $M) AS gh,
+         |  list_sum(ls) + len(ls) - 1 AS ulen
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    hws[CAST(i*$cw+1 AS INTEGER):CAST(i*$cw+$cw AS INTEGER)] AS hs,
+         |    lws[CAST(i*$cw+1 AS INTEGER):CAST(i*$cw+$cw AS INTEGER)] AS ls
+         |  FROM (SELECT doc_id, n_chars, hws, lws,
+         |      unnest(range(0, CAST(ceil(len(hws)/$cw.0) AS INTEGER))) AS i
+         |    FROM h))""".stripMargin
+    def gramBranch(n: Int) = {
+      val gh = (1 until n).foldLeft(s"hws[CAST(i AS INTEGER)]") {
+        (acc, o) => s"(($acc * 31 + hws[CAST(i+$o AS INTEGER)]) % $M)"
+      }
+      val ulen = (0 until n).map(o => s"lws[CAST(i+$o AS INTEGER)]")
+        .mkString(" + ") + s" + ${n - 1}"
+      s"""SELECT doc_id, n_chars, $n AS tag, $gh AS gh, $ulen AS ulen
+         |FROM (SELECT doc_id, n_chars, hws, lws,
+         |    unnest(range(1, len(hws) - ${n - 2})) AS i
+         |  FROM h)""".stripMargin
+    }
     val branches =
       (Seq(chunkBranch(0, 3), chunkBranch(1, 10)) ++ (2 to 10).map(gramBranch))
         .mkString("\nUNION ALL\n")
@@ -1143,16 +1151,24 @@ object Curation {
     s"""WITH d AS (
        |  SELECT doc_id, length(text) AS n_chars, string_split(text,' ') AS ws
        |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, n_chars,
+       |    list_transform(ws, w ->
+       |      CAST('0x' || substring(md5(w),1,12) AS BIGINT) % $M) AS hws,
+       |    list_transform(ws, w -> CAST(length(w) AS BIGINT)) AS lws
+       |  FROM d),
        |e AS (
        |$branches),
        |c AS (
-       |  SELECT doc_id, tag, g, count(*) AS cnt, max(n_chars) AS n_chars
+       |  SELECT doc_id, tag, gh,
+       |    count(*) AS cnt, max(n_chars) AS n_chars,
+       |    max(least(ulen, 65535)) AS glen
        |  FROM e GROUP BY 1, 2, 3),
        |t AS (
        |  SELECT doc_id, tag, max(n_chars) AS n_chars, sum(cnt) AS total,
        |    count(*) AS n_distinct,
-       |    max(cnt * length(g)) AS top_chars,
-       |    sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+       |    max(cnt * glen) AS top_chars,
+       |    sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup_chars
        |  FROM c GROUP BY 1, 2),
        |sig AS (
        |  SELECT doc_id, ${sigCols.mkString(",\n    ")}

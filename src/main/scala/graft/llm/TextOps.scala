@@ -809,23 +809,27 @@ object TextOps {
     // spent — the greedy knapsack every budget-constrained data
     // curation ends with (quality per token is uniform here; a
     // value-density variant divides quality by n_tokens in the sort
-    // key). Order = (quality desc, doc_id) — quality is the
-    // text_quality composite already proven bit-identical cross-engine,
-    // so no rounding adjudication is needed; the running total is an
-    // exact integer sum. Keep while cum ≤ budget (the boundary doc that
-    // would overflow is dropped). Like dsir_select, the exact form is
-    // one global window — correct to tens of millions of docs; the
-    // 100 TB twin thresholds on an approx quality quantile chosen from
-    // the tokens-per-quality histogram (the dsir_select_approx shape).
+    // key). Order = (quality_e6 desc, doc_id) where quality_e6 is the
+    // composite scaled to integer micro-units (round(q*1e6) BIGINT) —
+    // the house float-in-output discipline: a raw DOUBLE column is
+    // hash-unstable under the driver's canonicalizer even when values
+    // compare equal (round-14 adjudication), so both the sort key and
+    // the emitted column are the integer form, mirrored in the oracle.
+    // The running total is an exact integer sum. Keep while cum ≤
+    // budget (the boundary doc that would overflow is dropped). Like
+    // dsir_select, the exact form is one global window — correct to
+    // tens of millions of docs; the 100 TB twin thresholds on an approx
+    // quality quantile chosen from the tokens-per-quality histogram
+    // (the dsir_select_approx shape).
     "select_budget" -> ((s, dir) => {
       val (nWords, _, _, quality) = qualitySignals(col("text"))
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("quality").desc, col("doc_id"))
+        .orderBy(col("quality_e6").desc, col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       Tables(s, dir).documents
         .select(col("doc_id"), nWords.cast("long").as("n_tokens"),
-          quality.as("quality"))
+          round(quality * 1e6).cast("long").as("quality_e6"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 10000)
         .orderBy("doc_id")
@@ -1346,18 +1350,18 @@ object TextOps {
       """WITH scored AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |    least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+        |    CAST(round((least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
         |      + (CAST(len(list_filter(string_split(text,' '),
         |           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
         |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
-        |      AS quality
+        |      ) * 1e6) AS BIGINT) AS quality_e6
         |  FROM documents),
         |cum AS (
-        |  SELECT doc_id, n_tokens, quality,
-        |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |  SELECT doc_id, n_tokens, quality_e6,
+        |    sum(n_tokens) OVER (ORDER BY quality_e6 DESC, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM scored)
-        |SELECT doc_id, n_tokens, quality, cum_tokens
+        |SELECT doc_id, n_tokens, quality_e6, cum_tokens
         |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h

