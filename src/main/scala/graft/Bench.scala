@@ -56,7 +56,25 @@ object Bench {
     // never mistaken for a regression or a win.
     val timedRuns = 3
     val firstRuns = collection.mutable.Buffer.empty[Double]
+    // Memo-footprint bound (round 15, VERDICT r14 #5): the per-corpus
+    // memo families (shingle table, dedup states, vector code tables,
+    // media corpora) each model a write-once pipeline index — but this
+    // loop runs EVERY family, and by the suite's tail ~20 families'
+    // persisted blocks were resident at once; under ambient memory
+    // pressure that produced selective 10–20× blowups of memo-dependent
+    // ids while cheap controls stayed flat. Release all memos whenever
+    // the id prefix-family changes (OUTSIDE the timer): at most one
+    // family's blocks stay resident, the first post-boundary consumer
+    // rebuilds in its run 1 (visible in first_run_total), and its
+    // median-of-3 still measures the steady state.
+    var prevFamily = ""
+    def family(id: String): String = id.takeWhile(_ != '_')
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (family(name) != prevFamily) {
+        prevFamily = family(name)
+        try Engine.releaseAllMemos(spark)
+        catch { case e: Throwable => System.err.println(s"[bench] memo release: $e") }
+      }
       val times = (1 to timedRuns).map { _ =>
         // Collect prior queries' garbage (dropped broadcasts, shuffle
         // state) OUTSIDE the timer: otherwise their full-GC debt lands

@@ -1177,4 +1177,19 @@ object Curation {
        |  ($keep) AS rep_keep
        |FROM sig ORDER BY doc_id""".stripMargin
   }
+
+  /** Release this session's memoized decontamination artifacts (eval
+    * n-gram hashes, line-dedup bootstrap state, Bloom sketch) — see
+    * [[NearDedup.releaseMemos]] for the footprint rationale.
+    */
+  private[graft] def releaseMemos(s: SparkSession): Unit = {
+    Seq(evalNgCache, lineStateCache).foreach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+      }
+    }
+    bloomCache.keySet.removeIf(k => k._1 eq s)
+  }
 }

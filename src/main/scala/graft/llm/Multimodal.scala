@@ -1066,4 +1066,24 @@ object Multimodal {
         |  CAST(len(list_filter(diffs, v -> v > 0)) AS DOUBLE) / (w * h) AS changed_frac
         |FROM d ORDER BY doc_id, pair_idx""".stripMargin
   )
+
+  /** Release this session's memoized synthetic-media corpora (image/
+    * audio/animation records, decoded frames, image-hash blocks) — see
+    * [[NearDedup.releaseMemos]] for the footprint rationale.
+    */
+  private[graft] def releaseMemos(s: SparkSession): Unit = {
+    def drop[K, V <: org.apache.spark.sql.Dataset[_]](
+        m: java.util.concurrent.ConcurrentHashMap[K, V], owner: K => SparkSession): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (owner(e.getKey) eq s) { e.getValue.unpersist(false); it.remove() }
+      }
+    }
+    drop(imageCache, (k: (SparkSession, String)) => k._1)
+    drop(audioCache, (k: (SparkSession, String)) => k._1)
+    drop(animCache, (k: (SparkSession, String)) => k._1)
+    drop(frameCache, (k: (SparkSession, String, Int)) => k._1)
+    drop(imageHashCache, (k: (SparkSession, String)) => k._1)
+  }
 }

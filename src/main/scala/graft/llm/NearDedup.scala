@@ -1537,4 +1537,26 @@ object NearDedup {
         |SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sim_sig
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Unpersist and drop this session's memoized per-corpus artifacts
+    * (shingle table, banded/gram/fingerprint bootstrap states, cluster
+    * labels, simhash blocks). The memos model write-once pipeline
+    * indexes, but a long-lived session that touches MANY corpora/
+    * families would otherwise hold every family's blocks at once —
+    * `Bench` releases between id-prefix groups so its block-cache
+    * footprint stays one-family-sized (round-15, VERDICT r14 #5: a
+    * 100 TB cost model cannot depend on whole-corpus block residency).
+    * First post-release consumer rebuilds (its median stays warm under
+    * median-of-3; the rebuild lands in `first_run_total`).
+    */
+  private[graft] def releaseMemos(s: SparkSession): Unit = {
+    Seq(substrStateCache, winnowStateCache, shingleCache, stateCache,
+      clusterCache, simhashBlockCache).foreach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+      }
+    }
+  }
 }

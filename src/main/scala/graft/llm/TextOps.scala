@@ -1762,4 +1762,16 @@ object TextOps {
         |SELECT rank, term, cnt, round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
         |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
   )
+
+  /** Release this session's memoized winnow-cluster labels — see
+    * [[NearDedup.releaseMemos]] for the footprint rationale. (The
+    * disk-index path caches hold strings, not blocks — left alone.)
+    */
+  private[graft] def releaseMemos(s: SparkSession): Unit = {
+    val it = winnowClusterCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+    }
+  }
 }

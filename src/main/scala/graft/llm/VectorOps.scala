@@ -1875,4 +1875,33 @@ object VectorOps {
         |  round(q_scale, 9) AS q_scale
         |FROM s ORDER BY vec_id""".stripMargin
   )
+
+  /** Release this session's memoized in-memory vector indexes (LSH
+    * buckets, IVF assignment, PQ / IVF-PQ code tables, semantic-dedup
+    * keeper state) — see [[NearDedup.releaseMemos]] for the footprint
+    * rationale. Model caches (centroids/books/components — driver-side
+    * kilobyte arrays) and persisted-index PATH caches are left alone:
+    * they hold no executor blocks, and the disk indexes are the honest
+    * steady-state artifact.
+    */
+  private[graft] def releaseMemos(s: SparkSession): Unit = {
+    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, _],
+        owner: K => SparkSession, df: Any => org.apache.spark.sql.Dataset[_]): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (owner(e.getKey) eq s) { df(e.getValue).unpersist(false); it.remove() }
+      }
+    }
+    drop(bucketCache, (k: (SparkSession, String, Int, Int)) => k._1,
+      v => v.asInstanceOf[LshIndex].buckets)
+    drop(assignedCache, (k: (SparkSession, String, Int)) => k._1,
+      v => v.asInstanceOf[IvfIndex].assigned)
+    drop(pqCodesCache, (k: (SparkSession, String, Int, Int)) => k._1,
+      v => v.asInstanceOf[PqIndex].codes)
+    drop(ivfPqCodesCache, (k: (SparkSession, String, Int, Int, Int, Seq[String])) => k._1,
+      v => v.asInstanceOf[IvfPqIndex].codes)
+    drop(semStateCache, (k: (SparkSession, String, Int, Double)) => k._1,
+      v => v.asInstanceOf[org.apache.spark.sql.DataFrame])
+  }
 }

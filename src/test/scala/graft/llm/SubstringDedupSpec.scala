@@ -278,6 +278,59 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("durable state fold: a FALSE-returning rename fails the batch and leaves committed state intact") {
+    // Hadoop FS reports most move failures via rename's BOOLEAN, not an
+    // exception; a promote that ignored it and proceeded to the stage
+    // delete would destroy the only copy of a committed batch's state.
+    // Drive the fold through a FileSystem whose live-promotion renames
+    // can be armed to return false (stage-internal renames — Spark's
+    // own committer — pass through untouched).
+    val docs = chainDocs.toDF("doc_id", "text")
+    val b1 = docs.filter(col("doc_id").isin(1L, 2L))
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failrn.impl", classOf[FailingRenameFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("substr-failrn")
+    val stateDir = s"failrn:$base/t"
+    val localDir = s"$base/t"
+
+    // batch 1 commits normally (disarmed)
+    NearDedup.admitSubstringToState(b1, stateDir)
+    def outIds = spark.read.parquet(s"$localDir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds == Set(1L))
+    val ownedCount = spark.read.parquet(s"$localDir/owned").count()
+
+    // batch 2's promote hits a false-returning rename: the batch MUST
+    // fail (require), the stage (with its _committed marker) MUST
+    // survive for recovery, and the live state MUST be untouched
+    FailingRenameFs.failLivePromotes.set(true)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        NearDedup.admitSubstringToState(docs.filter(col("doc_id").isin(3L, 4L)), stateDir)
+      }
+      assert(e.getMessage.contains("rename"), e.getMessage)
+    } finally FailingRenameFs.failLivePromotes.set(false)
+    assert(outIds == Set(1L), "failed promote must not change the live state")
+    assert(spark.read.parquet(s"$localDir/owned").count() == ownedCount,
+      "failed promote must not change the gram state")
+    val stages = java.nio.file.Files.list(java.nio.file.Paths.get(s"$localDir/stage"))
+    val staged = try {
+      val it = stages.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
+      while (it.hasNext) b += it.next(); b.result()
+    } finally stages.close()
+    assert(staged.nonEmpty, "the committed stage must survive the failed promote")
+    assert(staged.forall(p => java.nio.file.Files.exists(p.resolve("_committed"))),
+      "the surviving stage must still carry its commit marker")
+
+    // next touch recovers: the committed stage promotes, end state ==
+    // the never-failed chain, stage drained
+    NearDedup.admitSubstringToState(docs.filter(col("doc_id").isin(3L, 4L)), stateDir)
+    assert(outIds == Set(1L, 4L), "recovery must complete the committed batch")
+    val stages2 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$localDir/stage"))
+    try assert(!stages2.iterator().hasNext, "promoted stage must be removed")
+    finally stages2.close()
+  }
+
 
   test("winnow admission: doc-ordered batches equal the one-shot pass, seen docs own") {
     val docs = chainDocs.toDF("doc_id", "text")
@@ -384,4 +437,24 @@ class SubstringDedupSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(rows.toSet == expect, "engine admission diverged from the local replay")
   }
+}
+
+/** Local filesystem under the `failrn:` scheme whose LIVE-promotion
+  * renames (src inside a `/stage/`, dst outside one) return false while
+  * [[FailingRenameFs.failLivePromotes]] is armed — everything else,
+  * including Spark's own committer renames inside the stage, behaves
+  * normally. Instantiated by Hadoop reflection via `fs.failrn.impl`.
+  */
+class FailingRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("failrn:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FailingRenameFs.failLivePromotes.get() &&
+        src.toString.contains("/stage/") && !dst.toString.contains("/stage/"))
+      false
+    else super.rename(src, dst)
+}
+
+object FailingRenameFs {
+  val failLivePromotes = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
