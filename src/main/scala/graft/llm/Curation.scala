@@ -604,7 +604,8 @@ object Curation {
     // admitted state (memoized bootstrap — the persisted artifact a
     // real pipeline admits against), odd doc_ids arrive as the batch
     // and scrub against state ownership + intra-batch first occurrence.
-    // Rows-only (order-dependent admission); batch-chain ≡ one-shot
+    // Oracle-checked since round 15 (deterministic even/odd demo — the
+    // one-shot oracle plus a state gate); batch-chain ≡ one-shot
     // equality and state-growth semantics pinned in CurationSpec.
     "dedup_lines_incr" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -1025,6 +1026,32 @@ object Curation {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text,
         |  count(*) AS n_chunks,
         |  count(CASE WHEN rn > 1 THEN 1 END) AS n_removed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // round 15: the incremental twin GRADUATES to oracle-checked — the
+    // even/odd demo is a deterministic pure function of the corpus
+    // (state = every even doc's distinct 56-bit line hashes, batch =
+    // odd docs scrubbed against state ownership + intra-batch first
+    // occurrence), so the one-shot oracle extends with a state gate.
+    "dedup_lines_incr" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(ws, i*3+1, i*3+3), ' ') AS chunk
+        |  FROM words, unnest(range(CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(i)),
+        |hashed AS (SELECT doc_id, pos, chunk,
+        |  CAST('0x' || substring(md5(chunk),1,14) AS BIGINT) AS ck FROM chunks),
+        |state AS (SELECT DISTINCT ck FROM hashed WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM hashed WHERE doc_id % 2 <> 0),
+        |flagged AS (
+        |  SELECT b.doc_id, b.pos, b.chunk,
+        |    (s.ck IS NOT NULL) AS seen,
+        |    row_number() OVER (PARTITION BY b.ck ORDER BY b.doc_id, b.pos) AS rn
+        |  FROM batch b LEFT JOIN state s ON s.ck = b.ck)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  count(CASE WHEN seen OR rn > 1 THEN 1 END) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT seen AND rn = 1 THEN chunk END,
+        |    ' ' ORDER BY pos), '')) AS h
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """SELECT event_id,

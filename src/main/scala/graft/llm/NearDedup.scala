@@ -1207,9 +1207,11 @@ object NearDedup {
     // dedup_incremental / dedup_lines_incr): even doc_ids' gram hashes
     // are the admitted-state artifact (memoized bootstrap), odd doc_ids
     // arrive as the batch and admit against state ownership + the
-    // intra-batch min-owner race. Rows-only (order-dependent admission);
-    // batch-chain ≡ one-shot equality, re-admission rejection and
-    // restart-redelivery safety pinned in SubstringDedupSpec.
+    // intra-batch min-owner race. Oracle-checked since round 15: the
+    // even/odd demo is a deterministic pure function of the corpus, so
+    // the one-shot oracle extends with a state gate; batch-chain ≡
+    // one-shot equality, re-admission rejection and restart-redelivery
+    // safety pinned in SubstringDedupSpec.
     "dedup_substring_incr" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       substrStateCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
@@ -1227,7 +1229,9 @@ object NearDedup {
     // streaming MOSS admission (round 13) — the winnow-fingerprint
     // member of the incremental quintet, same even/odd demo shape as
     // `dedup_substring_incr` (bootstrap memoized, batch admission
-    // measured). Rows-only like its one-shot sibling `dedup_winnow`.
+    // measured). Oracle-checked since round 15 (unlike its one-shot
+    // sibling `dedup_winnow`, whose PAIR output needs no gate — this
+    // id's admission verdicts are a deterministic even/odd function).
     "dedup_winnow_incr" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       winnowStateCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
@@ -1459,6 +1463,62 @@ object NearDedup {
         |  JOIN own o ON o.g = gr.g AND o.owner < gr.doc_id)
         |SELECT d.doc_id, md5(d.text) AS h FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY d.doc_id""".stripMargin,
+    // round 15: the incremental twin GRADUATES to oracle-checked — the
+    // even/odd demo is a deterministic pure function of the corpus
+    // (state = every even doc's distinct gram hashes, batch = odd docs
+    // admitted against state ownership + the intra-batch min-owner
+    // race), so the one-shot oracle extends with a state gate.
+    "dedup_substring_incr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-20+2),
+        |    i -> md5(array_to_string(ws[i:i+20-1], ' ')))) AS g
+        |  FROM toks WHERE len(ws) >= 20),
+        |state AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM grams WHERE doc_id % 2 <> 0),
+        |own AS (SELECT g, min(doc_id) AS owner FROM batch GROUP BY g),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id FROM batch b
+        |  JOIN own o ON o.g = b.g
+        |  LEFT JOIN state s ON s.g = b.g
+        |  WHERE s.g IS NOT NULL OR o.owner < b.doc_id)
+        |SELECT d.doc_id, md5(d.text) AS h FROM documents d
+        |WHERE d.doc_id % 2 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY d.doc_id""".stripMargin,
+    // round 15: same graduation for the winnow-fingerprint member —
+    // identical fingerprint pipeline as dedup_winnow's oracle
+    // (TextOps), then the state gate + the >=2-hit admission rule.
+    "dedup_winnow_incr" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |  WHERE len(string_split(text,' ')) >= 6),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
+        |    i -> CAST('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,14) AS BIGINT)) AS hs
+        |  FROM t),
+        |w AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j FROM g),
+        |m AS (
+        |  SELECT doc_id, hs, j,
+        |    list_aggregate(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)], 'min') AS h
+        |  FROM w),
+        |fp AS (SELECT DISTINCT doc_id, h FROM m),
+        |state AS (SELECT DISTINCT h FROM fp WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 2 <> 0),
+        |own AS (SELECT h, min(doc_id) AS owner FROM batch GROUP BY h),
+        |hits AS (
+        |  SELECT b.doc_id, count(*) AS n_hit
+        |  FROM batch b
+        |  JOIN own o ON o.h = b.h
+        |  LEFT JOIN state s ON s.h = b.h
+        |  WHERE s.h IS NOT NULL OR o.owner < b.doc_id
+        |  GROUP BY b.doc_id),
+        |dropped AS (SELECT doc_id FROM hits WHERE n_hit >= 2)
+        |SELECT d.doc_id, md5(d.text) AS h FROM documents d
+        |WHERE d.doc_id % 2 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY d.doc_id""".stripMargin,
     "dedup_substring_spans" ->
       """WITH toks AS (
