@@ -376,7 +376,82 @@ object Curation {
       .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"))
   }
 
+  /** Matching-normalization for [[deconNormalized]]: NFC → lowercase →
+    * non-letter/digit runs to single spaces → trim. ONE definition,
+    * mirrored verbatim in the oracle (`nfc_normalize`/`lower`/
+    * `regexp_replace(..., 'g')`), because a drifted restatement on
+    * either side would silently change which disguises are caught.
+    */
+  private def normalizedText(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(regexp_replace(
+      lower(graft.functions.NfcNormalize.nfc_normalize(c)),
+      "[^\\p{L}\\p{N} ]", " "), " +", " "))
+
+  /** Normalization-robust decontamination (round 15) — the eval-hygiene
+    * gap `decontaminate`'s exact shingles leave open: an eval question
+    * pasted into a training doc with different CASING, added
+    * punctuation, or decomposed unicode shares zero raw 3-gram
+    * shingles with the eval split and sails through the exact scrub.
+    * Standard eval-contamination protocols normalize before matching
+    * for exactly this reason; this id shingles the NORMALIZED text on
+    * both sides and drops any train doc sharing a normalized shingle
+    * with the held-out split. Same plan shape and 56-bit hash idiom as
+    * `decontaminate` (the memoized normalized-shingle table below +
+    * one semi-join); the normalization is per-row codegen'd string
+    * work (the NFC Expression + two regexes), paid once at ingest.
+    * The spec plants a disguised copy via a scratch corpus dir.
+    */
+  /** Per-doc distinct NORMALIZED-shingle hash table (doc_id, h) — the
+    * write-once ingest artifact of [[deconNormalized]], same cost model
+    * and hygiene as [[NearDedup.shingled]]: built once per corpus
+    * (normalize + shingle + 56-bit hash), every scrub run is then a
+    * filter + semi-join over 8-byte longs. The first cut re-normalized
+    * and re-shingled the corpus on EVERY run (three scans of `base`):
+    * 26.7 s at the 25× replica, 0.68× linear — an order over the
+    * family discipline; the memoized form is the same steady-state
+    * shape as `decontaminate`.
+    */
+  private def normalizedNgHashes(s: SparkSession, dir: String): DataFrame = {
+    normNgCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    normNgCache.computeIfAbsent((s, dir), _ => {
+      val ws = split(col("ntext"), " ")
+      // greatest(..,1): totality insurance against speculative
+      // evaluation of the descending-sequence branch (the
+      // shingleArrays hazard)
+      val grams = when(size(ws) >= 3,
+        transform(sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      graft.Engine.spread(Tables(s, dir).documents, "doc_id")
+        .select(col("doc_id"), normalizedText(col("text")).as("ntext"))
+        .select(col("doc_id"), explode(grams).as("ng"))
+        .select(col("doc_id"), ngHash(col("ng")).as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val normNgCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[llm] def deconNormalized(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Sampling.splitAssign(normalizedNgHashes(s, dir), "doc_id")
+    val evalH = hashed.filter(col("split") === "test").select("h").distinct()
+    val bad = hashed.filter(col("split") === "train")
+      .join(evalH, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
+      .filter(col("split") === "train").select("doc_id", "source")
+      .join(bad, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "decon_normalized" -> ((s, dir) => {
+      graft.functions.NfcNormalize.ensureRegistered(s)
+      deconNormalized(s, dir)
+    }),
 
     // test-set decontamination: drop every train doc sharing ANY 3-word
     // shingle with the held-out ('test') split. Survivors = clean train.
@@ -917,6 +992,35 @@ object Curation {
         |FROM d ORDER BY doc_id""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     "decontaminate_bloom" -> decontaminateOracle,
+    // decontaminate's oracle with the matching-normalization head
+    // (NFC → lower → non-letter/digit runs to one space → trim),
+    // mirroring [[normalizedText]] verbatim
+    "decon_normalized" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
+        |  FROM documents),
+        |train AS (SELECT doc_id, source, ntext FROM h WHERE hb < 58982),
+        |ev AS (SELECT ntext FROM h WHERE hb >= 62259),
+        |tng AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(ntext,' ')) - 1),
+        |    i -> string_split(ntext,' ')[i] || ' ' || string_split(ntext,' ')[i+1] || ' ' ||
+        |         string_split(ntext,' ')[i+2])) AS ng
+        |  FROM train WHERE len(string_split(ntext,' ')) >= 3),
+        |eng AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(string_split(ntext,' ')) - 1),
+        |    i -> string_split(ntext,' ')[i] || ' ' || string_split(ntext,' ')[i+1] || ' ' ||
+        |         string_split(ntext,' ')[i+2])) AS ng
+        |  FROM ev WHERE len(string_split(ntext,' ')) >= 3),
+        |bad AS (
+        |  SELECT DISTINCT t.doc_id FROM tng t JOIN eng e
+        |  ON CAST('0x' || substring(md5(t.ng),1,14) AS BIGINT)
+        |   = CAST('0x' || substring(md5(e.ng),1,14) AS BIGINT))
+        |SELECT doc_id, source FROM train
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "decon_overlap" ->
       """WITH h AS (
         |  SELECT doc_id, text,
@@ -1210,7 +1314,7 @@ object Curation {
     * [[NearDedup.releaseMemos]] for the footprint rationale.
     */
   private[graft] def releaseMemos(s: SparkSession): Unit = {
-    Seq(evalNgCache, lineStateCache).foreach { m =>
+    Seq(evalNgCache, lineStateCache, normNgCache).foreach { m =>
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

@@ -835,6 +835,30 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // the VALUE-DENSITY twin of `select_budget` (round 15 — the variant
+    // its own comment documents): the textbook knapsack greedy ranks by
+    // quality PER TOKEN, not raw quality — under a fixed token budget a
+    // long mediocre doc that happens to score well absolutely crowds
+    // out several short high-density docs; density order buys more
+    // quality per budget token. Sort key and output are integer
+    // nano-units (`round(q/n_tokens * 1e9)` BIGINT, the dump-form
+    // discipline; 1e9 because densities of long docs are ~q/1000). Same
+    // single-global-window exact form and approx-quantile 100 TB twin
+    // as `select_budget`.
+    "select_budget_density" -> ((s, dir) => {
+      val (nWords, _, _, quality) = qualitySignals(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("density_e9").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("doc_id"), nWords.cast("long").as("n_tokens"),
+          round(quality / nWords * 1e9).cast("long").as("density_e9"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 10000)
+        .orderBy("doc_id")
+    }),
+
     // Training-window chunking: split each document into fixed-size word
     // windows with overlap (chunk 16, stride 8 — the sliding-context
     // shape every pretraining tokenizer pipeline feeds). One narrow
@@ -1362,6 +1386,23 @@ object TextOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM scored)
         |SELECT doc_id, n_tokens, quality_e6, cum_tokens
+        |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+    "select_budget_density" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(round((least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+        |      + (CAST(len(list_filter(string_split(text,' '),
+        |           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
+        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
+        |      ) / len(string_split(text,' ')) * 1e9) AS BIGINT) AS density_e9
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens, density_e9,
+        |    sum(n_tokens) OVER (ORDER BY density_e9 DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, density_e9, cum_tokens
         |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h

@@ -38,6 +38,75 @@ class CurationSpec extends SparkSpec {
     assert((clean ++ contaminated) == trainIds, "survivors + flagged must partition train")
   }
 
+  test("decon_normalized catches a case/punct/NFD-disguised eval copy that exact shingles miss") {
+    val s = spark
+    import s.implicits._
+    val sp = Sampling.splitAssign(graft.Tables(s, sf("sf0.001")).documents, "doc_id")
+    val evalDoc = sp.filter(col("split") === "test")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("text").as[String].head()
+    val trainIds = sp.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val plantedId = trainIds.head
+    // disguise: uppercase every other word, append punctuation, and
+    // decompose an accented prefix word to NFD — zero RAW 3-gram
+    // shingles survive, but the normalized text is word-identical
+    val disguised = ("Café! " + evalDoc.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 2 == 0) w.toUpperCase + "," else w }
+      .mkString(" ")).trim
+    val docs = sp.select("doc_id", "source", "text")
+      .withColumn("text",
+        when(col("doc_id") === plantedId, disguised).otherwise(col("text")))
+    val dir = graft.Engine.scratchDir("deconnorm")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val normSurvivors = graft.SparkEntry.queries("decon_normalized")(s, dir.toString)
+      .select("doc_id").as[Long].collect().toSet
+    val exactSurvivors = graft.SparkEntry.queries("decontaminate")(s, dir.toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!normSurvivors.contains(plantedId),
+      "normalized matching must scrub the disguised eval copy")
+    assert(exactSurvivors.contains(plantedId),
+      "the disguise must actually defeat exact-shingle matching (else this test is vacuous)")
+    // the normalization only ever catches MORE: survivors are a subset
+    assert(normSurvivors.subsetOf(exactSurvivors),
+      "normalized scrub must never keep a doc the exact scrub drops")
+    // and every train doc is accounted for exactly once
+    assert(normSurvivors.subsetOf(trainIds) && exactSurvivors.subsetOf(trainIds))
+  }
+
+  test("select_budget_density: exact greedy prefix in density order, differs from raw-quality selection") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val sel = TextOps.queries("select_budget_density")(s, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sel.nonEmpty)
+    val spent = sel.map(_._2).sum
+    assert(spent <= 10000L, s"budget exceeded: $spent")
+    // the selection is a PREFIX of the (density_e9 desc, doc_id) order,
+    // derived independently from text_quality
+    val all = TextOps.queries("text_quality")(s, dir)
+      .select("doc_id", "n_words", "quality")
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (id, n, q) => (-math.round(q / n * 1e9), id) }
+    val prefix = all.take(sel.length)
+    assert(prefix.map(_._1).toSet == sel.map(_._1).toSet,
+      "selected docs must be exactly the density-greedy prefix")
+    val next = all.drop(sel.length).headOption
+    next.foreach { case (_, nTok, _) =>
+      assert(spent + nTok > 10000L,
+        s"selection not maximal: next doc ($nTok tokens) still fits")
+    }
+    // the variant is non-vacuous: density order picks a different doc
+    // set than raw quality under the same budget (shorter docs win)
+    val raw = TextOps.queries("select_budget")(s, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.map(_._1).toSet != raw,
+      "density selection must differ from raw-quality selection on the fixture")
+    assert(sel.length > raw.size,
+      "density order should pack MORE (shorter) docs into the same budget")
+  }
+
   test("decontaminate_bloom ≡ decontaminate (prefilter is invisible to the result)") {
     // the Bloom pass may only DROP work, never rows: false positives are
     // scrubbed by the exact verify join, false negatives cannot exist
