@@ -309,6 +309,10 @@ object Curation {
     val outP = new org.apache.hadoop.fs.Path(s"$stateDir/out")
     val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed compactAdmissionState swap leaves the live dir absent —
+    // recover before the exists() checks below (NearDedup convention)
+    NearDedup.recoverCompaction(fs, outP)
+    NearDedup.recoverCompaction(fs, ownedP)
     val docs = batchDocs.select("doc_id", "text")
     val owned =
       if (fs.exists(ownedP)) spark.read.parquet(ownedP.toString)

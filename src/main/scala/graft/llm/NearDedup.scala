@@ -697,7 +697,12 @@ object NearDedup {
     val ownedP = new org.apache.hadoop.fs.Path(s"$stateDir/owned")
     val stageRoot = new org.apache.hadoop.fs.Path(s"$stateDir/stage")
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recovery: complete committed stages, discard uncommitted ones
+    // recovery: first complete/clean any crashed COMPACTION swap (a
+    // crash between its renames leaves the live dir absent — a bare
+    // exists() check would then re-bootstrap from day zero), then
+    // complete committed admission stages, discard uncommitted ones
+    recoverCompaction(fs, outP)
+    recoverCompaction(fs, ownedP)
     if (fs.exists(stageRoot))
       fs.listStatus(stageRoot).foreach { st =>
         if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_committed")))
@@ -755,6 +760,98 @@ object NearDedup {
     moveParts("out", outP)
     moveParts("owned", ownedP)
     fs.delete(stage, true)
+    ()
+  }
+
+  /** Compact an admission-state root's `out/` and `owned/` parquet dirs
+    * (round 15) — the operational counterpart of the index family's
+    * `compactIvfPqIndex`/`compactTextIndex`: every durable fold batch
+    * lands its own part files, so a year of daily batches turns the
+    * membership-join side into thousands of file opens. Rewrites each
+    * dir to `ceil(bytes/targetBytes)` files (coalesce — no shuffle, no
+    * required clustering) behind a crash-safe swap; content is
+    * byte-equivalent, so subsequent admissions are unchanged
+    * (spec-pinned). SINGLE-WRITER like the folds themselves: must not
+    * run concurrently with an admission batch.
+    */
+  def compactAdmissionState(spark: SparkSession, stateDir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("out", "owned").foreach { sub =>
+      compactStateDir(spark, fs, new org.apache.hadoop.fs.Path(root, sub), targetBytes)
+    }
+  }
+
+  /** Compact ONE live parquet directory in place via the staged-swap
+    * protocol. Crash-safe at every point (recovery in
+    * [[recoverCompaction]], run by every fold and by the next
+    * compaction attempt):
+    *
+    *  1. write the compacted copy to `compact-stage-<name>-<uuid>/data`
+    *     and mark it `_committed`;
+    *  2. `rename(live, compact-old-<name>-<uuid>)` — live vanishes;
+    *  3. `rename(stage/data, live)` — live reappears compacted;
+    *  4. delete the stage and old dirs.
+    *
+    * A crash before 2 leaves an orphan stage (deleted by recovery); a
+    * crash between 2 and 3 leaves a committed stage + no live dir
+    * (recovery completes the swap); a crash before 4 leaves leftovers
+    * beside a healthy live dir (recovery deletes them). Every rename is
+    * `require`d (the promoteStage convention).
+    */
+  private[llm] def compactStateDir(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, targetBytes: Long): Boolean = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    recoverCompaction(fs, live)
+    if (!fs.exists(live)) return false
+    val bytes = fs.getContentSummary(live).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val uuid = java.util.UUID.randomUUID().toString
+    val parent = live.getParent
+    val stage = new org.apache.hadoop.fs.Path(parent, s"compact-stage-${live.getName}-$uuid")
+    val old = new org.apache.hadoop.fs.Path(parent, s"compact-old-${live.getName}-$uuid")
+    spark.read.parquet(live.toString).coalesce(files)
+      .write.parquet(new org.apache.hadoop.fs.Path(stage, "data").toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_committed")).close()
+    require(fs.rename(live, old), s"compactStateDir: rename $live -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage, "data"), live),
+      s"compactStateDir: rename staged data -> $live failed (state recoverable from $stage)")
+    fs.delete(stage, true)
+    fs.delete(old, true)
+    true
+  }
+
+  /** Recovery for a crashed [[compactStateDir]] swap over `live` — see
+    * its crash-window analysis. Shared by the durable folds (which must
+    * never mistake a mid-swap absent live dir for "no state") and by
+    * the next compaction attempt.
+    */
+  private[llm] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val parent = live.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = live.getName
+    val entries = fs.listStatus(parent).map(_.getPath)
+    val stages = entries.filter(_.getName.startsWith(s"compact-stage-$name-"))
+    val olds = entries.filter(_.getName.startsWith(s"compact-old-$name-"))
+    stages.foreach { st =>
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(st, "_committed"))
+      if (committed && !fs.exists(live)) {
+        require(fs.rename(new org.apache.hadoop.fs.Path(st, "data"), live),
+          s"recoverCompaction: completing swap $st -> $live failed")
+      }
+      fs.delete(st, true)
+    }
+    olds.foreach { o =>
+      // an old dir with live still absent means the committed stage was
+      // ALSO lost (should be impossible under the protocol) — restore
+      // the pre-compaction state rather than lose it
+      if (!fs.exists(live)) {
+        require(fs.rename(o, live), s"recoverCompaction: restoring $o -> $live failed")
+      } else fs.delete(o, true)
+    }
     ()
   }
 

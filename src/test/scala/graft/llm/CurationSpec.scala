@@ -456,6 +456,23 @@ class CurationSpec extends SparkSpec {
     assert(out2(2L) == (("xx yy zz", 1L)), "redelivery must not alter the original scrub")
     assert(out2(3L) == (("qq rr ss", 1L)), "cross-batch owned chunk must scrub")
     assert(out2(4L) == (("totally new content here", 0L)))
+
+    // compaction works on the lines-state layout too: fewer files,
+    // identical state, and the fold keeps going afterwards
+    def parts(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.isDirectory) 0 else f.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = parts(s"$state/out") + parts(s"$state/owned")
+    graft.llm.NearDedup.compactAdmissionState(s, state)
+    assert(parts(s"$state/out") + parts(s"$state/owned") < before,
+      s"lines-state compaction must reduce files (was $before)")
+    assert(outRows == out2, "compaction must not change the scrub output")
+    java.nio.file.Files.write(in.resolve("c-0.json"), String.join("\n",
+      line(5, "aa bb cc pp qq rr")).getBytes)
+    run()
+    assert(outRows(5L) == (("pp qq rr", 1L)),
+      "post-compaction fold must still scrub against the owned state")
   }
 
   test("mix_rates: no upsampling, the binding source saturates, sampled mass realizes the target mix") {

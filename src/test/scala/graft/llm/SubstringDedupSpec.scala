@@ -437,6 +437,62 @@ class SubstringDedupSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(rows.toSet == expect, "engine admission diverged from the local replay")
   }
+
+  test("state compaction: fewer files, identical admissions, crash windows recover") {
+    val docs = chainDocs.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("substr-compact")
+    val st = base.resolve("t").toString
+    val twin = base.resolve("twin").toString
+    // three single-doc batches → one part-file set per batch in out/owned
+    Seq(Seq(1L), Seq(2L), Seq(3L)).foreach { ids =>
+      NearDedup.admitSubstringToState(docs.filter(col("doc_id").isin(ids: _*)), st)
+      NearDedup.admitSubstringToState(docs.filter(col("doc_id").isin(ids: _*)), twin)
+    }
+    def parts(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.isDirectory) 0
+      else f.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    def outRows(d: String) = spark.read.parquet(s"$d/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val filesBefore = parts(s"$st/out") + parts(s"$st/owned")
+    val outBefore = outRows(st)
+    val ownedBefore = spark.read.parquet(s"$st/owned").count()
+    NearDedup.compactAdmissionState(spark, st)
+    assert(parts(s"$st/out") + parts(s"$st/owned") < filesBefore,
+      s"compaction must reduce the part-file count (was $filesBefore)")
+    assert(outRows(st) == outBefore, "compaction must not change admitted docs")
+    assert(spark.read.parquet(s"$st/owned").count() == ownedBefore,
+      "compaction must not change the gram state")
+    // the chain continues identically to the never-compacted twin
+    NearDedup.admitSubstringToState(docs.filter(col("doc_id") === 4L), st)
+    NearDedup.admitSubstringToState(docs.filter(col("doc_id") === 4L), twin)
+    assert(outRows(st) == outRows(twin),
+      "post-compaction admissions diverged from the uncompacted twin")
+
+    // crash window between the two swap renames: live dir gone, a
+    // committed compact stage holds the only copy — the next FOLD must
+    // recover it instead of re-bootstrapping from day zero
+    val outDir = java.nio.file.Paths.get(s"$st/out")
+    val stage = java.nio.file.Paths.get(s"$st/compact-stage-out-testcrash")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.move(outDir, stage.resolve("data"))
+    java.nio.file.Files.createFile(stage.resolve("_committed"))
+    NearDedup.admitSubstringToState(docs.filter(col("doc_id") === 4L), st) // redelivery
+    assert(outRows(st) == outRows(twin), "mid-swap crash lost admitted state")
+    assert(!java.nio.file.Files.exists(stage), "recovered stage must be removed")
+
+    // orphan UNCOMMITTED stage + stray old dir beside a healthy live
+    // dir: recovery deletes both, state untouched
+    val orphan = java.nio.file.Paths.get(s"$st/compact-stage-owned-orphan")
+    java.nio.file.Files.createDirectories(orphan.resolve("data"))
+    val stray = java.nio.file.Paths.get(s"$st/compact-old-owned-stray")
+    java.nio.file.Files.createDirectories(stray)
+    NearDedup.compactAdmissionState(spark, st)
+    assert(!java.nio.file.Files.exists(orphan) && !java.nio.file.Files.exists(stray),
+      "orphan stage / stray old dir must be cleaned")
+    assert(outRows(st) == outRows(twin))
+  }
 }
 
 /** Local filesystem under the `failrn:` scheme whose LIVE-promotion
