@@ -1211,8 +1211,13 @@ object NearDedup {
     // the persisted artifact batches admit against), so steady-state
     // cost is the batch admission only and the one-time bootstrap shows
     // up in first-run numbers — the same cost model as the rest of the
-    // dedup family. Rows-only id (recursive + order-dependent admission
-    // is not SQL-oracle territory); semantics pinned by NearDedupSpec.
+    // dedup family. Oracle-checked since round 15: the whole demo is a
+    // deterministic pure function of the corpus, so the oracle composes
+    // the mirrored banding (dedup_near), TWO recursive-CTE CC passes
+    // (dedup_cluster's walk — one for the even bootstrap, one for the
+    // mixed batch∪state edges) and the admitBatch verdict rule
+    // (component with a state member → reject all new; else keep min
+    // new id). Semantics additionally pinned by NearDedupSpec.
     "dedup_incremental" -> ((s, dir) => {
       val arrs = shingled(s, dir)
       val batch = banded(arrs.filter(col("doc_id") % 2 =!= 0))
@@ -1560,6 +1565,105 @@ object NearDedup {
         |  JOIN own o ON o.g = gr.g AND o.owner < gr.doc_id)
         |SELECT d.doc_id, md5(d.text) AS h FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY d.doc_id""".stripMargin,
+    // round 15: the LSH-admission demo graduates to oracle-checked —
+    // phase 1 replays the even bootstrap (banded candidates among
+    // evens, Jaccard verify, CC, keep min id per component = the
+    // state), phase 2 replays admitBatch (new↔new pairs under the
+    // 2..10000 NEW-member bucket cap, new↔state pairs under the
+    // 1..10000 OLD-member cap, Jaccard verify, CC over the mixed
+    // edges, reject a new doc when its component holds a state member
+    // or a smaller new id). Banding/caps/Jaccard mirror dedup_near's
+    // oracle verbatim; both CC passes are dedup_cluster's walk.
+    "dedup_incremental" ->
+      """WITH RECURSIVE words AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |salted AS MATERIALIZED (
+        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+        |  FROM salted GROUP BY 1, 2),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |eb AS MATERIALIZED (SELECT * FROM bands WHERE doc_id % 2 = 0),
+        |e_ok AS MATERIALIZED (SELECT band, band_sig FROM eb GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 10000),
+        |e_cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM eb a
+        |  JOIN eb b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN e_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |e_common AS MATERIALIZED (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM e_cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY 1, 2),
+        |e_pairs AS MATERIALIZED (
+        |  SELECT doc1, doc2 FROM e_common
+        |  JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |e_edges AS MATERIALIZED (
+        |  SELECT doc1 AS a, doc2 AS b FROM e_pairs UNION SELECT doc2, doc1 FROM e_pairs),
+        |e_walk(node, label) AS (
+        |  SELECT a, a FROM e_edges
+        |  UNION
+        |  SELECT e.a, w.label FROM e_edges e JOIN e_walk w ON w.node = e.b),
+        |e_cc AS MATERIALIZED (SELECT node AS doc_id, min(label) AS cid FROM e_walk GROUP BY node),
+        |e_min AS MATERIALIZED (SELECT cid, min(doc_id) AS keep FROM e_cc GROUP BY cid),
+        |state AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id FROM eb
+        |  WHERE doc_id NOT IN (
+        |    SELECT c.doc_id FROM e_cc c JOIN e_min m
+        |      ON m.cid = c.cid AND c.doc_id <> m.keep)),
+        |sb AS MATERIALIZED (SELECT * FROM bands WHERE doc_id % 2 <> 0),
+        |ob AS MATERIALIZED (SELECT b.* FROM bands b JOIN state s ON s.doc_id = b.doc_id),
+        |bstat AS MATERIALIZED (
+        |  SELECT band, band_sig,
+        |    count(CASE WHEN is_new THEN 1 END) AS n_new,
+        |    count(CASE WHEN NOT is_new THEN 1 END) AS n_old
+        |  FROM (SELECT band, band_sig, true AS is_new, doc_id FROM sb
+        |        UNION ALL SELECT band, band_sig, false, doc_id FROM ob)
+        |  GROUP BY 1, 2),
+        |nn AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM sb a
+        |  JOIN sb b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bstat t ON t.band = a.band AND t.band_sig = a.band_sig
+        |  WHERE t.n_new BETWEEN 2 AND 10000),
+        |no AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc1, o.doc_id AS doc2 FROM sb a
+        |  JOIN ob o ON a.band = o.band AND a.band_sig = o.band_sig
+        |  JOIN bstat t ON t.band = a.band AND t.band_sig = a.band_sig
+        |  WHERE t.n_old BETWEEN 1 AND 10000),
+        |cand AS MATERIALIZED (SELECT doc1, doc2 FROM nn UNION SELECT doc1, doc2 FROM no),
+        |f_common AS MATERIALIZED (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY 1, 2),
+        |f_pairs AS MATERIALIZED (
+        |  SELECT doc1, doc2 FROM f_common
+        |  JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |f_edges AS MATERIALIZED (
+        |  SELECT doc1 AS a, doc2 AS b FROM f_pairs UNION SELECT doc2, doc1 FROM f_pairs),
+        |f_walk(node, label) AS (
+        |  SELECT a, a FROM f_edges
+        |  UNION
+        |  SELECT e.a, w.label FROM f_edges e JOIN f_walk w ON w.node = e.b),
+        |f_cc AS MATERIALIZED (SELECT node AS doc_id, min(label) AS cid FROM f_walk GROUP BY node),
+        |f_verdict AS MATERIALIZED (
+        |  SELECT cid, max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS has_old,
+        |    min(CASE WHEN doc_id % 2 <> 0 THEN doc_id END) AS min_new
+        |  FROM f_cc GROUP BY cid),
+        |rejected AS MATERIALIZED (
+        |  SELECT c.doc_id FROM f_cc c JOIN f_verdict v ON v.cid = c.cid
+        |  WHERE c.doc_id % 2 <> 0 AND (v.has_old = 1 OR c.doc_id <> v.min_new))
+        |SELECT d.doc_id, md5(d.text) AS h FROM documents d
+        |JOIN (SELECT DISTINCT doc_id FROM sb) x ON x.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM rejected)
         |ORDER BY d.doc_id""".stripMargin,
     // round 15: the incremental twin GRADUATES to oracle-checked — the
     // even/odd demo is a deterministic pure function of the corpus
