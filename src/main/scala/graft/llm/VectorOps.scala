@@ -1512,6 +1512,44 @@ object VectorOps {
     "sim_topk" -> ((s, dir) =>
       simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)
         .withColumn("cos", round(col("cos"), 9))),
+
+    // hard-negative mining (round 15) — the contrastive-training staple
+    // (DPR/SimCSE/E5 all train on them): per query, the top-k most
+    // SIMILAR candidates with a DIFFERENT label — high-cosine
+    // wrong-answers are exactly the examples that teach an embedding
+    // model its decision boundary; random negatives are trivially easy
+    // and waste the batch. Same brute exact shape as `sim_topk`
+    // (broadcast query set × corpus scan, codegen CosineSimilarity,
+    // (cos desc, c_id) deterministic rank) plus one codegen'd label
+    // predicate INSIDE the join — the labels ride the scan, so
+    // filtering costs nothing. The 100 TB path swaps the scan for the
+    // IVF-PQ index exactly as ann_ivfpq_where does (the predicate
+    // evaluates inside the cell-pruned code scan); this id is the
+    // exact-truth baseline the spec checks that path against. Both
+    // labels are carried in the output so the contract (c_label ≠
+    // q_label, always) is self-auditing.
+    "mine_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      graft.functions.CosineSimilarity.ensureRegistered(s)
+      val q = broadcast(emb.filter(col("vec_id").isin(0L until 8L: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label")))
+      val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("label").as("c_label"))
+      val scored = q.join(c,
+          col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("rank"), col("c_id"), col("c_label").cast("long").as("c_label"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
     "ann_lsh" -> ((s, dir) =>
       annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
         index = Some(corpusBuckets(s, dir, h = 4, tables = 8)))),
@@ -1845,6 +1883,28 @@ object VectorOps {
         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
         |  FROM scored)
         |SELECT q_id, rank, c_id, round(cos, 9) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // sim_topk's oracle with the different-label predicate inside the
+    // candidate join and both labels carried through
+    "mine_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label FROM embeddings
+        |  WHERE vec_id BETWEEN 0 AND 7),
+        |scored AS (
+        |  SELECT q.q_id, CAST(q.q_label AS BIGINT) AS q_label,
+        |    c.vec_id AS c_id, CAST(c.label AS BIGINT) AS c_label,
+        |    list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb)+1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id AND c.label <> q.q_label),
+        |ranked AS (
+        |  SELECT q_id, q_label, c_id, c_label, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, q_label, rank, c_id, c_label, round(cos, 9) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "embed_outliers" ->
       """WITH e AS (

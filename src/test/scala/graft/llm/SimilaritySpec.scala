@@ -49,6 +49,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mine_negatives: exact in-JVM parity, every negative cross-label, filter non-vacuous") {
+    val dir = sf("sf0.001")
+    val labels: Map[Long, Int] = Tables(spark, dir).embeddings
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.SparkEntry.queries("mine_negatives")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("q_label"),
+        r.getAs[Long]("rank"), r.getAs[Long]("c_id"), r.getAs[Long]("c_label")))
+    assert(rows.nonEmpty)
+    // the contract: every mined negative is cross-label, labels correct
+    rows.foreach { case (q, ql, _, c, cl) =>
+      assert(ql != cl, s"query $q mined a SAME-label candidate $c")
+      assert(ql == labels(q) && cl == labels(c), "carried labels must match the corpus")
+    }
+    // exact parity with an independent label-filtered brute force
+    def negTruth(q: Long, k: Int): Seq[Long] =
+      vecs.collect { case (id, v) if id != q && labels(id) != labels(q) =>
+          (id, cosine(vecs(q), v)) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    val byQ = rows.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._3).map(_._4).toSeq }
+    (0L until 8L).foreach { q =>
+      assert(byQ(q) == negTruth(q, 10), s"query $q diverged from label-filtered truth")
+    }
+    // non-vacuity: for at least one query the UNfiltered top-10 contains
+    // a same-label candidate — the label predicate actually bites
+    val bites = (0L until 8L).exists(q => truth(q, 10).exists(labels(_) == labels(q)))
+    assert(bites, "fixture never puts a same-label candidate in the plain top-10 — filter untested")
+  }
+
   test("LSH ANN reaches usable recall vs brute force") {
     val k = 10
     val qids = 0L until 8L
