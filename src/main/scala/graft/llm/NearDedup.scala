@@ -1026,7 +1026,7 @@ object NearDedup {
   private[llm] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     clusters(s, dir)
 
-  private def clusters(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def clusters(s: SparkSession, dir: String): DataFrame = {
     clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     clusterCache.computeIfAbsent((s, dir), _ => {
       val arrs = shingled(s, dir)

@@ -983,6 +983,53 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // the retention FUNNEL report (round 15) — the first table every
+    // data team reads off a pipeline run: docs and tokens surviving
+    // each successive gate (raw → exact dedup → near-dup canonical →
+    // Gopher rules), with retention fractions against the raw corpus.
+    // `corpus_clean` EXECUTES a curation pass; this id ACCOUNTS for
+    // one — which gate eats the tokens decides where tuning effort
+    // goes. ONE corpus scan computes all gate flags side by side
+    // (exact keeper = min doc_id over the text partition — the
+    // dedup_exact rule as a window; near keeper = not a non-canonical
+    // member of the memoized cluster labels shared with
+    // dedup_cluster/dedup_apply; gopher = the shared GopherGate
+    // conjunction), then ONE single-row aggregate counts every stage
+    // prefix and a 4-way literal stack shapes the report — no
+    // per-stage rescans. Retention fractions are single long/long
+    // IEEE divisions (bit-identical cross-engine, the decon_overlap
+    // adjudication).
+    "corpus_funnel" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val g = GopherGate
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+      val nonCanon = graft.llm.NearDedup.clusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(true).as("is_dup"))
+      val flags = docs
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          g.keep.as("g_ok"))
+        .withColumn("is_exact", col("doc_id") === min(col("doc_id")).over(w))
+        .join(nonCanon, Seq("doc_id"), "left")
+        .withColumn("is_near", col("is_dup").isNull)
+      val a = flags.agg(
+        count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
+        count(when(col("is_exact"), 1)).as("d1"),
+        coalesce(sum(when(col("is_exact"), col("n_tokens"))), lit(0L)).as("t1"),
+        count(when(col("is_exact") && col("is_near"), 1)).as("d2"),
+        coalesce(sum(when(col("is_exact") && col("is_near"), col("n_tokens"))), lit(0L)).as("t2"),
+        count(when(col("is_exact") && col("is_near") && col("g_ok"), 1)).as("d3"),
+        coalesce(sum(when(col("is_exact") && col("is_near") && col("g_ok"), col("n_tokens"))), lit(0L)).as("t3"))
+      val stages = Seq((0, "raw"), (1, "exact_dedup"), (2, "near_dedup"), (3, "gopher"))
+      stages.map { case (i, name) =>
+        a.select(lit(i.toLong).as("stage"), lit(name).as("gate"),
+          col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"),
+          (col(s"d$i").cast("double") / col("d0")).as("docs_frac"),
+          (col(s"t$i").cast("double") / col("t0")).as("tokens_frac"))
+      }.reduce(_ unionByName _).orderBy("stage")
+    }),
+
     // the capstone composition — a full corpus-curation pass as ONE
     // declarative plan: quality filter → language filter → exact dedup
     // (min-id survivor) → leakage-safe hash split → audit counts.
@@ -1434,6 +1481,88 @@ object TextOps {
         |  round(CAST(types AS DOUBLE) / n, 6) AS ttr,
         |  round(ln(n) - clc / n, 6) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // the funnel composes three already-mirrored gates: the exact-dedup
+    // min-id window, dedup_apply's recursive-CC canonical rule
+    // (MATERIALIZED CTEs — the dedup_incremental DuckDB-inlining
+    // lesson), and gopher_rules' keep conjunction; sums cast to BIGINT
+    // (DuckDB sums BIGINT into HUGEINT)
+    "corpus_funnel" ->
+      """WITH RECURSIVE words AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |salted AS MATERIALIZED (
+        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+        |  FROM salted GROUP BY 1, 2),
+        |bucket_ok AS MATERIALIZED (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |common AS MATERIALIZED (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY c.doc1, c.doc2),
+        |pairs AS MATERIALIZED (
+        |  SELECT doc1, doc2
+        |  FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b),
+        |cc AS MATERIALIZED (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+        |gop AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    (len(string_split(text,' ')) >= 50 AND len(string_split(text,' ')) <= 100000
+        |     AND CAST(length(replace(text,' ','')) AS DOUBLE)
+        |       / nullif(len(string_split(text,' ')), 0) >= 3.0
+        |     AND CAST(length(replace(text,' ','')) AS DOUBLE)
+        |       / nullif(len(string_split(text,' ')), 0) <= 10.0
+        |     AND CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |       / nullif(len(string_split(text,' ')), 0) < 0.1
+        |     AND CAST(len(list_filter(string_split(text,' '),
+        |          w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |       / nullif(len(string_split(text,' ')), 0) >= 0.8
+        |     AND len(list_filter(string_split(text,' '),
+        |         w -> w IN ('the','be','to','of','and','that','have','with'))) >= 2) AS g_ok
+        |  FROM documents),
+        |f AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        |    (d.doc_id = min(d.doc_id) OVER (PARTITION BY d.text)) AS is_exact,
+        |    (d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)) AS is_near,
+        |    g.g_ok
+        |  FROM documents d JOIN gop g ON g.doc_id = d.doc_id),
+        |agg AS MATERIALIZED (
+        |  SELECT count(*) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+        |    count(CASE WHEN is_exact THEN 1 END) AS d1,
+        |    CAST(coalesce(sum(CASE WHEN is_exact THEN n_tokens END), 0) AS BIGINT) AS t1,
+        |    count(CASE WHEN is_exact AND is_near THEN 1 END) AS d2,
+        |    CAST(coalesce(sum(CASE WHEN is_exact AND is_near THEN n_tokens END), 0) AS BIGINT) AS t2,
+        |    count(CASE WHEN is_exact AND is_near AND g_ok THEN 1 END) AS d3,
+        |    CAST(coalesce(sum(CASE WHEN is_exact AND is_near AND g_ok THEN n_tokens END), 0) AS BIGINT) AS t3
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate, d0 AS n_docs, t0 AS n_tokens,
+        |    CAST(d0 AS DOUBLE)/d0 AS docs_frac, CAST(t0 AS DOUBLE)/t0 AS tokens_frac FROM agg
+        |  UNION ALL SELECT 1, 'exact_dedup', d1, t1,
+        |    CAST(d1 AS DOUBLE)/d0, CAST(t1 AS DOUBLE)/t0 FROM agg
+        |  UNION ALL SELECT 2, 'near_dedup', d2, t2,
+        |    CAST(d2 AS DOUBLE)/d0, CAST(t2 AS DOUBLE)/t0 FROM agg
+        |  UNION ALL SELECT 3, 'gopher', d3, t3,
+        |    CAST(d3 AS DOUBLE)/d0, CAST(t3 AS DOUBLE)/t0 FROM agg)
+        |ORDER BY stage""".stripMargin,
     "gopher_rules" ->
       """WITH sig AS (
         |  SELECT doc_id,

@@ -107,6 +107,42 @@ class CurationSpec extends SparkSpec {
       "density order should pack MORE (shorter) docs into the same budget")
   }
 
+  test("corpus_funnel: planted gates bite one stage each, counts exact, retention monotone") {
+    val s = spark
+    import s.implicits._
+    // 60-word base sentence that PASSES every gopher gate (>=50 words,
+    // sane word lengths, stopwords present, alphabetic, no symbols)
+    val good = (1 to 56).map(i => s"word$i").mkString(
+      "the data and ", " ", " of that have with be to")
+    val nearTwin = good.split(" ").updated(10, "changedword").mkString(" ")
+    val docs = Seq(
+      (1L, good),                         // survives everything
+      (2L, good),                         // exact clone of 1 → dies at exact_dedup
+      (3L, nearTwin),                     // near-dup of 1 → dies at near_dedup
+      (4L, Seq.fill(60)("#").mkString(" ")) // symbol spam → dies at gopher
+    ).toDF("doc_id", "text")
+    val dir = graft.Engine.scratchDir("funnel")
+    docs.withColumn("source", lit("s0")).write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("corpus_funnel")(s, dir.toString)
+      .collect().map(r => r.getAs[Long]("stage") ->
+        ((r.getAs[String]("gate"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("docs_frac")))).toMap
+    assert(rows(0L)._2 == 4L && rows(0L)._1 == "raw")
+    assert(rows(1L)._2 == 3L, s"exact dedup must drop the clone: ${rows(1L)}")
+    assert(rows(2L)._2 == 2L, s"near dedup must drop the twin: ${rows(2L)}")
+    assert(rows(3L)._2 == 1L, s"gopher must drop the symbol spam: ${rows(3L)}")
+    assert(rows(0L)._4 == 1.0 && rows(3L)._4 == 0.25)
+    // tokens monotone non-increasing down the funnel
+    val toks = (0L to 3L).map(rows(_)._3)
+    assert(toks == toks.sorted.reverse, s"token funnel not monotone: $toks")
+    // fixture sanity: every stage retains something at sf0.001 and the
+    // final stage is strictly below raw (each gate is non-vacuous there)
+    val fix = graft.SparkEntry.queries("corpus_funnel")(s, sf("sf0.001"))
+      .collect().map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(fix(3L) > 0 && fix(3L) < fix(0L))
+    assert((0L to 3L).map(fix(_)) == (0L to 3L).map(fix(_)).sorted.reverse)
+  }
+
   test("decontaminate_bloom ≡ decontaminate (prefilter is invisible to the result)") {
     // the Bloom pass may only DROP work, never rows: false positives are
     // scrubbed by the exact verify join, false negatives cannot exist
