@@ -1013,6 +1013,10 @@ object TextOps {
         .withColumn("is_exact", col("doc_id") === min(col("doc_id")).over(w))
         .join(nonCanon, Seq("doc_id"), "left")
         .withColumn("is_near", col("is_dup").isNull)
+      // localCheckpoint the ONE-row aggregate before the 4-way stack:
+      // without it each stacked stage re-executes the whole
+      // flags pipeline (scan + text window + cluster join) — 4 corpus
+      // scans for a 4-row report
       val a = flags.agg(
         count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
         count(when(col("is_exact"), 1)).as("d1"),
@@ -1021,6 +1025,7 @@ object TextOps {
         coalesce(sum(when(col("is_exact") && col("is_near"), col("n_tokens"))), lit(0L)).as("t2"),
         count(when(col("is_exact") && col("is_near") && col("g_ok"), 1)).as("d3"),
         coalesce(sum(when(col("is_exact") && col("is_near") && col("g_ok"), col("n_tokens"))), lit(0L)).as("t3"))
+        .localCheckpoint()
       val stages = Seq((0, "raw"), (1, "exact_dedup"), (2, "near_dedup"), (3, "gopher"))
       stages.map { case (i, name) =>
         a.select(lit(i.toLong).as("stage"), lit(name).as("gate"),

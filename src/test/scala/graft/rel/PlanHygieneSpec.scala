@@ -328,6 +328,31 @@ class PlanHygieneSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(dv).nonEmpty, dv)
   }
 
+  test("round-15 plans: decon_normalized semi-joins hashes, mine_negatives stays broadcast, funnel scans once") {
+    // decon_normalized: the scrub is a LeftSemi on 8-byte hashes + a
+    // LeftAnti back to train docs — never a cartesian; the final doc
+    // scan reads only (doc_id, source)
+    val dn = planOf("decon_normalized").split("== Physical Plan ==").last
+    assert(dn.contains("LeftSemi") && dn.contains("LeftAnti"), dn)
+    assert(!dn.contains("CartesianProduct"), dn)
+
+    // mine_negatives: tiny query side broadcast against the corpus scan
+    // (BNLJ — the join condition is a pair of inequalities), labels read
+    // IN the scan (pushed IsNotNull), rank window partitioned by q_id
+    // with the rank-10 group limit applied before the full sort
+    val mn = planOf("mine_negatives").split("== Physical Plan ==").last
+    assert(mn.contains("BroadcastNestedLoopJoin BuildLeft"), mn)
+    assert(!mn.contains("SortMergeJoin") && !mn.contains("CartesianProduct"), mn)
+    assert(mn.contains("WindowGroupLimit [q_id"), mn)
+
+    // corpus_funnel: the one-row aggregate is checkpointed before the
+    // 4-way stack — exactly ONE documents scan feeds the flag pipeline
+    // (un-checkpointed, the stack re-ran scan+window+join per stage)
+    val cf = planOf("corpus_funnel").split("== Physical Plan ==").last
+    assert("ExistingRDD|LogicalRDD|Scan ExistingRDD".r.findFirstIn(cf).isDefined, cf)
+    assert(!cf.contains("FileScan parquet"), cf)
+  }
+
   test("round-15 plans: repetition battery is a zero-shuffle Expression scan, winnow apply anti-joins, overlap gate un-hinted") {
     // text_repetition_full: the whole battery is ONE native-Expression
     // projection (graft.functions.RepetitionSignals) — no explode, no
