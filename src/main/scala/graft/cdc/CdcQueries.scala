@@ -407,6 +407,31 @@ object CdcQueries {
       } finally server.close()
     }),
 
+    // Replication checksum validation (round 15 — the pt-table-checksum
+    // / sink-parity protocol every CDC deployment runs): the applied
+    // state is summarized per key-bucket as (row count, order-
+    // insensitive XOR of a canonical row serialization). The oracle
+    // re-derives the SAME summary from an independent replay (window
+    // argmax), so agreement end-to-end proves the apply fold — and at
+    // 100 TB this is THE parity shape: constant-size output (≤64 rows),
+    // one map-side-combinable aggregation, source and sink checksum
+    // independently with zero row co-location. The canonical string
+    // pins id, winning scn, op, event_type, exact-cents value
+    // (decimal(18,2) renders identically cross-engine) and props; ts is
+    // deliberately excluded (timestamp→string formatting is not a
+    // cross-engine contract, and scn — the unique event id — already
+    // pins the winning row's full payload). 56-bit md5 (the ngHash
+    // idiom, llm/Sampling.hashBucket) keeps the XOR in portable BIGINT
+    // range; XOR cancellation needs duplicate rows, and state rows are
+    // unique per id by construction.
+    "apply_verify" -> ((s, dir) => {
+      val state = Ops.applyChanges(
+        F.fromEvents(s, dir), keys = Seq("id"), ordering = Seq("scn"))
+      Ops.bucketChecksum(state, "id",
+        concat_ws("|", col("id"), col("scn"), col("op"), col("event_type"),
+          col("value").cast("decimal(18,2)"), col("props")))
+    }),
+
     // batch twin of stream-static enrichment (Stream.enrichWithDim runs
     // the SAME join shape per micro-batch; StreamingSpec asserts row
     // parity): the change feed joins a broadcast dimension on the key.
@@ -573,6 +598,20 @@ object CdcQueries {
          |FROM d WHERE op = 'u' AND p_scn IS NOT NULL ORDER BY scn""".stripMargin,
     "stream_enrich" ->
       s"""$feedCte SELECT scn, f.id AS id, c_mktsegment, event_type, value
-         |FROM feed f JOIN customer c ON f.id = c.c_custkey ORDER BY scn""".stripMargin
+         |FROM feed f JOIN customer c ON f.id = c.c_custkey ORDER BY scn""".stripMargin,
+    // independent replay (window argmax) → same canonical row string,
+    // 56-bit md5, per-bucket count + XOR — mirrors apply_verify exactly
+    "apply_verify" ->
+      s"""$feedCte, st AS (
+         |  SELECT id, scn, op, event_type, value, props FROM (
+         |    SELECT f.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn FROM feed f
+         |  ) WHERE rn = 1 AND op <> 'd'),
+         |h AS (
+         |  SELECT id % 64 AS bucket,
+         |    CAST('0x' || substring(md5(concat_ws('|', id, scn, op, event_type,
+         |      CAST(value AS DECIMAL(18,2)), props)), 1, 14) AS BIGINT) AS h
+         |  FROM st)
+         |SELECT bucket, count(*) AS n_rows, bit_xor(h) AS checksum
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -113,6 +113,27 @@ object Ops {
       .select(keys.map(col) ++ fields.map(f => col(s"__latest.$f").as(f)): _*)
   }
 
+  /** Per-bucket (count, order-insensitive XOR checksum) summary of a
+    * materialized state — the pt-table-checksum / sink-parity protocol
+    * (round 15). Source and sink each run this independently over their
+    * own copy; equal summaries prove row-level parity without ever
+    * co-locating rows, and the output is constant-size (≤ `buckets`
+    * rows) regardless of state size — the only parity shape that works
+    * at 100 TB. `rowStr` is the caller's canonical row serialization
+    * (the cross-engine contract; mirror it in any oracle); it is hashed
+    * to 56 bits (portable-BIGINT md5 idiom, [[graft.llm.Sampling.hashBucket]])
+    * so the XOR stays in range. XOR cancellation requires duplicate
+    * serializations — impossible when `rowStr` embeds the unique key.
+    */
+  def bucketChecksum(state: DataFrame, idCol: String, rowStr: Column,
+      buckets: Int = 64): DataFrame =
+    state
+      .select(pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
+        graft.llm.Sampling.hashBucket(rowStr, hexDigits = 14).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .orderBy("bucket")
+
   /** Slowly-changing-dimension Type 2 materialization: instead of
     * keeping only the latest row per key (`applyChanges`), keep EVERY
     * version with its validity interval — `valid_from` = the event's scn,

@@ -602,6 +602,9 @@ object Multimodal {
   case class MotionSample(doc_id: Long, pair_idx: Int, n_pixels: Long,
       sum_absdiff: Long, mean_absdiff: Double, changed_frac: Double)
 
+  case class KeyFrame(doc_id: Long, frame_idx: Long, src: Long,
+      sum_absdiff: Long)
+
   /** Frame-to-frame motion features over the DECODED rasters of the k
     * scheduled frames — the shot-boundary / static-clip signal a video
     * curation pass computes (static slates and frozen frames are the
@@ -902,6 +905,33 @@ object Multimodal {
       resampleAudio(audioCorpus(s, dir))
         .toDF().orderBy("doc_id")),
 
+    // KEYFRAME selection (round 15) — the video-training sampling rule
+    // downstream of `mm_motion`: always keep the first sampled frame,
+    // and keep frame i+1 when its incoming motion is at or above the
+    // clip's own average (adaptive threshold — a fixed one can't serve
+    // both slideshows and action clips). The compare is exact integer
+    // cross-multiplication, 3·sum_i ≥ Σ sums (all pairs of a doc share
+    // n_pixels), so no float threshold boundary exists cross-engine;
+    // since max ≥ mean, every clip keeps ≥ 1 motion frame (spec
+    // invariant: 2..4 keyframes per clip). Rides the SAME memoized
+    // decoded-raster corpus as mm_frames/mm_motion — no extra decode —
+    // and the oracle extends mm_motion's analytic byte-cycle model, so
+    // agreement again proves the real decode.
+    "mm_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      decodedFrames(s, dir)
+        .flatMap { d =>
+          val ms = motionSamplesOf(d, 4)
+          val total = ms.map(_.sum_absdiff).sum
+          KeyFrame(d.doc_id, 0L, d.srcs(0).toLong, 0L) +:
+            ms.zipWithIndex.collect {
+              case (m, i) if 3L * m.sum_absdiff >= total =>
+                KeyFrame(d.doc_id, (i + 1).toLong, d.srcs(i + 1).toLong,
+                  m.sum_absdiff)
+            }
+        }.toDF().orderBy("doc_id", "frame_idx")
+    }),
+
     // perceptual IMAGE near-dedup (round 11) — the LAION-style operator
     // joining the codec family (real decoded rasters) to the dedup
     // family (Hamming-LSH blocks): corpus = the PNG fixture + planted
@@ -1042,6 +1072,40 @@ object Multimodal {
         |  sha256(list_aggregate(list_transform(vals, v -> printf('%02X', v)),
         |         'string_agg', '')) AS out_sha
         |FROM r ORDER BY doc_id""".stripMargin,
+    // mm_motion's analytic model + the adaptive-threshold selection:
+    // frame 0 always, frame i+1 when 3·sum_i ≥ Σ sums (exact integers)
+    "mm_keyframes" ->
+      """WITH dims AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+        |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
+        |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h,
+        |    4 + (CAST('0x' || substring(md5(text),5,2) AS INTEGER) % 5) AS nf
+        |  FROM documents WHERE len(text) > 0),
+        |pairs AS (
+        |  SELECT doc_id, hx, nb, w, h, nf, unnest(range(3)) AS i FROM dims),
+        |x AS (
+        |  SELECT *, i * nf // 4 AS src_a, (i + 1) * nf // 4 AS src_b FROM pairs),
+        |d AS (
+        |  SELECT doc_id, i, src_b,
+        |    list_transform(range(w * h), p ->
+        |      abs(CAST('0x' || substring(hx, 2 * CAST((p + src_a) % nb AS INTEGER) + 1, 2) AS INTEGER) -
+        |          CAST('0x' || substring(hx, 2 * CAST((p + src_b) % nb AS INTEGER) + 1, 2) AS INTEGER))) AS diffs
+        |  FROM x),
+        |sums AS (
+        |  SELECT doc_id, i, src_b,
+        |    CAST(list_aggregate(diffs, 'sum') AS BIGINT) AS s
+        |  FROM d),
+        |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM sums GROUP BY doc_id),
+        |sel AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, CAST(0 AS BIGINT) AS src,
+        |    CAST(0 AS BIGINT) AS sum_absdiff
+        |  FROM dims
+        |  UNION ALL
+        |  SELECT m.doc_id, CAST(m.i + 1 AS BIGINT), CAST(m.src_b AS BIGINT), m.s
+        |  FROM sums m JOIN tot t ON t.doc_id = m.doc_id
+        |  WHERE 3 * m.s >= t.total)
+        |SELECT doc_id, frame_idx, src, sum_absdiff
+        |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_motion" ->
       """WITH dims AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,

@@ -132,4 +132,55 @@ class ApplyChangesSpec extends SparkSpec {
       }
     } finally { history.unpersist(); () }
   }
+
+  test("(g) bucketChecksum equals the in-JVM fold summary; any single-row drift flips exactly its bucket") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val s = spark
+    import s.implicits._
+    val evs = samples(4).flatten
+    val state = Ops.applyChanges(feedOf(evs), keys = Seq("id"), ordering = Seq("scn"))
+    def summarize(st: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Ops.bucketChecksum(st, "id",
+          concat_ws("|", col("id"), col("scn"), col("op"),
+            col("value").cast("decimal(18,2)")), buckets = 8)
+        .collect()
+        .map(r => r.getAs[Long]("bucket") ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))).toMap
+    // independent re-derivation: fold → canonical strings → md5/56 → xor
+    def h56(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
+    }
+    val folded = fold(evs).toSeq.map { case (id, (scn, op, v)) =>
+      // BigDecimal.valueOf = Double.toString semantics — the same
+      // shortest-repr path Spark's double→decimal cast takes
+      (id % 8, h56(s"$id|$scn|$op|${java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)}"))
+    }
+    val expected = folded.groupBy(_._1).map { case (b, hs) =>
+      b -> ((hs.size.toLong, hs.map(_._2).reduce(_ ^ _)))
+    }
+    val got = summarize(state)
+    assert(got == expected, "checksum summary diverges from the in-JVM fold")
+    // detection: drop one row → only its bucket's count changes; mutate
+    // one row's value → only its bucket's checksum changes (counts equal)
+    val victim = state.orderBy("id").limit(1).collect()(0)
+    val vid = victim.getAs[Long]("id"); val vb = vid % 8
+    val dropped = summarize(state.filter(col("id") =!= vid))
+    // a 1-row bucket disappears outright when its row is dropped — still
+    // a detected divergence (summary rows differ)
+    assert(dropped.get(vb) != Some(got(vb)) &&
+        dropped.get(vb).forall(d => d._1 == got(vb)._1 - 1 && d._2 != got(vb)._2),
+      "dropped row undetected in its bucket")
+    assert((got - vb).forall { case (b, v) => dropped.get(b).contains(v) },
+      "a drop in one bucket disturbed another bucket's summary")
+    val mutated = summarize(state.withColumn("value",
+      org.apache.spark.sql.functions.when(col("id") === vid, col("value") + 0.01)
+        .otherwise(col("value"))))
+    assert(mutated(vb)._1 == got(vb)._1 && mutated(vb)._2 != got(vb)._2,
+      "mutated value undetected")
+    assert((got - vb) == (mutated - vb),
+      "a mutation in one bucket disturbed another bucket's summary")
+  }
 }

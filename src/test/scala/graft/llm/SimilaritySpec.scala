@@ -1082,6 +1082,42 @@ class SimilaritySpec extends SparkSpec {
       "shared decoded-raster memo changed mm_motion's output")
   }
 
+  test("mm_keyframes: frame 0 always kept, frame i+1 kept iff 3*sum_i >= total; 2..4 frames/clip; non-vacuous") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    // independent re-derivation of the adaptive-threshold rule from the
+    // motion view alone (the query rides the shared decoded memo; this
+    // path recomputes motion directly from the media records)
+    val media = Multimodal.encodeAnimations(Tables(s, dir).documents)
+    val byDoc = Multimodal.motionFeatures(media)
+      .collect().groupBy(_.doc_id)
+    val expected = byDoc.flatMap { case (id, ms0) =>
+      val ms = ms0.sortBy(_.pair_idx)
+      val total = ms.map(_.sum_absdiff).sum
+      (id, 0L, 0L) +: ms.collect {
+        case m if 3L * m.sum_absdiff >= total =>
+          (id, (m.pair_idx + 1).toLong, m.sum_absdiff)
+      }.toSeq
+    }.toSeq.sorted
+    val got = graft.SparkEntry.queries("mm_keyframes")(s, dir)
+      .select("doc_id", "frame_idx", "sum_absdiff")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == expected, "query output diverges from the re-derived rule")
+    // invariants: every clip keeps frame 0, keeps at least one motion
+    // frame (max >= mean), and keeps at most 4 of the 4 scheduled frames
+    val perClip = got.groupBy(_._1)
+    assert(perClip.nonEmpty)
+    perClip.foreach { case (id, fs) =>
+      assert(fs.exists(_._2 == 0L), s"clip $id lost frame 0")
+      assert(fs.length >= 2 && fs.length <= 4, s"clip $id kept ${fs.length} frames")
+    }
+    // non-vacuity: the rule must actually DROP frames somewhere in the
+    // corpus — otherwise it degenerates to mm_frames
+    assert(perClip.exists(_._2.length < 4),
+      "no clip dropped a frame: the adaptive threshold is vacuous on this corpus")
+  }
+
   /** Smooth 2-D NON-SEPARABLE gray PNG:
     * 128 + 65·sin(2π(cx·x/w+px))·sin(2π(cy·y/h+py))
     *     + 55·sin(2π((cx+0.7)·x/w+py))·sin(2π((cy+0.7)·y/h+px)).
