@@ -63,6 +63,11 @@ object SparkEntry {
       llm.NearDedup.oracleSql,
       llm.VectorOps.oracleSql,
       llm.Multimodal.oracleSql,
+      // NOTE: Bpe's map is non-empty only after this JVM trained the
+      // tokenizer (Verify runs queries before dumping oracle_sql.json,
+      // so the full/driver flow always has it; a subset Verify without
+      // a bpe id degrades those four ids to rows-only for that dump)
+      llm.Bpe.oracleSql,
       llm.QualityModel.oracleSql,
       sources.AvroCodec.oracleSql,
       sources.JdbcSource.oracleSql,

@@ -384,4 +384,20 @@ class BpeSpec extends SparkSpec {
       assert(row._6 >= 1.0, s"$lang fertility below 1")
     }
   }
+
+  test("oracleSql embeds the live trained model: all four encode/export ids, every merge as a literal") {
+    val merges = Bpe.trainedMerges(spark, sf("sf0.001"))
+    assert(merges.nonEmpty, "fixture must train at least one merge")
+    val o = Bpe.oracleSql
+    assert(o.keySet == Set("bpe_encode", "bpe_fertility",
+      "corpus_export", "corpus_export_split"), s"ids: ${o.keySet}")
+    // each merge pair must appear as a VALUES literal in every oracle
+    // (one shared merges CTE per statement)
+    o.foreach { case (id, sql) =>
+      merges.foreach { m =>
+        val lit = s"(${m.rank}, '${m.left.replace("'", "''")}', '${m.right.replace("'", "''")}')"
+        assert(sql.contains(lit), s"$id oracle missing merge literal $lit")
+      }
+    }
+  }
 }
