@@ -797,6 +797,38 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Readability scoring (round 15 — the Flesch/FK curation signal
+    // "textbook-quality" filters use alongside Gopher rules): per doc,
+    // word / sentence / syllable-heuristic counts and the two classic
+    // scores. All counts are exact integers (sentences = runs of
+    // [.!?], syllables = runs of ASCII vowels either case — no lower()
+    // so no cross-engine unicode-casing contract), and each score is
+    // algebraically cleared to ONE int/int IEEE division (the
+    // adjudicated-safe float class): flesch = 206.835 − 1.015·W/S −
+    // 84.6·Syl/W multiplied through by 1000·S·W. Zero-word/zero-
+    // sentence docs use greatest(·,1) floors on BOTH sides. A narrow
+    // codegen projection — no shuffle, the cheapest signal shape at
+    // 100 TB.
+    "text_readability" -> ((s, dir) => {
+      val wc = size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long")
+      val sc = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long")
+      val yc = size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+      Tables(s, dir).documents
+        .select(col("doc_id"), wc.as("n_words"), sc.as("n_sents"), yc.as("n_syll"))
+        .withColumn("w1", greatest(col("n_words"), lit(1L)))
+        .withColumn("s1", greatest(col("n_sents"), lit(1L)))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          ((lit(206835L) * col("s1") * col("w1")
+            - lit(1015L) * col("w1") * col("w1")
+            - lit(84600L) * col("n_syll") * col("s1")).cast("double")
+            / (lit(1000L) * col("s1") * col("w1"))).as("flesch"),
+          ((lit(39L) * col("w1") * col("w1")
+            + lit(1180L) * col("n_syll") * col("s1")
+            - lit(1559L) * col("s1") * col("w1")).cast("double")
+            / (lit(100L) * col("s1") * col("w1"))).as("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Tables(s, dir).documents
         .groupBy(col("text"))
@@ -1422,6 +1454,22 @@ object TextOps {
         |    + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
         |    AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact integer counts + the same cleared one-division score forms
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, greatest(n_words, 1) AS w1, greatest(n_sents, 1) AS s1 FROM c)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(206835 * s1 * w1 - 1015 * w1 * w1 - 84600 * n_syll * s1 AS DOUBLE)
+        |    / (1000 * s1 * w1) AS flesch,
+        |  CAST(39 * w1 * w1 + 1180 * n_syll * s1 - 1559 * s1 * w1 AS DOUBLE)
+        |    / (100 * s1 * w1) AS fk_grade
+        |FROM f ORDER BY doc_id""".stripMargin,
     "select_budget" ->
       """WITH scored AS (
         |  SELECT doc_id,

@@ -1488,4 +1488,50 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("text_readability: hand-counted planted docs, formula parity, simple text outscores dense text") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val got = graft.SparkEntry.queries("text_readability")(s, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"), r.getAs[Long]("n_syll"),
+          r.getAs[Double]("flesch"), r.getAs[Double]("fk_grade")))).toMap
+    // independent in-JVM re-derivation over the corpus
+    val docs = graft.Tables(s, dir).documents.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ", -1).count(_.nonEmpty).toLong
+      val sn = "[.!?]+".r.findAllIn(t).size.toLong
+      val y = "[aeiouyAEIOUY]+".r.findAllIn(t).size.toLong
+      val (w1, s1) = (math.max(w, 1L), math.max(sn, 1L))
+      val flesch = (206835L * s1 * w1 - 1015L * w1 * w1 - 84600L * y * s1).toDouble /
+        (1000L * s1 * w1)
+      val grade = (39L * w1 * w1 + 1180L * y * s1 - 1559L * s1 * w1).toDouble /
+        (100L * s1 * w1)
+      assert(got(id) == ((w, sn, y, flesch, grade)), s"doc $id mismatch: ${got(id)}")
+    }
+    // semantic sanity on planted extremes: short-sentence monosyllabic
+    // prose reads easier (higher flesch, lower grade) than one long
+    // polysyllabic sentence
+    import s.implicits._
+    val planted = Seq(
+      (1L, "The cat sat. The dog ran. It was fun. We all saw it. Good day."),
+      (2L, "Extraordinarily convoluted administrative bureaucratic organizational " +
+        "considerations necessitate comprehensive multidimensional evaluation " +
+        "methodologies throughout intergovernmental coordination"))
+      .toDF("doc_id", "text")
+    val p = planted.select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long").as("sn"),
+        size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0))).cast("long").as("y"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fleschOf(t: (Long, Long, Long)): Double = {
+      val (w, sn, y) = t; val (w1, s1) = (math.max(w, 1L), math.max(sn, 1L))
+      (206835L * s1 * w1 - 1015L * w1 * w1 - 84600L * y * s1).toDouble / (1000L * s1 * w1)
+    }
+    assert(fleschOf(p(1L)) > 60.0 && fleschOf(p(2L)) < 0.0,
+      s"extremes not separated: ${fleschOf(p(1L))} vs ${fleschOf(p(2L))}")
+  }
 }
