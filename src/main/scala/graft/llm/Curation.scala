@@ -901,7 +901,63 @@ object Curation {
     // empty gram set (guarded: sequence() DESCENDS when stop < start)
     // and a NULL ratio via nullif, which both engines share.
     "text_diversity" -> ((s, dir) =>
-      textDiversity(Tables(s, dir).documents).orderBy("doc_id"))
+      textDiversity(Tables(s, dir).documents).orderBy("doc_id")),
+
+    // T5/UL2 span-corruption masking (round 15, Raffel et al. 2020 §3.1.4
+    // "i.i.d. denoising") — the data-side prep of the denoising
+    // objective: mask spans of the token sequence with ordered sentinel
+    // tokens, emit (inputs, targets) pairs. Deterministic, mirrorable
+    // variant of the paper's random policy: the sequence is cut into
+    // aligned 3-token blocks (mean span length 3) and n div 20 of them
+    // are masked (15% noise density / 3 tokens per span = 1/20 —
+    // EXACT integer arithmetic, no float rate anywhere), chosen as the
+    // smallest md5-ranked blocks (the sample_hash rationale: never
+    // rand(), reproducible across runs/partitionings/retries). Sentinel
+    // numbering follows POSITION order (the paper's rule), not hash
+    // order. One narrow per-row HOF projection — no explode, no
+    // shuffle; at 100 TB this is a pure map over the corpus scan.
+    // Sub-3-token docs get zero blocks (sequence() DESCENDS when stop <
+    // start — the standing guard), n < 20 masks nothing and inputs
+    // round-trip the token stream unchanged.
+    "span_corrupt" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .withColumn("ws", filter(split(col("text"), " "), w => length(w) > 0))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .withColumn("nb", floor(col("n") / 3).cast("int"))
+        .withColumn("nm", floor(col("n") / 20).cast("int"))
+        .withColumn("blocks",
+          when(col("nb") >= 1, sequence(lit(0), col("nb") - 1))
+            .otherwise(array().cast("array<int>")))
+        // position-sorted ids of the nm hash-smallest blocks; struct
+        // sort on (h, b) makes ties deterministic
+        .withColumn("sel", array_sort(transform(
+          slice(array_sort(transform(col("blocks"),
+            b => struct(Sampling.hashBucket(
+              concat_ws(":", col("doc_id"), b), hexDigits = 14).as("h"),
+              b.as("b")))),
+            lit(1), col("nm")),
+          x => x.getField("b"))))
+      d.select(
+          col("doc_id"), col("n").as("n_tokens"),
+          col("nm").cast("long").as("n_spans"),
+          array_join(concat(
+            flatten(transform(col("blocks"), b =>
+              when(array_position(col("sel"), b) > 0,
+                array(concat(lit("<extra_id_"),
+                  (array_position(col("sel"), b) - 1).cast("string"), lit(">"))))
+                .otherwise(slice(col("ws"), b * 3 + 1, lit(3))))),
+            slice(col("ws"), col("nb") * 3 + 1,
+              greatest(col("n") - col("nb") * 3, lit(0L)).cast("int"))),
+            " ").as("inputs"),
+          array_join(concat(
+            flatten(transform(col("sel"), (b, i) =>
+              concat(
+                array(concat(lit("<extra_id_"), i.cast("string"), lit(">"))),
+                slice(col("ws"), b * 3 + 1, lit(3))))),
+            array(concat(lit("<extra_id_"), col("nm").cast("string"), lit(">")))),
+            " ").as("targets"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Per-doc distinct-n signal columns — see the `text_diversity`
@@ -994,6 +1050,40 @@ object Curation {
         |  CAST(len(list_distinct(tri)) AS BIGINT) AS u3,
         |  round(CAST(len(list_distinct(tri)) AS DOUBLE) / nullif(len(tri), 0), 6) AS distinct3
         |FROM d ORDER BY doc_id""".stripMargin,
+    // same aligned-block policy; DuckDB index lambdas are 1-based (i-1
+    // matches Spark's 0-based sentinel numbers), list_position returns
+    // 0 when absent (same as array_position), array_to_string of an
+    // empty list is NULL (coalesce — the bpe_encode lesson)
+    "span_corrupt" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+        |    CAST(len(ws) // 3 AS INTEGER) AS nb,
+        |    CAST(len(ws) // 20 AS INTEGER) AS nm
+        |  FROM w),
+        |s AS (
+        |  SELECT doc_id, ws, n, nb, nm,
+        |    list_sort(list_transform(
+        |      list_sort(list_transform(range(nb),
+        |        b -> {'h': CAST('0x' || substring(md5(concat_ws(':', doc_id, b)), 1, 14) AS BIGINT),
+        |              'b': b}))[1 : nm],
+        |      x -> x.b)) AS sel
+        |  FROM c)
+        |SELECT doc_id, n AS n_tokens, CAST(nm AS BIGINT) AS n_spans,
+        |  coalesce(array_to_string(
+        |    flatten(list_transform(range(nb), b ->
+        |      CASE WHEN list_position(sel, b) > 0
+        |        THEN ['<extra_id_' || CAST(list_position(sel, b) - 1 AS VARCHAR) || '>']
+        |        ELSE ws[CAST(b * 3 + 1 AS INTEGER) : CAST(b * 3 + 3 AS INTEGER)] END))
+        |    || ws[nb * 3 + 1 : CAST(n AS INTEGER)], ' '), '') AS inputs,
+        |  coalesce(array_to_string(
+        |    flatten(list_transform(sel, (b, i) ->
+        |      ['<extra_id_' || CAST(i - 1 AS VARCHAR) || '>'] ||
+        |        ws[CAST(b * 3 + 1 AS INTEGER) : CAST(b * 3 + 3 AS INTEGER)]))
+        |    || ['<extra_id_' || CAST(nm AS VARCHAR) || '>'], ' '), '') AS targets
+        |FROM s ORDER BY doc_id""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     "decontaminate_bloom" -> decontaminateOracle,
     // decontaminate's oracle with the matching-normalization head

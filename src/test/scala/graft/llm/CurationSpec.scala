@@ -1534,4 +1534,47 @@ class CurationSpec extends SparkSpec {
     assert(fleschOf(p(1L)) > 60.0 && fleschOf(p(2L)) < 0.0,
       s"extremes not separated: ${fleschOf(p(1L))} vs ${fleschOf(p(2L))}")
   }
+
+  test("span_corrupt: denoising round-trip reconstructs every doc; rate = n div 20; sentinels position-ordered") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val sentinel = "<extra_id_(\\d+)>".r
+    val rows = graft.SparkEntry.queries("span_corrupt")(s, dir).collect()
+    val texts = graft.Tables(s, dir).documents.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    var masked = 0
+    rows.foreach { r =>
+      val (id, n, k) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"))
+      val (inputs, targets) = (r.getAs[String]("inputs"), r.getAs[String]("targets"))
+      val orig = texts(id).split(" ", -1).filter(_.nonEmpty).toSeq
+      assert(n == orig.length && k == n / 20, s"doc $id counts")
+      if (k > 0) masked += 1
+      // parse targets into span_k -> tokens (final sentinel k terminates)
+      val tToks = targets.split(" ", -1).filter(_.nonEmpty).toSeq
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      tToks.foreach {
+        case sentinel(d) => cur = d.toInt; spans(cur) = Vector.empty
+        case t => assert(cur >= 0, s"doc $id: target token before a sentinel"); spans(cur) :+= t
+      }
+      assert(spans.keySet == (0 to k.toInt).toSet, s"doc $id sentinel set")
+      assert(spans(k.toInt).isEmpty, s"doc $id: final sentinel must be bare")
+      // inputs' sentinels must be 0..k-1 in increasing position order
+      val inToks = if (inputs.isEmpty) Seq.empty else inputs.split(" ", -1).filter(_.nonEmpty).toSeq
+      val seen = inToks.collect { case sentinel(d) => d.toInt }
+      assert(seen == (0 until k.toInt).toList, s"doc $id input sentinel order: $seen")
+      // ROUND TRIP: splice each span back over its sentinel
+      val rebuilt = inToks.flatMap {
+        case sentinel(d) => spans(d.toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == orig, s"doc $id does not round-trip")
+      // masked spans are aligned 3-token blocks → every non-final span
+      // has exactly 3 tokens
+      (0 until k.toInt).foreach(i =>
+        assert(spans(i).length == 3, s"doc $id span $i length ${spans(i).length}"))
+    }
+    assert(masked > 0, "no doc in the fixture was masked: the policy is vacuous here")
+  }
 }
