@@ -385,6 +385,33 @@ class PlanHygieneSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(oi).nonEmpty, oi)
   }
 
+  test("round-15 cont. plans: readability and span corruption are join-free narrow scans, apply_verify partial-aggregates") {
+    // text_readability / span_corrupt: pure per-row projections — no
+    // explode, no join, no window, no aggregation; the presentation
+    // sort's range exchange is the only shuffle, and the scan reads
+    // only (doc_id, text)
+    Seq("text_readability", "span_corrupt").foreach { id =>
+      val p = planOf(id).split("== Physical Plan ==").last
+      assert(!p.contains("Generate") && !p.contains("Join") &&
+        !p.contains("Window") && !p.contains("HashAggregate"), s"$id:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$id:\n$p")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+      assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+        !readSchema.contains("lang") && !readSchema.contains("source"),
+        s"$id: $readSchema")
+    }
+
+    // apply_verify: the parity summary must collapse map-side (partial
+    // count + partial bit_xor before the bucket exchange) — the
+    // constant-size-output contract that makes checksumming viable at
+    // 100 TB; the apply fold underneath keeps its partial_max_by
+    val av = planOf("apply_verify")
+    assert("partial_max_by".r.findAllIn(av).nonEmpty, av)
+    assert(av.contains("partial_count") || av.contains("partial_bit_xor") ||
+      "HashAggregate.*partial".r.findAllIn(av).nonEmpty, av)
+    assert(!av.contains("Join") && !av.contains("CartesianProduct"), av)
+  }
+
   test("round-14 cont. plans: diversity is a join-free HOF scan, DSIR broadcasts the λ table, shuffle broadcasts the offset table") {
     // text_diversity: the distinct-n arrays dedupe INSIDE the row —
     // no explode, no join, no window; presentation sort is the only
