@@ -376,7 +376,29 @@ object Bpe {
     // with the spillover view.
     "corpus_export_split" -> ((s, dir) =>
       splitPieces(exportTokenTable(s, dir))
-        .orderBy("source", "doc_id", "shard"))
+        .orderBy("source", "doc_id", "shard")),
+
+    // Packing-efficiency report (round 15) — the accounting view a data
+    // team reads after an export: per source, shard count, capacity,
+    // real tokens packed and the padding-waste fraction (hard-capped
+    // shards pad only the FINAL shard per source, which the numbers
+    // make visible; spec asserts waste < cap). Derived from the SAME
+    // piece table corpus_export_split serves, so the two ids cannot
+    // disagree; one |sources|-row aggregate, waste_frac a single
+    // long/long IEEE division.
+    "pack_efficiency" -> ((s, dir) =>
+      splitPieces(exportTokenTable(s, dir))
+        .groupBy("source")
+        .agg((max(col("shard")) + 1L).as("n_shards"),
+          sum(col("piece_len")).as("n_tokens"))
+        .select(col("source"),
+          col("n_shards").cast("long").as("n_shards"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          (col("n_shards") * ExportCap).cast("long").as("capacity"),
+          (col("n_shards") * ExportCap - col("n_tokens")).cast("long").as("waste"),
+          ((col("n_shards") * ExportCap - col("n_tokens")).cast("double")
+            / (col("n_shards") * ExportCap)).as("waste_frac"))
+        .orderBy("source"))
   )
 
   /** The hard-cap piece projection of `corpus_export_split`, over a
@@ -599,6 +621,28 @@ object Bpe {
          |  CAST(greatest(0, strt - shard * 512) AS BIGINT) AS shard_offset,
          |  CAST(least(n_tokens, (shard + 1) * 512 - strt)
          |    - greatest(0, shard * 512 - strt) AS BIGINT) AS piece_len
-         |FROM pieces ORDER BY source, doc_id, shard""".stripMargin
+         |FROM pieces ORDER BY source, doc_id, shard""".stripMargin,
+    "pack_efficiency" ->
+      s"""WITH merges AS (${mergesCte(ms)}),
+         |$exportTokTabCtes,
+         |pieces AS (
+         |  SELECT source, doc_id, c - n_tokens AS strt, n_tokens,
+         |    unnest(range(CAST((c - n_tokens) // 512 AS BIGINT),
+         |      CAST((c - n_tokens + greatest(n_tokens, 1) - 1) // 512 + 1 AS BIGINT))) AS shard
+         |  FROM cum),
+         |pl AS (
+         |  SELECT source, shard,
+         |    least(n_tokens, (shard + 1) * 512 - strt)
+         |      - greatest(0, shard * 512 - strt) AS piece_len
+         |  FROM pieces),
+         |psum AS (
+         |  SELECT source, CAST(max(shard) + 1 AS BIGINT) AS n_shards,
+         |    CAST(sum(piece_len) AS BIGINT) AS n_tokens
+         |  FROM pl GROUP BY source)
+         |SELECT source, n_shards, n_tokens,
+         |  n_shards * 512 AS capacity,
+         |  n_shards * 512 - n_tokens AS waste,
+         |  CAST(n_shards * 512 - n_tokens AS DOUBLE) / (n_shards * 512) AS waste_frac
+         |FROM psum ORDER BY source""".stripMargin
   )
 }

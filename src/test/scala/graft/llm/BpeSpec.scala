@@ -385,12 +385,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("pack_efficiency: recomputes from corpus_export_split's own pieces; waste < cap and only in the final shard") {
+    val s = spark
+    val pieces = graft.SparkEntry.queries("corpus_export_split")(s, sf("sf0.001")).collect()
+    val eff = graft.SparkEntry.queries("pack_efficiency")(s, sf("sf0.001")).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_shards"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("capacity"), r.getAs[Long]("waste"),
+          r.getAs[Double]("waste_frac")))).toMap
+    assert(eff.nonEmpty)
+    val bySrc = pieces.groupBy(_.getAs[String]("source"))
+    assert(eff.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ps) =>
+      val nShards = ps.map(_.getAs[Long]("shard")).max + 1
+      val nTokens = ps.map(_.getAs[Long]("piece_len")).sum
+      val (gs, gt, gc, gw, gf) = eff(src)
+      assert(gs == nShards && gt == nTokens && gc == nShards * 512 &&
+        gw == gc - gt && gf == gw.toDouble / gc, s"$src mismatch")
+      assert(gw >= 0 && gw < 512, s"$src waste $gw out of [0, cap)")
+      // hard-capped export: every NON-final shard holds exactly 512
+      ps.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+        val tok = rows.map(_.getAs[Long]("piece_len")).sum
+        if (sh < nShards - 1) assert(tok == 512, s"$src shard $sh holds $tok")
+      }
+    }
+  }
+
   test("oracleSql embeds the live trained model: all four encode/export ids, every merge as a literal") {
     val merges = Bpe.trainedMerges(spark, sf("sf0.001"))
     assert(merges.nonEmpty, "fixture must train at least one merge")
     val o = Bpe.oracleSql
     assert(o.keySet == Set("bpe_encode", "bpe_fertility",
-      "corpus_export", "corpus_export_split"), s"ids: ${o.keySet}")
+      "corpus_export", "corpus_export_split", "pack_efficiency"), s"ids: ${o.keySet}")
     // each merge pair must appear as a VALUES literal in every oracle
     // (one shared merges CTE per statement)
     o.foreach { case (id, sql) =>
