@@ -432,6 +432,39 @@ object CdcQueries {
           col("value").cast("decimal(18,2)"), col("props")))
     }),
 
+    // Streaming twin of apply_verify (round 15): the change feed runs
+    // through a LIVE multi-micro-batch `Stream.materialize` (plus one
+    // REDELIVERED slice — duplicate rows are the at-least-once reality
+    // the fold must absorb), and the parity summary is computed over
+    // the STREAMED state. Shares apply_verify's oracle VERBATIM — equal
+    // checksums prove the streamed upsert fold is row-identical to the
+    // one-shot window replay, so the differential doubles as an
+    // end-to-end exactly-once proof (the bm25_stream convention). This
+    // is the shape a production CDC deployment actually runs: the sink
+    // folds continuously, the checksummer audits the result against
+    // the source's own summary.
+    "stream_apply_verify" -> ((s, dir) => {
+      val feed = F.fromEvents(s, dir)
+      val cols = Seq("id", "scn", "op", "ts", "event_type", "value", "props")
+      val work = graft.Engine.scratchDir("graft-sav")
+      val in = work.resolve("in").toString
+      feed.select(cols.map(col): _*).write.mode("append").parquet(in)
+      // redelivered slice: every third event arrives twice
+      feed.filter(col("scn") % 3 === 0)
+        .select(cols.map(col): _*).write.mode("append").parquet(in)
+      val wire = s.readStream
+        .schema(feed.select(cols.map(col): _*).schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(in)
+      val statePath = work.resolve("state").toString
+      val q = Stream.materialize(wire, Seq("id"), ordering = Seq("scn"),
+        statePath, work.resolve("chk").toString)
+      q.awaitTermination()
+      Ops.bucketChecksum(Stream.readCurrentState(s, statePath), "id",
+        concat_ws("|", col("id"), col("scn"), col("op"), col("event_type"),
+          col("value").cast("decimal(18,2)"), col("props")))
+    }),
+
     // batch twin of stream-static enrichment (Stream.enrichWithDim runs
     // the SAME join shape per micro-batch; StreamingSpec asserts row
     // parity): the change feed joins a broadcast dimension on the key.
@@ -601,17 +634,22 @@ object CdcQueries {
          |FROM feed f JOIN customer c ON f.id = c.c_custkey ORDER BY scn""".stripMargin,
     // independent replay (window argmax) → same canonical row string,
     // 56-bit md5, per-bucket count + XOR — mirrors apply_verify exactly
-    "apply_verify" ->
-      s"""$feedCte, st AS (
-         |  SELECT id, scn, op, event_type, value, props FROM (
-         |    SELECT f.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn FROM feed f
-         |  ) WHERE rn = 1 AND op <> 'd'),
-         |h AS (
-         |  SELECT id % 64 AS bucket,
-         |    CAST('0x' || substring(md5(concat_ws('|', id, scn, op, event_type,
-         |      CAST(value AS DECIMAL(18,2)), props)), 1, 14) AS BIGINT) AS h
-         |  FROM st)
-         |SELECT bucket, count(*) AS n_rows, bit_xor(h) AS checksum
-         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+    "apply_verify" -> applyVerifyOracle,
+    // SAME oracle: the streamed fold must checksum identically to the
+    // one-shot replay (redelivered slice absorbed) — exactly-once proof
+    "stream_apply_verify" -> applyVerifyOracle
   )
+
+  private lazy val applyVerifyOracle: String =
+    s"""$feedCte, st AS (
+       |  SELECT id, scn, op, event_type, value, props FROM (
+       |    SELECT f.*, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn FROM feed f
+       |  ) WHERE rn = 1 AND op <> 'd'),
+       |h AS (
+       |  SELECT id % 64 AS bucket,
+       |    CAST('0x' || substring(md5(concat_ws('|', id, scn, op, event_type,
+       |      CAST(value AS DECIMAL(18,2)), props)), 1, 14) AS BIGINT) AS h
+       |  FROM st)
+       |SELECT bucket, count(*) AS n_rows, bit_xor(h) AS checksum
+       |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
 }

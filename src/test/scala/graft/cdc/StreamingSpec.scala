@@ -706,4 +706,40 @@ class StreamingSpec extends SparkSpec {
     val rows = out.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSet
     assert(rows == Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+
+  test("streamed-state checksum equals the batch fold's (redelivery absorbed); a lost batch is detected") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val s = spark
+    import s.implicits._
+    def summary(state: org.apache.spark.sql.DataFrame) =
+      Ops.bucketChecksum(state, "id",
+          concat_ws("|", col("id"), col("scn"), col("op"),
+            col("value").cast("decimal(18,2)")), buckets = 8)
+        .collect().map(r => (r.getAs[Long]("bucket"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toSet
+    val batchSummary = summary(
+      Ops.applyChanges(events.toDF(), keys = Seq("id"), ordering = Seq("scn")))
+    // streamed: 4 micro-batches + batch 1 REDELIVERED
+    val (in, state, chk) = (tmp("savin"), tmp("savstate"), tmp("savchk"))
+    val groups = events.grouped(50).toSeq
+    groups.zipWithIndex.foreach { case (g, i) => writeBatchJson(in, g, s"part-$i.json") }
+    writeBatchJson(in, groups(1), "part-redelivered.json")
+    val q = startMaterialize(in, state, chk)
+    q.awaitTermination()
+    assert(summary(Stream.readCurrentState(s, state.resolve("t").toString)) ==
+      batchSummary, "streamed state does not checksum-match the batch fold")
+    // at-most-once failure: the same stream MISSING its FINAL batch
+    // must produce a DIFFERENT summary — the audit actually detects
+    // loss. (A lost MIDDLE batch is legitimately invisible to a
+    // latest-state checksum when every key is overwritten later —
+    // state parity is the contract, not delivery-log parity.)
+    val (in2, state2, chk2) = (tmp("savin2"), tmp("savstate2"), tmp("savchk2"))
+    groups.zipWithIndex.filter(_._2 != groups.size - 1).foreach { case (g, i) =>
+      writeBatchJson(in2, g, s"part-$i.json")
+    }
+    val q2 = startMaterialize(in2, state2, chk2)
+    q2.awaitTermination()
+    assert(summary(Stream.readCurrentState(s, state2.resolve("t").toString)) !=
+      batchSummary, "a lost batch went undetected by the checksum summary")
+  }
 }
