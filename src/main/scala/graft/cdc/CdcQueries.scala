@@ -432,6 +432,38 @@ object CdcQueries {
           col("value").cast("decimal(18,2)"), col("props")))
     }),
 
+    // Incremental summary maintenance (round 15 — the at-scale half of
+    // the parity protocol): the feed folds in three scn terciles, and
+    // after the first full summary each batch updates it via
+    // [[Ops.updateChecksum]] from the touched keys' before/after rows
+    // alone — (count, XOR) is a commutative group and XOR is its own
+    // inverse, so the update is O(batch), never an O(state) rescan
+    // (the state transition itself is the sink's ordinary upsert; in
+    // production that is Stream.foldBatch's O(delta) bucket rewrite).
+    // SAME oracle as apply_verify: the incrementally-maintained summary
+    // must equal the one-shot replay's bit-for-bit.
+    "apply_verify_incr" -> ((s, dir) => {
+      val rowStr = concat_ws("|", col("id"), col("scn"), col("op"),
+        col("event_type"), col("value").cast("decimal(18,2)"), col("props"))
+      val feed = F.fromEvents(s, dir)
+      val m = feed.agg(max(col("scn"))).collect()(0).getLong(0)
+      def part(lo: Long, hi: Long) = feed.filter(col("scn") > lo && col("scn") <= hi)
+      var state = Ops.applyChanges(part(-1L, m / 3), keys = Seq("id"), ordering = Seq("scn"))
+      var summary = Ops.bucketChecksum(state, "id", rowStr)
+      Seq((m / 3, 2 * m / 3), (2 * m / 3, m)).foreach { case (lo, hi) =>
+        val batch = part(lo, hi)
+        val touched = batch.select("id").distinct()
+        val before = state.join(touched, Seq("id"), "left_semi")
+        val next = Ops.applyChanges(
+          state.unionByName(batch.select(state.columns.map(col): _*)),
+          keys = Seq("id"), ordering = Seq("scn"))
+        val after = next.join(touched, Seq("id"), "left_semi")
+        summary = Ops.updateChecksum(summary, before, after, "id", rowStr)
+        state = next
+      }
+      summary
+    }),
+
     // Streaming twin of apply_verify (round 15): the change feed runs
     // through a LIVE multi-micro-batch `Stream.materialize` (plus one
     // REDELIVERED slice — duplicate rows are the at-least-once reality
@@ -637,7 +669,10 @@ object CdcQueries {
     "apply_verify" -> applyVerifyOracle,
     // SAME oracle: the streamed fold must checksum identically to the
     // one-shot replay (redelivered slice absorbed) — exactly-once proof
-    "stream_apply_verify" -> applyVerifyOracle
+    "stream_apply_verify" -> applyVerifyOracle,
+    // SAME oracle: the incrementally-maintained summary (XOR-group
+    // before/after updates, O(batch)) must equal the one-shot replay
+    "apply_verify_incr" -> applyVerifyOracle
   )
 
   private lazy val applyVerifyOracle: String =

@@ -134,6 +134,38 @@ object Ops {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
       .orderBy("bucket")
 
+  /** Incremental maintenance of a [[bucketChecksum]] summary — the
+    * at-scale half of the parity protocol (round 15): (count, XOR) per
+    * bucket forms a commutative group, and XOR is its own inverse, so a
+    * batch's effect on the summary is computable from the touched keys'
+    * BEFORE and AFTER rows alone — O(batch), never an O(state) rescan.
+    * A 100 TB sink maintains its audit summary this way batch-by-batch;
+    * the periodic full [[bucketChecksum]] recompute only arbitrates
+    * when summaries disagree. `removed` = the touched keys' prior state
+    * rows (before-images), `added` = their new state rows; both must
+    * use the SAME `rowStr` serialization as the summary being updated.
+    * Buckets whose count reaches zero drop out, keeping the summary
+    * canonical (equal to the from-scratch form row-for-row).
+    */
+  def updateChecksum(prev: DataFrame, removed: DataFrame, added: DataFrame,
+      idCol: String, rowStr: Column, buckets: Int = 64): DataFrame = {
+    val rm = bucketChecksum(removed, idCol, rowStr, buckets)
+      .withColumnRenamed("n_rows", "rm_n").withColumnRenamed("checksum", "rm_cs")
+    val ad = bucketChecksum(added, idCol, rowStr, buckets)
+      .withColumnRenamed("n_rows", "ad_n").withColumnRenamed("checksum", "ad_cs")
+    prev
+      .join(rm, Seq("bucket"), "full_outer")
+      .join(ad, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n_rows"), lit(0L)) - coalesce(col("rm_n"), lit(0L))
+          + coalesce(col("ad_n"), lit(0L))).as("n_rows"),
+        coalesce(col("checksum"), lit(0L))
+          .bitwiseXOR(coalesce(col("rm_cs"), lit(0L)))
+          .bitwiseXOR(coalesce(col("ad_cs"), lit(0L))).as("checksum"))
+      .filter(col("n_rows") > 0)
+      .orderBy("bucket")
+  }
+
   /** Slowly-changing-dimension Type 2 materialization: instead of
     * keeping only the latest row per key (`applyChanges`), keep EVERY
     * version with its validity interval — `valid_from` = the event's scn,

@@ -183,4 +183,44 @@ class ApplyChangesSpec extends SparkSpec {
     assert((got - vb) == (mutated - vb),
       "a mutation in one bucket disturbed another bucket's summary")
   }
+
+  test("(h) updateChecksum: incremental XOR maintenance equals the full recompute at every step; identity on no-op") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val rowStr = concat_ws("|", col("id"), col("scn"), col("op"),
+      col("value").cast("decimal(18,2)"))
+    def full(st: org.apache.spark.sql.DataFrame) =
+      Ops.bucketChecksum(st, "id", rowStr, buckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toSet
+    val evs = samples(5).flatten
+    assert(evs.nonEmpty)
+    val cut1 = evs.length / 3; val cut2 = 2 * evs.length / 3
+    val (b0, b1, b2) = (evs.take(cut1), evs.slice(cut1, cut2), evs.drop(cut2))
+    var state = Ops.applyChanges(feedOf(b0), keys = Seq("id"), ordering = Seq("scn"))
+    var summary = full(state)
+    Seq(b1, b2).foreach { b =>
+      val applied = state.columns.toSeq
+      val batch = feedOf(b).select(applied.map(col): _*)
+      val touched = batch.select("id").distinct()
+      val before = state.join(touched, Seq("id"), "left_semi")
+      val next = Ops.applyChanges(state.unionByName(batch),
+        keys = Seq("id"), ordering = Seq("scn"))
+      val after = next.join(touched, Seq("id"), "left_semi")
+      summary = Ops.updateChecksum(summary, before, after, "id", rowStr, buckets = 8)
+      state = next
+      // the incrementally-maintained summary equals the from-scratch
+      // one at EVERY step, including zero-count bucket drop-out
+      assert(rows(summary) == rows(full(state)),
+        "incremental summary diverged from the full recompute")
+    }
+    // group identity: removing and re-adding the same rows is a no-op
+    val idemp = Ops.updateChecksum(summary, state, state, "id", rowStr, buckets = 8)
+    assert(rows(idemp) == rows(summary), "before == after must be an identity update")
+    // deletes must decrement: a tombstone for every key empties the
+    // summary entirely (no zero-count buckets survive)
+    val wipe = Ops.updateChecksum(summary, state,
+      state.limit(0), "id", rowStr, buckets = 8)
+    assert(rows(wipe).isEmpty, "removing all rows must empty the summary")
+  }
 }
