@@ -1550,6 +1550,46 @@ object VectorOps {
           round(col("cos"), 9).as("cos"))
         .orderBy("q_id", "rank")
     }),
+
+    // k-NN classification eval (round 15) — the standard embedding-
+    // quality probe (label propagation / linear-probe's cheap cousin):
+    // a bounded held-out query set (vec_id < 64, the sim_topk
+    // bounded-query convention) is classified by majority vote of its
+    // 10 nearest OTHER vectors by cosine; neighbor rank ties break to
+    // the smaller c_id and vote ties to the smaller label, so the
+    // prediction is deterministic cross-engine. Same broadcast-query ×
+    // corpus scan as sim_topk (codegen CosineSimilarity), one
+    // (q, label) vote count on 10·|q| rows, one |q|-row vote window —
+    // everything after the scan is query-set-sized, free at any corpus
+    // size; the 100 TB path swaps the scan for the IVF-PQ index like
+    // every member of this family.
+    "knn_classify" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      graft.functions.CosineSimilarity.ensureRegistered(s)
+      val q = broadcast(emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").cast("long").as("q_label")))
+      val c = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("label").cast("long").as("c_label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      val votes = q.join(c, col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .groupBy("q_id", "q_label", "c_label")
+        .agg(count(lit(1)).as("votes"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("votes").desc, col("c_label"))
+      votes
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("q_label"),
+          col("c_label").as("pred_label"), col("votes").cast("long").as("votes"),
+          (col("c_label") === col("q_label")).as("correct"))
+        .orderBy("q_id")
+    }),
+
     "ann_lsh" -> ((s, dir) =>
       annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
         index = Some(corpusBuckets(s, dir, h = 4, tables = 8)))),
@@ -1906,6 +1946,33 @@ object VectorOps {
         |  FROM scored)
         |SELECT q_id, q_label, rank, c_id, c_label, round(cos, 9) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // same brute cosine + (cos desc, c_id) rank conventions as
+    // sim_topk/mine_negatives; vote ties break to the smaller label
+    "knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, CAST(label AS BIGINT) AS q_label
+        |  FROM embeddings WHERE vec_id < 64),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, c.vec_id AS c_id, CAST(c.label AS BIGINT) AS c_label,
+        |    list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb)+1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+        |top AS (
+        |  SELECT q_id, q_label, c_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |votes AS (
+        |  SELECT q_id, q_label, c_label, count(*) AS votes
+        |  FROM top GROUP BY 1, 2, 3)
+        |SELECT q_id, q_label, c_label AS pred_label,
+        |  CAST(votes AS BIGINT) AS votes, c_label = q_label AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY votes DESC, c_label) AS vr FROM votes)
+        |WHERE vr = 1 ORDER BY q_id""".stripMargin,
     "embed_outliers" ->
       """WITH e AS (
         |  SELECT label, vec_id,

@@ -79,6 +79,36 @@ class SimilaritySpec extends SparkSpec {
     assert(bites, "fixture never puts a same-label candidate in the plain top-10 — filter untested")
   }
 
+  test("knn_classify: predictions equal the in-JVM majority vote of the brute top-10; both outcomes occur") {
+    val dir = sf("sf0.001")
+    val labels: Map[Long, Int] = Tables(spark, dir).embeddings
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = graft.SparkEntry.queries("knn_classify")(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("q_label"), r.getAs[Long]("pred_label"),
+          r.getAs[Long]("votes"), r.getAs[Boolean]("correct")))).toMap
+    val qids = vecs.keys.filter(_ < 64).toSeq.sorted
+    assert(got.keySet == qids.toSet && qids.nonEmpty)
+    qids.foreach { q =>
+      // independent re-derivation: brute top-10 by (cos desc, id),
+      // majority vote, ties to the smaller label
+      val top = truth(q, 10)
+      val vote = top.groupBy(labels(_)).map { case (l, m) => (l, m.size) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      val (ql, pl, v, ok) = got(q)
+      assert(ql == labels(q), s"query $q carried label")
+      assert(pl == vote._1 && v == vote._2, s"query $q vote: got ($pl,$v) want $vote")
+      assert(ok == (pl == ql), s"query $q correct flag")
+    }
+    // the fixture's labels are UNcorrelated with the vectors (random
+    // assignment), so chance-level accuracy is the EXPECTED reading —
+    // the per-query vote parity above is the contract. Vacuity guard:
+    // both outcomes must occur, or the probe distinguishes nothing.
+    assert(qids.exists(q => got(q)._4) && qids.exists(q => !got(q)._4),
+      "correct/incorrect must both occur on the fixture")
+  }
+
   test("LSH ANN reaches usable recall vs brute force") {
     val k = 10
     val qids = 0L until 8L
