@@ -133,12 +133,25 @@ object VectorOps {
     * so the key omits a snapshot version; dead sessions are evicted on
     * every access.
     */
+  /** The exact plane family each memoized corpus index was built with,
+    * keyed (dir, h, tables) — captured so [[lshOracle]] can embed it in
+    * the dumped oracle SQL (the ann_ivf centroid-embedding path; planes
+    * are seed-42 deterministic given dim, but dim is data-probed and
+    * the oracle builder has no data access).
+    */
+  private val lshPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]()
+
   private[llm] def corpusBuckets(s: SparkSession, dir: String,
       h: Int, tables: Int): LshIndex = {
     bucketCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    bucketCache.computeIfAbsent((s, dir, h, tables), _ =>
-      LshIndex(signBuckets(Tables(s, dir).embeddings, h, tables)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), h, tables))
+    bucketCache.computeIfAbsent((s, dir, h, tables), _ => {
+      val emb = Tables(s, dir).embeddings
+      lshPlaneCache.putIfAbsent((dir, h, tables),
+        hyperplanes(h * tables, probeDim(emb)))
+      LshIndex(signBuckets(emb, h, tables)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), h, tables)
+    })
   }
 
   /** ANN via multi-table LSH: L independent tables of h sign-bits each;
@@ -1592,12 +1605,18 @@ object VectorOps {
 
     "ann_lsh" -> ((s, dir) =>
       annTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
-        index = Some(corpusBuckets(s, dir, h = 4, tables = 8)))),
+        index = Some(corpusBuckets(s, dir, h = 4, tables = 8)))
+        // oracle-checked since round 15 (plane-embedding replay,
+        // [[lshOracle]]) — round(·,9) per the sim_topk dump adjudication
+        .withColumn("cos", round(col("cos"), 9))),
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       ivfTopK(emb, queryIds = 0L until 8L, k = 10,
         model = Some(ivfModel(emb, cells = 16, datasetKey = dir)),
         assignedOpt = Some(ivfAssigned(s, dir, cells = 16)))
+        // oracle-checked since round 15 (centroid-embedding replay,
+        // [[ivfOracle]]) — round(·,9) per the sim_topk dump adjudication
+        .withColumn("cos", round(col("cos"), 9))
     }),
     // the PQ index id: one narrow projection emitting each vector's
     // 8-byte code (the 32× compressed search representation) plus
@@ -1689,7 +1708,10 @@ object VectorOps {
     // result is deterministically non-empty with wide margin.
     "dedup_embed" -> ((s, dir) =>
       embedNearDup(Tables(s, dir).embeddings, threshold = 0.4,
-        index = Some(corpusBuckets(s, dir, h = 6, tables = 4)))),
+        index = Some(corpusBuckets(s, dir, h = 6, tables = 4)))
+        // oracle-checked since round 15 (plane-embedding replay,
+        // [[dedupEmbedOracle]]) — round(·,9) per the sim_topk adjudication
+        .withColumn("cos", round(col("cos"), 9))),
     // SemDeDup over the ANN index's own cell assignment. Threshold 0.45:
     // the synthetic embeddings have no true clones (max pair cos 0.51 at
     // sf0.01), so a "real" 0.99 threshold would be vacuous — 0.45 makes
@@ -2001,7 +2023,171 @@ object VectorOps {
         |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q,
         |  round(q_scale, 9) AS q_scale
         |FROM s ORDER BY vec_id""".stripMargin
-  )
+  ) ++ ivfOracle ++ lshOracle ++ dedupEmbedOracle
+
+  /** Dynamic oracle for `ann_ivf` (round 15 — the Bpe merge-embedding
+    * graduation path applied to the IVF model): Verify dumps
+    * oracle_sql.json AFTER running the queries, so the memoized trained
+    * centroids for this run's corpus are embeddable as SQL literals
+    * (doubles round-trip via shortest-repr — Double.toString ↔ DuckDB
+    * CAST AS DOUBLE). The replay mirrors the engine exactly: probe
+    * score = in-order dot(q, c) − |c|²/2 with the HALF-NORM precomputed
+    * driver-side and embedded as a literal (so no cross-engine sum-order
+    * contract on |c|²), first-max cell assignment = row_number over
+    * (s DESC, cid), nprobe cutoff ties likewise, candidate ranking =
+    * sim_topk's proven (cos DESC, c_id) + round(cos, 9) output. Empty
+    * when no/ambiguous 16-cell model is live (degrades to rows-only).
+    */
+  private def ivfOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = centroidCache.entrySet().asScala.toList.filter(_.getKey._2 == 16)
+    live match {
+      case e :: Nil => Map("ann_ivf" -> annIvfSql(e.getValue))
+      case _        => Map.empty
+    }
+  }
+
+  /** Dynamic oracle for `ann_lsh` — the same graduation path with the
+    * captured plane family embedded: per (vec, table) the bucket string
+    * is the concatenated sign bits of in-order plane dots (the proven
+    * list_sum ≡ ordered-fold parity; a sign flip at the 0.0 boundary
+    * would FAIL the differential loudly, never falsely pass), candidates
+    * = any-table collisions deduped, ranking = the sim_topk tail.
+    */
+  private def lshOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = lshPlaneCache.entrySet().asScala.toList
+      .filter(e => e.getKey._2 == 4 && e.getKey._3 == 8)
+    live match {
+      case e :: Nil => Map("ann_lsh" -> annLshSql(e.getValue, h = 4))
+      case _        => Map.empty
+    }
+  }
+
+  private def annLshSql(planes: Array[Array[Double]], h: Int): String = {
+    val rows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / h}, ${i % h}, [${p.mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH planes AS (SELECT * FROM (VALUES $rows) p(t, b, pl)),
+       |sig AS (
+       |  SELECT e.vec_id, p.t,
+       |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * pl[i])) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY p.b) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t),
+       |cand AS (
+       |  SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS c_id
+       |  FROM sig qs JOIN sig cs
+       |    ON cs.t = qs.t AND cs.bucket = qs.bucket AND cs.vec_id <> qs.vec_id
+       |  WHERE qs.vec_id BETWEEN 0 AND 7),
+       |scored AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    list_sum(list_transform(range(1, len(c.embedding)+1),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+       |    / sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+       |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.q_id
+       |  JOIN embeddings c ON c.vec_id = cand.c_id)
+       |SELECT q_id, rank, c_id, round(cos, 9) AS cos FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Dynamic oracle for `dedup_embed` — the plane-embedding replay of
+    * [[embedNearDup]]'s candidate generation (any-table collision,
+    * bucket-size cap, v1 < v2 dedup) + the threshold-filtered cosine.
+    */
+  private def dedupEmbedOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = lshPlaneCache.entrySet().asScala.toList
+      .filter(e => e.getKey._2 == 6 && e.getKey._3 == 4)
+    live match {
+      case e :: Nil => Map("dedup_embed" -> dedupEmbedSql(e.getValue, h = 6))
+      case _        => Map.empty
+    }
+  }
+
+  private def dedupEmbedSql(planes: Array[Array[Double]], h: Int): String = {
+    val rows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / h}, ${i % h}, [${p.mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH planes AS (SELECT * FROM (VALUES $rows) p(t, b, pl)),
+       |sig AS (
+       |  SELECT e.vec_id, p.t,
+       |    string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * pl[i])) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY p.b) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t),
+       |szb AS (
+       |  SELECT t, bucket FROM sig GROUP BY t, bucket
+       |  HAVING count(*) > 1 AND count(*) <= 10000),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+       |  FROM szb JOIN sig a USING (t, bucket) JOIN sig c USING (t, bucket)
+       |  WHERE c.vec_id > a.vec_id),
+       |scored AS (
+       |  SELECT v1, v2,
+       |    list_sum(list_transform(range(1, len(e2.embedding)+1),
+       |      i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(range(1, len(e1.embedding)+1),
+       |      i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE))))
+       |    / sqrt(list_sum(list_transform(range(1, len(e2.embedding)+1),
+       |      i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))) AS cos
+       |  FROM pairs
+       |  JOIN embeddings e1 ON e1.vec_id = v1
+       |  JOIN embeddings e2 ON e2.vec_id = v2)
+       |SELECT v1, v2, round(cos, 9) AS cos FROM scored
+       |WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin
+  }
+
+  private def annIvfSql(cent: Array[Array[Double]]): String = {
+    val rows = cent.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
+    }.mkString(", ")
+    val np = math.min(4, cent.length)
+    s"""WITH cent AS (SELECT * FROM (VALUES $rows) t(cid, c, hn)),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id BETWEEN 0 AND 7),
+       |qs AS (
+       |  SELECT q_id, q_emb, cid,
+       |    list_sum(list_transform(range(1, len(q_emb)+1),
+       |      i -> CAST(q_emb[i] AS DOUBLE) * c[i])) - hn AS s
+       |  FROM q CROSS JOIN cent),
+       |probes AS (
+       |  SELECT q_id, q_emb, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cid) AS pr
+       |    FROM qs) WHERE pr <= $np),
+       |cs AS (
+       |  SELECT e.vec_id AS c_id, e.embedding AS c_emb, t.cid,
+       |    list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * t.c[i])) - t.hn AS s
+       |  FROM embeddings e CROSS JOIN cent t),
+       |assigned AS (
+       |  SELECT c_id, c_emb, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY s DESC, cid) AS ar
+       |    FROM cs) WHERE ar = 1),
+       |scored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_sum(list_transform(range(1, len(a.c_emb)+1),
+       |      i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(range(1, len(p.q_emb)+1),
+       |      i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE))))
+       |    / sqrt(list_sum(list_transform(range(1, len(a.c_emb)+1),
+       |      i -> CAST(a.c_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE)))) AS cos
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.c_id <> p.q_id)
+       |SELECT q_id, rank, c_id, round(cos, 9) AS cos FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Release this session's memoized in-memory vector indexes (LSH
     * buckets, IVF assignment, PQ / IVF-PQ code tables, semantic-dedup
