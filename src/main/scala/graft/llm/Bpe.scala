@@ -562,14 +562,61 @@ object Bpe {
     import scala.jdk.CollectionConverters._
     val live = mergeCache.entrySet().asScala.toList
       .filter(e => !e.getKey._1.sparkContext.isStopped && e.getKey._3 == 16)
-    live match {
+    val dynamic = live match {
       case e :: Nil => oraclesFor(e.getValue)
       // no trained model this JVM (subset Verify without a bpe id), or
       // several corpora trained in one session (ambiguous): dump no
       // oracle — the ids degrade to the rows-only check, never to a
       // wrong-model differential
-      case _ => Map.empty
+      case _ => Map.empty[String, String]
     }
+    dynamic + ("bpe_merges" -> mergesSql)
+  }
+
+  /** STATIC oracle for `bpe_merges` (round 15) — unlike the encode
+    * family this embeds NOTHING: the 16-iteration training loop itself
+    * is replayed as 16 unrolled CTE stages, each = apply the previous
+    * stage's winning merge with the double-separator `replace()`
+    * equivalence, recount adjacent pairs weighted by word frequency,
+    * take the (count DESC, a, b) argmax (DuckDB's binary string
+    * collation ≡ the engine's utf8Order tiebreak), stop-guard cnt ≥ 2.
+    * Every w/b CTE is MATERIALIZED — each is referenced twice and
+    * DuckDB otherwise re-inlines per reference, going exponential in
+    * the stage count (the dedup_incremental lesson). The unroll assumes
+    * the corpus trains the full 16 merges (true at all 3 SFs + the
+    * mixed-script fixture); a corpus that early-stops would FAIL the
+    * differential loudly, never wrongly pass.
+    */
+  private lazy val mergesSql: String = {
+    val sep2 = "chr(31) || chr(31)"
+    val stages = (0 until 16).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT string_split(pr, chr(30))[1] AS a, string_split(pr, chr(30))[2] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || chr(30) || t[i+1])) AS pr, freq
+         |    FROM (SELECT list_filter(string_split(sym, $sep2), x -> x <> '') AS t, freq FROM w$r))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$r WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT replace(w$r.sym, chr(31) || b$r.a || $sep2 || b$r.b || chr(31),
+         |                 chr(31) || b$r.a || b$r.b || chr(31)) AS sym, w$r.freq
+         |  FROM w$r CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until 16).map(r =>
+      s"""SELECT $r AS rank, a AS "left", b AS "right", a || b AS merged, cnt AS pair_count FROM b$r"""
+    ).mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT $sep2 || array_to_string(list_append(string_split(w, ''), '</w>'), $sep2) || $sep2 AS sym,
+       |    freq
+       |  FROM (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+       |    FROM documents) GROUP BY w)),
+       |$stages
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY rank""".stripMargin
   }
 
   private def oraclesFor(ms: Seq[Merge]): Map[String, String] = Map(

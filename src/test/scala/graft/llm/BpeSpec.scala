@@ -416,14 +416,21 @@ class BpeSpec extends SparkSpec {
     assert(merges.nonEmpty, "fixture must train at least one merge")
     val o = Bpe.oracleSql
     assert(o.keySet == Set("bpe_encode", "bpe_fertility",
-      "corpus_export", "corpus_export_split", "pack_efficiency"), s"ids: ${o.keySet}")
-    // each merge pair must appear as a VALUES literal in every oracle
-    // (one shared merges CTE per statement)
-    o.foreach { case (id, sql) =>
+      "corpus_export", "corpus_export_split", "pack_efficiency",
+      "bpe_merges"), s"ids: ${o.keySet}")
+    // each merge pair must appear as a VALUES literal in every
+    // model-embedding oracle (one shared merges CTE per statement);
+    // bpe_merges is the exception — its oracle REPLAYS training from
+    // scratch (16 unrolled stages) and embeds nothing
+    (o - "bpe_merges").foreach { case (id, sql) =>
       merges.foreach { m =>
         val lit = s"(${m.rank}, '${m.left.replace("'", "''")}', '${m.right.replace("'", "''")}')"
         assert(sql.contains(lit), s"$id oracle missing merge literal $lit")
       }
     }
+    assert(!o("bpe_merges").contains("VALUES ("),
+      "the training oracle must embed no model literals")
+    assert(o("bpe_merges").contains("MATERIALIZED"),
+      "unrolled stages must be materialized (exponential re-inline otherwise)")
   }
 }
