@@ -2023,7 +2023,7 @@ object VectorOps {
         |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q,
         |  round(q_scale, 9) AS q_scale
         |FROM s ORDER BY vec_id""".stripMargin
-  ) ++ ivfOracle ++ lshOracle ++ dedupEmbedOracle
+  ) ++ ivfOracle ++ lshOracle ++ dedupEmbedOracle ++ kmeansOracle
 
   /** Dynamic oracle for `ann_ivf` (round 15 — the Bpe merge-embedding
     * graduation path applied to the IVF model): Verify dumps
@@ -2096,6 +2096,51 @@ object VectorOps {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Dynamic oracle for `cluster_kmeans` — the centroid-embedding
+    * replay of the REPORT side (assignment + per-cell inertia/avg
+    * distance); Lloyd training itself stays engine-internal (bounded
+    * deterministic driver loop, spec-pinned against planted clusters).
+    * Per-row d2 is the exact in-order fold; the per-CELL sums are
+    * each engine's own float aggregation order, adjudicated by the
+    * round(·,4) outputs — the accumulated error bound (N·u·Σ|x| ≈ 3e-8
+    * at sf0.1 cell sizes) sits ~3 orders under the rounding boundary.
+    */
+  private def kmeansOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = kmeansCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped &&
+        e.getKey._3 == 8 && e.getKey._4 == 8)
+    live match {
+      case e :: Nil => Map("cluster_kmeans" -> clusterKmeansSql(e.getValue))
+      case _        => Map.empty
+    }
+  }
+
+  private def clusterKmeansSql(cent: Array[Array[Double]]): String = {
+    val rows = cent.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
+    }.mkString(", ")
+    s"""WITH cent AS (SELECT * FROM (VALUES $rows) t(cid, c, hn)),
+       |cs AS (
+       |  SELECT e.vec_id, e.embedding, t.cid, t.c,
+       |    list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * t.c[i])) - t.hn AS s
+       |  FROM embeddings e CROSS JOIN cent t),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cell, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS ar
+       |    FROM cs) WHERE ar = 1),
+       |d AS (
+       |  SELECT cell,
+       |    list_sum(list_transform(range(1, len(embedding)+1),
+       |      i -> (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i]))) AS d2
+       |  FROM assigned)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(sum(d2), 4) AS inertia,
+       |  round(avg(sqrt(d2)), 4) AS avg_dist
+       |FROM d GROUP BY cell ORDER BY cell""".stripMargin
   }
 
   /** Dynamic oracle for `dedup_embed` — the plane-embedding replay of
