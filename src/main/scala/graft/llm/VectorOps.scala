@@ -2023,7 +2023,7 @@ object VectorOps {
         |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q,
         |  round(q_scale, 9) AS q_scale
         |FROM s ORDER BY vec_id""".stripMargin
-  ) ++ ivfOracle ++ lshOracle ++ dedupEmbedOracle ++ kmeansOracle
+  ) ++ ivfOracle ++ lshOracle ++ dedupEmbedOracle ++ kmeansOracle ++ pcaOracle ++ pqOracle
 
   /** Dynamic oracle for `ann_ivf` (round 15 — the Bpe merge-embedding
     * graduation path applied to the IVF model): Verify dumps
@@ -2096,6 +2096,98 @@ object VectorOps {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Dynamic oracle for `vec_pq` — the codebook-embedding replay of the
+    * ENCODE side: unit-normalize (in-order norm fold), per-subspace
+    * fused v·c − ‖c‖²/2 argmax with first-max ties (row_number over
+    * (s DESC, cid)), and the recon_cos fidelity column rebuilt from the
+    * SELECTED codes. The raw dot `d` is carried separately from the
+    * score `s = d − hn` — recomputing d as s + hn would differ by a
+    * float rounding from the engine's independent fold. Per-vector sums
+    * over the 8 subspaces use `list_sum(list(· ORDER BY j))`, matching
+    * the engine's ascending-j left reduce. Lloyd-per-subspace training
+    * stays engine-internal (reference-parity specs).
+    */
+  private def pqOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = pqModelCache.entrySet().asScala.toList
+      .filter(e => e.getKey._2 == 8 && e.getKey._3 == 16)
+    live match {
+      case e :: Nil => Map("vec_pq" -> vecPqSql(e.getValue))
+      case _        => Map.empty
+    }
+  }
+
+  private def vecPqSql(books: Array[Array[Array[Double]]]): String = {
+    val sub = books(0)(0).length
+    val rows = books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, cid) =>
+        s"($j, $cid, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2}, ${c.map(x => x * x).sum})"
+      }
+    }.mkString(", ")
+    s"""WITH books AS (SELECT * FROM (VALUES $rows) b(j, cid, c, hn, cs2)),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, b.j, b.cid, b.cs2, b.hn,
+       |    list_sum(list_transform(range(1, $sub + 1),
+       |      i -> uv[b.j * $sub + i] * b.c[i])) AS d
+       |  FROM u CROSS JOIN books b),
+       |sel AS (
+       |  SELECT vec_id, j, cid, cs2, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d - hn DESC, cid) AS r FROM sc)
+       |  WHERE r = 1)
+       |SELECT vec_id,
+       |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes,
+       |  round(list_sum(list(d ORDER BY j))
+       |    / sqrt(list_sum(list(cs2 ORDER BY j))), 6) AS recon_cos
+       |FROM sel GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** Dynamic oracle for `embed_project` — the basis-embedding replay of
+    * the PCA APPLY side (center → two in-order dots → residual norm,
+    * all mirrorable folds); the power-iteration FIT stays
+    * engine-internal (`embed_pca`, planted-axis specs) — the same
+    * honest train/apply split as bpe_merges/bpe_encode.
+    */
+  private def pcaOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = pcaCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped)
+    live match {
+      case e :: Nil if e.getValue.components.length >= 2 =>
+        Map("embed_project" -> embedProjectSql(e.getValue))
+      case _ => Map.empty
+    }
+  }
+
+  private def embedProjectSql(m: PcaModel): String = {
+    val mu = s"[${m.mean.mkString(", ")}]"
+    val w1 = s"[${m.components(0)._1.mkString(", ")}]"
+    val w2 = s"[${m.components(1)._1.mkString(", ")}]"
+    s"""WITH model AS (SELECT CAST($mu AS DOUBLE[]) AS mu,
+       |  CAST($w1 AS DOUBLE[]) AS w1, CAST($w2 AS DOUBLE[]) AS w2),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS cv,
+       |    w1, w2
+       |  FROM embeddings CROSS JOIN model),
+       |p AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(1, len(cv)+1), i -> cv[i] * w1[i])) AS p1,
+       |    list_sum(list_transform(range(1, len(cv)+1), i -> cv[i] * w2[i])) AS p2,
+       |    list_sum(list_transform(cv, x -> x * x)) AS n2
+       |  FROM c)
+       |SELECT vec_id, round(p1, 6) AS p1, round(p2, 6) AS p2,
+       |  round(sqrt(greatest(n2 - p1 * p1 - p2 * p2, 0)), 6) AS resid_norm
+       |FROM p ORDER BY vec_id""".stripMargin
   }
 
   /** Dynamic oracle for `cluster_kmeans` — the centroid-embedding
