@@ -1499,22 +1499,30 @@ object VectorOps {
     * present?) before appending, so a run torn between the append write
     * and its marker cannot double-append on restart.
     */
-  private[graft] def ivfPqAppendDemoPath(s: SparkSession, dir: String): String =
-    ivfPqAppendPaths.computeIfAbsent(dir, _ => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpqapp_${pathKey(dir)}_c16m8k16"
-      val done = new org.apache.hadoop.fs.Path(path, "_graft_append_ok")
+  private[graft] def ivfPqAppendDemoPath(s: SparkSession, dir: String): String = {
+    val path = ivfPqAppendPaths.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfpqapp_${pathKey(dir)}_c16m8k16"
+      val done = new org.apache.hadoop.fs.Path(p, "_graft_append_ok")
       val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(done)) {
         val emb = Tables(s, dir).embeddings
-        saveIvfPqIndexOf(emb.filter(col("vec_id") % 2 === 0), path,
+        saveIvfPqIndexOf(emb.filter(col("vec_id") % 2 === 0), p,
           datasetKey = s"$dir#even")
-        val hasOdd = s.read.parquet(s"$path/${currentCodesDir(s, path)}")
+        val hasOdd = s.read.parquet(s"$p/${currentCodesDir(s, p)}")
           .filter(col("c_id") % 2 === 1).limit(1).count() > 0
-        if (!hasOdd) appendIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), path)
+        if (!hasOdd) appendIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), p)
         fs.create(done, true).close()
       }
-      path
+      p
     })
+    // capture the SERVED model for [[ivfPqOracle]]: a pre-existing
+    // committed artifact skips training in this JVM, so load the
+    // persisted model tables instead (parquet doubles round-trip
+    // bit-exact — disk ≡ trained, the ann_ivfpq_disk contract)
+    ivfPqModelCache.computeIfAbsent((s"$dir#even", 16, 8, 16),
+      _ => loadIvfPqModel(s, path))
+    path
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // round(cos, 9) on the OUTPUT only (ranking uses full precision):
@@ -1658,7 +1666,10 @@ object VectorOps {
     // ANN ids, recall bounded vs brute force in SimilaritySpec
     "ann_pq" -> ((s, dir) =>
       pqTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
-        index = Some(pqIndex(s, dir, m = 8, ks = 16)))),
+        index = Some(pqIndex(s, dir, m = 8, ks = 16)))
+        // oracle-checked since round 15 (codebook-embedding ADC replay,
+        // [[annPqOracle]]) — round(·,9) per the sim_topk adjudication
+        .withColumn("cos", round(col("cos"), 9))),
     // the composed IVF-PQ id: each query probes nprobe=4 of 16 cells and
     // ADC-scans ONLY those cells' residual codes — per-query cost =
     // (nprobe/cells)·n rows at 8 bytes each, the FAISS IVFPQ serving
@@ -1668,7 +1679,10 @@ object VectorOps {
     // SimilaritySpec.
     "ann_ivfpq" -> ((s, dir) =>
       ivfPqTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10,
-        index = Some(ivfPqIndex(s, dir, cells = 16, m = 8, ks = 16)))),
+        index = Some(ivfPqIndex(s, dir, cells = 16, m = 8, ks = 16)))
+        // oracle-checked since round 15 (dual-model-embedding replay,
+        // [[ivfPqOracle]]) — round(·,9) per the sim_topk adjudication
+        .withColumn("cos", round(col("cos"), 9))),
     // the persisted-index twin: serves the same search from the durable
     // cell-partitioned parquet artifact — probed cells are known at plan
     // time, so the scan carries a static partition filter and reads ZERO
@@ -1676,7 +1690,10 @@ object VectorOps {
     // row-identical to ann_ivfpq (spec-pinned); rows-only like it.
     "ann_ivfpq_disk" -> ((s, dir) =>
       ivfPqTopKDisk(Tables(s, dir).embeddings, queryIds = 0L until 8L,
-        k = 10, path = ivfPqDiskPath(s, dir, cells = 16, m = 8, ks = 16))),
+        k = 10, path = ivfPqDiskPath(s, dir, cells = 16, m = 8, ks = 16))
+        // oracle-checked since round 15 — SHARES ann_ivfpq's replay
+        // (disk ≡ memory is the artifact's spec-pinned contract)
+        .withColumn("cos", round(col("cos"), 9))),
     // index maintenance without retrain (FAISS add_with_ids): the served
     // index was built from the EVEN vec_ids only and the odd half was
     // APPENDED against the frozen model — every odd c_id in the result
@@ -1684,7 +1701,11 @@ object VectorOps {
     // (two-marker build with a content-derived recovery guard).
     "ann_ivfpq_append" -> ((s, dir) =>
       ivfPqTopKDisk(Tables(s, dir).embeddings, queryIds = 0L until 8L,
-        k = 10, path = ivfPqAppendDemoPath(s, dir))),
+        k = 10, path = ivfPqAppendDemoPath(s, dir))
+        // oracle-checked since round 15: the replay under the frozen
+        // even-trained model over the FULL corpus — append never
+        // re-encodes, so served ≡ that (round(·,9) as the family)
+        .withColumn("cos", round(col("cos"), 9))),
     // filtered ANN (FAISS IDSelector / Milvus filtered search): top-k
     // restricted to candidates sharing the QUERY's label — same-class
     // retrieval, the commonest production filter shape. The label is
@@ -1699,7 +1720,10 @@ object VectorOps {
         k = 10, where = col("label") === col("q_label"),
         attrCols = Seq("label"),
         index = Some(ivfPqIndex(s, dir, cells = 16, m = 8, ks = 16,
-          attrs = Seq("label"))))),
+          attrs = Seq("label"))))
+        // oracle-checked since round 15: the shared replay plus the
+        // same-label predicate inside the ADC stage (round(·,9))
+        .withColumn("cos", round(col("cos"), 9))),
     // threshold 0.4: the synthetic embeddings are near-orthogonal random
     // vectors — the closest pairs sit at cos ≈ 0.4–0.6 (sf0.01 max 0.51,
     // sf0.1 max 0.60), so 0.6 returned an empty (vacuous) result. At 0.4
@@ -2023,7 +2047,7 @@ object VectorOps {
         |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q,
         |  round(q_scale, 9) AS q_scale
         |FROM s ORDER BY vec_id""".stripMargin
-  ) ++ ivfOracle ++ lshOracle ++ dedupEmbedOracle ++ kmeansOracle ++ pcaOracle ++ pqOracle
+  ) ++ ivfOracle ++ lshOracle ++ dedupEmbedOracle ++ kmeansOracle ++ pcaOracle ++ pqOracle ++ annPqOracle ++ ivfPqOracle
 
   /** Dynamic oracle for `ann_ivf` (round 15 — the Bpe merge-embedding
     * graduation path applied to the IVF model): Verify dumps
@@ -2148,6 +2172,201 @@ object VectorOps {
        |  round(list_sum(list(d ORDER BY j))
        |    / sqrt(list_sum(list(cs2 ORDER BY j))), 6) AS recon_cos
        |FROM sel GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** Dynamic oracle for `ann_pq` — the full ADC serving chain replayed
+    * against the embedded codebooks: corpus codes rebuilt exactly as in
+    * [[pqOracle]], per-query LUT = in-order ‖q_sub − c‖² folds, ADC
+    * score = 1 − (ascending-j sum of the code's LUT entries)/2,
+    * shortlist k·4 by (adc DESC, c_id), then the exact-cosine re-rank
+    * (sim_topk math) emits the top-10 — mirroring [[pqTopK]] +
+    * [[rerankExact]] stage for stage.
+    */
+  private def annPqOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = pqModelCache.entrySet().asScala.toList
+      .filter(e => e.getKey._2 == 8 && e.getKey._3 == 16)
+    live match {
+      case e :: Nil => Map("ann_pq" -> annPqSql(e.getValue))
+      case _        => Map.empty
+    }
+  }
+
+  private def annPqSql(books: Array[Array[Array[Double]]]): String = {
+    val sub = books(0)(0).length
+    val rows = books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, cid) =>
+        s"($j, $cid, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
+      }
+    }.mkString(", ")
+    s"""WITH books AS (SELECT * FROM (VALUES $rows) b(j, cid, c, hn)),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, b.j, b.cid,
+       |    list_sum(list_transform(range(1, $sub + 1),
+       |      i -> uv[b.j * $sub + i] * b.c[i])) - b.hn AS s
+       |  FROM u CROSS JOIN books b),
+       |codes AS (
+       |  SELECT vec_id AS c_id, j, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY s DESC, cid) AS r FROM sc) WHERE r = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, b.j, b.cid,
+       |    list_sum(list_transform(range(1, $sub + 1),
+       |      i -> (uv[b.j * $sub + i] - b.c[i]) * (uv[b.j * $sub + i] - b.c[i]))) AS d
+       |  FROM (SELECT * FROM u WHERE vec_id BETWEEN 0 AND 7) q CROSS JOIN books b),
+       |adc AS (
+       |  SELECT l.q_id, c.c_id,
+       |    1 - list_sum(list(l.d ORDER BY c.j)) / 2 AS adc
+       |  FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.code
+       |  WHERE c.c_id <> l.q_id
+       |  GROUP BY l.q_id, c.c_id),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, c_id) AS sr FROM adc) WHERE sr <= 40),
+       |exact AS (
+       |  SELECT s.q_id, s.c_id,
+       |    list_sum(list_transform(range(1, len(ce.embedding)+1),
+       |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(range(1, len(qe.embedding)+1),
+       |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+       |    / sqrt(list_sum(list_transform(range(1, len(ce.embedding)+1),
+       |      i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))) AS cos
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.c_id)
+       |SELECT q_id, rank, c_id, round(cos, 9) AS cos FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+       |  FROM exact) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Dynamic oracle for `ann_ivfpq` AND `ann_ivfpq_disk` (shared — the
+    * persisted index is spec-pinned row-identical to the in-memory one,
+    * so one replay proves both, the apply_verify-family convention):
+    * both models embedded; corpus cells by the dot−hn first-max argmax
+    * (ivfCell's rule), residual codes per subspace, query probes by
+    * ASCENDING L2 with (d, cid) ties (ivfPqLuts sorts exactly so —
+    * note the two stages deliberately use different float expressions,
+    * dot-based assignment vs L2-based probing, and the mirror keeps
+    * each), residual-shifted LUTs, ADC over only the probed cells'
+    * codes, shortlist k·4, exact-cosine re-rank.
+    */
+  private def ivfPqOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val live = ivfPqModelCache.entrySet().asScala.toList
+      .filter(e => e.getKey._2 == 16 && e.getKey._3 == 8 && e.getKey._4 == 16)
+    // the append demo trains its OWN frozen model under "<dir>#even"
+    // (the no-retrain contract) — it lives alongside the plain-dir
+    // model in one Verify JVM, so the two are keyed apart here instead
+    // of tripping the single-entry ambiguity guard
+    val plain = live.filter(!_.getKey._1.contains("#"))
+    val even = live.filter(_.getKey._1.endsWith("#even"))
+    val base = plain match {
+      case e :: Nil =>
+        val sql = ivfPqSql(e.getValue, where = false)
+        Map("ann_ivfpq" -> sql, "ann_ivfpq_disk" -> sql,
+          "ann_ivfpq_where" -> ivfPqSql(e.getValue, where = true))
+      case _ => Map.empty[String, String]
+    }
+    val app = even match {
+      // the appended index = evens + odds ALL encoded with the frozen
+      // even-trained model (append never re-encodes), so the replay is
+      // the same chain under that model over the full corpus
+      case e :: Nil => Map("ann_ivfpq_append" -> ivfPqSql(e.getValue, where = false))
+      case _        => Map.empty[String, String]
+    }
+    base ++ app
+  }
+
+  private def ivfPqSql(model: IvfPqModel, where: Boolean): String = {
+    val sub = model.books(0)(0).length
+    val coarseRows = model.coarse.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
+    }.mkString(", ")
+    val bookRows = model.books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, cid) =>
+        s"($j, $cid, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
+      }
+    }.mkString(", ")
+    s"""WITH coarse AS (SELECT * FROM (VALUES $coarseRows) t(cid, c, hn)),
+       |books AS (SELECT * FROM (VALUES $bookRows) b(j, cid, c, hn)),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+       |  FROM embeddings),
+       |cscore AS (
+       |  SELECT u.vec_id, u.uv, t.cid, t.c,
+       |    list_sum(list_transform(range(1, len(uv)+1), i -> uv[i] * t.c[i])) - t.hn AS s
+       |  FROM u CROSS JOIN coarse t),
+       |ca AS (
+       |  SELECT vec_id, uv, cid AS cell, c AS cc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+       |    FROM cscore) WHERE r = 1),
+       |res AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, len(uv)+1), i -> uv[i] - cc[i]) AS rv
+       |  FROM ca),
+       |rsc AS (
+       |  SELECT vec_id, cell, b.j, b.cid,
+       |    list_sum(list_transform(range(1, $sub + 1),
+       |      i -> rv[b.j * $sub + i] * b.c[i])) - b.hn AS s
+       |  FROM res CROSS JOIN books b),
+       |codes AS (
+       |  SELECT vec_id AS c_id, cell, j, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY s DESC, cid) AS r FROM rsc) WHERE r = 1),
+       |qp AS (
+       |  SELECT vec_id AS q_id, uv, cid AS cell, c AS cc FROM (
+       |    SELECT u.vec_id, u.uv, t.cid, t.c,
+       |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(uv)+1),
+       |          i -> (uv[i] - t.c[i]) * (uv[i] - t.c[i]))) ASC, t.cid) AS pr
+       |    FROM (SELECT * FROM u WHERE vec_id BETWEEN 0 AND 7) u CROSS JOIN coarse t)
+       |  WHERE pr <= 4),
+       |lut AS (
+       |  SELECT q_id, cell, b.j, b.cid,
+       |    list_sum(list_transform(range(1, $sub + 1),
+       |      i -> (uv[b.j * $sub + i] - cc[b.j * $sub + i] - b.c[i])
+       |         * (uv[b.j * $sub + i] - cc[b.j * $sub + i] - b.c[i]))) AS d
+       |  FROM qp CROSS JOIN books b),
+       |adc AS (
+       |  SELECT l.q_id, c.c_id,
+       |    1 - list_sum(list(l.d ORDER BY c.j)) / 2 AS adc
+       |  FROM codes c JOIN lut l ON l.cell = c.cell AND l.j = c.j AND l.cid = c.code
+       |${if (where)
+           """  JOIN embeddings al ON al.vec_id = c.c_id
+             |  JOIN embeddings ql ON ql.vec_id = l.q_id""".stripMargin
+         else "  "}
+       |  WHERE c.c_id <> l.q_id${if (where) " AND al.label = ql.label" else ""}
+       |  GROUP BY l.q_id, c.c_id),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, c_id) AS sr FROM adc) WHERE sr <= 40),
+       |exact AS (
+       |  SELECT s.q_id, s.c_id,
+       |    list_sum(list_transform(range(1, len(ce.embedding)+1),
+       |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(range(1, len(qe.embedding)+1),
+       |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+       |    / sqrt(list_sum(list_transform(range(1, len(ce.embedding)+1),
+       |      i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))) AS cos
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.c_id)
+       |SELECT q_id, rank, c_id, round(cos, 9) AS cos FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+       |  FROM exact) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
   /** Dynamic oracle for `embed_project` — the basis-embedding replay of
