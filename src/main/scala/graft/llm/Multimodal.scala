@@ -655,8 +655,34 @@ object Multimodal {
     * transcodes for those).
     */
   private[llm] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val cells = dHashCellsForProbe(img)
+    val gw = 9
+    var bits = 0L; var i = 0
+    while (i < 64) {
+      val (y, x) = (i / 8, i % 8)
+      bits = (bits << 1) | (if (cells(y * gw + x) > cells(y * gw + x + 1)) 1L else 0L)
+      i += 1
+    }
+    bits
+  }
+
+  /** The box-filter cell means of [[dHash64]], exposed for the float-
+    * parity probe (tools.DHashProbe) — extraction only, no behavior
+    * change.
+    */
+  private[graft] def dHashCellsForProbe(img: java.awt.image.BufferedImage): Array[Double] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val (gw, gh) = (9, 8)
+    // RAW samples, not getRGB: on TYPE_BYTE_GRAY getRGB runs the awt
+    // gray→sRGB conversion (internal float color math — gray 93 reads
+    // back as ~160), which is engine-internal, non-mirrorable, and not
+    // what a raw-pixel perceptual hash wants; getSample returns the
+    // codec-faithful sample, and the indexed-GIF copies' identity gray
+    // palette makes index ≡ gray, so originals and transcodes still
+    // read identically (round-15 finding: the sRGB detour was
+    // MONOTONIC, so only near-tie cells flipped — caught as two
+    // coincidental hamming-3 pairs at sf0.1 by the analytic oracle)
+    val raster = img.getRaster
     // overlap weight of pixel index p (covering [p, p+1)) with the
     // continuous cell span [c·n/g, (c+1)·n/g)
     def cellMeans1D(n: Int, g: Int): Array[(Int, Int, Array[Double])] =
@@ -684,7 +710,7 @@ object Multimodal {
           var x = x0
           while (x <= x1) {
             val wgt = rowW * wx(x - x0)
-            sum += wgt * (img.getRGB(x, y) & 0xff)
+            sum += wgt * raster.getSample(x, y, 0)
             area += wgt
             x += 1
           }
@@ -695,13 +721,7 @@ object Multimodal {
       }
       cy += 1
     }
-    var bits = 0L; var i = 0
-    while (i < 64) {
-      val (y, x) = (i / 8, i % 8)
-      bits = (bits << 1) | (if (cells(y * gw + x) > cells(y * gw + x + 1)) 1L else 0L)
-      i += 1
-    }
-    bits
+    cells
   }
 
   /** Per-image perceptual hash table in the 4×16-bit block layout
@@ -776,7 +796,12 @@ object Multimodal {
           val sy = (2 * y + 1) * h / (2 * oh)
           var x = 0
           while (x < ow) {
-            raster.setSample(x, y, 0, img.getRGB((2 * x + 1) * w / (2 * ow), sy) & 0xff)
+            // raw sample, not getRGB — same round-15 finding as dHash:
+            // getRGB on a TYPE_BYTE_GRAY source applies the awt
+            // gray→sRGB conversion, so a "transcode" would silently
+            // store gamma-shifted pixels instead of a faithful copy
+            raster.setSample(x, y, 0,
+              img.getRaster.getSample((2 * x + 1) * w / (2 * ow), sy, 0))
             x += 1
           }
           y += 1
@@ -1106,6 +1131,86 @@ object Multimodal {
         |  WHERE 3 * m.s >= t.total)
         |SELECT doc_id, frame_idx, src, sum_absdiff
         |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
+    // perceptual dedup replayed ANALYTICALLY (round 15): the corpus =
+    // originals + every-10th-doc transcoded copies, and a 1/1 GIF
+    // transcode of a gray raster is LOSSLESS, so a copy's pixels are
+    // the SAME byte-cycle model under doc_id + 1e9. dHash's fractional
+    // box filter is mirrored double-op-for-double-op: cell bounds
+    // (c·n)/9.0, truncation/ceil pixel ranges, overlap weights
+    // (min(hi, p+1) − max(lo, p)), terms (wy·wx)·pix accumulated in
+    // the engine's row-major order via in-order list_sum, mean =
+    // sum/area; bit i = cell(y,x) > cell(y,x+1) (strict double
+    // compare — bit-identical because every input op is mirrored);
+    // 4×16-bit MSB-first bands, any-band collision candidates
+    // (doc1 < doc2, deduped), Hamming = Σ bit_count(xor(band)) ≤ 3.
+    "mm_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+        |    8 + (CAST('0x' || substring(md5(text),1,2) AS INTEGER) % 32) AS w,
+        |    8 + (CAST('0x' || substring(md5(text),3,2) AS INTEGER) % 32) AS h
+        |  FROM documents WHERE len(text) > 0),
+        |imgs AS (
+        |  SELECT doc_id, hx, nb, w, h FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, hx, nb, w, h FROM base WHERE doc_id % 10 = 0),
+        |cells AS (
+        |  SELECT doc_id, cy, cx,
+        |    list_sum(flatten(list_transform(
+        |      range(CAST(floor((cy * h) / 8.0) AS BIGINT),
+        |            least(h - 1, CAST(ceil(((cy + 1) * h) / 8.0) AS BIGINT) - 1) + 1),
+        |      yy -> list_transform(
+        |        range(CAST(floor((cx * w) / 9.0) AS BIGINT),
+        |              least(w - 1, CAST(ceil(((cx + 1) * w) / 9.0) AS BIGINT) - 1) + 1),
+        |        xx -> ((least(((cy + 1) * h) / 8.0, yy + 1.0)
+        |                 - greatest((cy * h) / 8.0, CAST(yy AS DOUBLE)))
+        |               * (least(((cx + 1) * w) / 9.0, xx + 1.0)
+        |                 - greatest((cx * w) / 9.0, CAST(xx AS DOUBLE))))
+        |              * CAST('0x' || substring(hx,
+        |                  2 * CAST((yy * w + xx) % nb AS INTEGER) + 1, 2) AS INTEGER)))))
+        |    / list_sum(flatten(list_transform(
+        |      range(CAST(floor((cy * h) / 8.0) AS BIGINT),
+        |            least(h - 1, CAST(ceil(((cy + 1) * h) / 8.0) AS BIGINT) - 1) + 1),
+        |      yy -> list_transform(
+        |        range(CAST(floor((cx * w) / 9.0) AS BIGINT),
+        |              least(w - 1, CAST(ceil(((cx + 1) * w) / 9.0) AS BIGINT) - 1) + 1),
+        |        xx -> (least(((cy + 1) * h) / 8.0, yy + 1.0)
+        |                - greatest((cy * h) / 8.0, CAST(yy AS DOUBLE)))
+        |              * (least(((cx + 1) * w) / 9.0, xx + 1.0)
+        |                - greatest((cx * w) / 9.0, CAST(xx AS DOUBLE))))))) AS cm
+        |  FROM imgs
+        |  CROSS JOIN range(8) t1(cy)
+        |  CROSS JOIN range(9) t2(cx)),
+        |cmp AS (
+        |  SELECT a.doc_id, CAST(a.cy * 8 + a.cx AS INTEGER) AS i,
+        |    CASE WHEN a.cm > b.cm THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |bands AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS band_0,
+        |    CAST(sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS band_1,
+        |    CAST(sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS band_2,
+        |    CAST(sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (15 - i % 16)) ELSE 0 END) AS BIGINT) AS band_3
+        |  FROM cmp GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        |  FROM (SELECT unnest(range(4)) AS band) bx
+        |  JOIN bands a ON TRUE
+        |  JOIN bands c ON c.doc_id > a.doc_id AND
+        |    CASE bx.band WHEN 0 THEN a.band_0 = c.band_0
+        |                 WHEN 1 THEN a.band_1 = c.band_1
+        |                 WHEN 2 THEN a.band_2 = c.band_2
+        |                 ELSE a.band_3 = c.band_3 END)
+        |SELECT p.doc1, p.doc2,
+        |  CAST(bit_count(xor(a.band_0, c.band_0)) + bit_count(xor(a.band_1, c.band_1))
+        |     + bit_count(xor(a.band_2, c.band_2)) + bit_count(xor(a.band_3, c.band_3)) AS BIGINT) AS hamming
+        |FROM pairs p
+        |JOIN bands a ON a.doc_id = p.doc1
+        |JOIN bands c ON c.doc_id = p.doc2
+        |WHERE bit_count(xor(a.band_0, c.band_0)) + bit_count(xor(a.band_1, c.band_1))
+        |    + bit_count(xor(a.band_2, c.band_2)) + bit_count(xor(a.band_3, c.band_3)) <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
     "mm_motion" ->
       """WITH dims AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
