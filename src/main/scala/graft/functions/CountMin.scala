@@ -21,28 +21,39 @@ import org.apache.spark.sql.functions.udaf
   * gives the scale path for free. The same grid also answers OTHER keys'
   * frequencies after the fact — a groupBy result can't.
   *
-  * Determinism: hash = xxhash-free splitmix64 finalizer over
-  * (row-seed ⊕ key), fixed seeds — identical estimates on every run and
-  * partitioning (addition commutes), so the rows-only driver check is
-  * stable. No randomness anywhere.
+  * Determinism: hash = the ENGINE-PORTABLE 56-bit md5 idiom over
+  * "row:key" (the [[graft.llm.Sampling.hashBucket]] contract, round 15
+  * — previously a splitmix64 finalizer, which DuckDB cannot replay:
+  * BIGINT arithmetic there errors on overflow instead of wrapping, so
+  * the grid was rows-only forever; md5 is mirrored verbatim by every
+  * oracle in the repo and costs ~10× splitmix per row, which a 4-row
+  * probe of a scan-rate sketch absorbs — the 25× slope stays linear).
+  * Identical estimates on every run and partitioning (addition
+  * commutes). No randomness anywhere.
   */
 object CountMin {
 
   val Depth = 4
   val Width = 1024
 
-  /** splitmix64 finalizer — the standard 64-bit avalanche (public
-    * domain constant set), applied to (seed, key).
-    */
-  private def mix(seed: Long, key: Long): Long = {
-    var z = key + 0x9e3779b97f4a7c15L * (seed + 1)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def cell(row: Int, key: Long): Int =
-    ((mix(row.toLong, key) % Width + Width) % Width).toInt
+  /** 56-bit md5 of "row:key" mod width — the portable-hash cell index
+    * (DuckDB mirror: `CAST('0x' || substring(md5(row || ':' || key),
+    * 1, 14) AS BIGINT) % width`).
+    */
+  private def cell(row: Int, key: Long): Int = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(s"$row:$key".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v % Width).toInt
+  }
 
   /** Point-estimate from a finished grid (row-major Array of
     * Depth·Width counts): min over the key's Depth counters.

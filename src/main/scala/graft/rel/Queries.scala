@@ -2313,6 +2313,36 @@ object Queries {
         |    row_number() OVER (PARTITION BY l_returnflag
         |                       ORDER BY count(*) DESC, l_quantity) AS rk
         |  FROM lineitem GROUP BY l_returnflag, l_quantity)
-        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+    // Count-Min replay (round 15 — graduated once the cell hash moved
+    // to the portable 56-bit md5 idiom): the grid is a pure function of
+    // the key multiset, so DuckDB rebuilds every (row, cell) counter
+    // from the per-key counts, probes the exact top-10's cells, and
+    // takes the min — estimate, bound arithmetic and flag all mirrored
+    "agg_heavyhitters" ->
+      """WITH kc AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM kc),
+        |cellmap AS (
+        |  SELECT r.r, kc.user_id, kc.c,
+        |    CAST('0x' || substring(md5(r.r || ':' || kc.user_id), 1, 14) AS BIGINT) % 1024 AS cell
+        |  FROM kc CROSS JOIN range(4) r(r)),
+        |grid AS (
+        |  SELECT r, cell, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM cellmap GROUP BY r, cell),
+        |top AS (
+        |  SELECT user_id, c AS exact_n,
+        |    CAST(row_number() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rank
+        |  FROM kc ORDER BY c DESC, user_id LIMIT 10),
+        |est AS (
+        |  SELECT t.rank, t.user_id, t.exact_n, min(g.cnt) AS est_n
+        |  FROM top t
+        |  JOIN cellmap m ON m.user_id = t.user_id
+        |  JOIN grid g ON g.r = m.r AND g.cell = m.cell
+        |  GROUP BY t.rank, t.user_id, t.exact_n)
+        |SELECT rank, user_id, exact_n, est_n,
+        |  (est_n >= exact_n AND
+        |   est_n <= exact_n + 4 * CAST(ceil(total * 2.718281828 / 1024) AS BIGINT)) AS within_bound
+        |FROM est CROSS JOIN n ORDER BY rank""".stripMargin
   )
 }
