@@ -219,8 +219,9 @@ object Queries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    // Count-Min heavy-hitters report (rows-only like agg_approx — the
-    // sketch grid is engine-internal). The production artifact at 100 TB
+    // Count-Min heavy-hitters report (oracle-checked like agg_approx:
+    // the grid's portable md5 cell hash makes the whole sketch
+    // DuckDB-replayable). The production artifact at 100 TB
     // is the SKETCH: a constant ~32 KB mergeable buffer per map partial
     // (functions/CountMin — a linear sketch, so Aggregator.merge is
     // cell-wise add and Spark's partial-agg machinery is the scale
@@ -269,35 +270,68 @@ object Queries {
         .orderBy("rank")
     }),
 
-    "agg_approx" -> ((s, dir) =>
-      // HLL sketch — no exact DuckDB hash-match possible (SURVEY §2.5);
-      // verified by tolerance in ScalaTest, rows-only for the driver.
-      // The tolerance is ALSO asserted in the query itself: `within_tol`
-      // compares the default-precision (5% rsd) sketch against a 2%-rsd
-      // sketch of the same column, at 3σ of the working sketch. The
-      // reference is a sketch too — deliberately: an exact countDistinct
-      // reference forces an Expand (2× the scan through the shuffle) and
-      // measured ~3× this id's cost, and tighter HLLs blow up the
-      // register-array merge (0.5% rsd measured ~10× 2%'s cost for no
-      // extra signal). The 2% sketch rides the SAME single pass with no
-      // extra shuffle rows; exactness against the true count is pinned
-      // in ApproxSpec. HLL merge is order-insensitive, so the column is
-      // deterministic — a sketch accuracy regression flips it to false
-      // in the dumped parquet, giving the rows-only check real signal.
-      Tables(s, dir).lineitem
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("ref_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ref_orders"))
-        // 0.17 ≈ 3·sqrt(0.05² + 0.02²): the default sketch is 5% rsd but
-        // the 2%-rsd reference carries its own error, so the 3-sigma
-        // band for the PAIR is wider than 3×5% alone.
-        .select(col("approx_parts"), col("approx_orders"),
-          (abs(col("approx_parts") - col("ref_parts")) <=
-             col("ref_parts") * 0.17 &&
-           abs(col("approx_orders") - col("ref_orders")) <=
-             col("ref_orders") * 0.17).as("within_tol"))),
+    // Approximate COUNT DISTINCT as a PORTABLE HyperLogLog (SURVEY
+    // §2.5), graduated from rows-only the same way agg_heavyhitters
+    // was: the sketch's hash is the engine's one portable idiom (md5
+    // hex prefix, the Sampling.hashBucket contract), so the DuckDB
+    // oracle rebuilds every register from the raw column and the
+    // ENTIRE sketch state is value-checked (reg_digest = md5 of the
+    // sorted register list; s = the exact integer register sum scaled
+    // by 2^45; raw_est = the Flajolet alpha·m²/ΣΣ2⁻ᴹ estimator as ONE
+    // double division of constant-folded IEEE terms, round-6). m=64
+    // registers (p=6) keeps the raw estimator in its valid regime
+    // (n ≥ 2.5·m = 160) at every fixture SF — the smallest cardinality
+    // checked is 200 — so no ln()-based linear-counting branch is
+    // needed in the compared output. within_tol pins |est−exact| ≤
+    // 3σ = 3·1.04/√64 = 39%.
+    //
+    // Scale shape: rho is computed per row inside the scan, then
+    // groupBy(col,bucket).max — map-side combine reduces every
+    // partition to ≤64 rows per column BEFORE the exchange, which is
+    // exactly how a distributed HLL merge works (register-wise max is
+    // the sketch union). The exact_n side is the standard 2-level
+    // distinct. At 100 TB the cheaper-per-row builtin
+    // approx_count_distinct is the production call — ApproxSpec pins
+    // it against the exact count — while this portable twin is the
+    // differentially-verifiable form (md5 ~10× xxhash per row, same
+    // adjudication as agg_heavyhitters' grid hash).
+    "agg_approx" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val vals = li.select(lit("part").as("col_name"),
+          col("l_partkey").cast("long").as("v"))
+        .unionByName(li.select(lit("order").as("col_name"),
+          col("l_orderkey").cast("long").as("v")))
+      val h = md5(concat(lit("hll:"), col("v").cast("string")))
+      // b: 6-bit register index from the first hex byte; rest: the next
+      // 44 bits; rho: 1 + leading zeros of rest in a 44-bit field
+      // (= 45 − bitlength), the HLL rank — all integer, so the oracle
+      // mirrors it with the same substr/bin arithmetic.
+      val hashed = vals.select(col("col_name"),
+        (conv(substring(h, 1, 2), 16, 10).cast("long") % 64).as("b"),
+        conv(substring(h, 3, 11), 16, 10).cast("long").as("rest"))
+      val regs = hashed
+        .select(col("col_name"), col("b"),
+          when(col("rest") === 0L, lit(45L))
+            .otherwise(lit(45L) - length(bin(col("rest"))).cast("long")).as("r"))
+        .groupBy("col_name", "b").agg(max("r").as("mr"))
+      val summary = regs.groupBy("col_name").agg(
+        (lit(64L) - count(lit(1))).as("v_zero"),
+        (expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(45 - mr AS INT)))") +
+          (lit(64L) - count(lit(1))) * lit(35184372088832L)).as("s"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(b, mr)))," +
+          " x -> concat(x.b, ':', x.mr)), ','))").as("reg_digest"))
+      val exact = vals.groupBy("col_name")
+        .agg(countDistinct(col("v")).as("exact_n"))
+      val est = round(
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(64.0) *
+          lit(64.0) * lit(35184372088832.0)) / col("s").cast("double"), 6)
+      exact.join(summary, "col_name")
+        .select(col("col_name"), col("exact_n"), col("v_zero"), col("s"),
+          col("reg_digest"), est.as("raw_est"),
+          (abs(est - col("exact_n").cast("double")) <=
+            lit(0.39) * col("exact_n").cast("double")).as("within_tol"))
+        .orderBy("col_name")
+    }),
 
     "agg_rollup" -> ((s, dir) =>
       Tables(s, dir).orders
@@ -1580,6 +1614,35 @@ object Queries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // full HLL register replay: same md5-prefix hash, same 45−bitlength
+    // rank, same scaled integer register sum, same constant-folded
+    // one-division estimator (round-6) — see the query's scaladoc
+    "agg_approx" ->
+      """WITH vals AS (
+        |  SELECT 'part' AS col_name, CAST(l_partkey AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'order', CAST(l_orderkey AS BIGINT) FROM lineitem),
+        |hashed AS (
+        |  SELECT col_name,  v,
+        |    CAST(CAST('0x' || substr(md5('hll:' || CAST(v AS VARCHAR)), 1, 2) AS INTEGER) AS BIGINT) % 64 AS b,
+        |    CAST('0x' || substr(md5('hll:' || CAST(v AS VARCHAR)), 3, 11) AS BIGINT) AS rest
+        |  FROM vals),
+        |regs AS (
+        |  SELECT col_name, b,
+        |    CAST(MAX(CASE WHEN rest = 0 THEN 45 ELSE 45 - length(bin(rest)) END) AS BIGINT) AS mr
+        |  FROM hashed GROUP BY 1, 2),
+        |summary AS (
+        |  SELECT col_name,
+        |    CAST(64 - count(*) AS BIGINT) AS v_zero,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(45 - mr AS INTEGER)) + (64 - count(*)) * CAST(35184372088832 AS BIGINT) AS BIGINT) AS s,
+        |    md5(string_agg(b || ':' || mr, ',' ORDER BY b)) AS reg_digest
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT col_name, count(DISTINCT v) AS exact_n FROM vals GROUP BY 1)
+        |SELECT e.col_name, e.exact_n, m.v_zero, m.s, m.reg_digest,
+        |  round(0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 35184372088832.0 / CAST(m.s AS DOUBLE), 6) AS raw_est,
+        |  abs(round(0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 35184372088832.0 / CAST(m.s AS DOUBLE), 6) - CAST(e.exact_n AS DOUBLE)) <= 0.39 * CAST(e.exact_n AS DOUBLE) AS within_tol
+        |FROM ex e JOIN summary m USING (col_name)
+        |ORDER BY col_name""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 6) AS qty_sd,
