@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -56,6 +57,38 @@ object Sampling {
       sampleByHash(Tables(s, dir).documents, "doc_id", threshold = 6554)
         .select("doc_id", "source", "hb")
         .orderBy("doc_id")),
+
+    // Per-domain document quota (RefinedWeb-style domain capping): keep
+    // at most K docs per source, chosen by the portable md5 hash order
+    // of doc_id (a deterministic per-domain uniform sample — never
+    // rand()), so one hot domain cannot dominate the training mix. The
+    // physical shape is SKEW-SAFE two-level top-K: a first rank within
+    // (source, salt=hb%16) cuts every salt shard to K rows BEFORE the
+    // per-source rank, so a 100 TB hot domain fans across 16 reducers
+    // and the final per-source window sorts ≤ 16·K rows — never the
+    // domain's full row set through one task. Equivalence to the
+    // direct one-window form is structural (any global top-K member
+    // has ≤ K−1 predecessors overall, hence ≤ K−1 within its own
+    // salt) and is what the one-window oracle checks.
+    "domain_cap" -> ((s, dir) => {
+      val K = 10
+      val ranked = Tables(s, dir).documents.select(
+        col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hk"),
+        (hashBucket(col("doc_id")) % 16).as("salt"))
+      val local = ranked
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("source"), col("salt"))
+            .orderBy(col("hk"), col("doc_id"))))
+        .filter(col("lrk") <= K)
+      local
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("hk"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= K)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy("source", "rk")
+    }),
 
     // split sizes per source — the audit query run after every split
     "split_train_test" -> ((s, dir) =>
@@ -343,6 +376,16 @@ object Sampling {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // direct one-window reference — the engine's two-level skew-safe
+    // rank must equal the naive per-source top-K
+    "domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk
+        |  FROM r)
+        |SELECT source, doc_id, rk FROM rk WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, source,
         |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS BIGINT) AS hb

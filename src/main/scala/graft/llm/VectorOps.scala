@@ -1626,6 +1626,37 @@ object VectorOps {
         // [[ivfOracle]]) — round(·,9) per the sim_topk dump adjudication
         .withColumn("cos", round(col("cos"), 9))
     }),
+
+    // ANN quality evaluation — recall@10 of the IVF index against the
+    // brute exact truth, the metric every production vector-serving
+    // deployment tracks before trusting an index (FAISS's own eval
+    // loop). Per query: |ivf top-10 ∩ exact top-10| / 10. Both sides
+    // are the engine's OWN oracle-checked searches (`sim_topk`,
+    // `ann_ivf`), so the eval is one (q_id, c_id) equi-join on two
+    // k·|q|-row tables plus a |q|-row left join to keep recall-0
+    // queries — everything after the two searches is query-set-sized.
+    // The DuckDB replay recomputes BOTH searches independently
+    // (brute CTE chain + the centroid-embedded IVF chain), so a recall
+    // regression from either side's drift fails the differential. At
+    // 100 TB the truth side is the expensive scan — run on a held-out
+    // query sample exactly as here (|q|=8), never the full query log.
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val truth = simTopK(emb, queryIds = 0L until 8L, k = 10)
+        .select(col("q_id"), col("c_id"))
+      val approx = ivfTopK(emb, queryIds = 0L until 8L, k = 10,
+        model = Some(ivfModel(emb, cells = 16, datasetKey = dir)),
+        assignedOpt = Some(ivfAssigned(s, dir, cells = 16)))
+        .select(col("q_id"), col("c_id"))
+      val hits = truth.join(approx, Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      truth.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0), 6)
+            .as("recall_at_10"))
+        .orderBy("q_id")
+    }),
     // the PQ index id: one narrow projection emitting each vector's
     // 8-byte code (the 32× compressed search representation) plus
     // recon_cos — cosine between the vector and its PQ reconstruction,
@@ -2066,7 +2097,8 @@ object VectorOps {
     import scala.jdk.CollectionConverters._
     val live = centroidCache.entrySet().asScala.toList.filter(_.getKey._2 == 16)
     live match {
-      case e :: Nil => Map("ann_ivf" -> annIvfSql(e.getValue))
+      case e :: Nil => Map("ann_ivf" -> annIvfSql(e.getValue),
+        "ann_recall" -> annRecallSql(e.getValue))
       case _        => Map.empty
     }
   }
@@ -2500,6 +2532,73 @@ object VectorOps {
        |  JOIN embeddings e2 ON e2.vec_id = v2)
        |SELECT v1, v2, round(cos, 9) AS cos FROM scored
        |WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin
+  }
+
+  /** `ann_recall`'s replay: the brute truth chain (sim_topk's oracle)
+    * and the centroid-embedded IVF chain (annIvfSql's body) recomputed
+    * independently, intersected per query. */
+  private def annRecallSql(cent: Array[Array[Double]]): String = {
+    val rows = cent.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
+    }.mkString(", ")
+    val np = math.min(4, cent.length)
+    s"""WITH cent AS (SELECT * FROM (VALUES $rows) t(cid, c, hn)),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id BETWEEN 0 AND 7),
+       |bscored AS (
+       |  SELECT q.q_id, c.vec_id AS c_id,
+       |    list_sum(list_transform(range(1, len(c.embedding)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+       |    / sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+       |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+       |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+       |btop AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rank FROM bscored) WHERE rank <= 10),
+       |qs AS (
+       |  SELECT q_id, q_emb, cid,
+       |    list_sum(list_transform(range(1, len(q_emb)+1),
+       |      i -> CAST(q_emb[i] AS DOUBLE) * c[i])) - hn AS s
+       |  FROM q CROSS JOIN cent),
+       |probes AS (
+       |  SELECT q_id, q_emb, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cid) AS pr
+       |    FROM qs) WHERE pr <= $np),
+       |cs AS (
+       |  SELECT e.vec_id AS c_id, e.embedding AS c_emb, t.cid,
+       |    list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * t.c[i])) - t.hn AS s
+       |  FROM embeddings e CROSS JOIN cent t),
+       |assigned AS (
+       |  SELECT c_id, c_emb, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY s DESC, cid) AS ar
+       |    FROM cs) WHERE ar = 1),
+       |ascored AS (
+       |  SELECT p.q_id, a.c_id,
+       |    list_sum(list_transform(range(1, len(a.c_emb)+1),
+       |      i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(range(1, len(p.q_emb)+1),
+       |      i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE))))
+       |    / sqrt(list_sum(list_transform(range(1, len(a.c_emb)+1),
+       |      i -> CAST(a.c_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE)))) AS cos
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.c_id <> p.q_id),
+       |atop AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rank FROM ascored) WHERE rank <= 10),
+       |hits AS (
+       |  SELECT b.q_id, count(*) AS n_hits
+       |  FROM btop b JOIN atop a ON a.q_id = b.q_id AND a.c_id = b.c_id
+       |  GROUP BY 1)
+       |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 6) AS recall_at_10
+       |FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
   }
 
   private def annIvfSql(cent: Array[Array[Double]]): String = {

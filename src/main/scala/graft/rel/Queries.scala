@@ -626,6 +626,54 @@ object Queries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Interval-overlap join (SURVEY §2.4 family extension): per-session
+    // concurrency — for every gap-based user session, how many OTHER
+    // users' sessions overlap it in time. The naive form is an O(n²)
+    // theta self-join (a.st ≤ b.en AND b.st ≤ a.en); the scalable form
+    // here is the canonical BIN-BUCKETED interval join: each interval
+    // explodes into the 2²⁰ ms (~17.5 min) time bins it covers —
+    // sequence(st>>20, en>>20), ~1–5 bins per session — and candidates
+    // meet through a plain shuffled EQUI-join on the bin, with the true
+    // overlap predicate as a residual filter. Each overlapping pair is
+    // counted exactly once via the overlap-START bin: bin ==
+    // (max(a.st,b.st))>>20, a bin both intervals necessarily cover.
+    // At 100 TB this is the difference between an unplannable cross
+    // product and a shuffle keyed on ~|span/bin| buckets whose per-bin
+    // candidate sets stay bounded by interval density — the bin width
+    // is the knob (≈ typical interval length; too wide → fat buckets,
+    // too narrow → replication ∝ length/bin). Zero-overlap sessions
+    // are kept through a final left join (count 0).
+    "join_interval" -> ((s, dir) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables(s, dir).events
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(byTs))
+        .withColumn("brk",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("seq", sum(col("brk")).over(cum))
+        .groupBy("user_id", "seq")
+        .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
+      val binned = sess.withColumn("bin",
+        explode(sequence(shiftright(col("st"), 20), shiftright(col("en"), 20))))
+      val a = binned.select(col("user_id").as("a_user"), col("seq").as("a_seq"),
+        col("st").as("a_st"), col("en").as("a_en"), col("bin"))
+      val b = binned.select(col("user_id").as("b_user"),
+        col("st").as("b_st"), col("en").as("b_en"), col("bin"))
+      val pairs = a.join(b, Seq("bin"))
+        .filter(col("a_user") =!= col("b_user") &&
+          col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
+          col("bin") === shiftright(greatest(col("a_st"), col("b_st")), 20))
+        .groupBy("a_user", "a_seq").agg(count(lit(1)).as("n_concurrent"))
+      sess.join(pairs,
+          sess("user_id") === pairs("a_user") && sess("seq") === pairs("a_seq"),
+          "left")
+        .select(sess("user_id"), sess("seq").as("session_seq"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Weekly retention cohorts: users grouped by their first-activity
     // week; each (cohort, week-offset) cell counts distinct users still
     // active that week. One window (per-user first week) + one
@@ -1848,6 +1896,32 @@ object Queries {
         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM b ORDER BY user_id, event_id""".stripMargin,
+    // plain theta self-join reference — the engine's bin-bucketed
+    // equi-join must produce exactly the naive overlap counts
+    "join_interval" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM b),
+        |sess AS (SELECT user_id, seq, min(ms) AS st, max(ms) AS en FROM s GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT a.user_id, a.seq, count(*) AS n_concurrent
+        |  FROM sess a JOIN sess b2
+        |    ON a.st <= b2.en AND b2.st <= a.en AND a.user_id <> b2.user_id
+        |  GROUP BY 1, 2)
+        |SELECT s2.user_id, CAST(s2.seq AS BIGINT) AS session_seq,
+        |  CAST(coalesce(o.n_concurrent, 0) AS BIGINT) AS n_concurrent
+        |FROM sess s2 LEFT JOIN ov o ON s2.user_id = o.user_id AND s2.seq = o.seq
+        |ORDER BY s2.user_id, session_seq""".stripMargin,
     "cohort" ->
       """WITH w AS (
         |  SELECT user_id, date_trunc('week', ts) AS wk,

@@ -353,6 +353,28 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!cf.contains("FileScan parquet"), cf)
   }
 
+  test("round-15 cont. plans: interval join stays equi-join, domain_cap ranks twice, ann_recall never goes cartesian") {
+    // join_interval: the bin-bucketed self-join is a shuffled EQUI-join
+    // on the bin with the overlap bound as residual — never a cartesian
+    // or nested-loop product of the session table with itself
+    val ji = planOf("join_interval").split("== Physical Plan ==").last
+    assert(ji.contains("SortMergeJoin") || ji.contains("ShuffledHashJoin"), ji)
+    assert(!ji.contains("CartesianProduct") &&
+      !ji.contains("BroadcastNestedLoopJoin"), ji)
+
+    // domain_cap: TWO rank windows (salt-local then per-source) with
+    // group-limit pushdown on both, so the hot-domain sort is bounded
+    val dc = planOf("domain_cap").split("== Physical Plan ==").last
+    assert("WindowGroupLimit".r.findAllIn(dc).size >= 2, dc)
+
+    // ann_recall: both searches keep their proven shapes (broadcast
+    // query side, no cartesian); the eval joins are equi-joins
+    val ar = planOf("ann_recall").split("== Physical Plan ==").last
+    assert(ar.contains("BroadcastNestedLoopJoin BuildLeft") ||
+      ar.contains("BroadcastHashJoin"), ar)
+    assert(!ar.contains("CartesianProduct"), ar)
+  }
+
   test("round-15 plans: repetition battery is a zero-shuffle Expression scan, winnow apply anti-joins, overlap gate un-hinted") {
     // text_repetition_full: the whole battery is ONE native-Expression
     // projection (graft.functions.RepetitionSignals) — no explode, no

@@ -1,0 +1,106 @@
+package graft.rel
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-15 continuation operators: the bin-bucketed interval join, the
+  * skew-safe per-domain quota, the ANN recall eval, and the portable
+  * HLL's mergeability (the property that makes its map-side combine a
+  * correct distributed sketch union).
+  */
+class Round15ContOpsSpec extends SparkSpec {
+
+  test("join_interval equals the naive theta self-join at sf0.001") {
+    val s = spark
+    val got = SparkEntry.queries("join_interval")(s, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive reference: sessions via the same gap rule, then a cross
+    // filter — O(n²) is fine on the 946-session fixture
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables(s, sf("sf0.001")).events
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byTs))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("seq", sum(col("brk")).over(cum))
+      .groupBy("user_id", "seq")
+      .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val naive = sess.map { case (u, q, st, en) =>
+      (u, q) -> sess.count { case (u2, _, st2, en2) =>
+        u2 != u && st <= en2 && st2 <= en
+      }.toLong
+    }.toMap
+    assert(got.size == naive.size)
+    naive.foreach { case (k, n) => assert(got(k) == n, s"session $k") }
+    assert(got.values.exists(_ > 0L), "fixture should have some overlap")
+    assert(got.values.exists(_ == 0L), "fixture should have lone sessions")
+  }
+
+  test("domain_cap: two-level rank equals the direct per-source top-K and caps at 10") {
+    val s = spark
+    val got = SparkEntry.queries("domain_cap")(s, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = Tables(s, sf("sf0.001")).documents
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= 10)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rk")))
+    assert(got.toSet == direct.toSet)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src over cap")
+    }
+  }
+
+  test("ann_recall agrees with an independent intersection of the two searches") {
+    val s = spark
+    val got = SparkEntry.queries("ann_recall")(s, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == (0L until 8L).toSet)
+    val truth = SparkEntry.queries("sim_topk")(s, sf("sf0.001"))
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("ann_ivf")(s, sf("sf0.001"))
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 8L).foreach { q =>
+      val n = (truth.filter(_._1 == q).map(_._2)
+        intersect approx.filter(_._1 == q).map(_._2)).size.toLong
+      val (nh, rec) = got(q)
+      assert(nh == n, s"q=$q")
+      assert(rec == math.round(n / 10.0 * 1e6) / 1e6 && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("portable HLL registers merge by max (sketch union = distributed combine)") {
+    val s = spark
+    // registers of the even/odd halves vs the full column, built with
+    // the query's own hash/rank arithmetic
+    def regs(pred: org.apache.spark.sql.Column): Map[Long, Long] = {
+      val h = md5(concat(lit("hll:"), col("l_partkey").cast("string")))
+      Tables(s, sf("sf0.001")).lineitem.filter(pred)
+        .select(
+          (conv(substring(h, 1, 2), 16, 10).cast("long") % 64).as("b"),
+          conv(substring(h, 3, 11), 16, 10).cast("long").as("rest"))
+        .select(col("b"),
+          when(col("rest") === 0L, lit(45L))
+            .otherwise(lit(45L) - length(bin(col("rest"))).cast("long")).as("r"))
+        .groupBy("b").agg(max("r").as("mr"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val even = regs(col("l_orderkey") % 2 === 0)
+    val odd = regs(col("l_orderkey") % 2 === 1)
+    val full = regs(lit(true))
+    val merged = (even.keySet ++ odd.keySet).map { b =>
+      b -> math.max(even.getOrElse(b, 0L), odd.getOrElse(b, 0L))
+    }.toMap
+    assert(merged == full)
+  }
+}
