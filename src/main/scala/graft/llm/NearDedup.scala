@@ -1101,62 +1101,100 @@ object NearDedup {
       }
       .start()
 
+  /** MinHash-LSH near-dup pairs at τ≥0.5: banded candidates → exact
+    * Jaccard on candidates (the `dedup_near` pipeline; shared with the
+    * `dedup_recall` eval). */
+  private def lshJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val arrs = shingled(s, dir)
+    jaccard(candidates(banded(arrs)), arrs).filter(col("jacc") >= 0.5)
+  }
+
+  /** Exact τ≥0.5 n-gram Jaccard pairs over pairs sharing ≥1 shingle,
+    * via the inverted index as a POSTING-LIST aggregation (the
+    * LSH-candidates shape), not a self-join: ONE shuffle groups doc ids
+    * per shingle, pairs are emitted in-task from each posting list, one
+    * more shuffle counts per pair. The naive self-join shuffles the
+    * ~1M-row exploded table twice more for the same pair multiset.
+    *
+    * df-cap = the 100× guard: a posting list of df docs emits
+    * df·(df-1)/2 pairs, so one high-document-frequency shingle
+    * (boilerplate, stop-phrases) is quadratic on a single key.
+    * Shingles in more than dfCap docs are dropped — they carry ~zero
+    * Jaccard discrimination anyway (the oracle SQL mirrors the cap
+    * exactly, so the check stays exact; it also bounds in-task list
+    * memory to dfCap ids). Shared by `dedup_jaccard` and the
+    * `dedup_recall` eval.
+    */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = 100
+    val arrs = shingled(s, dir)
+    val postings = arrs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+    val common = postings
+      .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
+      .select(col("doc1"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("com"))
+    // no broadcast hint on sizes: it is one row per corpus DOCUMENT, so
+    // forcing a broadcast would collect the whole corpus's size table to
+    // the driver at the 100 TB design point. Un-hinted, AQE broadcasts
+    // it exactly when it is actually small (this fixture) and shuffles
+    // otherwise.
+    val sizes = arrs.select(col("doc_id"), size(col("sh")).as("nw"))
+    common
+      .join(sizes.select(col("doc_id").as("doc1"), col("nw").as("n1")), "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("nw").as("n2")), "doc2")
+      .withColumn("jacc",
+        col("com").cast("double") / (col("n1") + col("n2") - col("com")))
+      .filter(col("jacc") >= 0.5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // near-dup pairs (the dedup_near pipeline) → dup clusters: each
     // clustered doc with its canonical (minimum) doc id
     "dedup_cluster" -> ((s, dir) => clusters(s, dir).orderBy("doc_id")),
 
-    "dedup_near" -> ((s, dir) => {
-      val arrs = shingled(s, dir)
-      jaccard(candidates(banded(arrs)), arrs)
-        .filter(col("jacc") >= 0.5)
+    "dedup_near" -> ((s, dir) =>
+      lshJaccardPairs(s, dir)
         .select("doc1", "doc2", "n1", "n2", "com", "jacc")
-        .orderBy("doc1", "doc2")
-    }),
+        .orderBy("doc1", "doc2")),
 
-    "dedup_jaccard" -> ((s, dir) => {
-      // full n-gram Jaccard over pairs sharing ≥1 shingle, via the
-      // inverted index as a POSTING-LIST aggregation (the LSH-candidates
-      // shape), not a self-join: ONE shuffle groups doc ids per shingle,
-      // pairs are emitted in-task from each posting list, one more
-      // shuffle counts per pair. The naive self-join shuffles the ~1M-row
-      // exploded table twice more for the same pair multiset.
-      //
-      // df-cap = the 100× guard: a posting list of df docs emits
-      // df·(df-1)/2 pairs, so one high-document-frequency shingle
-      // (boilerplate, stop-phrases) is quadratic on a single key.
-      // Shingles in more than dfCap docs are dropped — they carry ~zero
-      // Jaccard discrimination anyway (the oracle SQL mirrors the cap
-      // exactly, so the check stays exact; it also bounds in-task list
-      // memory to dfCap ids).
-      val dfCap = 100
-      val arrs = shingled(s, dir)
-      val postings = arrs
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .groupBy("shingle")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, dfCap))
-      val common = postings
-        .select(posexplode(col("ds")).as(Seq("i", "doc1")), col("ds"))
-        .select(col("doc1"),
-          explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(count(lit(1)).as("com"))
-      // no broadcast hint on sizes: it is one row per corpus DOCUMENT, so
-      // forcing a broadcast would collect the whole corpus's size table to
-      // the driver at the 100 TB design point. Un-hinted, AQE broadcasts
-      // it exactly when it is actually small (this fixture) and shuffles
-      // otherwise.
-      val sizes = arrs.select(col("doc_id"), size(col("sh")).as("nw"))
-      common
-        .join(sizes.select(col("doc_id").as("doc1"), col("nw").as("n1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("nw").as("n2")), "doc2")
-        .withColumn("jacc",
-          col("com").cast("double") / (col("n1") + col("n2") - col("com")))
-        .filter(col("jacc") >= 0.5)
+    "dedup_jaccard" -> ((s, dir) =>
+      exactJaccardPairs(s, dir)
         .select("doc1", "doc2", "com", "jacc")
-        .orderBy("doc1", "doc2")
+        .orderBy("doc1", "doc2")),
+
+    // LSH quality evaluation (round 15 cont.) — recall/precision of the
+    // MinHash-banded pair pipeline against the exact τ≥0.5 Jaccard
+    // truth, the band/row tuning gate every production near-dedup run
+    // does before trusting its banding (Lee et al. 2022 measure exactly
+    // this). `ann_recall`'s pattern applied to dedup: both sides are
+    // the engine's own oracle-checked pipelines, the eval is one
+    // (doc1,doc2) equi-join plus three 1-row counts. Precision < 1 is
+    // possible by design: the exact side's df-cap drops boilerplate
+    // shingles from `com`, so an LSH pair can clear τ on uncapped
+    // counts while the capped truth rejects it. At 100 TB the truth
+    // side runs on a document SAMPLE (it is the quadratic-risk side);
+    // the fixture corpus is small enough to run it whole.
+    "dedup_recall" -> ((s, dir) => {
+      val truth = exactJaccardPairs(s, dir).select("doc1", "doc2")
+      val found = lshJaccardPairs(s, dir).select("doc1", "doc2")
+      val hit = truth.join(found, Seq("doc1", "doc2"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          when(col("n_truth") === 0L, lit(1.0))
+            .otherwise(round(col("n_hit").cast("double") /
+              col("n_truth").cast("double"), 6)).as("recall"),
+          when(col("n_found") === 0L, lit(1.0))
+            .otherwise(round(col("n_hit").cast("double") /
+              col("n_found").cast("double"), 6)).as("prec"))
     }),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -1417,6 +1455,59 @@ object NearDedup {
         |FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
         |WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin,
+    // dedup_near's banded chain and dedup_jaccard's capped exact chain
+    // recomputed independently from the shared shingle table, then
+    // intersected — an LSH recall regression on either side fails this
+    "dedup_recall" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS w
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |salted AS (
+        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+        |bands AS (
+        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+        |  FROM salted GROUP BY 1, 2),
+        |bucket_ok AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |fcommon AS (
+        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+        |  JOIN words w1 ON w1.doc_id = c.doc1
+        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+        |  GROUP BY c.doc1, c.doc2),
+        |found AS (
+        |  SELECT doc1, doc2 FROM fcommon
+        |  JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |keep AS (SELECT w FROM words GROUP BY w HAVING count(*) <= 100),
+        |capped AS (SELECT s.doc_id, s.w FROM words s JOIN keep k ON s.w = k.w),
+        |tcommon AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS com
+        |  FROM capped a JOIN capped b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc1, doc2 FROM tcommon
+        |  JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+        |counts AS (
+        |  SELECT (SELECT count(*) FROM truth) AS nt,
+        |         (SELECT count(*) FROM found) AS nf,
+        |         (SELECT count(*) FROM truth t JOIN found f
+        |            ON t.doc1 = f.doc1 AND t.doc2 = f.doc2) AS nh)
+        |SELECT nt AS n_truth, nf AS n_found, nh AS n_hit,
+        |  CASE WHEN nt = 0 THEN 1.0
+        |       ELSE round(CAST(nh AS DOUBLE) / CAST(nt AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN nf = 0 THEN 1.0
+        |       ELSE round(CAST(nh AS DOUBLE) / CAST(nf AS DOUBLE), 6) END AS prec
+        |FROM counts""".stripMargin,
     "dedup_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),

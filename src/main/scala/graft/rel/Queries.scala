@@ -690,6 +690,33 @@ object Queries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // time-series OHLC downsampling (round 15 cont.) — the resample
+    // every metrics/market pipeline runs: per hourly bar, first/max/
+    // min/last of the value plus count and volume. open/close use
+    // min_by/max_by on a UNIQUE composite key (ms·2²⁰ + event_id — ids
+    // stay under 2²⁰ per the fixture contract; ts alone can tie), so
+    // the bar is deterministic cross-engine and the whole id is ONE
+    // map-side-combinable aggregate — arg-min/max partials merge like
+    // any min/max, so a 100 TB scan reduces to |buckets| rows per
+    // partition before the exchange; no per-bucket sort window, no
+    // self-join. Values in exact cents (the win_range adjudication).
+    "ts_downsample" -> ((s, dir) => {
+      val k = unix_millis(col("ts").cast("timestamp")) * lit(1048576L) +
+        col("event_id")
+      Tables(s, dir).events
+        .select(window(col("ts"), "1 hour").getField("start").as("bucket"),
+          round(col("value") * 100).cast("long").as("cents"), k.as("k"))
+        .groupBy("bucket")
+        .agg(
+          min_by(col("cents"), col("k")).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), col("k")).as("close_cents"),
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("vol_cents"))
+        .orderBy("bucket")
+    }),
+
     // time-series gap-fill + forward-fill (time_bucket_gapfill / LOCF —
     // the op every monitoring/feature pipeline needs before resampling):
     // per user, DENSE hourly buckets from first to last activity via
@@ -2008,6 +2035,16 @@ object Queries {
         |SELECT user_id, event_id, cents, n_prev, z
         |FROM scored WHERE abs(z) > 3
         |ORDER BY user_id, event_id""".stripMargin,
+    "ts_downsample" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS bucket,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_ms(ts) * 1048576 + event_id AS k
+        |  FROM events)
+        |SELECT bucket, arg_min(cents, k) AS open_cents, max(cents) AS high_cents,
+        |  min(cents) AS low_cents, arg_max(cents, k) AS close_cents,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS vol_cents
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
     "ts_gapfill" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket, value FROM events),

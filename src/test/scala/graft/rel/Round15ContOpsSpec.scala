@@ -79,6 +79,41 @@ class Round15ContOpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_downsample bars equal a naive in-JVM OHLC fold") {
+    val s = spark
+    val got = SparkEntry.queries("ts_downsample")(s, sf("sf0.001"))
+      .collect().map(r => r.get(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val ev = Tables(s, sf("sf0.001")).events
+      .select(window(col("ts"), "1 hour").getField("start").as("bucket"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (unix_millis(col("ts").cast("timestamp")) * 1048576L + col("event_id")).as("k"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    val naive = ev.groupBy(_._1).map { case (b, rows) =>
+      val byK = rows.sortBy(_._3)
+      b -> (byK.head._2, rows.map(_._2).max, rows.map(_._2).min,
+        byK.last._2, rows.length.toLong, rows.map(_._2).sum)
+    }
+    assert(got.size == naive.size)
+    naive.foreach { case (b, bar) => assert(got(b) == bar, s"bucket $b") }
+  }
+
+  test("dedup_recall metrics equal an independent intersection of the two pair sets") {
+    val s = spark
+    val Array(row) = SparkEntry.queries("dedup_recall")(s, sf("sf0.001")).collect()
+    val truth = SparkEntry.queries("dedup_jaccard")(s, sf("sf0.001"))
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = SparkEntry.queries("dedup_near")(s, sf("sf0.001"))
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = (truth intersect found).size.toLong
+    assert(row.getLong(0) == truth.size.toLong)
+    assert(row.getLong(1) == found.size.toLong)
+    assert(row.getLong(2) == hit)
+    assert(truth.nonEmpty, "fixture should have exact pairs (metric non-vacuous)")
+    assert(row.getDouble(3) == math.round(hit.toDouble / truth.size * 1e6) / 1e6)
+    assert(row.getDouble(4) == math.round(hit.toDouble / found.size * 1e6) / 1e6)
+  }
+
   test("portable HLL registers merge by max (sketch union = distributed combine)") {
     val s = spark
     // registers of the even/odd halves vs the full column, built with
