@@ -333,6 +333,43 @@ object Bpe {
         .orderBy("lang")
     }),
 
+    // tokenizer vocab-budget sweep (round 15 cont.) — the "how many
+    // merges do we actually need" table every tokenizer-training run
+    // produces before freezing the vocab: the SAME trained merge
+    // sequence truncated at V ∈ {0, 8, 16} merges, each prefix encoded
+    // over the corpus (a BPE merge table's prefixes are themselves
+    // valid BPE models — training is greedy-incremental, so rank-V
+    // truncation IS the model that training with k=V would have
+    // produced). Per V: corpus token total, learned-unit token total,
+    // and fertility (tokens/word) — the compression-vs-vocab-size
+    // curve. Three encode passes over the shared distinct-word vocab
+    // join (each is the bpe_encode shape: vocab-sized fold + key join,
+    // map-side-combinable 1-row aggregate); output is 3 rows. The
+    // oracle replays each truncated-prefix encode independently via
+    // the merge-embedding CTEs.
+    "vocab_prune" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val all = trainedMerges(s, dir)
+      val words = docs.select(size(filter(split(col("text"), " "),
+          w => length(w) > 0)).cast("long").as("nw"))
+        .agg(sum(col("nw")).as("total_words"))
+      Seq(0, 8, 16).map { v =>
+        encodeDocs(docs, all.take(v))
+          .select(size(col("bpe")).cast("long").as("nt"),
+            size(filter(col("bpe"),
+              t => length(t) > 1 && t =!= lit(Eow))).cast("long").as("nm"))
+          .agg(sum(col("nt")).as("total_tokens"),
+            sum(col("nm")).as("total_merged"))
+          .withColumn("n_merges", lit(v.toLong))
+      }.reduce(_ unionByName _)
+        .crossJoin(words)
+        .select(col("n_merges"), col("total_tokens"), col("total_merged"),
+          col("total_words"),
+          round(col("total_tokens").cast("double") /
+            col("total_words").cast("double"), 6).as("fertility"))
+        .orderBy("n_merges")
+    }),
+
     // the tokenize-and-pack CAPSTONE — the terminal export step of a
     // training-data pipeline as one declarative plan: Gopher quality
     // gate (the shared [[TextOps.GopherGate]] conjunction) → exact
@@ -620,6 +657,24 @@ object Bpe {
   }
 
   private def oraclesFor(ms: Seq[Merge]): Map[String, String] = Map(
+    // each truncated prefix replayed as its own WITH-scoped encode —
+    // a BPE merge table's prefixes are themselves valid BPE models
+    "vocab_prune" -> {
+      val arms = Seq(0, 8, 16).map { v =>
+        s"""SELECT * FROM (WITH merges AS (${mergesCte(ms.take(v))}),
+           |src AS (SELECT doc_id, text FROM documents),
+           |$encodeCtes,
+           |tw AS (SELECT CAST(sum(len(fw)) AS BIGINT) AS total_words FROM fwt)
+           |SELECT CAST($v AS BIGINT) AS n_merges,
+           |  CAST(sum(len(flat)) AS BIGINT) AS total_tokens,
+           |  CAST(sum(len(list_filter(flat, t -> len(t) > 1 AND t <> '</w>'))) AS BIGINT) AS total_merged,
+           |  (SELECT total_words FROM tw) AS total_words,
+           |  round(CAST(sum(len(flat)) AS DOUBLE) /
+           |    CAST((SELECT total_words FROM tw) AS DOUBLE), 6) AS fertility
+           |FROM doc_enc) v$v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$arms\n) ORDER BY n_merges"
+    },
     "bpe_encode" ->
       s"""WITH merges AS (${mergesCte(ms)}),
          |src AS (SELECT doc_id, text FROM documents),

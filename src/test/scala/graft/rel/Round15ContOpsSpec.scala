@@ -114,6 +114,24 @@ class Round15ContOpsSpec extends SparkSpec {
     assert(row.getDouble(4) == math.round(hit.toDouble / found.size * 1e6) / 1e6)
   }
 
+  test("vocab_prune: monotone compression curve, v=0 is char-level, v=16 matches bpe_encode") {
+    val s = spark
+    val rows = SparkEntry.queries("vocab_prune")(s, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 8L, 16L))
+    // more merges → strictly fewer tokens, more learned units
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 < a._2 && b._3 > a._3 })
+    assert(rows.head._3 == 0L, "zero merges cannot produce learned units")
+    rows.foreach { r =>
+      assert(r._5 == math.round(r._2.toDouble / r._4 * 1e6) / 1e6)
+      assert(r._5 >= 1.0, "word-based BPE never merges across words")
+    }
+    // the full-table arm IS the bpe_encode model: totals must agree
+    val enc = SparkEntry.queries("bpe_encode")(s, sf("sf0.001"))
+      .agg(sum(col("n_tokens")), sum(col("n_merged"))).collect()(0)
+    assert(rows.last._2 == enc.getLong(0) && rows.last._3 == enc.getLong(1))
+  }
+
   test("portable HLL registers merge by max (sketch union = distributed combine)") {
     val s = spark
     // registers of the even/odd halves vs the full column, built with
