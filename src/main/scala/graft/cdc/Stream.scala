@@ -568,6 +568,30 @@ object Stream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("n"))
 
+  /** Streaming OHLC bars — the streaming twin of the batch
+    * `ts_downsample` id: per tumbling window, open/close via
+    * min_by/max_by on a caller-supplied UNIQUE arrival key plus
+    * high/low/count/volume. arg-min/max streaming state is one
+    * (key, value) pair per bar side, so per-window state is O(1)
+    * exactly like min/max — bars emit finalized on watermark close
+    * (append mode), the standard exactly-once bar pipeline shape.
+    * Parity with the batch form is pinned in StreamingSpec. */
+  def ohlcBars(feed: DataFrame, eventTime: String, watermark: String,
+      width: String, keyCol: String, centsCol: String): DataFrame =
+    feed
+      .withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), width))
+      .agg(
+        min_by(col(centsCol), col(keyCol)).as("open_cents"),
+        max(col(centsCol)).as("high_cents"),
+        min(col(centsCol)).as("low_cents"),
+        max_by(col(centsCol), col(keyCol)).as("close_cents"),
+        count(lit(1)).as("n"),
+        sum(col(centsCol)).as("vol_cents"))
+      .select(col("window.start").as("bucket"), col("open_cents"),
+        col("high_cents"), col("low_cents"), col("close_cents"),
+        col("n"), col("vol_cents"))
+
   /** Session windows (north-star §2.10): gap-based sessionization. */
   def sessionCounts(feed: DataFrame, eventTime: String, watermark: String, gap: String, key: String): DataFrame =
     feed

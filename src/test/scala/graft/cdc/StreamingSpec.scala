@@ -579,6 +579,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars match the batch ts_downsample aggregation") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1704067200000L
+    // deterministic zig-zag cents over 3 hours, 7-minute spacing; the
+    // arrival key mirrors ts_downsample's ms·2^20+id composite
+    val rows = (0 until 40).map { i =>
+      val ms = base + i * 7L * 60000L
+      (new java.sql.Timestamp(ms), ms * 1048576L + i, ((i * 37) % 100 - 50).toLong)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val bars = Stream.ohlcBars(input.toDF().toDF("ts", "k", "cents"),
+      "ts", "10 minutes", "1 hour", "k", "cents")
+    val q = bars.writeStream.format("memory").queryName("ohlc_p")
+      .outputMode("append").start()
+    try {
+      // two batches (bars must fold across micro-batches) + a flush row
+      input.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+      input.addData((new java.sql.Timestamp(base + 24L * 3600000L), 0L, 0L))
+      q.processAllAvailable()
+      val stream = s.table("ohlc_p").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("bucket") ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      val batch = rows.toDF("ts", "k", "cents")
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour")
+          .getField("start").as("bucket"))
+        .agg(org.apache.spark.sql.functions.min_by($"cents", $"k").as("o"),
+          org.apache.spark.sql.functions.max($"cents").as("h"),
+          org.apache.spark.sql.functions.min($"cents").as("l"),
+          org.apache.spark.sql.functions.max_by($"cents", $"k").as("c"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"cents").as("v"))
+        .collect()
+        .map(r => r.getAs[java.sql.Timestamp]("bucket") ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      assert(batch.nonEmpty && batch.forall { case (b, bar) => stream.get(b).contains(bar) },
+        s"stream=$stream batch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join, state bounded by watermarks") {
     val s = spark
     import s.implicits._
