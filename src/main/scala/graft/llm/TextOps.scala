@@ -1015,6 +1015,30 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // quality-signal calibration (round 15 cont.) — the agreement
+    // matrix between the two independent rule-based quality filters
+    // (the composite text_quality score, banded, × the Gopher gate
+    // verdict), the table a data team reads before choosing which
+    // filter gates the corpus: off-diagonal mass = documents the two
+    // signals DISAGREE on, exactly where a threshold tweak moves
+    // tokens. Banding is integer-exact (round(q·10⁶) DIV 10⁵ — the
+    // select_budget micro-unit adjudication, never a float floor), so
+    // the whole report is deterministic cross-engine. ONE join-free
+    // narrow scan computes both signals side by side (both are
+    // per-row expressions over one split()), then a ≤22-row count
+    // aggregate — the cheapest audit shape at 100 TB.
+    "quality_calibration" -> ((s, dir) => {
+      val g = GopherGate
+      val (_, _, _, quality) = qualitySignals(col("text"))
+      Tables(s, dir).documents
+        .select(round(quality * 1000000).cast("long").as("qmic"),
+          g.keep.as("gopher_keep"))
+        .select(expr("qmic DIV 100000").as("q_band"), col("gopher_keep"))
+        .groupBy("q_band", "gopher_keep")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("q_band", "gopher_keep")
+    }),
+
     // the retention FUNNEL report (round 15) — the first table every
     // data team reads off a pipeline run: docs and tokens surviving
     // each successive gate (raw → exact dedup → near-dup canonical →
@@ -1616,6 +1640,29 @@ object TextOps {
         |  UNION ALL SELECT 3, 'gopher', d3, t3,
         |    CAST(d3 AS DOUBLE)/d0, CAST(t3 AS DOUBLE)/t0 FROM agg)
         |ORDER BY stage""".stripMargin,
+    // text_quality's composite and gopher_rules' keep conjunction
+    // recomputed side by side; band = round(q·10⁶) // 10⁵ exactly as
+    // the engine computes it
+    "quality_calibration" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+        |      + (CAST(len(list_filter(string_split(text,' '),
+        |           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
+        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
+        |      AS quality,
+        |    (len(string_split(text,' ')) >= 50 AND len(string_split(text,' ')) <= 100000
+        |     AND CAST(length(replace(text,' ','')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) >= 3.0
+        |     AND CAST(length(replace(text,' ','')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) <= 10.0
+        |     AND CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) < 0.1
+        |     AND CAST(len(list_filter(string_split(text,' '), w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |         / nullif(len(string_split(text,' ')), 0) >= 0.8
+        |     AND len(list_filter(string_split(text,' '),
+        |         w -> w IN ('the','be','to','of','and','that','have','with'))) >= 2) AS gopher_keep
+        |  FROM documents)
+        |SELECT CAST(round(quality * 1000000) AS BIGINT) // 100000 AS q_band,
+        |  gopher_keep, count(*) AS n_docs
+        |FROM q GROUP BY 1, 2 ORDER BY q_band, gopher_keep""".stripMargin,
     "gopher_rules" ->
       """WITH sig AS (
         |  SELECT doc_id,

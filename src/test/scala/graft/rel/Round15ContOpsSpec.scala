@@ -132,6 +132,22 @@ class Round15ContOpsSpec extends SparkSpec {
     assert(rows.last._2 == enc.getLong(0) && rows.last._3 == enc.getLong(1))
   }
 
+  test("quality_calibration equals the cross-tab of its two parent signals") {
+    val s = spark
+    val got = SparkEntry.queries("quality_calibration")(s, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val band = SparkEntry.queries("text_quality")(s, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) ->
+        math.round(r.getDouble(4) * 1e6) / 100000L).toMap
+    val keep = SparkEntry.queries("gopher_rules")(s, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val naive = band.keys.groupBy(d => (band(d), keep(d)))
+      .map { case (k, ds) => k -> ds.size.toLong }
+    assert(got == naive)
+    // non-vacuous: the two signals must actually disagree somewhere
+    assert(got.keys.map(_._2).toSet == Set(true, false))
+  }
+
   test("portable HLL registers merge by max (sketch union = distributed combine)") {
     val s = spark
     // registers of the even/odd halves vs the full column, built with
