@@ -693,15 +693,16 @@ object Queries {
     // time-series OHLC downsampling (round 15 cont.) — the resample
     // every metrics/market pipeline runs: per hourly bar, first/max/
     // min/last of the value plus count and volume. open/close use
-    // min_by/max_by on a UNIQUE composite key (ms·2²⁰ + event_id — ids
-    // stay under 2²⁰ per the fixture contract; ts alone can tie), so
+    // min_by/max_by on a UNIQUE composite key (ms·2²² + event_id — ids
+    // stay far under 2²² in every fixture and ms·2²² < 2⁶³ through
+    // 2036; ts alone can tie), so
     // the bar is deterministic cross-engine and the whole id is ONE
     // map-side-combinable aggregate — arg-min/max partials merge like
     // any min/max, so a 100 TB scan reduces to |buckets| rows per
     // partition before the exchange; no per-bucket sort window, no
     // self-join. Values in exact cents (the win_range adjudication).
     "ts_downsample" -> ((s, dir) => {
-      val k = unix_millis(col("ts").cast("timestamp")) * lit(1048576L) +
+      val k = unix_millis(col("ts").cast("timestamp")) * lit(4194304L) +
         col("event_id")
       Tables(s, dir).events
         .select(window(col("ts"), "1 hour").getField("start").as("bucket"),
@@ -2039,7 +2040,7 @@ object Queries {
       """WITH e AS (
         |  SELECT date_trunc('hour', ts) AS bucket,
         |    CAST(round(value * 100) AS BIGINT) AS cents,
-        |    epoch_ms(ts) * 1048576 + event_id AS k
+        |    epoch_ms(ts) * 4194304 + event_id AS k
         |  FROM events)
         |SELECT bucket, arg_min(cents, k) AS open_cents, max(cents) AS high_cents,
         |  min(cents) AS low_cents, arg_max(cents, k) AS close_cents,

@@ -588,7 +588,7 @@ class StreamingSpec extends SparkSpec {
     // arrival key mirrors ts_downsample's ms·2^20+id composite
     val rows = (0 until 40).map { i =>
       val ms = base + i * 7L * 60000L
-      (new java.sql.Timestamp(ms), ms * 1048576L + i, ((i * 37) % 100 - 50).toLong)
+      (new java.sql.Timestamp(ms), ms * 4194304L + i, ((i * 37) % 100 - 50).toLong)
     }
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long)]
     val bars = Stream.ohlcBars(input.toDF().toDF("ts", "k", "cents"),

@@ -87,7 +87,7 @@ class Round15ContOpsSpec extends SparkSpec {
     val ev = Tables(s, sf("sf0.001")).events
       .select(window(col("ts"), "1 hour").getField("start").as("bucket"),
         round(col("value") * 100).cast("long").as("cents"),
-        (unix_millis(col("ts").cast("timestamp")) * 1048576L + col("event_id")).as("k"))
+        (unix_millis(col("ts").cast("timestamp")) * 4194304L + col("event_id")).as("k"))
       .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
     val naive = ev.groupBy(_._1).map { case (b, rows) =>
       val byK = rows.sortBy(_._3)
