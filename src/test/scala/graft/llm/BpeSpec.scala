@@ -411,13 +411,13 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("oracleSql embeds the live trained model: all four encode/export ids, every merge as a literal") {
+  test("oracleSql embeds the live trained model: every encode/export id, every merge as a literal") {
     val merges = Bpe.trainedMerges(spark, sf("sf0.001"))
     assert(merges.nonEmpty, "fixture must train at least one merge")
     val o = Bpe.oracleSql
     assert(o.keySet == Set("bpe_encode", "bpe_fertility",
       "corpus_export", "corpus_export_split", "pack_efficiency",
-      "bpe_merges"), s"ids: ${o.keySet}")
+      "bpe_merges", "vocab_prune"), s"ids: ${o.keySet}")
     // each merge pair must appear as a VALUES literal in every
     // model-embedding oracle (one shared merges CTE per statement);
     // bpe_merges is the exception — its oracle REPLAYS training from
