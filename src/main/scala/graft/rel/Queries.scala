@@ -472,19 +472,46 @@ object Queries {
     // values (it IS agg_percentile's whole cost) where the tighter
     // digest stays a bounded-memory partial aggregate — and a sketch
     // regression still flips the verdict in the dumped parquet.
-    "agg_approx_pct" -> ((s, dir) =>
-      Tables(s, dir).lineitem
+    // Approximate percentiles as a PORTABLE deterministic-sample sketch
+    // (graduated from rows-only the same way agg_approx/agg_heavyhitters
+    // were — swap the engine-opaque summary for the house portable-hash
+    // idiom and the whole computation becomes DuckDB-replayable): the
+    // sample is the ~6.5% of rows whose md5("pct:"+rowkey) 16-bit
+    // bucket < 4260 (hash-deterministic, any partitioning — never
+    // rand()), the estimate is the EXACT interpolated percentile of
+    // that sample (the agg_percentile parity idiom), and `within_tol`
+    // audits it against the full-data percentile at 10% (≫3σ of the
+    // uniform-sample rank error at the smallest fixture group).
+    // Uniform-sample quantile estimation is the textbook scale path
+    // when a mergeable summary isn't available: at 100 TB only the
+    // sample side runs (filter pushed into the scan cuts the sort
+    // buffer 15×) — the exact side here is the in-query audit, same
+    // role as agg_heavyhitters' exact column. Spark's builtin
+    // approx_percentile (GK summaries) stays pinned against the exact
+    // form in ApproxSpec as the cheaper mergeable-summary production
+    // call whose internals no other engine can replay.
+    "agg_approx_pct" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val hb = conv(substring(md5(concat(lit("pct:"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 4), 16, 10).cast("long")
+      val sample = li.filter(hb < 4260L)
         .groupBy("l_returnflag")
-        .agg(
-          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("qty_p50"),
-          approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("price_p90"),
-          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("x50"),
-          approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("x90"))
-        .select(col("l_returnflag"), col("qty_p50"), col("price_p90"),
-          (abs(col("qty_p50") - col("x50")) <= abs(col("x50")) * 0.05 &&
-           abs(col("price_p90") - col("x90")) <= abs(col("x90")) * 0.05)
+        .agg(count(lit(1)).as("n_sample"),
+          percentile(col("l_quantity"), lit(0.5)).as("qp50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("pp90"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("xq"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("xp"))
+      sample.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_sample"),
+          round(col("qp50"), 6).as("qty_p50"),
+          round(col("pp90"), 6).as("price_p90"),
+          (abs(col("qp50") - col("xq")) <= abs(col("xq")) * 0.10 &&
+           abs(col("pp90") - col("xp")) <= abs(col("xp")) * 0.10)
             .as("within_tol"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // map-typed column surface: construct, look up, reshape — outputs
     // projected to scalars so the driver compare stays portable
@@ -1858,6 +1885,26 @@ object Queries {
         |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS m_size,
         |  array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS keys
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // the deterministic-sample replay: same md5 16-bit row bucket, same
+    // exact interpolated percentile over sample and full data
+    "agg_approx_pct" ->
+      """WITH sm AS (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE CAST('0x' || substr(md5('pct:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 4) AS INTEGER) < 4260),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n_sample,
+        |    quantile_cont(l_quantity, 0.5) AS qp50,
+        |    quantile_cont(l_extendedprice, 0.9) AS pp90
+        |  FROM sm GROUP BY 1),
+        |x AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS xq,
+        |    quantile_cont(l_extendedprice, 0.9) AS xp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.l_returnflag, n_sample,
+        |  round(qp50, 6) AS qty_p50, round(pp90, 6) AS price_p90,
+        |  (abs(qp50 - xq) <= abs(xq) * 0.10 AND abs(pp90 - xp) <= abs(xp) * 0.10) AS within_tol
+        |FROM s JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS qty_p50,

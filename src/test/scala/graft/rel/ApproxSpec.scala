@@ -55,16 +55,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("approx_percentile within 5% relative error of exact percentile") {
+  test("builtin approx_percentile (GK) within 5% of exact; sampled sketch within 10%") {
     val exact = SparkEntry.queries("agg_percentile")(spark, sf("sf0.001"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val approx = SparkEntry.queries("agg_approx_pct")(spark, sf("sf0.001"))
+    // the builtin mergeable-summary production call stays pinned here —
+    // its internals are engine-opaque, so it can never sit in the
+    // oracle-compared output (the agg_approx adjudication)
+    val builtin = Tables(spark, sf("sf0.001")).lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(exact.keySet == approx.keySet)
+    // the portable deterministic-sample estimate the driver hash-checks
+    val sampled = SparkEntry.queries("agg_approx_pct")(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("qty_p50")).toMap
+    assert(exact.keySet == builtin.keySet && exact.keySet == sampled.keySet)
     exact.foreach { case (flag, e) =>
-      val a = approx(flag)
-      assert(math.abs(a - e) / math.max(e, 1e-9) < 0.05,
-        s"p50($flag): exact=$e approx=$a")
+      assert(math.abs(builtin(flag) - e) / math.max(e, 1e-9) < 0.05,
+        s"builtin p50($flag): exact=$e got=${builtin(flag)}")
+      assert(math.abs(sampled(flag) - e) / math.max(e, 1e-9) < 0.10,
+        s"sampled p50($flag): exact=$e got=${sampled(flag)}")
     }
   }
 
