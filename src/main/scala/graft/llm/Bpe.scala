@@ -350,19 +350,34 @@ object Bpe {
     "vocab_prune" -> ((s, dir) => {
       val docs = Tables(s, dir).documents.select("doc_id", "text")
       val all = trainedMerges(s, dir)
-      val words = docs.select(size(filter(split(col("text"), " "),
-          w => length(w) > 0)).cast("long").as("nw"))
-        .agg(sum(col("nw")).as("total_words"))
-      Seq(0, 8, 16).map { v =>
-        encodeDocs(docs, all.take(v))
-          .select(size(col("bpe")).cast("long").as("nt"),
-            size(filter(col("bpe"),
-              t => length(t) > 1 && t =!= lit(Eow))).cast("long").as("nm"))
-          .agg(sum(col("nt")).as("total_tokens"),
-            sum(col("nm")).as("total_merged"))
-          .withColumn("n_merges", lit(v.toLong))
-      }.reduce(_ unionByName _)
-        .crossJoin(words)
+      // corpus TOTALS are Σ freq(w) · per-word counts, so the whole
+      // sweep is ONE word-frequency aggregate + one vocab-sized
+      // projection evaluating the three truncated-prefix folds side by
+      // side + one summing aggregate — the k-merge fold runs once per
+      // DISTINCT word per arm, never per occurrence, and no per-doc
+      // token array is ever rebuilt (this replaced a 3× encodeDocs
+      // form: 2.37 s → one vocab pass at sf0.1)
+      val wf = docs
+        .select(explode(filter(split(col("text"), " "),
+          w => length(w) > 0)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val arms = Seq(0, 8, 16).map { v =>
+        val toks = applyMerges(concat(split(col("w"), ""),
+          array(lit(Eow))), all.take(v))
+        Seq((col("freq") * size(toks).cast("long")).as(s"t$v"),
+          (col("freq") * size(filter(toks,
+            t => length(t) > 1 && t =!= lit(Eow))).cast("long")).as(s"m$v"))
+      }
+      val totals = wf
+        .select(col("freq") +: arms.flatten: _*)
+        .agg(sum(col("freq")).as("total_words"),
+          sum(col("t0")).as("t0"), sum(col("m0")).as("m0"),
+          sum(col("t8")).as("t8"), sum(col("m8")).as("m8"),
+          sum(col("t16")).as("t16"), sum(col("m16")).as("m16"))
+      totals
+        .selectExpr("total_words",
+          "stack(3, CAST(0 AS BIGINT), t0, m0, CAST(8 AS BIGINT), t8, m8," +
+            " CAST(16 AS BIGINT), t16, m16) AS (n_merges, total_tokens, total_merged)")
         .select(col("n_merges"), col("total_tokens"), col("total_merged"),
           col("total_words"),
           round(col("total_tokens").cast("double") /
