@@ -1534,6 +1534,53 @@ object VectorOps {
       simTopK(Tables(s, dir).embeddings, queryIds = 0L until 8L, k = 10)
         .withColumn("cos", round(col("cos"), 9))),
 
+    // Matryoshka truncation eval (round 15 cont., Kusupati et al. 2022)
+    // — the dimension-budget curve every MRL-embedding deployment reads
+    // before picking a serving dim: recall@10 of brute search over the
+    // FIRST-d prefix (d ∈ {8,16,32,64}) against the full-dim truth,
+    // the embedding analog of vocab_prune's vocab-size curve (smaller
+    // prefix = 8× less ANN memory/bandwidth; this table says what it
+    // costs in recall). Four broadcast-query × corpus scans (the
+    // sim_topk shape over sliced arrays — prefix cosine ≡ cosine of
+    // the slice), one equi-join per arm against the d=64 arm, 4 output
+    // rows; the d=64 row is a structural recall-1.0 anchor. At 100 TB
+    // each arm swaps for the IVF-PQ index built at that dim, exactly
+    // as ann_recall's brute side does.
+    "embed_truncate" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      graft.functions.CosineSimilarity.ensureRegistered(s)
+      import s.implicits._
+      // ONE corpus scan scores all four prefix lengths (slice by the
+      // broadcast dim column), ONE window ranks per (dim, query), and
+      // the truth intersection needs no self-join: group the 4·k·|q|
+      // top rows by pair, keep pairs present at d=64, and each dim in
+      // a kept pair's dim-set is one hit for that dim.
+      val dims = broadcast(Seq(8, 16, 32, 64).toDF("dim"))
+      val q = broadcast(emb.filter(col("vec_id").isin(0L until 8L: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dim", "q_id").orderBy(col("cos").desc, col("c_id"))
+      val top = q.join(c, col("q_id") =!= col("c_id"))
+        .crossJoin(dims)
+        .withColumn("cos", cosine(slice(col("q_emb"), lit(1), col("dim")),
+          slice(col("c_emb"), lit(1), col("dim"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("dim").cast("long").as("dim"), col("q_id"), col("c_id"))
+      val hits = top.groupBy("q_id", "c_id")
+        .agg(collect_set(col("dim")).as("ds"))
+        .filter(array_contains(col("ds"), 64L))
+        .select(explode(col("ds")).as("dim"))
+        .groupBy("dim").agg(count(lit(1)).as("h"))
+      dims.select(col("dim").cast("long").as("dim"))
+        .join(hits, Seq("dim"), "left")
+        .select(col("dim"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") / lit(80.0), 6)
+            .as("recall_at_10"))
+        .orderBy("dim")
+    }),
+
     // hard-negative mining (round 15) — the contrastive-training staple
     // (DPR/SimCSE/E5 all train on them): per query, the top-k most
     // SIMILAR candidates with a DIFFERENT label — high-cosine
@@ -1982,6 +2029,35 @@ object VectorOps {
     * recall vs the exact result is asserted in SimilaritySpec instead.
     */
   def oracleSql: Map[String, String] = Map(
+    // four prefix-cosine brute arms in one windowed pass (range(1,d+1)
+    // parameterizes the in-order fold), intersected against the d=64 arm
+    "embed_truncate" ->
+      """WITH dims AS (SELECT * FROM (VALUES (8),(16),(32),(64)) d(d)),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id BETWEEN 0 AND 7),
+        |scored AS (
+        |  SELECT dims.d, q.q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, dims.d + 1),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, dims.d + 1),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+        |    / sqrt(list_sum(list_transform(range(1, dims.d + 1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) AS cos
+        |  FROM dims CROSS JOIN q JOIN embeddings c ON c.vec_id <> q.q_id),
+        |top AS (
+        |  SELECT d, q_id, c_id FROM (
+        |    SELECT d, q_id, c_id, row_number() OVER (PARTITION BY d, q_id
+        |      ORDER BY cos DESC, c_id) AS rank FROM scored) WHERE rank <= 10),
+        |truth AS (SELECT q_id, c_id FROM top WHERE d = 64),
+        |hits AS (
+        |  SELECT t.d, count(*) AS n_hits FROM top t
+        |  JOIN truth u ON u.q_id = t.q_id AND u.c_id = t.c_id GROUP BY 1)
+        |SELECT CAST(dims.d AS BIGINT) AS dim,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 80.0, 6) AS recall_at_10
+        |FROM dims LEFT JOIN hits h ON h.d = dims.d
+        |ORDER BY dim""".stripMargin,
     "sim_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

@@ -148,6 +148,33 @@ class Round15ContOpsSpec extends SparkSpec {
     assert(got.keys.map(_._2).toSet == Set(true, false))
   }
 
+  test("embed_truncate: hits recount independently per dim, d=64 is the recall-1.0 anchor") {
+    val s = spark
+    val got = SparkEntry.queries("embed_truncate")(s, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(8L, 16L, 32L, 64L))
+    assert(got(64L) == ((80L, 1.0)), "full-dim arm must equal its own truth")
+    got.values.foreach { case (h, r) =>
+      assert(h >= 0L && h <= 80L && r == math.round(h / 80.0 * 1e6) / 1e6)
+    }
+    // independent recount at one truncation: brute prefix-16 top-10 per
+    // query intersected with full-dim top-10
+    val emb = Tables(s, sf("sf0.001")).embeddings
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    def top10(q: Long, d: Int): Set[Long] =
+      emb.keys.filter(_ != q).toSeq
+        .map(c => (cos(emb(q), emb(c), d), c))
+        .sortBy { case (s0, c) => (-s0, c) }.take(10).map(_._2).toSet
+    val hits16 = (0L until 8L).map(q => (top10(q, 16) intersect top10(q, 64)).size).sum
+    assert(got(16L)._1 == hits16.toLong)
+  }
+
   test("portable HLL registers merge by max (sketch union = distributed combine)") {
     val s = spark
     // registers of the even/odd halves vs the full column, built with
