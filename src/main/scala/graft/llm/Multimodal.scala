@@ -249,6 +249,92 @@ object Multimodal {
     }
   }
 
+  /** 31-bit energy-delta audio fingerprint over the PARSED PCM — the
+    * chromaprint shape reduced to its integer core: 32 contiguous
+    * blocks (sample i → block ⌊i·32/n⌋), per-block summed |v−128|
+    * energy, bit j = E[j+1] > E[j] (MSB-first). Energy-ORDER bits are
+    * what makes it perceptual: amplitude scaling and (for smooth
+    * signals) moderate resampling preserve the envelope's shape —
+    * MultimodalSpec pins decimation stability on a smooth ramp, the
+    * dHash64 gradient-fixture discipline. All-integer, so the DuckDB
+    * oracle rebuilds every fingerprint from the byte-cycle PCM model.
+    */
+  private[llm] def audioFingerprint(pcm: Array[Byte]): Long = {
+    val n = pcm.length
+    val e = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      e((i.toLong * 32 / n).toInt) += math.abs((pcm(i) & 0xff) - 128)
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 31) {
+      fp = (fp << 1) | (if (e(j + 1) > e(j)) 1L else 0L)
+      j += 1
+    }
+    fp
+  }
+
+  /** Fingerprint band table for the audio corpus: 4 Hamming-LSH bands
+    * (8+8+8+7 bits) of [[audioFingerprint]] — by pigeonhole any pair
+    * within distance ≤ 3 agrees exactly on ≥ 1 band, so recall at the
+    * ≤3 threshold is exactly 1.0 (the [[imageHashBlocks]] contract at
+    * 31 bits). Same batched narrow decode shape as every codec stage.
+    */
+  def audioHashBlocks(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fp = audioFingerprint(ais.readAllBytes())
+        (r.doc_id, (fp >>> 23) & 0xffL, (fp >>> 15) & 0xffL,
+          (fp >>> 7) & 0xffL, fp & 0x7fL)
+      })
+    }.toDF("doc_id", "band_0", "band_1", "band_2", "band_3")
+  }
+
+  /** Losslessly re-encoded copies of every `stride`-th audio doc — the
+    * planted perceptual-dup workload (the same recording re-hosted
+    * through another container write): parse the WAV, write the PCM
+    * back through the JDK encoder under `doc_id + idOffset`. A REAL
+    * second container round-trip, not a byte copy — the copy only
+    * fingerprints identically if both RIFF walks are faithful. (As
+    * with images, the fixture's byte-cycle PCM is NOISE, which no
+    * perceptual hash survives resampling — decimation-stability is
+    * pinned on smooth signals in MultimodalSpec instead.)
+    */
+  def reencodedAudioCopies(media: Dataset[MediaRecord], stride: Int = 10,
+      idOffset: Long = 3000000000L): Dataset[MediaRecord] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("doc_id") % stride === 0).as[MediaRecord].map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      val pcm = ais.readAllBytes()
+      val out = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(out,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      MediaRecord(r.doc_id + idOffset, baos.toByteArray, "audio/wav")
+    }
+  }
+
+  private val audioHashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def audioHashBlocksFor(s: SparkSession, dir: String): DataFrame = {
+    audioHashCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    audioHashCache.computeIfAbsent((s, dir), _ => {
+      val corpus = audioCorpus(s, dir)
+      audioHashBlocks(corpus.union(reencodedAudioCopies(corpus))).persist()
+    })
+  }
+
   case class AudioResample(doc_id: Long, in_rate: Int, out_rate: Int,
       n_in: Long, n_out: Long, sum_amp_out: Long, out_sha: String)
 
@@ -969,6 +1055,21 @@ object Multimodal {
     // resizing). Rows-only (the hash depends on the engine's decoder).
     "mm_dedup" -> ((s, dir) =>
       imageDupPairs(imageHashBlocksFor(s, dir))
+        .orderBy("doc1", "doc2")),
+
+    // perceptual AUDIO near-dedup (round 15 cont.) — mm_dedup's shape
+    // on the third modality: corpus = the WAV fixture + losslessly
+    // re-encoded copies of every 10th clip (a second REAL container
+    // round-trip under doc_id+3e9); fingerprint = the 31-bit
+    // block-energy-delta hash; candidates = 4-band Hamming-LSH
+    // (8+8+8+7 bits, pigeonhole recall 1.0 at distance ≤ 3); verify =
+    // exact popcount. All-integer, so the oracle rebuilds every
+    // fingerprint analytically from the byte-cycle PCM model — a copy
+    // must pair with its original at distance 0 through two real
+    // container walks. Same banded shapes as the text/image dedups:
+    // payloads never shuffle, only (doc_id, 4 bands) rows do.
+    "mm_audio_dedup" -> ((s, dir) =>
+      imageDupPairs(audioHashBlocksFor(s, dir))
         .orderBy("doc1", "doc2"))
   )
 
@@ -1211,6 +1312,61 @@ object Multimodal {
         |WHERE bit_count(xor(a.band_0, c.band_0)) + bit_count(xor(a.band_1, c.band_1))
         |    + bit_count(xor(a.band_2, c.band_2)) + bit_count(xor(a.band_3, c.band_3)) <= 3
         |ORDER BY doc1, doc2""".stripMargin,
+    // every fingerprint rebuilt analytically from the byte-cycle PCM
+    // model (sample i of clip = cycled byte i, n from md5 byte 3);
+    // lossless re-encode ⇒ a copy is the SAME model under doc_id+3e9;
+    // block = ⌊i·32/n⌋, energies exact integers, bit j = E[j+1]>E[j]
+    // MSB-first, 8/8/8/7 bands, any-band collision, popcount ≤ 3
+    "mm_audio_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+        |    256 + (CAST('0x' || substring(md5(text),7,2) AS INTEGER) % 1024) AS n
+        |  FROM documents WHERE len(text) > 0),
+        |clips AS (
+        |  SELECT doc_id, hx, nb, n FROM m
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, hx, nb, n FROM m WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    substring(repeat(hx, CAST((n + nb - 1) // nb AS INTEGER)), 1, CAST(2 * n AS INTEGER)) AS pxh
+        |  FROM clips),
+        |e AS (
+        |  SELECT doc_id, CAST(i * 32 // n AS INTEGER) AS blk,
+        |    sum(abs(CAST('0x' || substring(pxh, CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER) - 128)) AS en
+        |  FROM (SELECT doc_id, n, pxh, unnest(range(n)) AS i FROM p)
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.en > a.en
+        |      THEN CAST(1 AS BIGINT) << CAST(30 - a.blk AS INTEGER)
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.blk = a.blk + 1
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id,
+        |    CAST((fp >> 23) & 255 AS BIGINT) AS band_0,
+        |    CAST((fp >> 15) & 255 AS BIGINT) AS band_1,
+        |    CAST((fp >> 7) & 255 AS BIGINT) AS band_2,
+        |    CAST(fp & 127 AS BIGINT) AS band_3
+        |  FROM f),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        |  FROM (SELECT unnest(range(4)) AS band) bx
+        |  JOIN bands a ON TRUE
+        |  JOIN bands c ON c.doc_id > a.doc_id AND
+        |    CASE bx.band WHEN 0 THEN a.band_0 = c.band_0
+        |                 WHEN 1 THEN a.band_1 = c.band_1
+        |                 WHEN 2 THEN a.band_2 = c.band_2
+        |                 ELSE a.band_3 = c.band_3 END)
+        |SELECT p2.doc1, p2.doc2,
+        |  CAST(bit_count(xor(a.band_0, c.band_0)) + bit_count(xor(a.band_1, c.band_1))
+        |     + bit_count(xor(a.band_2, c.band_2)) + bit_count(xor(a.band_3, c.band_3)) AS BIGINT) AS hamming
+        |FROM pairs p2
+        |JOIN bands a ON a.doc_id = p2.doc1
+        |JOIN bands c ON c.doc_id = p2.doc2
+        |WHERE bit_count(xor(a.band_0, c.band_0)) + bit_count(xor(a.band_1, c.band_1))
+        |    + bit_count(xor(a.band_2, c.band_2)) + bit_count(xor(a.band_3, c.band_3)) <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
     "mm_motion" ->
       """WITH dims AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
@@ -1254,5 +1410,6 @@ object Multimodal {
     drop(animCache, (k: (SparkSession, String)) => k._1)
     drop(frameCache, (k: (SparkSession, String, Int)) => k._1)
     drop(imageHashCache, (k: (SparkSession, String)) => k._1)
+    drop(audioHashCache, (k: (SparkSession, String)) => k._1)
   }
 }

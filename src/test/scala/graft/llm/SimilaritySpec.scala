@@ -1222,6 +1222,57 @@ class SimilaritySpec extends SparkSpec {
       "every fixture image must pair with its transcode at distance 0")
   }
 
+  test("perceptual audio dedup: re-encoded copies at distance 0, decimation-stable on smooth envelopes, distinct clips apart") {
+    val s = spark
+    import s.implicits._
+    def wavOf(id: Long, pcm: Array[Byte]): Multimodal.MediaRecord = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      Multimodal.MediaRecord(id, baos.toByteArray, "audio/wav")
+    }
+    // smooth amplitude envelopes (|v−128| = 60 + 50·sin(2πc·i/n + φ)):
+    // the natural-audio property the energy-delta fingerprint assumes —
+    // decimation stability needs smoothness, as dHash needs it for
+    // resizing
+    def smoothPcm(n: Int, c: Double, phi: Double): Array[Byte] =
+      Array.tabulate[Byte](n) { i =>
+        (128 + 60 + math.round(50.0 * math.sin(2 * math.Pi * c * i / n + phi)).toInt).toByte
+      }
+    def decimate2(pcm: Array[Byte]): Array[Byte] =
+      Array.tabulate[Byte](pcm.length / 2) { o =>
+        (((pcm(2 * o) & 0xff) + (pcm(2 * o + 1) & 0xff)) / 2).toByte
+      }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val signals = Seq((2.0, 0.0), (3.0, 1.1), (1.0, 2.3), (4.0, 0.7))
+      .map { case (c, phi) => smoothPcm(1024, c, phi) }
+    signals.foreach { pcm =>
+      val d = ham(Multimodal.audioFingerprint(pcm),
+        Multimodal.audioFingerprint(decimate2(pcm)))
+      assert(d <= 3, s"2:1 decimation moved a smooth envelope $d bits")
+    }
+    for (i <- signals.indices; j <- signals.indices if i < j) {
+      val d = ham(Multimodal.audioFingerprint(signals(i)),
+        Multimodal.audioFingerprint(signals(j)))
+      assert(d > 3, s"distinct envelopes $i/$j only $d bits apart")
+    }
+    // end-to-end on the fixture corpus: every losslessly re-encoded
+    // copy must pair with its original at distance 0 (two real RIFF
+    // walks) — the noise-PCM analog of the image transcode contract
+    val fixture = Multimodal.encodeAudio(
+      Tables(s, sf("sf0.001")).documents.limit(20))
+    val pairs = Multimodal.imageDupPairs(
+      Multimodal.audioHashBlocks(fixture.union(
+        Multimodal.reencodedAudioCopies(fixture, stride = 1, idOffset = 1000000L))))
+      .collect()
+    val zero = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(zero.length == 20 && zero.forall(_.getLong(2) == 0L),
+      s"every clip must pair with its re-encode at distance 0: ${pairs.toSeq}")
+  }
+
   test("k-means Lloyd iterations do not increase inertia; report partitions the corpus") {
     val s = spark
     import s.implicits._
