@@ -579,6 +579,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Count-Min grid equals the batch grid (linear sketch merges across micro-batches)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // zipf-ish key stream split across two micro-batches: the streaming
+    // state is the 4×1024 grid itself, and cell-wise addition (the
+    // Aggregator.merge contract) must make batch-boundary placement
+    // invisible — the same mergeability that carries the sketch through
+    // map-side partials at 100 TB
+    val keys = (0 until 400).map(i => (i % (1 + i % 37)).toLong)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val agg = input.toDF().toDF("k")
+      .agg(graft.functions.CountMin.count_min(org.apache.spark.sql.functions.col("k")).as("grid"))
+    val q = agg.writeStream.format("memory").queryName("cm_t")
+      .outputMode("complete").start()
+    try {
+      input.addData(keys.take(250): _*)
+      q.processAllAvailable()
+      input.addData(keys.drop(250): _*)
+      q.processAllAvailable()
+      val stream = s.table("cm_t").collect()(0).getSeq[Long](0)
+      val batch = keys.toDF("k")
+        .agg(graft.functions.CountMin.count_min(org.apache.spark.sql.functions.col("k")).as("grid"))
+        .collect()(0).getSeq[Long](0)
+      assert(stream == batch, "streaming grid must equal the batch grid cell-for-cell")
+      // and the merged grid still answers point queries within the CM bound
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (k, n) =>
+        val est = graft.functions.CountMin.estimate(stream.toArray, k)
+        assert(est >= n, s"CM underestimated key $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars match the batch ts_downsample aggregation") {
     val s = spark
     import s.implicits._
