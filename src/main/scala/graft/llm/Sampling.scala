@@ -90,6 +90,44 @@ object Sampling {
         .orderBy("source", "rk")
     }),
 
+    // Per-domain TOKEN budget (domain_cap's sibling — quotas that
+    // matter for training mixes are measured in tokens, not documents):
+    // keep each source's maximal md5-hash-order prefix whose cumulative
+    // token count fits the budget. Same skew-safe two-level shape, and
+    // it stays EXACT because cumulative sums are monotone along the
+    // order: a doc whose (source,salt)-local prefix already exceeds the
+    // budget has a global prefix at least as large (local ⊆ global), so
+    // stage 1's ≤budget filter only drops docs the global window would
+    // drop — and since every true-kept doc PRECEDES every dropped doc
+    // in its source's order, the stage-2 cumulative over survivors
+    // equals the true global cumulative. Each salt shard carries at
+    // most `budget` candidate docs (tokens ≥ 1), so the final
+    // per-source window is budget-bounded — a 100 TB hot domain never
+    // sorts its full row set in one task.
+    "domain_cap_tokens" -> ((s, dir) => {
+      val budget = 500L
+      val toks = Tables(s, dir).documents.select(
+        col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("hk"),
+        (hashBucket(col("doc_id")) % 16).as("salt"))
+      val local = toks
+        .withColumn("lcum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("source"), col("salt"))
+            .orderBy(col("hk"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("lcum") <= budget)
+      local
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("hk"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= budget)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"))
+        .orderBy("source", "cum")
+    }),
+
     // split sizes per source — the audit query run after every split
     "split_train_test" -> ((s, dir) =>
       splitAssign(Tables(s, dir).documents, "doc_id")
@@ -386,6 +424,20 @@ object Sampling {
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk
         |  FROM r)
         |SELECT source, doc_id, rk FROM rk WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // direct one-window reference for the two-level token budget
+    "domain_cap_tokens" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum
+        |FROM c WHERE cum <= 500 ORDER BY source, cum""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, source,
         |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS BIGINT) AS hb

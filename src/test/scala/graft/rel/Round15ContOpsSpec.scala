@@ -175,6 +175,31 @@ class Round15ContOpsSpec extends SparkSpec {
     assert(got(16L)._1 == hits16.toLong)
   }
 
+  test("domain_cap_tokens: two-level cumulative equals the direct window, prefix maximal, budget bites") {
+    val s = spark
+    val got = SparkEntry.queries("domain_cap_tokens")(s, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // direct one-window reference in-JVM
+    val toks = Tables(s, sf("sf0.001")).documents
+      .select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val direct = toks.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._2)).iterator.map { r =>
+        cum += r._3; (src, r._2, r._3, cum)
+      }.takeWhile(_._4 <= 500L)
+    }
+    assert(got.toSet == direct.toSet)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._4).max <= 500L, s"$src over budget")
+    }
+    // the budget must actually bite (kept strictly fewer docs than raw)
+    val totalBySrc = toks.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(got.groupBy(_._1).exists { case (src, rows) => rows.size < totalBySrc(src) })
+  }
+
   test("portable HLL registers merge by max (sketch union = distributed combine)") {
     val s = spark
     // registers of the even/odd halves vs the full column, built with
