@@ -326,10 +326,17 @@ object Bpe {
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("n_words")).as("total_words"),
           sum(col("n_bytes")).as("total_bytes"))
-        .withColumn("fertility",
-          round(col("total_tokens").cast("double") / col("total_words"), 6))
-        .withColumn("bytes_per_token",
-          round(col("total_bytes").cast("double") / col("total_tokens"), 6))
+        // round 16: the ratios ship as INTEGER MICRO-UNITS computed in
+        // exact BIGINT rational arithmetic — round(a/b·1e6) =
+        // (2·a·1e6 + b) div (2·b) — because round(DOUBLE, 6) proved
+        // engine-version-sensitive in the driver's DuckDB when a
+        // quotient lands within an ulp of a 5e-7 boundary (the
+        // select_budget adjudication); no IEEE value exists anywhere
+        // on the compare path.
+        .withColumn("fertility_e6",
+          expr("(2 * total_tokens * 1000000 + total_words) DIV (2 * total_words)"))
+        .withColumn("bytes_per_token_e6",
+          expr("(2 * total_bytes * 1000000 + total_tokens) DIV (2 * total_tokens)"))
         .orderBy("lang")
     }),
 
@@ -712,8 +719,10 @@ object Bpe {
          |  sum(n_tokens) AS total_tokens,
          |  sum(n_words) AS total_words,
          |  sum(n_bytes) AS total_bytes,
-         |  round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6) AS fertility,
-         |  round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_tokens), 6) AS bytes_per_token
+         |  CAST((2 * sum(n_tokens) * 1000000 + sum(n_words))
+         |    // (2 * sum(n_words)) AS BIGINT) AS fertility_e6,
+         |  CAST((2 * sum(n_bytes) * 1000000 + sum(n_tokens))
+         |    // (2 * sum(n_tokens)) AS BIGINT) AS bytes_per_token_e6
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_export" ->
       s"""WITH merges AS (${mergesCte(ms)}),

@@ -94,16 +94,24 @@ object Sampling {
     // matter for training mixes are measured in tokens, not documents):
     // keep each source's maximal md5-hash-order prefix whose cumulative
     // token count fits the budget. Same skew-safe two-level shape, and
-    // it stays EXACT because cumulative sums are monotone along the
-    // order: a doc whose (source,salt)-local prefix already exceeds the
-    // budget has a global prefix at least as large (local ⊆ global), so
-    // stage 1's ≤budget filter only drops docs the global window would
-    // drop — and since every true-kept doc PRECEDES every dropped doc
-    // in its source's order, the stage-2 cumulative over survivors
-    // equals the true global cumulative. Each salt shard carries at
-    // most `budget` candidate docs (tokens ≥ 1), so the final
-    // per-source window is budget-bounded — a 100 TB hot domain never
-    // sorts its full row set in one task.
+    // it stays EXACT because stage 1 keeps every doc whose salt-local
+    // PRECEDING sum is within budget — i.e. each salt's fitting prefix
+    // PLUS its first budget-crossing doc. Exactness both ways: (a) a
+    // true-kept doc K (global cum ≤ budget) has local preceding sum
+    // ≤ global preceding sum ≤ budget, so K always survives stage 1,
+    // and every stage-1-dropped doc has global preceding sum > budget
+    // and hence follows K in the source order — stage 2's cumulative at
+    // K is the TRUE global cumulative; (b) for a truly-over-budget doc
+    // D that survives stage 1, any earlier stage-1 drop implies that
+    // salt's surviving prefix before its first drop already sums
+    // > budget and wholly precedes D, so stage 2's cumulative at D
+    // exceeds the budget and the cum ≤ budget filter removes D.
+    // (Keeping only lcum ≤ budget — the pre-round-16 form — was NOT
+    // exact: a salt-local drop removed the crossing doc's tokens from
+    // stage 2's sum, understating later survivors' cumulative.) Each
+    // salt shard carries at most budget+1 candidate docs (tokens ≥ 1),
+    // so the final per-source window is budget-bounded — a 100 TB hot
+    // domain never sorts its full row set in one task.
     "domain_cap_tokens" -> ((s, dir) => {
       val budget = 500L
       val toks = Tables(s, dir).documents.select(
@@ -117,7 +125,7 @@ object Sampling {
           Window.partitionBy(col("source"), col("salt"))
             .orderBy(col("hk"), col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("lcum") <= budget)
+        .filter(col("lcum") - col("n_tokens") <= budget)
       local
         .withColumn("cum", sum(col("n_tokens")).over(
           Window.partitionBy(col("source"))
@@ -281,18 +289,25 @@ object Sampling {
     // the resampling step: keep the top importance-weight quartile.
     // Deterministic engine twin of the paper's Gumbel-top-k draw: rank
     // on the ROUNDED score (ties to doc_id — the tfidf_topk tiebreak
-    // discipline) and keep ntile-quartile 1, an integer equal-depth
-    // cut with no float threshold on the comparison path (the
-    // perplexity_buckets precedent). The exact formulation is one
-    // global single-task sort — correct for the oracle and fine to
-    // tens of millions of docs; the 100 TB formulation ships as
+    // discipline) and keep the top ceil(n/4) rows — written as the
+    // explicit row_number ≤ ⌈n/4⌉ cut rather than ntile-quartile 1
+    // (identical membership for bucket 1 at every n, but no engine's
+    // ntile remainder placement on the compare path — the rfm_segments
+    // round-16 adjudication; at sf0.01's 500 docs ntile happened to
+    // divide evenly, which is luck, not safety). The exact formulation
+    // is one global single-task sort — correct for the oracle and fine
+    // to tens of millions of docs; the 100 TB formulation ships as
     // `dsir_select_approx` below.
     "dsir_select" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id"))
+      val nAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       dsirScore(Tables(s, dir).documents)
-        .withColumn("q", ntile(4).over(w))
-        .filter(col("q") === 1)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_all", count(lit(1)).over(nAll))
+        .filter(expr("(rn - 1) * 4 DIV n_all = 0"))
         .select("doc_id", "n_feats", "score")
         .orderBy("doc_id")
     }),
@@ -549,9 +564,11 @@ object Sampling {
       s"""WITH $dsirCte,
         |sel AS (
         |  SELECT doc_id, n_feats, score,
-        |    ntile(4) OVER (ORDER BY score DESC, doc_id) AS q
+        |    (row_number() OVER (ORDER BY score DESC, doc_id) - 1) * 4 AS rn4,
+        |    count(*) OVER () AS n_all
         |  FROM sc)
-        |SELECT doc_id, n_feats, score FROM sel WHERE q = 1 ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, n_feats, score FROM sel
+        |WHERE rn4 // n_all = 0 ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mk,

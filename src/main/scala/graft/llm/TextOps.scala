@@ -41,6 +41,41 @@ object TextOps {
     (nWords, stopRatio, punctRatio, q)
   }
 
+  /** The [[qualitySignals]] composite as an EXACT integer rational —
+    * (numerator, denominator) BIGINT columns with
+    * q·10⁶ = num/den, den = n_words·length(text) (nullif-guarded like
+    * the float form, so empty text is NULL in both engines):
+    *
+    *   num = den·(5000·min(100, w) + 200000) + 300000·stop·len
+    *         − 200000·sym·w
+    *
+    * Round-16 adjudication: `round(q·1e6)` over the IEEE composite
+    * left the driver-side DuckDB free to differ in the last ulp at
+    * exact .5 micro-unit boundaries (5 sf0.01 docs sit within 1e-9 of
+    * one), and the flipped integer was also the selection sort key.
+    * Every term here is a ratio of integer counts, so clearing
+    * denominators removes floats from the compare path entirely;
+    * callers round with the exact half-up identity
+    * (2·num + den) div (2·den), mirrored verbatim in the oracle SQL.
+    * Overflow headroom: num ≤ ~10⁶·w·len, so BIGINT holds to
+    * w·len < ~9·10¹² — docs to ~10 MB text; curation caps (Gopher
+    * wc ≤ 100k words) keep real corpora orders of magnitude inside.
+    */
+  private[llm] def qualityE6Rational(text: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    val words = split(text, " ")
+    val w = size(words).cast("long")
+    val stop = stopScore(words, stopEn).cast("long")
+    val sym = length(regexp_replace(text, "[a-z ]", "")).cast("long")
+    val len = nullif(length(text), lit(0)).cast("long")
+    val den = w * len
+    val num = den * (lit(5000L) * least(lit(100L), w) + lit(200000L)) +
+      lit(300000L) * stop * len - lit(200000L) * sym * w
+    (w, num, den)
+  }
+
+
   /** The Gopher rule gate (Rae et al. 2021, Appendix A) as named column
     * expressions over `col("text")` — ONE definition shared by the
     * `gopher_rules` audit id and the `corpus_export` capstone (the
@@ -842,28 +877,30 @@ object TextOps {
     // curation ends with (quality per token is uniform here; a
     // value-density variant divides quality by n_tokens in the sort
     // key). Order = (quality_e6 desc, doc_id) where quality_e6 is the
-    // composite scaled to integer micro-units (round(q*1e6) BIGINT) —
-    // the house float-in-output discipline: a raw DOUBLE column is
-    // hash-unstable under the driver's canonicalizer even when values
-    // compare equal (round-14 adjudication), so both the sort key and
-    // the emitted column are the integer form, mirrored in the oracle.
-    // The running total is an exact integer sum. Keep while cum ≤
-    // budget (the boundary doc that would overflow is dropped). Like
-    // dsir_select, the exact form is one global window — correct to
-    // tens of millions of docs; the 100 TB twin thresholds on an approx
-    // quality quantile chosen from the tokens-per-quality histogram
-    // (the dsir_select_approx shape).
+    // composite scaled to integer micro-units computed in EXACT BIGINT
+    // rational arithmetic ([[qualityE6Rational]]; round 16 — the
+    // round-14 `round(q*1e6)` form moved the float boundary instead of
+    // removing it, and the driver's DuckDB flipped 5 sf0.01 docs
+    // sitting within 1e-9 of a .5 micro-unit): no IEEE value exists on
+    // the sort key, the emitted column, or the oracle. The running
+    // total is an exact integer sum. Keep while cum ≤ budget (the
+    // boundary doc that would overflow is dropped). Like dsir_select,
+    // the exact form is one global window — correct to tens of
+    // millions of docs; the 100 TB twin (`select_budget_approx`)
+    // thresholds on an approx quality quantile.
     "select_budget" -> ((s, dir) => {
-      val (nWords, _, _, quality) = qualitySignals(col("text"))
+      val (nWords, num, den) = qualityE6Rational(col("text"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("quality_e6").desc, col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       Tables(s, dir).documents
-        .select(col("doc_id"), nWords.cast("long").as("n_tokens"),
-          round(quality * 1e6).cast("long").as("quality_e6"))
+        .select(col("doc_id"), nWords.as("n_tokens"),
+          num.as("qnum"), den.as("qden"))
+        .withColumn("quality_e6", expr("(qnum * 2 + qden) DIV (qden * 2)"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 10000)
+        .select("doc_id", "n_tokens", "quality_e6", "cum_tokens")
         .orderBy("doc_id")
     }),
 
@@ -873,21 +910,26 @@ object TextOps {
     // long mediocre doc that happens to score well absolutely crowds
     // out several short high-density docs; density order buys more
     // quality per budget token. Sort key and output are integer
-    // nano-units (`round(q/n_tokens * 1e9)` BIGINT, the dump-form
-    // discipline; 1e9 because densities of long docs are ~q/1000). Same
+    // nano-units computed in the same EXACT BIGINT rational arithmetic
+    // as `select_budget` (round 16): density·1e9 = 1000·num/(den·w), so
+    // round half-up = (2000·num + den·w) div (2·den·w) — no IEEE value
+    // anywhere (1e9 because densities of long docs are ~q/1000). Same
     // single-global-window exact form and approx-quantile 100 TB twin
     // as `select_budget`.
     "select_budget_density" -> ((s, dir) => {
-      val (nWords, _, _, quality) = qualitySignals(col("text"))
+      val (nWords, num, den) = qualityE6Rational(col("text"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("density_e9").desc, col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       Tables(s, dir).documents
-        .select(col("doc_id"), nWords.cast("long").as("n_tokens"),
-          round(quality / nWords * 1e9).cast("long").as("density_e9"))
+        .select(col("doc_id"), nWords.as("n_tokens"),
+          num.as("qnum"), den.as("qden"))
+        .withColumn("density_e9",
+          expr("(qnum * 2000 + qden * n_tokens) DIV (qden * n_tokens * 2)"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 10000)
+        .select("doc_id", "n_tokens", "density_e9", "cum_tokens")
         .orderBy("doc_id")
     }),
 
@@ -1021,19 +1063,21 @@ object TextOps {
     // verdict), the table a data team reads before choosing which
     // filter gates the corpus: off-diagonal mass = documents the two
     // signals DISAGREE on, exactly where a threshold tweak moves
-    // tokens. Banding is integer-exact (round(q·10⁶) DIV 10⁵ — the
-    // select_budget micro-unit adjudication, never a float floor), so
-    // the whole report is deterministic cross-engine. ONE join-free
+    // tokens. Banding is integer-exact end-to-end (round 16: the
+    // micro-unit comes from [[qualityE6Rational]]'s BIGINT arithmetic,
+    // not round(float·10⁶) — the same latent boundary that flipped
+    // select_budget lives in this shared composite), so the whole
+    // report is deterministic cross-engine. ONE join-free
     // narrow scan computes both signals side by side (both are
     // per-row expressions over one split()), then a ≤22-row count
     // aggregate — the cheapest audit shape at 100 TB.
     "quality_calibration" -> ((s, dir) => {
       val g = GopherGate
-      val (_, _, _, quality) = qualitySignals(col("text"))
+      val (_, num, den) = qualityE6Rational(col("text"))
       Tables(s, dir).documents
-        .select(round(quality * 1000000).cast("long").as("qmic"),
-          g.keep.as("gopher_keep"))
-        .select(expr("qmic DIV 100000").as("q_band"), col("gopher_keep"))
+        .select(num.as("qnum"), den.as("qden"), g.keep.as("gopher_keep"))
+        .select(expr("((qnum * 2 + qden) DIV (qden * 2)) DIV 100000").as("q_band"),
+          col("gopher_keep"))
         .groupBy("q_band", "gopher_keep")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("q_band", "gopher_keep")
@@ -1494,16 +1538,26 @@ object TextOps {
         |  CAST(39 * w1 * w1 + 1180 * n_syll * s1 - 1559 * s1 * w1 AS DOUBLE)
         |    / (100 * s1 * w1) AS fk_grade
         |FROM f ORDER BY doc_id""".stripMargin,
+    // exact BIGINT rational quality (round 16): q·1e6 = num/den with
+    // den = w·len, num = den·(5000·min(100,w)+200000) + 300000·stop·len
+    // − 200000·sym·w; half-up rounding = (2·num+den) // (2·den) — the
+    // Spark side computes the identical integers, so no IEEE value
+    // exists on either compare path
     "select_budget" ->
-      """WITH scored AS (
+      """WITH c AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |    CAST(round((least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
-        |      + (CAST(len(list_filter(string_split(text,' '),
-        |           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
-        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
-        |      ) * 1e6) AS BIGINT) AS quality_e6
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+        |    CAST(nullif(length(text), 0) AS BIGINT) AS len
         |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w AS n_tokens,
+        |    CAST((2 * ((w*len) * (5000*least(100, w) + 200000)
+        |          + 300000*stop*len - 200000*sym*w) + w*len)
+        |      // (2 * w*len) AS BIGINT) AS quality_e6
+        |  FROM c),
         |cum AS (
         |  SELECT doc_id, n_tokens, quality_e6,
         |    sum(n_tokens) OVER (ORDER BY quality_e6 DESC, doc_id
@@ -1511,16 +1565,23 @@ object TextOps {
         |  FROM scored)
         |SELECT doc_id, n_tokens, quality_e6, cum_tokens
         |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+    // density·1e9 = 1000·num/(den·w); half-up = (2000·num + den·w) //
+    // (2·den·w) — same exact-integer discipline as select_budget
     "select_budget_density" ->
-      """WITH scored AS (
+      """WITH c AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |    CAST(round((least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
-        |      + (CAST(len(list_filter(string_split(text,' '),
-        |           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
-        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
-        |      ) / len(string_split(text,' ')) * 1e9) AS BIGINT) AS density_e9
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+        |    CAST(nullif(length(text), 0) AS BIGINT) AS len
         |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w AS n_tokens,
+        |    CAST((2000 * ((w*len) * (5000*least(100, w) + 200000)
+        |          + 300000*stop*len - 200000*sym*w) + (w*len)*w)
+        |      // (2 * (w*len) * w) AS BIGINT) AS density_e9
+        |  FROM c),
         |cum AS (
         |  SELECT doc_id, n_tokens, density_e9,
         |    sum(n_tokens) OVER (ORDER BY density_e9 DESC, doc_id
@@ -1640,17 +1701,24 @@ object TextOps {
         |  UNION ALL SELECT 3, 'gopher', d3, t3,
         |    CAST(d3 AS DOUBLE)/d0, CAST(t3 AS DOUBLE)/t0 FROM agg)
         |ORDER BY stage""".stripMargin,
-    // text_quality's composite and gopher_rules' keep conjunction
-    // recomputed side by side; band = round(q·10⁶) // 10⁵ exactly as
-    // the engine computes it
+    // text_quality's composite (as the round-16 exact BIGINT rational)
+    // and gopher_rules' keep conjunction recomputed side by side;
+    // band = exact-integer micro-units // 10⁵ exactly as the engine
+    // computes it
     "quality_calibration" ->
-      """WITH q AS (
+      """WITH cnt AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+        |    CAST(nullif(length(text), 0) AS BIGINT) AS len
+        |  FROM documents),
+        |q AS (
         |  SELECT doc_id,
-        |    least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
-        |      + (CAST(len(list_filter(string_split(text,' '),
-        |           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(text,' '))) * 0.3
-        |      + (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)) * 0.2
-        |      AS quality,
+        |    CAST((2 * ((w*len) * (5000*least(100, w) + 200000)
+        |          + 300000*stop*len - 200000*sym*w) + w*len)
+        |      // (2 * w*len) AS BIGINT) AS quality_e6,
         |    (len(string_split(text,' ')) >= 50 AND len(string_split(text,' ')) <= 100000
         |     AND CAST(length(replace(text,' ','')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) >= 3.0
         |     AND CAST(length(replace(text,' ','')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) <= 10.0
@@ -1659,8 +1727,8 @@ object TextOps {
         |         / nullif(len(string_split(text,' ')), 0) >= 0.8
         |     AND len(list_filter(string_split(text,' '),
         |         w -> w IN ('the','be','to','of','and','that','have','with'))) >= 2) AS gopher_keep
-        |  FROM documents)
-        |SELECT CAST(round(quality * 1000000) AS BIGINT) // 100000 AS q_band,
+        |  FROM cnt)
+        |SELECT quality_e6 // 100000 AS q_band,
         |  gopher_keep, count(*) AS n_docs
         |FROM q GROUP BY 1, 2 ORDER BY q_band, gopher_keep""".stripMargin,
     "gopher_rules" ->

@@ -794,12 +794,18 @@ object Queries {
 
     // RFM segmentation (the classic customer-analytics cut): per user,
     // recency (last activity), frequency (events) and monetary (exact
-    // cents) quartiled into 4×4×4 segments — ntile over deterministic
-    // (metric, user_id) orders, so the integer cut is engine-agnostic
-    // (the perplexity_buckets discipline); one events aggregate + three
-    // windows over the |users|-row metric table. Recency is emitted as
-    // epoch millis BIGINT (the win_range precedent) — a raw TIMESTAMP
-    // column is hash-unstable across the driver's canonicalizer.
+    // cents) quartiled into 4×4×4 segments. The quartile is an EXPLICIT
+    // integer formula, q = (rn−1)·4 div n + 1 over row_number on
+    // deterministic (metric, user_id) orders — round 16 adjudication:
+    // SQL ntile's remainder distribution (here |users| = 150 → 150%4=2
+    // leftover rows) proved engine-version-sensitive in the driver's
+    // DuckDB while every evenly-divisible ntile id stayed green, so the
+    // bucket arithmetic is spelled out in BIGINT on both sides and no
+    // engine's ntile implementation is on the compare path. One events
+    // aggregate + three windows over the |users|-row metric table.
+    // Recency is emitted as epoch millis BIGINT (the win_range
+    // precedent) — a raw TIMESTAMP column is hash-unstable across the
+    // driver's canonicalizer.
     "rfm_segments" -> ((s, dir) => {
       val m = Tables(s, dir).events
         .groupBy("user_id")
@@ -809,9 +815,15 @@ object Queries {
       val rW = Window.orderBy(col("last_ms").desc, col("user_id"))
       val fW = Window.orderBy(col("freq").desc, col("user_id"))
       val mW = Window.orderBy(col("cents").desc, col("user_id"))
-      m.withColumn("r", ntile(4).over(rW).cast("long"))
-        .withColumn("f", ntile(4).over(fW).cast("long"))
-        .withColumn("m", ntile(4).over(mW).cast("long"))
+      val nUsers = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      m.withColumn("n_users", count(lit(1)).over(nUsers))
+        .withColumn("r_rn", row_number().over(rW))
+        .withColumn("f_rn", row_number().over(fW))
+        .withColumn("m_rn", row_number().over(mW))
+        .withColumn("r", expr("(CAST(r_rn - 1 AS BIGINT) * 4) DIV n_users + 1"))
+        .withColumn("f", expr("(CAST(f_rn - 1 AS BIGINT) * 4) DIV n_users + 1"))
+        .withColumn("m", expr("(CAST(m_rn - 1 AS BIGINT) * 4) DIV n_users + 1"))
         .withColumn("segment",
           concat(col("r"), lit("-"), col("f"), lit("-"), col("m")))
         .select("user_id", "last_ms", "freq", "cents", "r", "f", "m", "segment")
@@ -2024,9 +2036,12 @@ object Queries {
         |  FROM events GROUP BY user_id),
         |q AS (
         |  SELECT user_id, last_ms, freq, cents,
-        |    CAST(ntile(4) OVER (ORDER BY last_ms DESC, user_id) AS BIGINT) AS r,
-        |    CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
-        |    CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS m
+        |    CAST((row_number() OVER (ORDER BY last_ms DESC, user_id) - 1) * 4
+        |      // count(*) OVER () + 1 AS BIGINT) AS r,
+        |    CAST((row_number() OVER (ORDER BY freq DESC, user_id) - 1) * 4
+        |      // count(*) OVER () + 1 AS BIGINT) AS f,
+        |    CAST((row_number() OVER (ORDER BY cents DESC, user_id) - 1) * 4
+        |      // count(*) OVER () + 1 AS BIGINT) AS m
         |  FROM m)
         |SELECT user_id, last_ms, freq, cents, r, f, m,
         |  CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' ||

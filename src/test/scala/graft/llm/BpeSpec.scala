@@ -359,7 +359,7 @@ class BpeSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val dir = sf("sf0.001")
     val got = Bpe.queries("bpe_fertility")(s, dir)
-      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
       .map(t => t._1 -> t).toMap
     // independent recomposition: bpe_encode's n_tokens joined with the
     // raw corpus's word/byte counts, folded per language in plain Scala
@@ -377,11 +377,12 @@ class BpeSpec extends SparkSpec {
         ds.map(_._3.getBytes("UTF-8").length.toLong).sum)
       val row = got(lang)
       assert((row._2, row._3, row._4, row._5) == ((n, t, w, b)), s"$lang totals")
-      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(row._6 == r6(t.toDouble / w), s"$lang fertility")
-      assert(row._7 == r6(b.toDouble / t), s"$lang bytes/token")
+      // integer micro-units via exact rational rounding (round 16:
+      // round(a/b*1e6) = (2a*1e6 + b) div (2b), no IEEE on the path)
+      assert(row._6 == (2L * t * 1000000L + w) / (2L * w), s"$lang fertility")
+      assert(row._7 == (2L * b * 1000000L + t) / (2L * t), s"$lang bytes/token")
       // word-based BPE never merges across word boundaries
-      assert(row._6 >= 1.0, s"$lang fertility below 1")
+      assert(row._6 >= 1000000L, s"$lang fertility below 1")
     }
   }
 

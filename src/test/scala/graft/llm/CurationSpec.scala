@@ -84,11 +84,14 @@ class CurationSpec extends SparkSpec {
     val spent = sel.map(_._2).sum
     assert(spent <= 10000L, s"budget exceeded: $spent")
     // the selection is a PREFIX of the (density_e9 desc, doc_id) order,
-    // derived independently from text_quality
-    val all = TextOps.queries("text_quality")(s, dir)
-      .select("doc_id", "n_words", "quality")
-      .as[(Long, Long, Double)].collect()
-      .sortBy { case (id, n, q) => (-math.round(q / n * 1e9), id) }
+    // derived independently via the exact-integer reimplementation
+    // (round 16: the sort key is BIGINT rational arithmetic end-to-end)
+    val all = graft.Tables(s, dir).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, t.split(" ", -1).length.toLong, ExactQualityKit.densityE9(t).get)
+      }
+      .sortBy { case (id, _, d) => (-d, id) }
     val prefix = all.take(sel.length)
     assert(prefix.map(_._1).toSet == sel.map(_._1).toSet,
       "selected docs must be exactly the density-greedy prefix")
@@ -1251,12 +1254,15 @@ class CurationSpec extends SparkSpec {
     val spent = sel.map(_._2).sum
     assert(spent <= 10000L, s"budget exceeded: $spent")
     // the selection is a PREFIX of the (quality_e6 desc, doc_id) order:
-    // derive the full order independently from text_quality (mirroring
-    // the query's micro-unit integer sort key)
-    val all = TextOps.queries("text_quality")(s, dir)
-      .select("doc_id", "n_words", "quality")
-      .as[(Long, Long, Double)].collect()
-      .sortBy { case (id, _, q) => (-math.round(q * 1e6), id) }
+    // derive the full order independently via the in-JVM exact-integer
+    // reimplementation (round 16 — the query's sort key is BIGINT
+    // rational arithmetic, so the cross-check must be too)
+    val all = graft.Tables(s, dir).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, t.split(" ", -1).length.toLong, ExactQualityKit.qualityE6(t).get)
+      }
+      .sortBy { case (id, _, q) => (-q, id) }
     val prefix = all.take(sel.length)
     assert(prefix.map(_._1).toSet == sel.map(_._1).toSet,
       "selected docs must be exactly the greedy prefix")

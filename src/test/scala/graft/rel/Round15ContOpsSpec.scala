@@ -136,9 +136,12 @@ class Round15ContOpsSpec extends SparkSpec {
     val s = spark
     val got = SparkEntry.queries("quality_calibration")(s, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2)).toMap
-    val band = SparkEntry.queries("text_quality")(s, sf("sf0.001"))
+    // bands via the exact-integer micro-unit reimplementation (round
+    // 16: the engine's band key is BIGINT rational, never round(float))
+    val band = Tables(s, sf("sf0.001")).documents
+      .select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
-        math.round(r.getDouble(4) * 1e6) / 100000L).toMap
+        graft.llm.ExactQualityKit.qualityE6(r.getString(1)).get / 100000L).toMap
     val keep = SparkEntry.queries("gopher_rules")(s, sf("sf0.001"))
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
     val naive = band.keys.groupBy(d => (band(d), keep(d)))
@@ -198,6 +201,36 @@ class Round15ContOpsSpec extends SparkSpec {
     // the budget must actually bite (kept strictly fewer docs than raw)
     val totalBySrc = toks.groupBy(_._1).view.mapValues(_.size).toMap
     assert(got.groupBy(_._1).exists { case (src, rows) => rows.size < totalBySrc(src) })
+  }
+
+  test("domain_cap_tokens keeps stage-1 crossing docs: salt-local drop before a later-hk doc stays exact") {
+    val s = spark
+    import s.implicits._
+    // Construct the round-16 advisory counterexample ON PURPOSE: three
+    // docs A <hk B <hk C in ONE source with salt(A)==salt(B)!=salt(C)
+    // and tokens 400/200/90 under budget 500. The one-window truth
+    // keeps only A (B crosses at 600, C's true cum is 690). The
+    // pre-fix engine dropped B at stage 1 (lcum 600 > 500) and then
+    // under-counted C's stage-2 cumulative as 490 — wrongly keeping C.
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def salt(id: Long): Long = java.lang.Long.parseLong(md5hex(id).take(4), 16) % 16
+    val byHk = (1L to 400L).sortBy(md5hex)
+    val ida = byHk.head
+    val idb = byHk.tail.find(id => salt(id) == salt(ida))
+      .getOrElse(fail("no same-salt partner found"))
+    val idc = byHk.dropWhile(_ != idb).tail.find(id => salt(id) != salt(ida))
+      .getOrElse(fail("no other-salt successor found"))
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = graft.Engine.scratchDir("dctok")
+    Seq((ida, words(400)), (idb, words(200)), (idc, words(90)))
+      .toDF("doc_id", "text").withColumn("source", lit("s0"))
+      .write.parquet(s"$dir/documents.parquet")
+    val kept = SparkEntry.queries("domain_cap_tokens")(s, dir.toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(ida),
+      s"must keep exactly the one-window prefix {A=$ida}, got $kept (B=$idb C=$idc)")
   }
 
   test("portable HLL registers merge by max (sketch union = distributed combine)") {

@@ -146,4 +146,26 @@ class TimeSeriesSpec extends SparkSpec {
       assert(vals == Seq(1L, 2L, 3L, 4L), s"metric $i quartiles: $rfm")
     }
   }
+
+  test("rfm quartile formula pins its remainder distribution (n=6 -> bucket sizes 2,1,2,1)") {
+    // Round 16: ntile's remainder placement proved engine-version-
+    // sensitive, so the quartile is the explicit (rn-1)*4 div n + 1
+    // formula. This pins the formula's own remainder behavior at a
+    // non-divisible n so a regression back to any engine's ntile
+    // (sizes 2,2,1,1) fails loudly.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rfm6").toString
+    (10 to 15).map(u =>
+      (u.toLong, s"2024-01-01 00:0${u - 10}:00", u.toLong, "m", u.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$dir/events.parquet")
+    val rfm = Queries.queries("rfm_segments")(s, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("r")).toMap
+    // recency order (last_ms desc, user_id): 15,14,13,12,11,10 ->
+    // quartiles via (rn-1)*4 div 6 + 1 = 1,1,2,3,3,4
+    assert(rfm == Map(15L -> 1L, 14L -> 1L, 13L -> 2L, 12L -> 3L,
+      11L -> 3L, 10L -> 4L), rfm)
+  }
 }
