@@ -1713,30 +1713,26 @@ object VectorOps {
     "vec_pq" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       val books = pqModel(emb, m = 8, ks = 16, datasetKey = dir)
-      val coded = withPqCodes(emb, "embedding", books, keepUnit = true)
-      // recon · u per subspace: the SELECTED centroid is an element_at
-      // into the literal codebook (model-sized constants in-plan, the
-      // ivfCell idiom); ‖recon‖² likewise from the literal ‖c‖² table.
-      // `codes`/`__subs` are attributes here (staged projections), so
-      // the argmin is evaluated once per row, not once per reference.
-      val reconDot = books.zipWithIndex.map { case (cb, j) =>
-        val cSel = element_at(typedLit(cb.map(_.toSeq).toSeq),
-          element_at(col("codes"), j + 1) + 1)
-        aggregate(zip_with(element_at(col("__subs"), j + 1), cSel,
-            (x, p) => x * p),
-          lit(0.0), (acc, z) => acc + z)
-      }.reduce(_ + _)
-      val reconSq = books.zipWithIndex.map { case (cb, j) =>
-        element_at(typedLit(cb.map(c => c.map(x => x * x).sum).toSeq),
-          element_at(col("codes"), j + 1) + 1)
-      }.reduce(_ + _)
+      // ONE native eval per row (round 16): encode + recon fidelity in
+      // [[graft.functions.PqEncodeRecon]] — bit-identical arithmetic to
+      // the staged-HOF form it replaced (same ascending folds, same
+      // first-max argmin; the round-15 codebook-embedding oracle is
+      // unchanged), but in primitive doubles instead of ~300 interpreted
+      // CodegenFallback fold evals per row (sf0.1: 4.0 s → sub-second).
+      // The struct lands as an attribute in its own projection (non-
+      // cheap, referenced twice → CollapseProject keeps the stage), so
+      // the expression runs once per row.
+      graft.functions.PqEncodeRecon.ensureRegistered(s)
       // codes dumped as a comma-joined string, not a raw ARRAY<INT>: a
       // top-level array column crashes the driver's rows canonicalizer
       // (round-14 adjudication — pandas cannot lexsort ndarray cells);
       // the 8-symbol string IS the 8-byte code, losslessly.
-      coded
-        .select(col("vec_id"), array_join(col("codes"), ",").as("codes"),
-          round(reconDot / sqrt(reconSq), 6).as("recon_cos"))
+      emb
+        .withColumn("pr", graft.functions.PqEncodeRecon.pq_encode_recon(
+          col("embedding"), typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)))
+        .select(col("vec_id"),
+          array_join(col("pr.codes"), ",").as("codes"),
+          round(col("pr.recon"), 6).as("recon_cos"))
         .orderBy("vec_id")
     }),
     // ADC search over the memoized code table — candidates contribute m

@@ -1361,9 +1361,14 @@ object Queries {
     // supplier/nation/part ATTRIBUTES attach to the tiny
     // post-aggregation survivor set — filtering before the per-part min
     // is value-identical to the oracle's filter-after form because both
-    // prunes are per-part/per-supplier. Unit price is a double division
-    // both engines evaluate identically (IEEE); equality back against
-    // its own min is exact; round() only on OUTPUT.
+    // prunes are per-part/per-supplier. The unit price is exact integer
+    // MICRO-UNITS end-to-end (round 16: the float-boundary audit found
+    // an sf0.01 row whose raw unit_cost·10⁶ lands exactly on .5, where
+    // engines' round() implementations may legally disagree): cents =
+    // round(price·100) is integral-safe on 2-decimal data, qty is
+    // integral, so uc_e6 = round(cents·10⁴/qty) = (2c·10⁴ + q) div 2q
+    // exactly — the min, the min-equality join back, and the output all
+    // compare BIGINTs; no IEEE value exists anywhere in the id.
     "q2_mincost" -> ((s, dir) => {
       val t = Tables(s, dir)
       val parts = t.part.filter(col("p_size") <= 15 && col("p_type") === "LARGE")
@@ -1376,8 +1381,10 @@ object Queries {
           col("l_partkey") === col("p_partkey"))
         .join(euroSupp.select("s_suppkey"),
           col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("qty", col("l_quantity").cast("long"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .agg(min(expr("(2 * cents * 10000 + qty) DIV (2 * qty)")).as("unit_cost"))
       val minCost = supply.groupBy(col("l_partkey"))
         .agg(min(col("unit_cost")).as("min_cost"))
       supply.join(minCost, Seq("l_partkey"))
@@ -1387,7 +1394,7 @@ object Queries {
         .join(parts.select("p_partkey", "p_name"),
           col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
-          col("p_name"), round(col("unit_cost"), 6).as("unit_cost"))
+          col("p_name"), col("unit_cost").as("unit_cost_e6"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
         .limit(100)
     }),
@@ -2351,7 +2358,9 @@ object Queries {
     "q2_mincost" ->
       """WITH supply AS (
         |  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
-        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |    min((2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+        |         + CAST(l_quantity AS BIGINT))
+        |      // (2 * CAST(l_quantity AS BIGINT))) AS unit_cost
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
@@ -2359,7 +2368,7 @@ object Queries {
         |  WHERE r_name = 'EUROPE'
         |  GROUP BY 1, 2, 3, 4, 5)
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-        |  round(unit_cost, 6) AS unit_cost
+        |  CAST(unit_cost AS BIGINT) AS unit_cost_e6
         |FROM supply
         |JOIN (SELECT l_partkey, min(unit_cost) AS min_cost
         |      FROM supply GROUP BY 1) USING (l_partkey)

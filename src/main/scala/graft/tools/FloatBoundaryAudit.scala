@@ -1,0 +1,85 @@
+package graft.tools
+
+import graft.{Engine, SparkEntry}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Abs, Alias, Cast, Expression, Floor, Literal, Multiply, Round, Subtract}
+import org.apache.spark.sql.functions.{col, min}
+import org.apache.spark.sql.types.DoubleType
+
+/** Dev-only audit (round 16, VERDICT item 2): for every board query
+  * that EMITS a `round(x, k)` double, measure how close any row's
+  * pre-round value x·10^k comes to a .5 rounding boundary, at each
+  * fixture given on argv (default: the three testdata SFs).
+  *
+  * Why: Spark rounds via BigDecimal-HALF_UP on the shortest decimal
+  * repr while DuckDB builds vary between std::round and scaled-floor
+  * forms — bit-identical inputs can round differently within ~1 ulp of
+  * a boundary, and four driver-red ids (select_budget pair,
+  * bpe_fertility, rfm_segments) were exactly that class. Any (query,
+  * column) whose min boundary distance is < 1e-6 is flagged and must
+  * be converted to exact integer arithmetic (the qualityE6Rational /
+  * fertility_e6 discipline).
+  *
+  * Mechanics: the analyzed plan is transformed so every top-level
+  * `Alias(Round(x, k), name)` emits |frac(x·10^k) − 0.5| instead of
+  * the rounded value (same DOUBLE type, same exprId, so the rest of
+  * the plan is untouched), then min() per tracked column. Only
+  * type-preserving aliases are rewritten:
+  * - `round(...).cast(long)` sites are NOT audited here — rewriting
+  *   would change the attribute type under enclosing operators. The
+  *   board's only such sites are the `round(value*100)` cents family,
+  *   safe by construction (the events fixture's value·100 sits within
+  *   4e-12 of an integer, distance-to-.5 ≈ 0.5 for every engine).
+  * - Rounds feeding filters/sort keys upstream of the final project
+  *   keep their original semantics (they are not top-level aliases),
+  *   so the audited row set is the query's own.
+  */
+object FloatBoundaryAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
+    val spark = Engine.session("graft-float-audit")
+    val eps = 1e-6
+    var flagged = 0
+    var audited = 0
+    def dist(r: Round): Expression = {
+      val k = r.scale.eval(null).asInstanceOf[Int]
+      val scaled = Multiply(Cast(r.child, DoubleType),
+        Literal(math.pow(10.0, k.toDouble)))
+      Abs(Subtract(Subtract(scaled, Cast(Floor(scaled), DoubleType)),
+        Literal(0.5)))
+    }
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1); dir <- sfDirs) {
+      try {
+        val df = fn(spark, dir)
+        val tracked = scala.collection.mutable.LinkedHashSet[String]()
+        val marked = df.queryExecution.analyzed.transformAllExpressions {
+          case a @ Alias(r: Round, n) if r.dataType == DoubleType =>
+            tracked += n
+            a.copy(child = dist(r))(a.exprId, a.qualifier,
+              a.explicitMetadata, a.nonInheritableMetadataKeys)
+        }
+        if (tracked.nonEmpty) {
+          audited += 1
+          val mins = GraftBridge.ofRows(spark, marked)
+            .agg(min(col(tracked.head)).as(tracked.head),
+              tracked.tail.toSeq.map(c => min(col(c)).as(c)): _*)
+            .collect()(0)
+          tracked.zipWithIndex.foreach { case (c, i) =>
+            val d = Option(mins.get(i)).map(_.asInstanceOf[Double])
+            val bad = d.exists(_ < eps)
+            if (bad) flagged += 1
+            println(f"[float-audit] ${if (bad) "FLAG" else "ok  "} $name%-28s $dir%-28s $c%-20s minDist=${d.map(v => f"$v%.3e").getOrElse("null")}")
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[float-audit] SKIP $name $dir: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    println(s"[float-audit] audited $audited query×fixture runs; flagged $flagged columns (< $eps of a .5 boundary)")
+    spark.stop()
+    if (flagged > 0) sys.exit(1)
+  }
+}
