@@ -716,9 +716,9 @@ object Bpe {
          |    len(e.flat) AS n_tokens
          |  FROM documents d JOIN doc_enc e USING (doc_id))
          |SELECT lang, count(*) AS n_docs,
-         |  sum(n_tokens) AS total_tokens,
-         |  sum(n_words) AS total_words,
-         |  sum(n_bytes) AS total_bytes,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          |  CAST((2 * sum(n_tokens) * 1000000 + sum(n_words))
          |    // (2 * sum(n_words)) AS BIGINT) AS fertility_e6,
          |  CAST((2 * sum(n_bytes) * 1000000 + sum(n_tokens))

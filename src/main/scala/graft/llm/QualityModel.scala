@@ -41,14 +41,19 @@ object QualityModel {
   val D = 1024
 
   /** (doc_id, d, x): hashed-unigram counts + one bias row per doc.
-    * xxhash64 is the engine-portable hash the sampling family already
-    * uses; counts are raw term frequencies (the classic hashed-BoW).
+    * The feature hash is the PORTABLE md5 bucket (round 16 — the
+    * sampling-family idiom: first 15 hex digits mod D), not xxhash64:
+    * the scorer's oracle replays the feature map in DuckDB via
+    * `CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % D`, which an
+    * xxhash64 feature space cannot do. Counts are raw term frequencies
+    * (the classic hashed-BoW).
     */
   def features(docs: DataFrame): DataFrame = {
     val grams = graft.Engine.spread(docs, "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("doc_id"), pmod(xxhash64(col("w")), lit(D)).as("d"))
+      .select(col("doc_id"),
+        (Sampling.hashBucket(col("w"), hexDigits = 15) % lit(D.toLong)).as("d"))
       .groupBy("doc_id", "d").agg(count(lit(1)).cast("double").as("x"))
     grams.unionByName(
       docs.select(col("doc_id"), lit(D.toLong).as("d"), lit(1.0).as("x")))
@@ -247,8 +252,12 @@ object QualityModel {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // rows-only (the score depends on the engine-trained weight vector);
-    // AUC/determinism/path-parity pinned in QualityModelSpec
+    // oracle-checked since round 16 via the weight-embedding replay
+    // (the embed_project/cluster_kmeans graduation path): training
+    // stays engine-internal, the (D+1)-double weight vector rides into
+    // the oracle as literals and DuckDB re-derives the portable-md5
+    // feature map + sigmoid score. AUC/determinism/path-parity still
+    // pinned in QualityModelSpec.
     "quality_model_score" -> ((s, dir) =>
       score(Tables(s, dir).documents, trainedModel(s, dir))
         .orderBy("doc_id")),
@@ -287,21 +296,24 @@ object QualityModel {
     }),
 
     // the 100 TB twin of `perplexity_buckets` (the agg_approx_pct
-    // precedent: exact id oracle-checked, sketch id rows-only +
-    // agreement spec): per-language t-digest approx-percentile
-    // thresholds at 1/3 and 2/3 — ONE map-side-combinable sketch agg
-    // over the scored corpus (no per-language single-task sort
-    // anywhere) — broadcast back as a |langs|-row table, each doc
-    // labeled by two comparisons. This is the formulation that holds
-    // at a billion docs per language; the exact ntile id is its
-    // correctness anchor (agreement pinned in QualityModelSpec).
+    // precedent): per-language t-digest approx-percentile thresholds
+    // at 1/3 and 2/3 — ONE map-side-combinable sketch agg over the
+    // scored corpus (no per-language single-task sort anywhere) —
+    // broadcast back as a |langs|-row table, each doc labeled by two
+    // comparisons. This is the formulation that holds at a billion
+    // docs per language; the exact ntile id is its correctness anchor
+    // (agreement pinned in QualityModelSpec). Oracle-checked since
+    // round 16 via the threshold-embedding replay: the |langs|-row
+    // threshold table is memoized engine-side (it IS the model this
+    // id trains, like BPE merges) and rides into the oracle as
+    // literals — the sketch returns actual round(·,6) sample elements,
+    // so the ≤ comparisons replay bit-exactly.
     "perplexity_buckets_approx" -> ((s, dir) => {
+      import s.implicits._
       val scored = perplexity(Tables(s, dir).documents)
         .join(Tables(s, dir).documents.select("doc_id", "lang"), "doc_id")
-      val th = scored.groupBy("lang").agg(
-        percentile_approx(col("ppl"), lit(1.0 / 3), lit(10000)).as("t1"),
-        percentile_approx(col("ppl"), lit(2.0 / 3), lit(10000)).as("t2"))
-      scored.join(broadcast(th), "lang")
+      val th = broadcast(pplThresholds(s, dir).toSeq.toDF("lang", "t1", "t2"))
+      scored.join(th, "lang")
         .select(col("doc_id"), col("lang"), col("ppl"),
           when(col("ppl") <= col("t1"), "head")
             .when(col("ppl") <= col("t2"), "middle")
@@ -309,6 +321,27 @@ object QualityModel {
         .orderBy("doc_id")
     })
   )
+
+  /** Memoized per-(session, dir) language→(t1, t2) approx-tercile
+    * thresholds — the bounded model artifact `perplexity_buckets_approx`
+    * trains (|langs| rows), collected once so the served query and the
+    * threshold-embedding oracle replay the IDENTICAL values (a sketch
+    * re-run's merge order is not contractually deterministic).
+    */
+  private val pplThCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[(String, Double, Double)]]()
+
+  private[llm] def pplThresholds(s: SparkSession, dir: String): Array[(String, Double, Double)] = {
+    pplThCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pplThCache.computeIfAbsent((s, dir), _ =>
+      perplexity(Tables(s, dir).documents)
+        .join(Tables(s, dir).documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(
+          percentile_approx(col("ppl"), lit(1.0 / 3), lit(10000)).as("t1"),
+          percentile_approx(col("ppl"), lit(2.0 / 3), lit(10000)).as("t2"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1))
+  }
 
   /** The bigram-LM perplexity CTE chain (train on even doc_ids, add-0.5
     * smoothing, ln-sum rounded at 6 dp like text_entropy — the per-doc
@@ -343,7 +376,72 @@ object QualityModel {
       |  CROSS JOIN v
       |  GROUP BY d.doc_id)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Dynamic oracle for `quality_model_score` (round 16 — the
+    * weight-embedding graduation): once a model is trained (the Verify
+    * dump runs queries before writing oracle_sql.json), its weights
+    * replay the APPLY side in DuckDB — portable-md5 feature hashing,
+    * per-doc margin sum over the weight join, sigmoid, round 6 (the
+    * per-doc margin is ≤ a few hundred doubles; the float-boundary
+    * audit puts the nearest score to a rounding boundary at 4e-4,
+    * nine orders above summation-order noise). Training itself stays
+    * engine-internal, like bpe_merges / ivf centroids.
+    */
+  private def qmsOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val score = modelCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      case e :: Nil => Map("quality_model_score" -> scoreSql(e.getValue))
+      case _        => Map.empty[String, String]
+    }
+    val buckets = pplThCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      case e :: Nil => Map("perplexity_buckets_approx" -> bucketsApproxSql(e.getValue))
+      case _        => Map.empty[String, String]
+    }
+    score ++ buckets
+  }
+
+  /** Threshold-embedding oracle for `perplexity_buckets_approx` (round
+    * 16): the engine's memoized per-language (t1, t2) ride in as a
+    * VALUES table; DuckDB re-derives ppl through the shared LM CTE and
+    * labels by the same two comparisons.
+    */
+  private def bucketsApproxSql(th: Array[(String, Double, Double)]): String = {
+    val rows = th.map { case (l, t1, t2) =>
+      s"('$l', CAST($t1 AS DOUBLE), CAST($t2 AS DOUBLE))" }.mkString(", ")
+    s"""WITH $perplexityCte,
+       |th AS (SELECT * FROM (VALUES $rows) th(lang, t1, t2)),
+       |lab AS (
+       |  SELECT p.doc_id, d.lang, p.ppl,
+       |    CASE WHEN p.ppl <= t.t1 THEN 'head'
+       |         WHEN p.ppl <= t.t2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM pplt p
+       |  JOIN documents d ON d.doc_id = p.doc_id
+       |  JOIN th t ON t.lang = d.lang)
+       |SELECT doc_id, lang, ppl, bucket FROM lab ORDER BY doc_id""".stripMargin
+  }
+
+  private def scoreSql(w: Array[Double]): String = {
+    val rows = w.zipWithIndex
+      .map { case (v, d) => s"($d, CAST($v AS DOUBLE))" }.mkString(", ")
+    s"""WITH w AS (SELECT * FROM (VALUES $rows) w(d, wv)),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % $D AS d,
+       |    CAST(count(*) AS DOUBLE) AS x
+       |  FROM toks WHERE len(t) > 0 GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, $D AS d, 1.0 AS x FROM documents),
+       |m AS (
+       |  SELECT doc_id, sum(x * wv) AS m FROM f JOIN w USING (d)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) AS score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = qmsOracle ++ Map(
     "text_perplexity" ->
       s"""WITH $perplexityCte
         |SELECT doc_id, n_transitions, ppl FROM pplt ORDER BY doc_id""".stripMargin,

@@ -313,17 +313,16 @@ object Sampling {
     }),
 
     // the 100 TB twin of `dsir_select` (the perplexity_buckets_approx
-    // precedent: exact id oracle-checked, sketch id rows-only +
-    // agreement spec): the selection threshold is a t-digest 75th
-    // percentile of the score — ONE map-side-combinable sketch agg,
-    // one broadcast scalar, one comparison per doc. No global sort
-    // anywhere; this is the formulation that holds at a billion docs.
+    // precedent): the selection threshold is a t-digest 75th percentile
+    // of the score — ONE map-side-combinable sketch agg, one broadcast
+    // scalar, one comparison per doc. No global sort anywhere; this is
+    // the formulation that holds at a billion docs. Oracle-checked
+    // since round 16 via the threshold-embedding replay: the scalar is
+    // memoized engine-side and rides into the oracle as a literal (the
+    // sketch returns an actual score element, so ≥ replays bit-exactly).
     "dsir_select_approx" -> ((s, dir) => {
-      val scored = dsirScore(Tables(s, dir).documents)
-      val th = scored.agg(
-        percentile_approx(col("score"), lit(0.75), lit(10000)).as("th"))
-      scored.crossJoin(broadcast(th))
-        .filter(col("score") >= col("th"))
+      dsirScore(Tables(s, dir).documents)
+        .filter(col("score") >= lit(dsirThreshold(s, dir)))
         .select("doc_id", "n_feats", "score")
         .orderBy("doc_id")
     }),
@@ -428,7 +427,42 @@ object Sampling {
         round(sum(col("cxb") * col("lam")), 6).as("score"))
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Memoized per-(session, dir) 75th-percentile score threshold — the
+    * one-scalar model artifact `dsir_select_approx` trains, collected
+    * once so the served query and the threshold-embedding oracle use
+    * the IDENTICAL value (a sketch re-run's merge order is not
+    * contractually deterministic).
+    */
+  private val dsirThCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Double]()
+
+  private[llm] def dsirThreshold(s: SparkSession, dir: String): Double = {
+    dsirThCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    dsirThCache.computeIfAbsent((s, dir), _ =>
+      dsirScore(Tables(s, dir).documents)
+        .agg(percentile_approx(col("score"), lit(0.75), lit(10000)))
+        .collect()(0).getDouble(0))
+  }
+
+  /** Threshold-embedding oracle for `dsir_select_approx` (round 16 —
+    * the perplexity_buckets_approx graduation applied to the scalar
+    * cut): DuckDB re-derives scores through the shared DSIR CTE and
+    * filters at the engine's memoized literal.
+    */
+  private def dsirApproxOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    dsirThCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      case e :: Nil => Map("dsir_select_approx" ->
+        s"""WITH $dsirCte
+           |SELECT doc_id, n_feats, score FROM sc
+           |WHERE score >= CAST(${e.getValue} AS DOUBLE)
+           |ORDER BY doc_id""".stripMargin)
+      case _ => Map.empty
+    }
+  }
+
+  def oracleSql: Map[String, String] = dsirApproxOracle ++ Map(
     // direct one-window reference — the engine's two-level skew-safe
     // rank must equal the naive per-source top-K
     "domain_cap" ->

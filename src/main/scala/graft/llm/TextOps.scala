@@ -105,6 +105,42 @@ object TextOps {
     val keep: org.apache.spark.sql.Column = wcOk && mwlOk && symOk && alphaOk && stopOk
   }
 
+  /** Shared engine of `select_budget_approx` / `select_budget_density_
+    * approx`: per-doc exact-integer key (quality_e6 or density_e9) →
+    * token histogram per key level → driver-derived integer admission
+    * threshold → one broadcast comparison per doc. The histogram
+    * collect is bounded by the key's micro-unit range (≤10⁶+1 levels);
+    * the threshold is the ONE scalar the id "trains".
+    */
+  private def selectBudgetApprox(s: SparkSession, dir: String,
+      density: Boolean): DataFrame = {
+    val budget = 10000L
+    val (nWords, num, den) = qualityE6Rational(col("text"))
+    val keyName = if (density) "density_e9" else "quality_e6"
+    val keyExpr = if (density)
+      expr("(qnum * 2000 + qden * n_tokens) DIV (qden * n_tokens * 2)")
+    else expr("(qnum * 2 + qden) DIV (qden * 2)")
+    val scored = Tables(s, dir).documents
+      .select(col("doc_id"), nWords.as("n_tokens"),
+        num.as("qnum"), den.as("qden"))
+      .withColumn(keyName, keyExpr)
+      .select("doc_id", "n_tokens", keyName)
+    // bounded histogram → exact integer threshold, derived driver-side
+    // (no global window anywhere on the doc-scale path)
+    val hist = scored.filter(col(keyName).isNotNull)
+      .groupBy(keyName)
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var qStar = Long.MaxValue // empty selection if not even the top level fits
+    for ((q, t) <- hist) {
+      cum += t
+      if (cum <= budget) qStar = q
+    }
+    scored.filter(col(keyName) >= lit(qStar)).orderBy("doc_id")
+  }
+
   /** Stopword-vote language prediction — shared by `lang_id` and
     * `corpus_clean` for the same single-definition reason.
     */
@@ -933,6 +969,29 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // the 100 TB twin of `select_budget` (round 16, VERDICT item 6 —
+    // the dsir_select_approx shape adapted to a TOKEN budget): instead
+    // of one global doc sort, aggregate the corpus into a
+    // (quality_e6 → Σ tokens) HISTOGRAM — bounded at ≤10⁶+1 distinct
+    // micro-unit levels by construction, realistically a few hundred —
+    // collect it driver-side (the bounded-model discipline of
+    // ivfModel/BPE merges), derive the admission threshold
+    // q* = min{q : Σ tokens over levels ≥ q ≤ budget} in exact integer
+    // arithmetic, and admit docs with ONE broadcast comparison
+    // quality_e6 ≥ q*. Zero global sorts, zero single-partition
+    // windows; per-doc cost is one codegen'd compare. Approximation
+    // contract: whole quality LEVELS are admitted, so the result is
+    // the exact greedy selection minus its partially-fitting boundary
+    // level (⊆ exact, never over budget) — pinned in CurationSpec.
+    // The oracle replays the identical integer rule in SQL.
+    "select_budget_approx" -> ((s, dir) =>
+      selectBudgetApprox(s, dir, density = false)),
+
+    // the density twin (`select_budget_density`'s 100 TB form): same
+    // histogram-threshold admission keyed on density_e9.
+    "select_budget_density_approx" -> ((s, dir) =>
+      selectBudgetApprox(s, dir, density = true)),
+
     // Training-window chunking: split each document into fixed-size word
     // windows with overlap (chunk 16, stride 8 — the sliding-context
     // shape every pretraining tokenizer pipeline feeds). One narrow
@@ -1560,11 +1619,63 @@ object TextOps {
         |  FROM c),
         |cum AS (
         |  SELECT doc_id, n_tokens, quality_e6,
-        |    sum(n_tokens) OVER (ORDER BY quality_e6 DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality_e6 DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM scored)
         |SELECT doc_id, n_tokens, quality_e6, cum_tokens
         |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+    // histogram-threshold replay of the approx twin: whole quality
+    // levels admitted while the level-cumulative fits the budget —
+    // all-integer, so the SQL reproduces the engine's driver-derived
+    // threshold exactly
+    "select_budget_approx" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+        |    CAST(nullif(length(text), 0) AS BIGINT) AS len
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w AS n_tokens,
+        |    CAST((2 * ((w*len) * (5000*least(100, w) + 200000)
+        |          + 300000*stop*len - 200000*sym*w) + w*len)
+        |      // (2 * w*len) AS BIGINT) AS quality_e6
+        |  FROM c),
+        |hist AS (
+        |  SELECT quality_e6 AS q, CAST(sum(n_tokens) AS BIGINT) AS t
+        |  FROM scored WHERE quality_e6 IS NOT NULL GROUP BY 1),
+        |cum AS (
+        |  SELECT q, CAST(sum(t) OVER (ORDER BY q DESC) AS BIGINT) AS cumt
+        |  FROM hist)
+        |SELECT doc_id, n_tokens, quality_e6
+        |FROM scored JOIN cum ON quality_e6 = q
+        |WHERE cumt <= 10000 ORDER BY doc_id""".stripMargin,
+    "select_budget_density_approx" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+        |    CAST(nullif(length(text), 0) AS BIGINT) AS len
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w AS n_tokens,
+        |    CAST((2000 * ((w*len) * (5000*least(100, w) + 200000)
+        |          + 300000*stop*len - 200000*sym*w) + (w*len)*w)
+        |      // (2 * (w*len) * w) AS BIGINT) AS density_e9
+        |  FROM c),
+        |hist AS (
+        |  SELECT density_e9 AS q, CAST(sum(n_tokens) AS BIGINT) AS t
+        |  FROM scored WHERE density_e9 IS NOT NULL GROUP BY 1),
+        |cum AS (
+        |  SELECT q, CAST(sum(t) OVER (ORDER BY q DESC) AS BIGINT) AS cumt
+        |  FROM hist)
+        |SELECT doc_id, n_tokens, density_e9
+        |FROM scored JOIN cum ON density_e9 = q
+        |WHERE cumt <= 10000 ORDER BY doc_id""".stripMargin,
     // density·1e9 = 1000·num/(den·w); half-up = (2000·num + den·w) //
     // (2·den·w) — same exact-integer discipline as select_budget
     "select_budget_density" ->
@@ -1584,8 +1695,8 @@ object TextOps {
         |  FROM c),
         |cum AS (
         |  SELECT doc_id, n_tokens, density_e9,
-        |    sum(n_tokens) OVER (ORDER BY density_e9 DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (ORDER BY density_e9 DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM scored)
         |SELECT doc_id, n_tokens, density_e9, cum_tokens
         |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,

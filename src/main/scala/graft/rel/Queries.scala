@@ -807,9 +807,16 @@ object Queries {
     // precedent) — a raw TIMESTAMP column is hash-unstable across the
     // driver's canonicalizer.
     "rfm_segments" -> ((s, dir) => {
+      // every ingredient here is a primitive some OTHER driver-green id
+      // already emits verbatim: per-row ms (win_range's `ms` column),
+      // integer max/count/sum, and round(value*100) cents (ts_anomaly)
+      // — the aggregate-then-convert epoch_ms(max(ts)) form was the one
+      // untested composition left after the r15 red, so recency is now
+      // max over the per-row BIGINT instead
       val m = Tables(s, dir).events
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
         .groupBy("user_id")
-        .agg(unix_millis(max(col("ts")).cast("timestamp")).as("last_ms"),
+        .agg(max(col("ms")).as("last_ms"),
           count(lit(1)).as("freq"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
       val rW = Window.orderBy(col("last_ms").desc, col("user_id"))
@@ -2036,10 +2043,15 @@ object Queries {
         |  quantile_cont(value, 0.95) AS p95,
         |  quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // CAST the sum: DuckDB sum(BIGINT) returns HUGEINT, which lands as
+    // a pandas OBJECT column in the driver's hasher while the Spark
+    // dump is int64 — the round-16 adjudication: the only three
+    // HUGEINT-emitting oracles on the board were exactly the
+    // sum-emitting driver-red ids, with every value equal
     "rfm_segments" ->
       """WITH m AS (
-        |  SELECT user_id, epoch_ms(max(ts)) AS last_ms, count(*) AS freq,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS freq,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY user_id),
         |q AS (
         |  SELECT user_id, last_ms, freq, cents,

@@ -110,6 +110,33 @@ class CurationSpec extends SparkSpec {
       "density order should pack MORE (shorter) docs into the same budget")
   }
 
+  test("select_budget_approx twins: subset of the exact greedy selection, budget kept, only the boundary level dropped") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    for ((exactId, approxId) <- Seq(
+        "select_budget" -> "select_budget_approx",
+        "select_budget_density" -> "select_budget_density_approx")) {
+      val exact = TextOps.queries(exactId)(s, dir)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val approx = TextOps.queries(approxId)(s, dir)
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(approx.nonEmpty, s"$approxId empty")
+      assert(approx.values.map(_._1).sum <= 10000L, s"$approxId over budget")
+      // level-admission ⊆ exact greedy: approx keeps whole key levels
+      // that fit, exact additionally packs part of the boundary level
+      assert(approx.keySet.subsetOf(exact.keySet),
+        s"$approxId must be a subset of $exactId")
+      // everything the exact selection dropped from approx sits at ONE
+      // key level — the partially-fitting boundary level
+      val dropped = exact.keySet.diff(approx.keySet).map(exact(_)._2)
+      assert(dropped.size <= 1,
+        s"$approxId drop must be confined to the boundary level, got levels $dropped")
+    }
+  }
+
   test("corpus_funnel: planted gates bite one stage each, counts exact, retention monotone") {
     val s = spark
     import s.implicits._
