@@ -619,7 +619,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val base = 1704067200000L
     // deterministic zig-zag cents over 3 hours, 7-minute spacing; the
-    // arrival key mirrors ts_downsample's ms·2^20+id composite
+    // arrival key mirrors ts_downsample's ms·2^22+id composite
     val rows = (0 until 40).map { i =>
       val ms = base + i * 7L * 60000L
       (new java.sql.Timestamp(ms), ms * 4194304L + i, ((i * 37) % 100 - 50).toLong)
