@@ -457,10 +457,23 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!dsSchema.contains("source") && !dsSchema.contains("n_chars"), dsSchema)
 
     // dsir_select_approx: the scale path must have NO global window —
-    // the threshold is a sketch agg + broadcast scalar
+    // since round 16 the memoized sketch threshold rides in as a plan
+    // LITERAL (one codegen'd compare per doc, no join at all); the λ
+    // attach inside dsirScore stays broadcast
     val da = planOf("dsir_select_approx").split("== Physical Plan ==").last
     assert(!da.contains("Window"), da)
-    assert(da.contains("BroadcastNestedLoopJoin") || da.contains("BroadcastHashJoin"), da)
+    assert(!da.contains("SortMergeJoin") && !da.contains("CartesianProduct"), da)
+
+    // select_budget_approx pair (round 16): the 100 TB twins of the
+    // exact global-window ids — histogram threshold derived driver-side,
+    // admission is one literal compare: NO window, NO join of any kind
+    // anywhere in the doc path (the exact ids keep their documented
+    // single global window as the oracle-exact form)
+    for (id <- Seq("select_budget_approx", "select_budget_density_approx")) {
+      val p = planOf(id).split("== Physical Plan ==").last
+      assert(!p.contains("Window"), s"$id: $p")
+      assert(!p.contains("Join"), s"$id: $p")
+    }
 
     // corpus_shuffle: ONE row_number window (hash-partitioned by
     // shard — S parallel sorts, never a global one) + the S-row offset
