@@ -1120,7 +1120,8 @@ object Multimodal {
         |    greatest(1, h * 16 // greatest(w, h)) AS out_h,
         |    substring(repeat(hx, CAST((w * h + nb - 1) // nb AS INTEGER)), 1, 2 * w * h) AS pxh
         |  FROM m)
-        |SELECT doc_id, w AS src_w, h AS src_h, out_w, out_h,
+        |SELECT doc_id, w AS src_w, h AS src_h,
+        |  CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
         |  sha256(list_aggregate(list_transform(range(out_w * out_h),
         |    i -> substring(pxh,
         |      2 * CAST(((i // out_w) * h // out_h) * w + (i % out_w) * w // out_w AS INTEGER) + 1, 2)),

@@ -112,6 +112,9 @@ object TextOps {
     * collect is bounded by the key's micro-unit range (≤10⁶+1 levels);
     * the threshold is the ONE scalar the id "trains".
     */
+  private val budgetThCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Boolean), java.lang.Long]()
+
   private def selectBudgetApprox(s: SparkSession, dir: String,
       density: Boolean): DataFrame = {
     val budget = 10000L
@@ -120,24 +123,29 @@ object TextOps {
     val keyExpr = if (density)
       expr("(qnum * 2000 + qden * n_tokens) DIV (qden * n_tokens * 2)")
     else expr("(qnum * 2 + qden) DIV (qden * 2)")
-    val scored = Tables(s, dir).documents
+    def scored = Tables(s, dir).documents
       .select(col("doc_id"), nWords.as("n_tokens"),
         num.as("qnum"), den.as("qden"))
       .withColumn(keyName, keyExpr)
       .select("doc_id", "n_tokens", keyName)
     // bounded histogram → exact integer threshold, derived driver-side
-    // (no global window anywhere on the doc-scale path)
-    val hist = scored.filter(col(keyName).isNotNull)
-      .groupBy(keyName)
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1)
-    var cum = 0L
-    var qStar = Long.MaxValue // empty selection if not even the top level fits
-    for ((q, t) <- hist) {
-      cum += t
-      if (cum <= budget) qStar = q
-    }
+    // (no global window anywhere on the doc-scale path) and memoized
+    // per (session, dir, key) — the one scalar this id "trains"
+    budgetThCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val qStar: Long = budgetThCache.computeIfAbsent((s, dir, density), _ => {
+      val hist = scored.filter(col(keyName).isNotNull)
+        .groupBy(keyName)
+        .agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1)
+      var cum = 0L
+      var q = Long.MaxValue // empty selection if not even the top level fits
+      for ((lvl, t) <- hist) {
+        cum += t
+        if (cum <= budget) q = lvl
+      }
+      q
+    })
     scored.filter(col(keyName) >= lit(qStar)).orderBy("doc_id")
   }
 

@@ -33,6 +33,11 @@ import org.apache.spark.sql.types.DoubleType
   * - Rounds feeding filters/sort keys upstream of the final project
   *   keep their original semantics (they are not top-level aliases),
   *   so the audited row set is the query's own.
+  * - `retrieve_hybrid` / `retrieve_metrics` SKIP here (their plans
+  *   don't survive the ofRows re-analysis); audited manually round 16
+  *   via a SQL-level round()→distance rewrite of their oracles:
+  *   min distances 1.5e-2 (rrf) and 2.8e-1 (ndcg10) — far from any
+  *   boundary (rank-based algebra, as expected).
   */
 object FloatBoundaryAudit {
   def main(args: Array[String]): Unit = {
