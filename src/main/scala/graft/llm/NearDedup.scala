@@ -1159,6 +1159,31 @@ object NearDedup {
     // clustered doc with its canonical (minimum) doc id
     "dedup_cluster" -> ((s, dir) => clusters(s, dir).orderBy("doc_id")),
 
+    // contrastive POSITIVE-pair mining (round 16): the training-pair
+    // generator embedding models feed on — near-dup clusters are free
+    // (anchor, positive) supervision (E5/GTE-style contrastive
+    // pretraining mines exactly these), the complement of
+    // `mine_negatives`' different-label hard negatives. anchor = the
+    // cluster canonical, positive = each other member, capped at 4
+    // pairs per cluster (row_number over doc_id — deterministic, and
+    // the cap keeps one mega-cluster from dominating the pair set, the
+    // domain_cap discipline). Rides the memoized cluster labels; the
+    // oracle extends dedup_cluster's full recursive-CTE replay with
+    // the same window — everything on the compare path is BIGINT.
+    // Scale: |pairs| ≤ 4·|clusters|, window partitions are cluster-
+    // sized (≤ cluster cardinality, never corpus-global).
+    "mine_positives" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+      clusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .withColumn("pair_rank", row_number().over(w).cast("long"))
+        .filter(col("pair_rank") <= 4)
+        .select(col("cluster_id").as("anchor_id"),
+          col("doc_id").as("positive_id"), col("pair_rank"))
+        .orderBy("anchor_id", "pair_rank")
+    }),
+
     "dedup_near" -> ((s, dir) =>
       lshJaccardPairs(s, dir)
         .select("doc1", "doc2", "n1", "n2", "com", "jacc")
@@ -1387,44 +1412,63 @@ object NearDedup {
     })
   )
 
+  /** The full LSH→Jaccard→connected-components replay shared by
+    * `dedup_cluster` and `mine_positives` (one clustering definition,
+    * the perplexityCte discipline); ends at a `labels(doc_id,
+    * cluster_id)` CTE.
+    */
+  private val clusterCte =
+    """words AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |         string_split(text,' ')[i+2])) AS w
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |salted AS (
+      |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
+      |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
+      |bands AS (
+      |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
+      |         string_agg(sig, ',' ORDER BY salt) AS band_sig
+      |  FROM salted GROUP BY 1, 2),
+      |bucket_ok AS (
+      |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+      |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
+      |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
+      |  JOIN words w1 ON w1.doc_id = c.doc1
+      |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
+      |  GROUP BY c.doc1, c.doc2),
+      |pairs AS (
+      |  SELECT doc1, doc2
+      |  FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+      |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
+      |edges AS (
+      |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+      |walk(node, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b),
+      |labels AS (
+      |  SELECT node AS doc_id, min(label) AS cluster_id
+      |  FROM walk GROUP BY node)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
-        |         string_split(text,' ')[i+2])) AS w
-        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |salted AS (
-        |  SELECT doc_id, salt, min(md5(CAST(salt AS VARCHAR) || ':' || w)) AS sig
-        |  FROM words CROSS JOIN (SELECT unnest(range(8)) AS salt) GROUP BY doc_id, salt),
-        |bands AS (
-        |  SELECT doc_id, CAST(floor(salt/2) AS BIGINT) AS band,
-        |         string_agg(sig, ',' ORDER BY salt) AS band_sig
-        |  FROM salted GROUP BY 1, 2),
-        |bucket_ok AS (
-        |  SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
-        |  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-        |  JOIN bucket_ok k ON k.band = a.band AND k.band_sig = a.band_sig),
-        |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
-        |common AS (
-        |  SELECT c.doc1, c.doc2, count(*) AS com FROM cand c
-        |  JOIN words w1 ON w1.doc_id = c.doc1
-        |  JOIN words w2 ON w2.doc_id = c.doc2 AND w2.w = w1.w
-        |  GROUP BY c.doc1, c.doc2),
-        |pairs AS (
-        |  SELECT doc1, doc2
-        |  FROM common JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
-        |  WHERE CAST(com AS DOUBLE)/(s1.nw + s2.nw - com) >= 0.5),
-        |edges AS (
-        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
-        |walk(node, label) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b)
-        |SELECT node AS doc_id, min(label) AS cluster_id
-        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCte
+        |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin,
+    "mine_positives" ->
+      s"""WITH RECURSIVE $clusterCte,
+        |ranked AS (
+        |  SELECT cluster_id, doc_id,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS pr
+        |  FROM labels WHERE doc_id <> cluster_id)
+        |SELECT cluster_id AS anchor_id, doc_id AS positive_id,
+        |  CAST(pr AS BIGINT) AS pair_rank
+        |FROM ranked WHERE pr <= 4 ORDER BY anchor_id, pair_rank""".stripMargin,
     "dedup_near" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),

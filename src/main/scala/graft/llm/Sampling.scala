@@ -200,6 +200,36 @@ object Sampling {
     // corpus aggregation; everything after runs on the SOURCE table
     // (|sources| rows) with two broadcast scalars — at 100 TB the mix
     // solve is free once per-source token mass exists.
+    // Epochs-per-source table (round 16 — the other half of the data
+    // recipe next to `mix_rates`): when the requested token mass for a
+    // source EXCEEDS what the source holds, a training run repeats the
+    // source (the Llama/Pile "small high-quality source runs 4 epochs"
+    // decision). requested_s = budget·w_s div Σw with the same
+    // deterministic integer source weights as mix_rates; epochs ship as
+    // exact micro-units (2·req·10⁶ + avail) div (2·avail) and
+    // n_repeats = ⌈req/avail⌉ — every value on the compare path is
+    // BIGINT (the round-16 discipline; unlike mix_rates this id never
+    // normalizes to a float weight, so the whole table is
+    // integer-exact). Shape: one corpus aggregation, then |sources|
+    // rows + one broadcast scalar — free at any corpus size.
+    "mix_epochs" -> ((s, dir) => {
+      val budget = 50000L // ~2x sf0.001 corpus mass: both recipe regimes live
+      val tok = Tables(s, dir).documents
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))
+        .withColumn("w",
+          (lit(1) + col("source").substr(lit(4), length(col("source"))).cast("int") % 4)
+            .cast("long"))
+      val wsum = tok.agg(sum(col("w")).as("wsum"))
+      tok.crossJoin(broadcast(wsum))
+        .withColumn("requested", expr(s"($budget * w) DIV wsum"))
+        .withColumn("epochs_e6",
+          expr("(2 * requested * 1000000 + avail) DIV (2 * avail)"))
+        .withColumn("n_repeats", expr("(requested + avail - 1) DIV avail"))
+        .select("source", "avail", "w", "requested", "epochs_e6", "n_repeats")
+        .orderBy("source")
+    }),
+
     "mix_rates" -> ((s, dir) => {
       val tok = Tables(s, dir).documents
         .groupBy("source")
@@ -560,6 +590,23 @@ object Sampling {
         |  SELECT source, len(string_split(text,' ')) AS n FROM documents)
         |SELECT source, CAST(n - n % 16 AS BIGINT) AS bin_lo, count(*) AS n_docs
         |FROM n GROUP BY 1, 2 ORDER BY source, bin_lo""".stripMargin,
+    // all-BIGINT epochs table: requested = budget·w div Σw, epochs_e6
+    // and ⌈req/avail⌉ in exact integer arithmetic — no float anywhere
+    "mix_epochs" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail,
+        |    CAST(1 + CAST(substring(source, 4) AS INTEGER) % 4 AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM tok),
+        |r AS (
+        |  SELECT source, avail, w,
+        |    CAST((50000 * w) // wsum AS BIGINT) AS requested
+        |  FROM tok CROSS JOIN ws)
+        |SELECT source, avail, w, requested,
+        |  CAST((2 * requested * 1000000 + avail) // (2 * avail) AS BIGINT) AS epochs_e6,
+        |  CAST((requested + avail - 1) // avail AS BIGINT) AS n_repeats
+        |FROM r ORDER BY source""".stripMargin,
     "mix_rates" ->
       """WITH tok AS (
         |  SELECT source,

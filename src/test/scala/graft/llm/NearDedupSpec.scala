@@ -108,6 +108,27 @@ class NearDedupSpec extends SparkSpec {
     assert(canonicals.subsetOf(survivors))
   }
 
+  test("mine_positives: pairs re-derive from the cluster labels, capped at 4 per cluster, anchor is canonical") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val labels = NearDedup.queries("dedup_cluster")(s, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val expected = labels.filter { case (d, c) => d != c }
+      .groupBy(_._2).toSeq.flatMap { case (c, members) =>
+        members.map(_._1).sorted.take(4).zipWithIndex
+          .map { case (d, i) => (c, d, i + 1L) }
+      }.toSet
+    val got = NearDedup.queries("mine_positives")(s, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(got.nonEmpty, "fixture must yield at least one positive pair")
+    // the cap must actually bite somewhere OR no cluster exceeds 5
+    val bigCluster = labels.groupBy(_._2).values.exists(_.size > 5)
+    if (bigCluster)
+      assert(got.groupBy(_._1).values.exists(_.size == 4), "cap never bit")
+  }
+
   test("dedup_apply_priority: keeper is the (source-priority, doc_id)-minimal member, not the min id") {
     val s = spark
     import s.implicits._

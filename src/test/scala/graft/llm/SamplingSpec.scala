@@ -96,6 +96,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mix_epochs: exact integer recipe — requested splits the budget by weight, repeats = ceil, upsampling flagged") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.SparkEntry.queries("mix_epochs")(s, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_._3).sum
+    rows.foreach { case (src, avail, w, req, e6, rep) =>
+      assert(req == 50000L * w / wsum, s"$src requested")
+      assert(e6 == (2 * req * 1000000L + avail) / (2 * avail), s"$src epochs_e6")
+      assert(rep == (req + avail - 1) / avail, s"$src n_repeats")
+      assert(rep >= 1L == (req >= 1L), s"$src repeats/requested consistency")
+    }
+    // the fixture must exercise BOTH regimes: some source upsampled
+    // (epochs > 1) and some downsampled (epochs < 1) — else the id
+    // proves nothing about the recipe decision
+    assert(rows.exists(_._5 > 1000000L), "no upsampled source on the fixture")
+    assert(rows.exists(r => r._5 < 1000000L && r._5 > 0L), "no downsampled source")
+  }
+
   test("corpus_shuffle: global_pos is a permutation, shards are contiguous blocks, order is hash-deterministic") {
     val s0 = spark
     import s0.implicits._
