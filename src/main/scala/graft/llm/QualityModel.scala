@@ -265,6 +265,39 @@ object QualityModel {
     "text_perplexity" -> ((s, dir) =>
       perplexity(Tables(s, dir).documents).orderBy("doc_id")),
 
+    // ensemble quality gate (round 16) — what FineWeb/Dolma-class
+    // pipelines actually deploy: no single filter decides; the doc
+    // passes on a MAJORITY of (heuristic composite ≥ 0.5, Gopher rule
+    // gate, learned classifier ≥ 0.5). Composes the three shared
+    // definitions (qualityE6Rational / GopherGate / score) so the
+    // ensemble can never drift from its oracle-checked parents; votes
+    // are integer/boolean end-to-end (the classifier vote compares the
+    // ROUNDED score, whose nearest fixture point sits 0.42 from the
+    // boundary — measured, not assumed). ONE narrow scan computes both
+    // rule votes; the model vote joins the per-doc score (bias feature
+    // guarantees every doc scores). Scale: the score join is the only
+    // shuffle; everything else is codegen'd per-row arithmetic.
+    "quality_ensemble" -> ((s, dir) => {
+      val g = TextOps.GopherGate
+      val (_, num, den) = TextOps.qualityE6Rational(col("text"))
+      val rules = Tables(s, dir).documents
+        .select(col("doc_id"), num.as("qnum"), den.as("qden"),
+          g.keep.as("gopher_ok"))
+        .withColumn("quality_e6", expr("(qnum * 2 + qden) DIV (qden * 2)"))
+        .withColumn("heuristic_ok",
+          coalesce(col("quality_e6") >= 500000L, lit(false)))
+        .select("doc_id", "quality_e6", "heuristic_ok", "gopher_ok")
+      rules.join(score(Tables(s, dir).documents, trainedModel(s, dir)), "doc_id")
+        .withColumn("model_ok", col("score") >= 0.5)
+        .withColumn("n_votes",
+          (col("heuristic_ok").cast("int") + col("gopher_ok").cast("int") +
+            col("model_ok").cast("int")).cast("long"))
+        .withColumn("keep", col("n_votes") >= 2)
+        .select("doc_id", "quality_e6", "score", "heuristic_ok", "gopher_ok",
+          "model_ok", "n_votes", "keep")
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity bucketing (round 14 — Wenzek et al. 2020):
     // per LANGUAGE, split the corpus into equal-depth head/middle/tail
     // terciles of LM perplexity — the partition CCNet publishes and
@@ -398,7 +431,69 @@ object QualityModel {
       case e :: Nil => Map("perplexity_buckets_approx" -> bucketsApproxSql(e.getValue))
       case _        => Map.empty[String, String]
     }
-    score ++ buckets
+    val ensemble = modelCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      case e :: Nil => Map("quality_ensemble" -> ensembleSql(e.getValue))
+      case _        => Map.empty[String, String]
+    }
+    score ++ buckets ++ ensemble
+  }
+
+  /** Weight-embedding oracle for `quality_ensemble`: the learned vote
+    * replays through the same feature/margin/score CTEs as
+    * `quality_model_score`, the heuristic vote through the exact
+    * BIGINT rational composite, the Gopher vote through the rule
+    * conjunction — then integer vote counting.
+    */
+  private def ensembleSql(w: Array[Double]): String = {
+    val rows = w.zipWithIndex
+      .map { case (v, d) => s"($d, CAST($v AS DOUBLE))" }.mkString(", ")
+    s"""WITH wt AS (SELECT * FROM (VALUES $rows) wt(d, wv)),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % $D AS d,
+       |    CAST(count(*) AS DOUBLE) AS x
+       |  FROM toks WHERE len(t) > 0 GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, $D AS d, 1.0 AS x FROM documents),
+       |mg AS (
+       |  SELECT doc_id, sum(x * wv) AS m FROM f JOIN wt USING (d)
+       |  GROUP BY doc_id),
+       |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) AS score FROM mg),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+       |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+       |    CAST(nullif(length(text), 0) AS BIGINT) AS len,
+       |    (len(string_split(text,' ')) >= 50 AND len(string_split(text,' ')) <= 100000
+       |     AND CAST(length(replace(text,' ','')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) >= 3.0
+       |     AND CAST(length(replace(text,' ','')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) <= 10.0
+       |     AND CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / nullif(len(string_split(text,' ')), 0) < 0.1
+       |     AND CAST(len(list_filter(string_split(text,' '), x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |         / nullif(len(string_split(text,' ')), 0) >= 0.8
+       |     AND len(list_filter(string_split(text,' '),
+       |         x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2) AS gopher_ok
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, gopher_ok,
+       |    CAST((2 * ((w*len) * (5000*least(100, w) + 200000)
+       |          + 300000*stop*len - 200000*sym*w) + w*len)
+       |      // (2 * w*len) AS BIGINT) AS quality_e6
+       |  FROM c),
+       |v AS (
+       |  SELECT q.doc_id, q.quality_e6, s.score,
+       |    coalesce(q.quality_e6 >= 500000, false) AS heuristic_ok,
+       |    q.gopher_ok, s.score >= 0.5 AS model_ok
+       |  FROM q JOIN sc s USING (doc_id))
+       |SELECT doc_id, quality_e6, score, heuristic_ok, gopher_ok, model_ok,
+       |  CAST(CAST(heuristic_ok AS INTEGER) + CAST(gopher_ok AS INTEGER)
+       |    + CAST(model_ok AS INTEGER) AS BIGINT) AS n_votes,
+       |  (CAST(heuristic_ok AS INTEGER) + CAST(gopher_ok AS INTEGER)
+       |    + CAST(model_ok AS INTEGER)) >= 2 AS keep
+       |FROM v ORDER BY doc_id""".stripMargin
   }
 
   /** Threshold-embedding oracle for `perplexity_buckets_approx` (round

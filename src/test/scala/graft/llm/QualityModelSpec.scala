@@ -115,6 +115,39 @@ class QualityModelSpec extends SparkSpec {
     assert(high > rows.length * 0.9, s"only $high/${rows.length} score > 0.5")
   }
 
+  test("quality_ensemble equals the majority vote of its three oracle-checked parents; filters actually disagree") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val got = graft.SparkEntry.queries("quality_ensemble")(s, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("heuristic_ok"), r.getAs[Boolean]("gopher_ok"),
+          r.getAs[Boolean]("model_ok"), r.getAs[Long]("n_votes"),
+          r.getAs[Boolean]("keep")))).toMap
+    // parents, independently re-run through their own query ids
+    val gopher = graft.SparkEntry.queries("gopher_rules")(s, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val model = graft.SparkEntry.queries("quality_model_score")(s, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Double]("score") >= 0.5)).toMap
+    val heur = graft.Tables(s, dir).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ExactQualityKit.qualityE6(r.getString(1)).exists(_ >= 500000L)).toMap
+    assert(got.keySet == gopher.keySet)
+    got.foreach { case (d, (h, g, m, n, k)) =>
+      assert(h == heur(d) && g == gopher(d) && m == model(d), s"doc $d votes")
+      val votes = Seq(h, g, m).count(identity).toLong
+      assert(n == votes && k == (votes >= 2), s"doc $d majority")
+    }
+    // non-vacuous: the ensemble must differ from at least one parent
+    // somewhere (else the majority adds nothing on this fixture)
+    assert(got.exists { case (d, v) => v._5 != gopher(d) },
+      "ensemble never disagrees with the gopher gate")
+    assert(got.exists { case (d, v) => v._5 != heur(d) } ||
+      got.exists { case (d, v) => v._5 != model(d) },
+      "ensemble never disagrees with heuristic or model")
+  }
+
   test("perplexity_buckets: equal-depth per-language terciles, monotone in ppl, covers exactly the scored docs") {
     val s0 = spark
     import s0.implicits._
