@@ -1346,8 +1346,9 @@ object VectorOps {
     val model = loadIvfPqModel(spark, path)
     val luts = ivfPqLuts(emb, queryIds, model, nprobe)
     val probed = luts.map(_._2).distinct
-    val codes = spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
-      .filter(col("cell").isin(probed: _*))
+    val codes = minusTombstones(spark, path,
+      spark.read.parquet(s"$path/${currentCodesDir(spark, path)}")
+        .filter(col("cell").isin(probed: _*)))
     // filtered serving (the ivfPqTopKWhere semantics on the durable
     // index): candidate attrs were persisted with the codes, so the
     // predicate lands in the SAME pruned scan — static cell partition
@@ -1391,6 +1392,41 @@ object VectorOps {
     sel.write.mode("append").partitionBy("cell").parquet(s"$path/$live")
   }
 
+  /** Delete ids from a committed persisted index WITHOUT rewriting code
+    * files — the production remove path (FAISS `remove_ids` / Milvus
+    * delete semantics): deletes land as TOMBSTONE parquet files under
+    * `tombstones/`; the pruned serving scan anti-joins them, and the
+    * next [[compactIvfPqIndex]] folds them into the new generation
+    * physically (then clears exactly the files it folded, so deletes
+    * issued DURING a compaction survive to the next one). Cost ∝ the
+    * delete batch; existing files are never touched, so concurrent
+    * readers stay consistent.
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("c_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Live tombstone part files of an index (empty if none). */
+  private def tombstoneFiles(s: SparkSession, path: String): Seq[String] = {
+    val t = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) Nil
+    else fs.listStatus(t).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString)
+  }
+
+  /** Anti-join `codes` against the index's live tombstones, if any. The
+    * tombstone side is delete-batch-sized; AQE picks broadcast while it
+    * is small and falls back to a key shuffle when a 100 TB index has
+    * accumulated mass deletes.
+    */
+  private def minusTombstones(s: SparkSession, path: String,
+      codes: DataFrame): DataFrame = tombstoneFiles(s, path) match {
+    case Nil => codes
+    case fs0 => codes.join(
+      s.read.parquet(fs0: _*).select("c_id").distinct(), Seq("c_id"), "left_anti")
+  }
+
   // --- Index compaction: the generation-pointer protocol --------------
   //
   // Daily appends accrete small files inside each cell directory — the
@@ -1429,9 +1465,20 @@ object VectorOps {
     val live = currentCodesDir(s, path)
     val gen = if (live == "codes") 1 else live.stripPrefix("codes-").toInt + 1
     val next = f"codes-$gen%08d"
+    // fold the tombstones observed NOW into the new generation; only
+    // exactly these files are cleared after the swap, so a delete that
+    // lands mid-compaction is honored by the anti-join until the NEXT
+    // compaction folds it (never lost, never double-applied — an
+    // anti-join of an already-removed id is a no-op)
+    val folded = tombstoneFiles(s, path)
+    val base = s.read.parquet(s"$path/$live")
+    val compacted =
+      if (folded.isEmpty) base
+      else base.join(s.read.parquet(folded: _*).select("c_id").distinct(),
+        Seq("c_id"), "left_anti")
     // one shuffle hash-partitioned on cell: every cell's rows land in
     // exactly one task, so partitionBy emits exactly one file per cell
-    s.read.parquet(s"$path/$live")
+    compacted
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$next")
     val conf = s.sparkContext.hadoopConfiguration
@@ -1447,6 +1494,11 @@ object VectorOps {
     fc.rename(fs.makeQualified(tmp),
       fs.makeQualified(new org.apache.hadoop.fs.Path(path, "_current")),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // clear exactly the folded tombstone files (see above): the live
+    // generation no longer contains those rows. A reader still scanning
+    // the SUPERSEDED generation is under the same drain contract as
+    // [[gcIvfPqIndex]] (it could equally lose its code files to GC).
+    folded.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
   }
 
   /** Delete superseded code generations (everything named `codes` or
@@ -1499,6 +1551,35 @@ object VectorOps {
     * present?) before appending, so a run torn between the append write
     * and its marker cannot double-append on restart.
     */
+  private val ivfPqDeletePaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Demo artifact for `ann_ivfpq_delete`: the FULL corpus indexed under
+    * the plain per-dir model (so the oracle reuses the one plain model
+    * entry), then every odd c_id tombstoned via
+    * [[deleteFromIvfPqIndex]] — the served search must only ever return
+    * even candidates. Two-marker build like the append demo; the
+    * content guard re-issues the delete if a crash left the tombstones
+    * missing.
+    */
+  private[graft] def ivfPqDeleteDemoPath(s: SparkSession, dir: String): String = {
+    val path = ivfPqDeletePaths.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfpqdel_${pathKey(dir)}_c16m8k16"
+      val done = new org.apache.hadoop.fs.Path(p, "_graft_delete_ok")
+      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val emb = Tables(s, dir).embeddings
+        saveIvfPqIndexOf(emb, p, datasetKey = dir)
+        if (tombstoneFiles(s, p).isEmpty)
+          deleteFromIvfPqIndex(
+            emb.filter(col("vec_id") % 2 === 1).select(col("vec_id").as("c_id")), p)
+        fs.create(done, true).close()
+      }
+      p
+    })
+    ivfPqModelCache.computeIfAbsent((dir, 16, 8, 16), _ => loadIvfPqModel(s, path))
+    path
+  }
+
   private[graft] def ivfPqAppendDemoPath(s: SparkSession, dir: String): String = {
     val path = ivfPqAppendPaths.computeIfAbsent(dir, _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_ivfpqapp_${pathKey(dir)}_c16m8k16"
@@ -1779,6 +1860,18 @@ object VectorOps {
         // oracle-checked since round 15: the replay under the frozen
         // even-trained model over the FULL corpus — append never
         // re-encodes, so served ≡ that (round(·,9) as the family)
+        .withColumn("cos", round(col("cos"), 9))),
+    // index maintenance: DELETE without rewrite (FAISS remove_ids /
+    // Milvus delete): the served index holds the full corpus with every
+    // odd c_id TOMBSTONED — the pruned scan anti-joins the tombstone
+    // set, so results contain only surviving ids; the next compaction
+    // folds tombstones physically (SimilaritySpec pins served-identical
+    // across compact+GC and that the folded generation carries no
+    // tombstoned rows). Oracle = the plain-model replay with candidates
+    // restricted to even c_ids (deletes never re-encode anything).
+    "ann_ivfpq_delete" -> ((s, dir) =>
+      ivfPqTopKDisk(Tables(s, dir).embeddings, queryIds = 0L until 8L,
+        k = 10, path = ivfPqDeleteDemoPath(s, dir))
         .withColumn("cos", round(col("cos"), 9))),
     // filtered ANN (FAISS IDSelector / Milvus filtered search): top-k
     // restricted to candidates sharing the QUERY's label — same-class
@@ -2376,7 +2469,11 @@ object VectorOps {
       case e :: Nil =>
         val sql = ivfPqSql(e.getValue, where = false)
         Map("ann_ivfpq" -> sql, "ann_ivfpq_disk" -> sql,
-          "ann_ivfpq_where" -> ivfPqSql(e.getValue, where = true))
+          "ann_ivfpq_where" -> ivfPqSql(e.getValue, where = true),
+          // delete demo: plain model, candidates restricted to the
+          // surviving (even) ids — tombstoning never re-encodes
+          "ann_ivfpq_delete" ->
+            ivfPqSql(e.getValue, where = false, candidatePred = " AND c.c_id % 2 = 0"))
       case _ => Map.empty[String, String]
     }
     val app = even match {
@@ -2389,7 +2486,8 @@ object VectorOps {
     base ++ app
   }
 
-  private def ivfPqSql(model: IvfPqModel, where: Boolean): String = {
+  private def ivfPqSql(model: IvfPqModel, where: Boolean,
+      candidatePred: String = ""): String = {
     val sub = model.books(0)(0).length
     val coarseRows = model.coarse.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
@@ -2450,7 +2548,7 @@ object VectorOps {
            """  JOIN embeddings al ON al.vec_id = c.c_id
              |  JOIN embeddings ql ON ql.vec_id = l.q_id""".stripMargin
          else "  "}
-       |  WHERE c.c_id <> l.q_id${if (where) " AND al.label = ql.label" else ""}
+       |  WHERE c.c_id <> l.q_id${if (where) " AND al.label = ql.label" else ""}$candidatePred
        |  GROUP BY l.q_id, c.c_id),
        |short AS (
        |  SELECT q_id, c_id FROM (

@@ -555,6 +555,41 @@ class SimilaritySpec extends SparkSpec {
     assert(parities == Set(0L, 1L), s"expected both parities, got $parities")
   }
 
+  test("IVF-PQ delete: tombstoned ids never served; compaction folds them physically and clears the tombstones") {
+    val dir = sf("sf0.001")
+    val emb = Tables(spark, dir).embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_delete")
+      .toString + "/idx"
+    VectorOps.saveIvfPqIndexOf(emb, path, datasetKey = s"$dir#deletespec")
+    def rows() = VectorOps.ivfPqTopKDisk(emb, 0L until 4L, k = 10, path = path)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val before = rows()
+    assert(before.exists(_(2).asInstanceOf[Long] % 2 == 1),
+      "fixture must serve some odd candidate pre-delete (else the test is vacuous)")
+    VectorOps.deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") % 2 === 1).select(col("vec_id").as("c_id")), path)
+    val served = rows()
+    assert(served.forall(_(2).asInstanceOf[Long] % 2 == 0),
+      "tombstoned ids must never be served")
+    assert(served != before, "delete must actually change the result set")
+    // deletes are idempotent: a second identical tombstone batch is a no-op
+    VectorOps.deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") % 2 === 1).select(col("vec_id").as("c_id")), path)
+    assert(rows() == served)
+    // compaction folds the tombstones into the new generation...
+    VectorOps.compactIvfPqIndex(spark, path)
+    assert(rows() == served, "compaction must not change served results")
+    val gen1 = spark.read.parquet(s"$path/codes-00000001")
+    assert(gen1.filter(col("c_id") % 2 === 1).count() == 0,
+      "folded generation must carry no tombstoned rows")
+    // ...and clears exactly the folded tombstone files
+    val tombDir = new java.io.File(s"$path/tombstones")
+    assert(!tombDir.exists() ||
+      tombDir.listFiles().forall(f => !f.getName.startsWith("part-")),
+      "folded tombstone files must be cleared after the pointer swap")
+    assert(rows() == served, "post-clear serving must still exclude deleted ids")
+  }
+
   test("IVF-PQ compaction: one file per cell, atomic generation pointer, GC, results invariant") {
     val dir = sf("sf0.001")
     val emb = Tables(spark, dir).embeddings
