@@ -450,7 +450,56 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The deterministic "v2 crawl" twin of the documents fixture used by
+    * `corpus_diff`: a re-crawl edits some pages, drops some, and finds
+    * new ones — simulated with fixed doc_id congruences so both the
+    * engine and the DuckDB oracle can derive the SAME v2 from the one
+    * fixture (the NonAsciiFixture discipline: no second input file).
+    * v2 = v1 with (id % 17 == 3) texts edited, (id % 23 == 5) docs
+    * removed, and one added doc per (id % 29 == 7) under id + 10⁹.
+    */
+  private def corpusV2(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(col("doc_id") % 23 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 3, concat(col("text"), lit(" edited v2")))
+          .otherwise(col("text")))
+    val added = docs.filter(col("doc_id") % 29 === 7)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(lit("new page "), col("text")).as("text"))
+    base.select("doc_id", "text").unionByName(added)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // corpus snapshot diff (round 16) — the dataset-versioning audit a
+    // pipeline runs between two crawls before retraining: per change
+    // status (added / removed / changed / unchanged), how many docs and
+    // how much token mass moved. Full outer join on doc_id comparing
+    // content md5 (never the text itself — at 100 TB the join carries
+    // 32-byte digests, not documents), then ONE counting aggregate;
+    // token deltas are exact integer sums. The v2 side derives
+    // deterministically from the fixture ([[corpusV2]]), so the oracle
+    // replays both snapshots from the same parquet.
+    "corpus_diff" -> ((s, dir) => {
+      val v1 = Tables(s, dir).documents.select(col("doc_id"),
+        md5(col("text")).as("h1"),
+        size(split(col("text"), " ")).cast("long").as("t1"))
+      val v2 = corpusV2(Tables(s, dir).documents).select(col("doc_id"),
+        md5(col("text")).as("h2"),
+        size(split(col("text"), " ")).cast("long").as("t2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(coalesce(col("t2"), lit(0L)) - coalesce(col("t1"), lit(0L))),
+            lit(0L)).as("token_delta"))
+        .orderBy("status")
+    }),
 
     "decon_normalized" -> ((s, dir) => {
       graft.functions.NfcNormalize.ensureRegistered(s)
@@ -1030,6 +1079,35 @@ object Curation {
         |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // both snapshots derive from the one fixture: v2 = edits at
+    // id%17=3, removals at id%23=5, additions (id+1e9) from id%29=7
+    "corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h1,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS t1
+        |  FROM documents),
+        |v2src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 3 THEN text || ' edited v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 23 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, 'new page ' || text AS text
+        |  FROM documents WHERE doc_id % 29 = 7),
+        |v2 AS (
+        |  SELECT doc_id, md5(text) AS h2,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS t2
+        |  FROM v2src),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2, t1, t2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 = h2 THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  count(*) AS n_docs,
+        |  CAST(coalesce(sum(coalesce(t2, 0) - coalesce(t1, 0)), 0) AS BIGINT) AS token_delta
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
     "text_diversity" ->
       """WITH wsx AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |d AS (

@@ -110,6 +110,30 @@ class CurationSpec extends SparkSpec {
       "density order should pack MORE (shorter) docs into the same budget")
   }
 
+  test("corpus_diff: statuses and token deltas recount from the v2 congruences; all four statuses live") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables(s, dir).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def toks(t: String) = t.split(" ", -1).length.toLong
+    val removed = docs.filter(_._1 % 23 == 5)
+    val changed = docs.filter(d => d._1 % 17 == 3 && d._1 % 23 != 5)
+    val added = docs.filter(_._1 % 29 == 7)
+    val unchanged = docs.length - removed.length - changed.length
+    val got = Curation.queries("corpus_diff")(s, dir)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet == Set("added", "removed", "changed", "unchanged"),
+      s"all four statuses must be live on the fixture: ${got.keySet}")
+    assert(got("removed") == ((removed.length.toLong, -removed.map(d => toks(d._2)).sum)))
+    // " edited v2" appends exactly 2 whitespace tokens per changed doc
+    assert(got("changed") == ((changed.length.toLong, 2L * changed.length)))
+    // "new page " prepends exactly 2 tokens to each added clone
+    assert(got("added") == ((added.length.toLong,
+      added.map(d => toks(d._2) + 2L).sum)))
+    assert(got("unchanged") == ((unchanged.toLong, 0L)))
+  }
+
   test("select_budget_approx twins: subset of the exact greedy selection, budget kept, only the boundary level dropped") {
     val s = spark
     import s.implicits._
