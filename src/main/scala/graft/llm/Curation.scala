@@ -1024,19 +1024,27 @@ object Curation {
         i => concat_ws(" ",
           element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
       .otherwise(array().cast("array<string>"))
-    def ratio(arr: org.apache.spark.sql.Column) =
-      round(size(array_distinct(arr)).cast("double") /
-        nullif(size(arr).cast("double"), lit(0.0)), 6)
+    // STAGED projections (the withPqCodes/PqEncodeRecon discipline):
+    // the gram arrays and their array_distinct are HOF-built and
+    // CodegenFallback, so nothing CSEs them — inlining `big`/`tri`
+    // under all six output columns evaluated each gram array three
+    // times per row (round 16: staging measured ~2× on the sf0.1 scan)
     docs
       .withColumn("ws", split(col("text"), " "))
+      .withColumn("big", big)
+      .withColumn("tri", tri)
+      .withColumn("bigd", array_distinct(col("big")))
+      .withColumn("trid", array_distinct(col("tri")))
       .select(
         col("doc_id"),
-        size(big).cast("long").as("n2"),
-        size(array_distinct(big)).cast("long").as("u2"),
-        ratio(big).as("distinct2"),
-        size(tri).cast("long").as("n3"),
-        size(array_distinct(tri)).cast("long").as("u3"),
-        ratio(tri).as("distinct3"))
+        size(col("big")).cast("long").as("n2"),
+        size(col("bigd")).cast("long").as("u2"),
+        round(size(col("bigd")).cast("double") /
+          nullif(size(col("big")).cast("double"), lit(0.0)), 6).as("distinct2"),
+        size(col("tri")).cast("long").as("n3"),
+        size(col("trid")).cast("long").as("u3"),
+        round(size(col("trid")).cast("double") /
+          nullif(size(col("tri")).cast("double"), lit(0.0)), 6).as("distinct3"))
   }
 
   /** Rae et al. 2021 App. A Table A1 repetition thresholds (signal
