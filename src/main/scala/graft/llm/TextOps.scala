@@ -809,6 +809,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // lang-ID confusion matrix (round 16) — the eval table every
+    // language-identification deployment reads before trusting the
+    // router: true label × predicted label × doc count, plus the
+    // per-cell share of the TRUE label's row (exact micro-units — a
+    // count/count ratio in BIGINT rational form, the round-16
+    // discipline). Shares [[langPred]] with `lang_id`/`corpus_clean`
+    // (one predictor definition); ONE narrow scan + a ≤|langs|²-row
+    // counting aggregate + one tiny window over the count table.
+    // On the synthetic fixture the matrix is all-'en' — the corpus
+    // text is English-ish regardless of its lang label, and saying so
+    // is exactly this table's job (the router would be unusable here);
+    // discrimination on discriminable data is pinned by the planted-
+    // corpus spec (French/German stopword docs land off-diagonal).
+    "lang_confusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      Tables(s, dir).documents
+        .select(col("lang"), langPred(col("text")).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_total", sum(col("n_docs")).over(w))
+        .withColumn("share_e6",
+          expr("(2 * n_docs * 1000000 + row_total) DIV (2 * row_total)"))
+        .select("lang", "pred", "n_docs", "row_total", "share_e6")
+        .orderBy("lang", "pred")
+    }),
+
     "lang_id" -> ((s, dir) => {
       // n-gram/stopword-vote heuristic; deterministic priority tiebreak.
       val d = Tables(s, dir).documents.withColumn("words", split(col("text"), " "))
@@ -1544,6 +1570,28 @@ object TextOps {
         |SELECT d.doc_id, md5(d.text) AS h FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // one predictor definition with lang_id; shares BIGINT-exact
+    "lang_confusion" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS s_de
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_fr > s_en THEN 'fr' WHEN s_es > s_en THEN 'es'
+        |         WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pred
+        |  FROM sc),
+        |cnt AS (SELECT lang, pred, count(*) AS n_docs FROM p GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, pred, n_docs,
+        |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS row_total
+        |  FROM cnt)
+        |SELECT lang, pred, n_docs, row_total,
+        |  CAST((2 * n_docs * 1000000 + row_total) // (2 * row_total) AS BIGINT) AS share_e6
+        |FROM tot ORDER BY lang, pred""".stripMargin,
     "lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

@@ -110,6 +110,31 @@ class CurationSpec extends SparkSpec {
       "density order should pack MORE (shorter) docs into the same budget")
   }
 
+  test("lang_confusion discriminates on discriminable data: planted stopword docs land off the 'en' column") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a dog", "en"),
+      (2L, "le chat et la souris et les oiseaux", "en"), // mislabeled on purpose
+      (3L, "der hund und die katze und das haus", "de"),
+      (4L, "el gato y los perros y que casa", "es"),
+      (5L, "the le la data et", "fr") // s_en=1 vs s_fr=3 -> fr wins
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+    val dir = graft.Engine.scratchDir("langconf")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.queries("lang_confusion")(s, dir.toString)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    // row 'en': one true-en doc predicted en, one mislabeled-en doc
+    // predicted fr -> off-diagonal mass with exact 1/2 shares
+    assert(got(("en", "en")) == ((1L, 2L, 500000L)))
+    assert(got(("en", "fr")) == ((1L, 2L, 500000L)))
+    assert(got(("de", "de"))._1 == 1L && got(("es", "es"))._1 == 1L)
+    assert(got(("fr", "fr")) == ((1L, 1L, 1000000L)))
+    assert(got.keys.map(_._2).toSet.size > 1, "predictor must discriminate here")
+  }
+
   test("corpus_diff: statuses and token deltas recount from the v2 congruences; all four statuses live") {
     val s = spark
     import s.implicits._
