@@ -423,6 +423,32 @@ object Bpe {
         .select("source", "doc_id", "n_tokens", "shard", "shard_offset", "h")
         .orderBy("source", "doc_id")),
 
+    // the data-release manifest (round 16) — the artifact every public
+    // corpus ships next to its shards (Dolma/Pile-style manifests):
+    // per (source, shard), doc count, token mass, and a shard checksum
+    // = md5 over the doc-level token-stream digests concatenated in
+    // doc_id order — the integrity record a consumer verifies before
+    // training. Ordered aggregation is the portability trick: Spark
+    // sorts the collected (doc_id, h) structs (array_sort on a struct
+    // orders by its first field), DuckDB uses string_agg ORDER BY —
+    // same byte stream, same md5. Derived from the SAME shard
+    // assignment corpus_export serves, so manifest and export cannot
+    // disagree. Scale: one (source, shard)-keyed aggregate over the
+    // already-shuffled token table; collect_list is shard-bounded
+    // (≤ cap docs per shard).
+    "training_manifest" -> ((s, dir) =>
+      exportTokenTable(s, dir)
+        .withColumn("__cum", sum(col("n_tokens")).over(exportPackWindow))
+        .withColumn("shard",
+          floor((col("__cum") - col("n_tokens")) / ExportCap).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("h")))),
+            x => x.getField("h")), "")).as("manifest_sha"))
+        .orderBy("source", "shard")),
+
     // the HARD-capped export mode (round 13) — the other ending of the
     // spillover contract: the gated+deduped BPE token stream is cut at
     // exact 512-token boundaries and a straddling doc SPLITS into one
@@ -731,6 +757,20 @@ object Bpe {
          |  CAST((c - n_tokens) // 512 AS BIGINT) AS shard,
          |  CAST((c - n_tokens) % 512 AS BIGINT) AS shard_offset, h
          |FROM cum ORDER BY source, doc_id""".stripMargin,
+    // same shard assignment as corpus_export; checksum = md5 over the
+    // doc-id-ordered concatenation of per-doc digests (string_agg
+    // ORDER BY ≡ the engine's struct-sorted collect)
+    "training_manifest" ->
+      s"""WITH merges AS (${mergesCte(ms)}),
+         |$exportTokTabCtes,
+         |sh AS (
+         |  SELECT source, doc_id, n_tokens, h,
+         |    CAST((c - n_tokens) // 512 AS BIGINT) AS shard
+         |  FROM cum)
+         |SELECT source, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(h, '' ORDER BY doc_id)) AS manifest_sha
+         |FROM sh GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
     "corpus_export_split" ->
       s"""WITH merges AS (${mergesCte(ms)}),
          |$exportTokTabCtes,

@@ -386,6 +386,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("training_manifest: rollups and checksums recount from corpus_export's own rows") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val export = graft.SparkEntry.queries("corpus_export")(s, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[String]("h")))
+    val expected = export.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val sorted = rows.sortBy(_._3)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sorted.map(_._5).mkString("").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      k -> ((rows.length.toLong, rows.map(_._4).sum, digest))
+    }
+    val got = graft.SparkEntry.queries("training_manifest")(s, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("manifest_sha")))).toMap
+    assert(got == expected,
+      s"manifest must be exactly the per-shard rollup of the export (${got.size} vs ${expected.size})")
+    assert(got.nonEmpty && got.keys.map(_._2).toSet.size > 1,
+      "fixture must produce multiple shards somewhere")
+  }
+
   test("pack_efficiency: recomputes from corpus_export_split's own pieces; waste < cap and only in the final shard") {
     val s = spark
     val pieces = graft.SparkEntry.queries("corpus_export_split")(s, sf("sf0.001")).collect()
@@ -418,7 +441,7 @@ class BpeSpec extends SparkSpec {
     val o = Bpe.oracleSql
     assert(o.keySet == Set("bpe_encode", "bpe_fertility",
       "corpus_export", "corpus_export_split", "pack_efficiency",
-      "bpe_merges", "vocab_prune"), s"ids: ${o.keySet}")
+      "bpe_merges", "vocab_prune", "training_manifest"), s"ids: ${o.keySet}")
     // each merge pair must appear as a VALUES literal in every
     // model-embedding oracle (one shared merges CTE per statement);
     // bpe_merges is the exception — its oracle REPLAYS training from
