@@ -346,6 +346,44 @@ object CdcQueries {
         .orderBy("scn")
     }),
 
+    // tolerance-bounded as-of join (round 16 — the pandas
+    // merge_asof(tolerance=…) / kdb wj-window knob): enrich each change
+    // event with the latest order AT MOST 9000 days old (the fixture's
+    // feed-to-orders gap is decades — 9000d sits mid-distribution, so
+    // both regimes are live: ~half the events match, half are too
+    // stale); a staler match
+    // is NO match (left semantics — the event row survives with null
+    // enrichment). Equivalence to "latest among in-window rows" is
+    // structural: the as-of match is the LATEST ≤ ts, so if IT is
+    // stale every other candidate is staler — one filter on the plain
+    // as-of result implements the bound, then a left join back to the
+    // feed restores unmatched rows. The emitted age is exact BIGINT
+    // epoch-ms arithmetic (never calendar datediff — engines disagree
+    // on calendar semantics, not on integer µs). Costs the join_asof
+    // plan + one key-join on the feed's unique scn.
+    "join_asof_tol" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val feed = F.fromEvents(s, dir).select("scn", "id", "ts")
+      val matched = Ops
+        .asOfJoin(
+          left = feed,
+          right = t.orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+          leftKey = "id",
+          rightKey = "o_custkey",
+          leftTs = "ts",
+          rightTs = "o_orderdate",
+          rightPayload = Seq("o_orderkey", "o_orderdate"),
+          rightOrd = Seq("o_orderdate", "o_orderkey")
+        )
+        .filter(col("o_orderdate") >= col("ts") - expr("INTERVAL 9000 DAYS"))
+        .select(col("scn").as("mscn"), col("o_orderkey"),
+          (unix_millis(col("ts").cast(TimestampType)) -
+            unix_millis(col("o_orderdate").cast(TimestampType))).as("age_ms"))
+      feed.join(matched, col("scn") === col("mscn"), "left")
+        .select(col("scn"), col("id"), col("ts"), col("o_orderkey"), col("age_ms"))
+        .orderBy("scn")
+    }),
+
     // changed-column audit: per key, each update's before-image is
     // lag(payload) over scn (the envelope's `before` field IS this
     // window — SURVEY §2.6), and the audit row names exactly the columns
@@ -645,6 +683,18 @@ object CdcQueries {
          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
          |  FROM feed f JOIN orders o
          |    ON o.o_custkey = f.id AND o.o_orderdate <= f.ts
+         |) WHERE rn = 1 ORDER BY scn""".stripMargin,
+    // latest match within the 30-day window, LEFT semantics; age in
+    // exact epoch-ms integers
+    "join_asof_tol" ->
+      s"""$feedCte SELECT scn, id, ts, o_orderkey, age_ms FROM (
+         |  SELECT f.scn, f.id, f.ts, o.o_orderkey,
+         |         CAST(epoch_ms(f.ts) - epoch_ms(o.o_orderdate) AS BIGINT) AS age_ms,
+         |         row_number() OVER (PARTITION BY f.scn
+         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+         |  FROM feed f LEFT JOIN orders o
+         |    ON o.o_custkey = f.id AND o.o_orderdate <= f.ts
+         |   AND o.o_orderdate >= f.ts - INTERVAL 9000 DAY
          |) WHERE rn = 1 ORDER BY scn""".stripMargin,
     "change_diff" ->
       s"""$feedCte, d AS (

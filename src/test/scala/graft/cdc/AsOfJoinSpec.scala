@@ -84,4 +84,33 @@ class AsOfJoinSpec extends SparkSpec {
       assert(viaNative == want, s"trial $trial: native merge-scan diverged from brute force")
     }
   }
+
+  test("join_asof_tol: left semantics with a live staleness bound; matched age within tolerance") {
+    val s = spark
+    val dir = sf("sf0.001")
+    val rows = graft.SparkEntry.queries("join_asof_tol")(s, dir).collect()
+      .map(r => (r.getAs[Long]("scn"),
+        Option(r.getAs[java.lang.Long]("o_orderkey")),
+        Option(r.getAs[java.lang.Long]("age_ms"))))
+    val feedN = graft.SparkEntry.queries("cdc_scan")(s, dir).count()
+    // LEFT semantics: every feed row survives exactly once
+    assert(rows.length.toLong == feedN, s"${rows.length} vs feed $feedN")
+    assert(rows.map(_._1).distinct.length == rows.length, "scn must stay unique")
+    val tolMs = 9000L * 86400000L
+    rows.foreach { case (scn, ok, age) =>
+      assert(ok.isDefined == age.isDefined, s"scn $scn: payload/age must null together")
+      age.foreach(a => assert(a >= 0L && a <= tolMs, s"scn $scn age $a out of bound"))
+    }
+    // the bound must be LIVE on the fixture: both regimes present
+    assert(rows.exists(_._2.isDefined), "no in-tolerance match on the fixture")
+    assert(rows.exists(_._2.isEmpty), "tolerance never bit on the fixture")
+    // consistency with the unbounded as-of: every tol-match equals the
+    // plain as-of match for that scn (the bound only ever REMOVES)
+    val plain = graft.SparkEntry.queries("join_asof")(s, dir).collect()
+      .map(r => r.getAs[Long]("scn") -> r.getAs[Long]("o_orderkey")).toMap
+    rows.foreach { case (scn, ok, _) =>
+      ok.foreach(k => assert(plain.get(scn).contains(k),
+        s"scn $scn: tol match $k differs from plain as-of ${plain.get(scn)}"))
+    }
+  }
 }
