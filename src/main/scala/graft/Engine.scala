@@ -85,6 +85,19 @@ object Engine {
     p
   }
 
+  /** Fixture dir most recently read through [[table]] — the dir the
+    * dynamic (model-embedding) oracles key their memo lookup by.
+    * Round-17 ADVICE fix: the previous exactly-one-live-entry heuristic
+    * silently downgraded those ids to no-oracle when two fixture dirs
+    * were touched in one session, and a single stale entry for a
+    * DIFFERENT dir would have embedded the wrong model/thresholds into
+    * the dump. Verify runs every query against one dir and dumps
+    * oracle_sql.json afterwards, so at dump time this is exactly the
+    * dump's dir.
+    */
+  @volatile private var lastDirRef: Option[String] = None
+  def lastFixtureDir: Option[String] = lastDirRef
+
   /** Read one of the fixture tables under `dir` (TESTDATA.md).
     *
     * `events.ts` is nanosecond-precision parquet, which Spark 4 cannot
@@ -94,6 +107,7 @@ object Engine {
     * when it reads the same file (ns → µs), keeping oracle parity.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    lastDirRef = Some(dir)
     // Defensive: the DRIVER may call entry()/queries with a session it
     // built itself (without these confs). nanos parquet would throw
     // PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would shift

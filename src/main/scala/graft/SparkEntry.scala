@@ -42,6 +42,7 @@ object SparkEntry {
       llm.VectorOps.queries,
       llm.Multimodal.queries,
       llm.Bpe.queries,
+      llm.WordPiece.queries,
       llm.QualityModel.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries,
@@ -68,6 +69,7 @@ object SparkEntry {
       // so the full/driver flow always has it; a subset Verify without
       // a bpe id degrades those four ids to rows-only for that dump)
       llm.Bpe.oracleSql,
+      llm.WordPiece.oracleSql,
       llm.QualityModel.oracleSql,
       sources.AvroCodec.oracleSql,
       sources.JdbcSource.oracleSql,

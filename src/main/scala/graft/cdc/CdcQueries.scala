@@ -684,8 +684,9 @@ object CdcQueries {
          |  FROM feed f JOIN orders o
          |    ON o.o_custkey = f.id AND o.o_orderdate <= f.ts
          |) WHERE rn = 1 ORDER BY scn""".stripMargin,
-    // latest match within the 30-day window, LEFT semantics; age in
-    // exact epoch-ms integers
+    // latest match within the 9000-day tolerance window (wide enough
+    // that the fixture exercises BOTH matched and tolerance-expired
+    // rows), LEFT semantics; age in exact epoch-ms integers
     "join_asof_tol" ->
       s"""$feedCte SELECT scn, id, ts, o_orderkey, age_ms FROM (
          |  SELECT f.scn, f.id, f.ts, o.o_orderkey,

@@ -23,6 +23,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(
       (FunctionIdentifier(PqEncodeRecon.functionName),
         PqEncodeRecon.info, PqEncodeRecon.builder _))
+    e.injectFunction(
+      (FunctionIdentifier(WordPieceEncode.functionName),
+        WordPieceEncode.info, WordPieceEncode.builder _))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     // SimplifySelfCosine is deliberately NOT injected by default: it is a
     // semantics-RELAXING rewrite (see its scaladoc — the emitted 1.0

@@ -405,11 +405,11 @@ object Bpe {
     // sequence); budgets, determinism and round-trip order pinned in
     // BpeSpec. Scale shape: gate+dedup are a narrow scan + one
     // text-keyed window; encode is the vocab-cached key join; packing
-    // is ONE cumulative window per source shard — no all-pairs stage,
+    // is the two-level salt-local cumulative ([[withPackCum]]) — no
+    // single task ever sorts a whole source, no all-pairs stage,
     // nothing driver-bound.
     "corpus_export" -> ((s, dir) =>
-      exportTokenTable(s, dir)
-        .withColumn("__cum", sum(col("n_tokens")).over(exportPackWindow))
+      withPackCum(exportTokenTable(s, dir))
         // SPILLOVER IS INTENDED (round-13 ADVICE, documented): shard =
         // floor(prev_cum/cap) is seq_pack-style cumulative binning —
         // docs are never split, and a doc straddling a boundary stays
@@ -437,8 +437,7 @@ object Bpe {
     // already-shuffled token table; collect_list is shard-bounded
     // (≤ cap docs per shard).
     "training_manifest" -> ((s, dir) =>
-      exportTokenTable(s, dir)
-        .withColumn("__cum", sum(col("n_tokens")).over(exportPackWindow))
+      withPackCum(exportTokenTable(s, dir))
         .withColumn("shard",
           floor((col("__cum") - col("n_tokens")) / ExportCap).cast("long"))
         .groupBy("source", "shard")
@@ -498,8 +497,8 @@ object Bpe {
     * spec-pinned cross-mode doc-set equality with the spillover view.
     */
   private[llm] def splitPieces(tokens: DataFrame): DataFrame =
-    tokens
-      .withColumn("start", sum(col("n_tokens")).over(exportPackWindow) - col("n_tokens"))
+    withPackCum(tokens)
+      .withColumn("start", col("__cum") - col("n_tokens"))
       .withColumn("shard",
         explode(sequence(expr(s"start div $ExportCap"),
           expr(s"(start + greatest(n_tokens, 1) - 1) div $ExportCap"))))
@@ -515,11 +514,48 @@ object Bpe {
   /** Shared shard capacity of the export capstones (tokens per shard). */
   val ExportCap = 512L
 
-  private def exportPackWindow =
-    org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+  /** Bucket width of the two-level packing cumulative: each (source,
+    * bucket) window task handles at most this many docs. Fixture-scale
+    * here; at 100 TB set so the |sources|·(docs/width) offset table
+    * stays broadcastable (e.g. 1e6 → ~100k offset rows for 1e11 docs).
+    */
+  private[llm] val PackBucketWidth = 64L
+
+  /** Exact per-source cumulative token sum `__cum` in (source, doc_id)
+    * packing order — the skew-safe two-level shape (round 17; the
+    * `domain_cap_tokens` / `corpus_shuffle` precedent, Sampling.scala).
+    * The one-window form sorts a whole source in ONE task — fine at
+    * fixture scale, a scale-killer when one source holds billions of
+    * docs. Here `bucket = doc_id DIV width` is MONOTONE in the packing
+    * order (doc_id is integral), so per-source bucket runs are
+    * contiguous: concatenating buckets in bucket order IS doc_id order,
+    * and `__cum = bucket_offset + bucket_local_cum` is exactly the
+    * one-window cumulative (the form the unchanged DuckDB oracles
+    * state, so the differential proves the equivalence end-to-end;
+    * PackCumSpec pins it structurally against the direct window on a
+    * multi-bucket fixture). Physical shape: one window per
+    * (source, bucket) over ≤ width rows, one counting agg to a
+    * bucket-totals table, one TINY per-source prefix-sum window over
+    * #buckets rows, one broadcast join back. No task ever sees more
+    * than `width` full rows of a source.
+    */
+  private[llm] def withPackCum(tokens: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val bucketed = tokens.withColumn("__bkt", expr(s"doc_id DIV $PackBucketWidth"))
+    val wLocal = W.partitionBy(col("source"), col("__bkt")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wOff = W.partitionBy(col("source")).orderBy(col("__bkt"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("source"), col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__bn"))
+      .withColumn("__boff", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .select("source", "__bkt", "__boff")
+    bucketed
+      .withColumn("__lcum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offs), Seq("source", "__bkt"))
+      .withColumn("__cum", col("__boff") + col("__lcum"))
+      .drop("__bkt", "__lcum", "__boff")
+  }
 
   /** The export capstones' shared front half: Gopher gate → exact dedup
     * (min-id survivor per text) → BPE encode with the corpus-trained
@@ -645,14 +681,15 @@ object Bpe {
 
   def oracleSql: Map[String, String] = {
     import scala.jdk.CollectionConverters._
+    // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle
     val live = mergeCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped && e.getKey._3 == 16)
+      .filter(e => !e.getKey._1.sparkContext.isStopped && e.getKey._3 == 16 &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._2))
     val dynamic = live match {
       case e :: Nil => oraclesFor(e.getValue)
-      // no trained model this JVM (subset Verify without a bpe id), or
-      // several corpora trained in one session (ambiguous): dump no
-      // oracle — the ids degrade to the rows-only check, never to a
-      // wrong-model differential
+      // no trained model for THIS dump's dir this JVM (subset Verify
+      // without a bpe id): dump no oracle — the ids degrade to the
+      // rows-only check, never to a wrong-model differential
       case _ => Map.empty[String, String]
     }
     dynamic + ("bpe_merges" -> mergesSql)

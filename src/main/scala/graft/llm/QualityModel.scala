@@ -301,8 +301,16 @@ object QualityModel {
     // CCNet-style perplexity bucketing (round 14 — Wenzek et al. 2020):
     // per LANGUAGE, split the corpus into equal-depth head/middle/tail
     // terciles of LM perplexity — the partition CCNet publishes and
-    // trains on (head = most natural text). Bucketing is ntile(3) over
-    // (ppl, doc_id) — a pure INTEGER equal-depth split of a
+    // trains on (head = most natural text). Bucketing is the EXPLICIT
+    // integer formula `(rn−1)·3 DIV n + 1` over (ppl, doc_id) — round
+    // 17 retired the last engine `ntile` from a compare path per the
+    // round-16 dump-form rule (e); for k=3 the formula is provably
+    // identical to SQL-standard ntile(3) (remainder 1 → sizes
+    // ⌈n/3⌉,⌊n/3⌋,⌊n/3⌋; remainder 2 → ⌈n/3⌉,⌈n/3⌉,⌊n/3⌋ — the
+    // evenly-spread and front-loaded placements coincide at k=3), and
+    // both engines now evaluate the SAME spelled-out arithmetic (the
+    // dsir_select precedent, Sampling.scala) instead of two ntile
+    // implementations. Pure INTEGER equal-depth split of a
     // deterministic total order, so no float threshold boundary exists
     // for the engines to disagree on (the round(ppl, 6) values are
     // already oracle-matched by `text_perplexity`; an interpolated
@@ -318,9 +326,14 @@ object QualityModel {
     "perplexity_buckets" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       perplexity(Tables(s, dir).documents)
         .join(Tables(s, dir).documents.select("doc_id", "lang"), "doc_id")
-        .withColumn("tercile", ntile(3).over(w).cast("long"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .withColumn("tercile", expr("(__rn - 1) * 3 DIV __n + 1"))
         .select(col("doc_id"), col("lang"), col("ppl"), col("tercile"),
           when(col("tercile") === 1, "head")
             .when(col("tercile") === 2, "middle")
@@ -421,18 +434,26 @@ object QualityModel {
     */
   private def qmsOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
+    // Keyed by the dump's fixture dir (round-17 ADVICE): the memo key
+    // already carries the dir, so the lookup selects THE entry for the
+    // dir being verified — a second dir touched in the same session no
+    // longer downgrades these ids to no-oracle, and a stale entry for
+    // a different dir can never embed the wrong model/thresholds.
     val score = modelCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      .filter(e => !e.getKey._1.sparkContext.isStopped &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._2)) match {
       case e :: Nil => Map("quality_model_score" -> scoreSql(e.getValue))
       case _        => Map.empty[String, String]
     }
     val buckets = pplThCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      .filter(e => !e.getKey._1.sparkContext.isStopped &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._2)) match {
       case e :: Nil => Map("perplexity_buckets_approx" -> bucketsApproxSql(e.getValue))
       case _        => Map.empty[String, String]
     }
     val ensemble = modelCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      .filter(e => !e.getKey._1.sparkContext.isStopped &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._2)) match {
       case e :: Nil => Map("quality_ensemble" -> ensembleSql(e.getValue))
       case _        => Map.empty[String, String]
     }
@@ -544,7 +565,8 @@ object QualityModel {
       s"""WITH $perplexityCte,
         |lab AS (
         |  SELECT p.doc_id, d.lang, p.ppl,
-        |    ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS tercile
+        |    (row_number() OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) - 1)
+        |      * 3 // (count(*) OVER (PARTITION BY d.lang)) + 1 AS tercile
         |  FROM pplt p JOIN documents d ON d.doc_id = p.doc_id)
         |SELECT doc_id, lang, ppl, CAST(tercile AS BIGINT) AS tercile,
         |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket

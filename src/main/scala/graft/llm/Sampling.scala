@@ -217,9 +217,12 @@ object Sampling {
       val tok = Tables(s, dir).documents
         .groupBy("source")
         .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))
+        // try_cast mirrored by TRY_CAST in the oracle (round-17 ADVICE):
+        // a source name without a numeric suffix yields NULL in BOTH
+        // engines instead of a Spark-NULL-vs-DuckDB-error divergence on
+        // a fixture-schema change
         .withColumn("w",
-          (lit(1) + col("source").substr(lit(4), length(col("source"))).cast("int") % 4)
-            .cast("long"))
+          expr("cast(1 + try_cast(substring(source, 4) as int) % 4 as long)"))
       val wsum = tok.agg(sum(col("w")).as("wsum"))
       tok.crossJoin(broadcast(wsum))
         .withColumn("requested", expr(s"($budget * w) DIV wsum"))
@@ -238,9 +241,9 @@ object Sampling {
           // substr to end-of-string (not a fixed length cap): the DuckDB
           // oracle's substring(source, 4) takes the whole suffix, and a
           // Spark-side length cap would silently diverge on a fixture
-          // regeneration with longer source ids
-          (lit(1) + col("source").substr(lit(4), length(col("source"))).cast("int") % 4)
-            .cast("double"))
+          // regeneration with longer source ids; try_cast ≡ TRY_CAST in
+          // the oracle (round-17 ADVICE, the mix_epochs rationale)
+          expr("cast(1 + try_cast(substring(source, 4) as int) % 4 as double)"))
       val wsum = tok.agg(sum(col("w")).as("wsum"))
       val p = tok.crossJoin(broadcast(wsum))
         .withColumn("p", col("w") / col("wsum"))
@@ -481,8 +484,10 @@ object Sampling {
     */
   private def dsirApproxOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
+    // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle
     dsirThCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped) match {
+      .filter(e => !e.getKey._1.sparkContext.isStopped &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._2)) match {
       case e :: Nil => Map("dsir_select_approx" ->
         s"""WITH $dsirCte
            |SELECT doc_id, n_feats, score FROM sc
@@ -596,7 +601,7 @@ object Sampling {
       """WITH tok AS (
         |  SELECT source,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail,
-        |    CAST(1 + CAST(substring(source, 4) AS INTEGER) % 4 AS BIGINT) AS w
+        |    CAST(1 + TRY_CAST(substring(source, 4) AS INTEGER) % 4 AS BIGINT) AS w
         |  FROM documents GROUP BY source),
         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM tok),
         |r AS (
@@ -611,7 +616,7 @@ object Sampling {
       """WITH tok AS (
         |  SELECT source,
         |    CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS t,
-        |    CAST(1 + CAST(substring(source, 4) AS INTEGER) % 4 AS DOUBLE) AS w
+        |    CAST(1 + TRY_CAST(substring(source, 4) AS INTEGER) % 4 AS DOUBLE) AS w
         |  FROM documents GROUP BY source),
         |p AS (SELECT source, t, w / (SELECT sum(w) FROM tok) AS p FROM tok),
         |ts AS (SELECT min(t / p) AS tstar FROM p)

@@ -57,9 +57,21 @@ object TextOps {
     * denominators removes floats from the compare path entirely;
     * callers round with the exact half-up identity
     * (2·num + den) div (2·den), mirrored verbatim in the oracle SQL.
-    * Overflow headroom: num ≤ ~10⁶·w·len, so BIGINT holds to
-    * w·len < ~9·10¹² — docs to ~10 MB text; curation caps (Gopher
-    * wc ≤ 100k words) keep real corpora orders of magnitude inside.
+    * Overflow headroom (round-17 ADVICE: state the BINDING bound, not
+    * just the quality one): num ≤ ~10⁶·w·len, so the quality_e6
+    * half-up identity (2·num + den) holds in BIGINT to
+    * w·len < ~4.6·10¹² (~10 MB docs). The density_e9 consumers
+    * (selectBudget/selectBudgetApprox: 2000·num + den·w over
+    * den·w·2 = 2·w²·len) multiply by a further 1000, so THEIR bound is
+    * w·len < ~4.6·10⁹ AND w²·len < ~4.6·10¹⁵ — a ~1 MB doc with ~2e5
+    * words overflows, where Spark wraps silently and DuckDB errors on
+    * BIGINT overflow. Contract: the density path requires
+    * w·len < 4.6·10⁹ per doc; corpora must enter it gated (the Gopher
+    * wc ≤ 100k-word rule bounds w·len ≤ ~10⁹ for any real text, since
+    * len ≤ ~10·w for word-shaped input — uncurated blobs must be
+    * length-capped first, or score density via the already-rounded
+    * quality_e6 over n_tokens, which re-bases the rational at
+    * num ≤ 10⁶·w and removes the 2000× factor).
     */
   private[llm] def qualityE6Rational(text: org.apache.spark.sql.Column)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,

@@ -2260,7 +2260,9 @@ object VectorOps {
     */
   private def ivfOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    val live = centroidCache.entrySet().asScala.toList.filter(_.getKey._2 == 16)
+    // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle
+    val live = centroidCache.entrySet().asScala.toList.filter(e =>
+      e.getKey._2 == 16 && graft.Engine.lastFixtureDir.contains(e.getKey._1))
     live match {
       case e :: Nil => Map("ann_ivf" -> annIvfSql(e.getValue),
         "ann_recall" -> annRecallSql(e.getValue))
@@ -2278,7 +2280,8 @@ object VectorOps {
   private def lshOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val live = lshPlaneCache.entrySet().asScala.toList
-      .filter(e => e.getKey._2 == 4 && e.getKey._3 == 8)
+      .filter(e => e.getKey._2 == 4 && e.getKey._3 == 8 &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._1))
     live match {
       case e :: Nil => Map("ann_lsh" -> annLshSql(e.getValue, h = 4))
       case _        => Map.empty
@@ -2333,7 +2336,8 @@ object VectorOps {
   private def pqOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val live = pqModelCache.entrySet().asScala.toList
-      .filter(e => e.getKey._2 == 8 && e.getKey._3 == 16)
+      .filter(e => e.getKey._2 == 8 && e.getKey._3 == 16 &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._1))
     live match {
       case e :: Nil => Map("vec_pq" -> vecPqSql(e.getValue))
       case _        => Map.empty
@@ -2382,7 +2386,8 @@ object VectorOps {
   private def annPqOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val live = pqModelCache.entrySet().asScala.toList
-      .filter(e => e.getKey._2 == 8 && e.getKey._3 == 16)
+      .filter(e => e.getKey._2 == 8 && e.getKey._3 == 16 &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._1))
     live match {
       case e :: Nil => Map("ann_pq" -> annPqSql(e.getValue))
       case _        => Map.empty
@@ -2462,9 +2467,11 @@ object VectorOps {
     // the append demo trains its OWN frozen model under "<dir>#even"
     // (the no-retrain contract) — it lives alongside the plain-dir
     // model in one Verify JVM, so the two are keyed apart here instead
-    // of tripping the single-entry ambiguity guard
-    val plain = live.filter(!_.getKey._1.contains("#"))
-    val even = live.filter(_.getKey._1.endsWith("#even"))
+    // of tripping the single-entry ambiguity guard; both legs are
+    // additionally keyed to the dump's dir (round-17 ADVICE)
+    val d = graft.Engine.lastFixtureDir
+    val plain = live.filter(e => d.contains(e.getKey._1))
+    val even = live.filter(e => d.map(_ + "#even").contains(e.getKey._1))
     val base = plain match {
       case e :: Nil =>
         val sql = ivfPqSql(e.getValue, where = false)
@@ -2580,7 +2587,8 @@ object VectorOps {
   private def pcaOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val live = pcaCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped)
+      .filter(e => !e.getKey._1.sparkContext.isStopped &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._2))
     live match {
       case e :: Nil if e.getValue.components.length >= 2 =>
         Map("embed_project" -> embedProjectSql(e.getValue))
@@ -2624,7 +2632,8 @@ object VectorOps {
     import scala.jdk.CollectionConverters._
     val live = kmeansCache.entrySet().asScala.toList
       .filter(e => !e.getKey._1.sparkContext.isStopped &&
-        e.getKey._3 == 8 && e.getKey._4 == 8)
+        e.getKey._3 == 8 && e.getKey._4 == 8 &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._2))
     live match {
       case e :: Nil => Map("cluster_kmeans" -> clusterKmeansSql(e.getValue))
       case _        => Map.empty
@@ -2663,7 +2672,8 @@ object VectorOps {
   private def dedupEmbedOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val live = lshPlaneCache.entrySet().asScala.toList
-      .filter(e => e.getKey._2 == 6 && e.getKey._3 == 4)
+      .filter(e => e.getKey._2 == 6 && e.getKey._3 == 4 &&
+        graft.Engine.lastFixtureDir.contains(e.getKey._1))
     live match {
       case e :: Nil => Map("dedup_embed" -> dedupEmbedSql(e.getValue, h = 6))
       case _        => Map.empty

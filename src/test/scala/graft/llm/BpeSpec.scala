@@ -436,6 +436,10 @@ class BpeSpec extends SparkSpec {
   }
 
   test("oracleSql embeds the live trained model: every encode/export id, every merge as a literal") {
+    // pin the oracle-lookup dir (round 17: dynamic oracles are keyed by
+    // the last fixture dir READ; a memo cache hit performs no read, so
+    // touch the dir explicitly before dumping)
+    graft.Tables(spark, sf("sf0.001")).documents
     val merges = Bpe.trainedMerges(spark, sf("sf0.001"))
     assert(merges.nonEmpty, "fixture must train at least one merge")
     val o = Bpe.oracleSql
@@ -456,5 +460,35 @@ class BpeSpec extends SparkSpec {
       "the training oracle must embed no model literals")
     assert(o("bpe_merges").contains("MATERIALIZED"),
       "unrolled stages must be materialized (exponential re-inline otherwise)")
+  }
+
+  test("withPackCum: two-level salt-local cumulative ≡ the direct one-window prefix sum (multi-bucket, interleaved, skewed)") {
+    // Round 17: the packing window stopped sorting a whole source in one
+    // task. This pins the EXACTNESS of the replacement against the
+    // direct window on a fixture that spans many PackBucketWidth
+    // buckets, interleaves sources within every bucket, and plants
+    // skewed token masses (including zero-token docs at bucket edges).
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 400L).map { i =>
+      val tok = if (i % 97 == 0) 0L else (i % 13) + (if (i % 50 == 0) 900L else 1L)
+      (s"s${i % 3}", i * 7L % 1000L, tok, s"h$i") // 7 ⊥ 1000: ids unique
+    }
+    val tokens = rows.toDF("source", "doc_id", "n_tokens", "h")
+      .repartition(8) // scatter rows so bucket-locality is earned, not inherited
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val direct = tokens
+      .withColumn("cum_direct", sum(col("n_tokens")).over(w))
+      .select("source", "doc_id", "cum_direct")
+    val two = Bpe.withPackCum(tokens).select("source", "doc_id", "__cum")
+    val joined = two.join(direct, Seq("source", "doc_id"))
+      .filter(col("__cum") =!= col("cum_direct"))
+    assert(joined.count() == 0, "two-level cumulative diverged from the direct window")
+    assert(rows.map(_._2).max / Bpe.PackBucketWidth >= 5,
+      "fixture must actually span several buckets")
   }
 }

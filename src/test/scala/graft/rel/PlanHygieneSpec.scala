@@ -572,6 +572,28 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("round-17 export packing: no whole-source window remains on the packing path") {
+    // The scale-killer retired in round 17: a window partitioned by
+    // source alone and ordered by doc_id sorts a WHOLE source in one
+    // task. The packing ids must now carry (a) the bucketed full-table
+    // window — every windowspecdefinition that orders by doc_id also
+    // partitions by the __bkt salt — and (b) a broadcast join attaching
+    // the tiny per-source bucket-offset table. The offsets window
+    // (source partition, __bkt order, over #buckets aggregate rows) is
+    // the only source-only window allowed, and it never sees doc rows.
+    for (id <- Seq("corpus_export", "corpus_export_split", "training_manifest", "pack_efficiency")) {
+      val p = planOf(id).split("== Optimized Logical Plan ==").last
+      val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+      val docOrdered = specs.filter(_.contains("doc_id#"))
+      assert(docOrdered.nonEmpty, s"$id: expected a doc_id-ordered packing window\n$p")
+      docOrdered.foreach(spec =>
+        assert(spec.contains("__bkt#"),
+          s"$id: doc_id-ordered window not bucket-salted: $spec"))
+      val phys = planOf(id).split("== Physical Plan ==").last
+      assert(phys.contains("BroadcastHashJoin"), s"$id: bucket-offset join must broadcast\n$phys")
+    }
+  }
+
   test("partitioned writes prune partitions on read") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
