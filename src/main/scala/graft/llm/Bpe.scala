@@ -462,6 +462,47 @@ object Bpe {
       splitPieces(exportTokenTable(s, dir))
         .orderBy("source", "doc_id", "shard")),
 
+    // the COMPOSED data-release capstone (round 17, VERDICT item 7b) —
+    // the §2.12 rows exist separately; this is the ONE declarative plan
+    // a data team actually ships: fuzzy-decontaminated train split
+    // (Curation.decontaminatedTrainFuzzy — decon_overlap's 20% integer
+    // gate, one definition; the any-hit rule removes ~90% of train on
+    // this shared-vocab fixture and would make the funnel vacuous)
+    // → Gopher quality gate → exact dedup (min-id survivor
+    // per text) → half-mass quality-budget admission (the
+    // select_budget_approx histogram-threshold shape: a bounded
+    // (quality_e6 → Σwords) histogram, threshold = deepest level whose
+    // level-cumulative fits HALF the surviving word mass — relative so
+    // it binds at every SF, all-integer so the oracle replays it from
+    // scratch, NO global doc-scale window) → BPE encode with the
+    // corpus-trained tokenizer → two-level shard packing → per-shard
+    // release manifest with the ordered checksum. Every stage is the
+    // same definition its standalone board id verifies; the composed
+    // differential proves the CHAIN. Scale shape: scrub is semi+anti
+    // hash joins, gate+dedup one text-keyed window, admission one
+    // broadcast compare, encode the vocab-cached key join, packing the
+    // bucketed cumulative — nothing driver-bound beyond the bounded
+    // histogram/model collects.
+    "corpus_release" -> ((s, dir) => {
+      val rel = releaseDocs(s, dir)
+      val merges = trainedMerges(s, dir)
+      val toks = rel.select("doc_id", "source")
+        .join(encodeDocs(rel.select("doc_id", "text"), merges), "doc_id")
+        .select(col("source"), col("doc_id"),
+          size(col("bpe")).cast("long").as("n_tokens"),
+          md5(array_join(col("bpe"), " ")).as("h"))
+      withPackCum(toks)
+        .withColumn("shard",
+          floor((col("__cum") - col("n_tokens")) / ExportCap).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("h")))),
+            x => x.getField("h")), "")).as("manifest_sha"))
+        .orderBy("source", "shard")
+    }),
+
     // Packing-efficiency report (round 15) — the accounting view a data
     // team reads after an export: per source, shard count, capacity,
     // real tokens packed and the padding-waste fraction (hard-capped
@@ -555,6 +596,44 @@ object Bpe {
       .join(broadcast(offs), Seq("source", "__bkt"))
       .withColumn("__cum", col("__boff") + col("__lcum"))
       .drop("__bkt", "__lcum", "__boff")
+  }
+
+  /** corpus_release stages 1–4: decontaminated train split → Gopher
+    * gate → exact dedup → half-mass histogram-threshold quality
+    * admission. Returns the admitted (doc_id, source, text). The
+    * threshold is the one scalar memoized per (session, dir); both the
+    * histogram levels (≤10⁶+1 by construction) and the rule are exact
+    * integers, so the oracle re-derives it from scratch in SQL.
+    */
+  private val releaseThCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+
+  private def releaseDocs(s: SparkSession, dir: String): DataFrame = {
+    val clean = Curation.decontaminatedTrainFuzzy(s, dir).select("doc_id")
+    val docs = Tables(s, dir).documents.join(clean, "doc_id")
+    val gated = docs.filter(TextOps.GopherGate.keep)
+    val wDedup = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val survivors = gated
+      .withColumn("__keep", min(col("doc_id")).over(wDedup))
+      .filter(col("doc_id") === col("__keep"))
+      .select("doc_id", "source", "text")
+    val (nW, num, den) = TextOps.qualityE6Rational(col("text"))
+    val scored = survivors
+      .select(col("doc_id"), col("source"), col("text"),
+        nW.cast("long").as("n_w"), num.as("qnum"), den.as("qden"))
+      .withColumn("quality_e6", expr("(qnum * 2 + qden) DIV (qden * 2)"))
+    releaseThCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val qStar: Long = releaseThCache.computeIfAbsent((s, dir), _ => {
+      val hist = scored.groupBy("quality_e6").agg(sum(col("n_w")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      val budget = hist.map(_._2).sum / 2
+      var cum = 0L
+      var q = Long.MaxValue // empty release if not even the top level fits
+      for ((lvl, t) <- hist) { cum += t; if (cum <= budget) q = lvl }
+      q
+    })
+    scored.filter(col("quality_e6") >= lit(qStar))
+      .select("doc_id", "source", "text")
   }
 
   /** The export capstones' shared front half: Gopher gate → exact dedup
@@ -804,6 +883,58 @@ object Bpe {
          |  SELECT source, doc_id, n_tokens, h,
          |    CAST((c - n_tokens) // 512 AS BIGINT) AS shard
          |  FROM cum)
+         |SELECT source, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(h, '' ORDER BY doc_id)) AS manifest_sha
+         |FROM sh GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+    // the composed release chain: decon CTEs (Curation, verbatim) →
+    // gate+dedup → half-mass histogram threshold (replayed from
+    // scratch, all-integer) → encode → packing cum → manifest
+    "corpus_release" ->
+      s"""WITH merges AS (${mergesCte(ms)}),
+         |${Curation.deconFuzzyCtes},
+         |gsrc AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT c.doc_id, c.source, c.text,
+         |      min(c.doc_id) OVER (PARTITION BY c.text) AS keep
+         |    FROM clean c
+         |    WHERE $gopherKeepSql)
+         |  WHERE doc_id = keep),
+         |relq AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+         |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+         |    CAST(nullif(length(text), 0) AS BIGINT) AS len
+         |  FROM gsrc),
+         |scored AS (
+         |  SELECT doc_id, w AS n_w,
+         |    CAST((2 * ((w*len) * (5000*least(100, w) + 200000)
+         |          + 300000*stop*len - 200000*sym*w) + w*len)
+         |      // (2 * w*len) AS BIGINT) AS q
+         |  FROM relq),
+         |hist AS (SELECT q, CAST(sum(n_w) AS BIGINT) AS t FROM scored GROUP BY 1),
+         |cumq AS (
+         |  SELECT q, CAST(sum(t) OVER (ORDER BY q DESC) AS BIGINT) AS cumt
+         |  FROM hist),
+         |sel AS (
+         |  SELECT s.doc_id FROM scored s JOIN cumq ON s.q = cumq.q
+         |  WHERE cumt <= (SELECT CAST(sum(t) // 2 AS BIGINT) FROM hist)),
+         |src AS (SELECT g.doc_id, g.text FROM gsrc g JOIN sel USING (doc_id)),
+         |$encodeCtes,
+         |toktab AS (
+         |  SELECT g.source, g.doc_id, len(flat) AS n_tokens,
+         |    md5(coalesce(array_to_string(flat, ' '), '')) AS h
+         |  FROM gsrc g JOIN doc_enc USING (doc_id)),
+         |relcum AS (
+         |  SELECT source, doc_id, n_tokens, h,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+         |  FROM toktab),
+         |sh AS (
+         |  SELECT source, doc_id, n_tokens, h,
+         |    CAST((c - n_tokens) // 512 AS BIGINT) AS shard
+         |  FROM relcum)
          |SELECT source, shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  md5(string_agg(h, '' ORDER BY doc_id)) AS manifest_sha

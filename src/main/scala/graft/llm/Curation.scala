@@ -66,6 +66,90 @@ object Curation {
   private def ngHash(c: org.apache.spark.sql.Column) =
     Sampling.hashBucket(c, hexDigits = 14)
 
+  /** Decontaminated train split (doc_id, source): train docs minus any
+    * doc sharing a 3-word shingle hash with the held-out split — the
+    * SINGLE definition behind the `decontaminate` board id, exposed to
+    * the `corpus_release` capstone (round 17) so the composed release
+    * plan cannot de-synchronize from the oracle-checked scrub.
+    */
+  private[llm] def decontaminatedTrain(s: SparkSession, dir: String): DataFrame = {
+    val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
+    val train = sp.filter(col("split") === "train")
+    val trainNg = Sampling.splitAssign(NearDedup.shingled(s, dir), "doc_id")
+      .filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("ng"))
+      .select(col("doc_id"), ngHash(col("ng")).as("h"))
+    val contaminated = trainNg
+      .join(evalNgHashes(s, dir), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    train.select("doc_id", "source")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Fuzzy-decontaminated train split (doc_id, source): train docs
+    * minus those whose distinct-shingle eval overlap reaches the 50%
+    * release gate (`n_hit·2 ≥ n_grams` — decon_overlap's integer ratio
+    * at the release threshold). The `corpus_release` capstone scrubs
+    * with THIS graded rule rather than `decontaminate`'s any-hit rule:
+    * on a shared-vocabulary synthetic fixture the any-hit rule removes
+    * ~90% of train and the audit-grade 20% gate saturates at sf0.1
+    * (median train-doc eval overlap is 38% there — measured), either
+    * of which makes a composed release funnel vacuous; 50% binds at
+    * sf0.1 (~25% of train scrubbed) while passing the small SFs
+    * through, and the graded-ratio family is what the Llama/GPT
+    * eval-hygiene appendices actually ship.
+    */
+  private[llm] def decontaminatedTrainFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
+    val train = sp.filter(col("split") === "train")
+    val trainNg = Sampling.splitAssign(NearDedup.shingled(s, dir), "doc_id")
+      .filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("ng"))
+      .select(col("doc_id"), ngHash(col("ng")).as("h"))
+      .distinct()
+    val hits = evalNgHashes(s, dir).withColumn("hit", lit(1))
+    val flagged = trainNg.join(hits, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") * 2 >= col("n_grams"))
+      .select("doc_id")
+    train.select("doc_id", "source")
+      .join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** SQL twin of [[decontaminatedTrainFuzzy]] ending in a `clean`
+    * (doc_id, source, text) CTE — consumed by Bpe's `corpus_release`
+    * oracle. Mirrors the `decon_overlap` oracle's hash/count fragment
+    * verbatim. NOTE: re-embedded in outer .stripMargin templates — no
+    * line may start with '|'.
+    */
+  private[llm] val deconFuzzyCtes: String =
+    """h AS (
+      |  SELECT doc_id, source, text,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
+      |  FROM documents),
+      |train AS (SELECT doc_id, source, text FROM h WHERE hb < 58982),
+      |ev AS (SELECT text FROM h WHERE hb >= 62259),
+      |tng AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substring(md5(ng),1,14) AS BIGINT) AS hh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |           string_split(text,' ')[i+2])) AS ng
+      |    FROM train WHERE len(string_split(text,' ')) >= 3)),
+      |eng AS (
+      |  SELECT DISTINCT CAST('0x' || substring(md5(ng),1,14) AS BIGINT) AS hh FROM (
+      |    SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |           string_split(text,' ')[i+2])) AS ng
+      |    FROM ev WHERE len(string_split(text,' ')) >= 3)),
+      |badf AS (
+      |  SELECT t.doc_id FROM tng t LEFT JOIN eng e ON t.hh = e.hh
+      |  GROUP BY t.doc_id HAVING count(e.hh) * 2 >= count(*)),
+      |clean AS (
+      |  SELECT doc_id, source, text FROM train
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM badf))""".stripMargin
+
   /** Memoized bootstrap state for `dedup_lines_incr` (even-doc line
     * hashes) — same pre-existing-artifact cost model as NearDedup's
     * stateCache.
@@ -514,20 +598,10 @@ object Curation {
     // strings (severalfold fewer shuffle bytes), the collision rate at
     // 2^-56 per pair is negligible — and the oracle mirrors the hash
     // exactly, so even a collision cannot diverge.
-    "decontaminate" -> ((s, dir) => {
-      val sp = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
-      val train = sp.filter(col("split") === "train")
-      val trainNg = Sampling.splitAssign(NearDedup.shingled(s, dir), "doc_id")
-        .filter(col("split") === "train")
-        .select(col("doc_id"), explode(col("sh")).as("ng"))
-        .select(col("doc_id"), ngHash(col("ng")).as("h"))
-      val contaminated = trainNg
-        .join(evalNgHashes(s, dir), Seq("h"), "left_semi")
-        .select("doc_id").distinct()
-      train.select("doc_id", "source")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id")
-    }),
+    "decontaminate" -> ((s, dir) =>
+      decontaminatedTrain(s, dir)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
 
     // fuzzy decontamination REPORT (round 13) — the overlap-ratio rule
     // (the "contaminated if >=X% of a doc's k-grams appear in the eval
@@ -1061,29 +1135,40 @@ object Curation {
   // decontaminate_bloom is the SAME declared semantics as decontaminate
   // (the Bloom pass is a pure prefilter; the exact verify join removes
   // every false positive), so both ids share one oracle text.
+  /** The decontamination CTE chain (train split, eval split, shingle
+    * hashes, contaminated set, clean survivors) — shared verbatim by
+    * [[decontaminateOracle]] and Bpe's `corpus_release` oracle, the SQL
+    * twin of [[decontaminatedTrain]]. NOTE: re-embedded in outer
+    * .stripMargin templates — no line may start with '|'.
+    */
+  private[llm] val deconTrainCtes: String =
+    """h AS (
+      |  SELECT doc_id, source, text,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
+      |  FROM documents),
+      |train AS (SELECT doc_id, source, text FROM h WHERE hb < 58982),
+      |ev AS (SELECT text FROM h WHERE hb >= 62259),
+      |tng AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |         string_split(text,' ')[i+2])) AS ng
+      |  FROM train WHERE len(string_split(text,' ')) >= 3),
+      |eng AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |         string_split(text,' ')[i+2])) AS ng
+      |  FROM ev WHERE len(string_split(text,' ')) >= 3),
+      |bad AS (
+      |  SELECT DISTINCT t.doc_id FROM tng t JOIN eng e
+      |  ON CAST('0x' || substring(md5(t.ng),1,14) AS BIGINT)
+      |   = CAST('0x' || substring(md5(e.ng),1,14) AS BIGINT)),
+      |clean AS (
+      |  SELECT doc_id, source, text FROM train
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM bad))""".stripMargin
+
   private val decontaminateOracle =
-    """WITH h AS (
-        |  SELECT doc_id, source, text,
-        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS hb
-        |  FROM documents),
-        |train AS (SELECT doc_id, source, text FROM h WHERE hb < 58982),
-        |ev AS (SELECT text FROM h WHERE hb >= 62259),
-        |tng AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
-        |         string_split(text,' ')[i+2])) AS ng
-        |  FROM train WHERE len(string_split(text,' ')) >= 3),
-        |eng AS (
-        |  SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
-        |         string_split(text,' ')[i+2])) AS ng
-        |  FROM ev WHERE len(string_split(text,' ')) >= 3),
-        |bad AS (
-        |  SELECT DISTINCT t.doc_id FROM tng t JOIN eng e
-        |  ON CAST('0x' || substring(md5(t.ng),1,14) AS BIGINT)
-        |   = CAST('0x' || substring(md5(e.ng),1,14) AS BIGINT))
-        |SELECT doc_id, source FROM train
-        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    s"""WITH $deconTrainCtes
+        |SELECT doc_id, source FROM clean
         |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(

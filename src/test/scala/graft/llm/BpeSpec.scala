@@ -445,7 +445,8 @@ class BpeSpec extends SparkSpec {
     val o = Bpe.oracleSql
     assert(o.keySet == Set("bpe_encode", "bpe_fertility",
       "corpus_export", "corpus_export_split", "pack_efficiency",
-      "bpe_merges", "vocab_prune", "training_manifest"), s"ids: ${o.keySet}")
+      "bpe_merges", "vocab_prune", "training_manifest", "corpus_release"),
+      s"ids: ${o.keySet}")
     // each merge pair must appear as a VALUES literal in every
     // model-embedding oracle (one shared merges CTE per statement);
     // bpe_merges is the exception — its oracle REPLAYS training from
@@ -460,6 +461,54 @@ class BpeSpec extends SparkSpec {
       "the training oracle must embed no model literals")
     assert(o("bpe_merges").contains("MATERIALIZED"),
       "unrolled stages must be materialized (exponential re-inline otherwise)")
+  }
+
+  test("corpus_release: funnel ≡ fuzzy-scrub ∩ gopher ∩ dedup ∩ half-mass budget, recomputed from sibling ids") {
+    val s0 = spark
+    val dir = sf("sf0.001")
+    val docs = graft.Tables(s0, dir).documents
+    // independent funnel recomputation from ALREADY-VERIFIED board ids:
+    // train split + 50% release scrub from decon_overlap's counts,
+    // gopher keep from gopher_rules, dedup + half-mass budget re-derived
+    val trainIds = Sampling.splitAssign(docs, "doc_id")
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scrubbed = graft.SparkEntry.queries("decon_overlap")(s0, dir)
+      .collect().filter(r => r.getAs[Long]("n_hit") * 2 >= r.getAs[Long]("n_grams"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val gopherKeep = graft.SparkEntry.queries("gopher_rules")(s0, dir)
+      .collect().filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val textOf = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wordsOf = textOf.view.mapValues(_.split(" ").count(_.nonEmpty).toLong).toMap
+    val surv0 = (trainIds -- scrubbed).filter(gopherKeep)
+    val surv = surv0.groupBy(id => textOf(id)).map(_._2.min).toSet // min-id dedup
+    // half-mass budget over exact quality levels
+    def q6(id: Long): Long = {
+      val t = textOf(id)
+      val w = BigInt(wordsOf(id))
+      val stop = BigInt(t.split(" ").count(Set("the", "a", "of", "and")))
+      val sym = BigInt(t.replaceAll("[a-z ]", "").length)
+      val len = BigInt(t.length)
+      val den = w * len
+      val num = den * (BigInt(5000) * w.min(100) + 200000) + BigInt(300000) * stop * len -
+        BigInt(200000) * sym * w
+      ((num * 2 + den) / (den * 2)).toLong
+    }
+    val hist = surv.groupBy(q6).view.mapValues(_.toSeq.map(wordsOf).sum).toSeq.sortBy(-_._1)
+    val budget = hist.map(_._2).sum / 2
+    var cum = 0L
+    var qStar = Long.MaxValue
+    for ((lvl, t) <- hist) { cum += t; if (cum <= budget) qStar = lvl }
+    val expect = surv.filter(id => q6(id) >= qStar)
+    // the manifest's doc accounting must equal the recomputed admission
+    val rel = graft.SparkEntry.queries("corpus_release")(s0, dir).collect()
+    assert(rel.nonEmpty, "release manifest must be non-vacuous at sf0.001")
+    assert(rel.map(_.getAs[Long]("n_docs")).sum == expect.size,
+      s"manifest docs ${rel.map(_.getAs[Long]("n_docs")).sum} != recomputed admission ${expect.size}")
+    // budget stage is non-vacuous: some survivors were excluded
+    assert(expect.size < surv.size, s"budget admitted all ${surv.size} survivors — vacuous stage")
+    assert(expect.nonEmpty, "budget admitted nothing")
   }
 
   test("withPackCum: two-level salt-local cumulative ≡ the direct one-window prefix sum (multi-bucket, interleaved, skewed)") {

@@ -581,7 +581,8 @@ class PlanHygieneSpec extends SparkSpec {
     // the tiny per-source bucket-offset table. The offsets window
     // (source partition, __bkt order, over #buckets aggregate rows) is
     // the only source-only window allowed, and it never sees doc rows.
-    for (id <- Seq("corpus_export", "corpus_export_split", "training_manifest", "pack_efficiency")) {
+    for (id <- Seq("corpus_export", "corpus_export_split", "training_manifest",
+        "pack_efficiency", "corpus_release")) {
       val p = planOf(id).split("== Optimized Logical Plan ==").last
       val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
       val docOrdered = specs.filter(_.contains("doc_id#"))
