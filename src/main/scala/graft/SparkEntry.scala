@@ -43,6 +43,7 @@ object SparkEntry {
       llm.Multimodal.queries,
       llm.Bpe.queries,
       llm.WordPiece.queries,
+      llm.Unigram.queries,
       llm.QualityModel.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries,
@@ -70,6 +71,7 @@ object SparkEntry {
       // a bpe id degrades those four ids to rows-only for that dump)
       llm.Bpe.oracleSql,
       llm.WordPiece.oracleSql,
+      llm.Unigram.oracleSql,
       llm.QualityModel.oracleSql,
       sources.AvroCodec.oracleSql,
       sources.JdbcSource.oracleSql,

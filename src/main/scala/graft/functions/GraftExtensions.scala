@@ -26,6 +26,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(
       (FunctionIdentifier(WordPieceEncode.functionName),
         WordPieceEncode.info, WordPieceEncode.builder _))
+    e.injectFunction(
+      (FunctionIdentifier(UnigramEncode.functionName),
+        UnigramEncode.info, UnigramEncode.builder _))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     // SimplifySelfCosine is deliberately NOT injected by default: it is a
     // semantics-RELAXING rewrite (see its scaladoc — the emitted 1.0

@@ -107,7 +107,7 @@ object Bpe {
     * breaks count ties with THIS ordering so local ≡ distributed holds
     * for any input, not just BMP/ASCII corpora (round-9 ADVICE).
     */
-  private[llm] val utf8Order: Ordering[String] = (x: String, y: String) => {
+  private[graft] val utf8Order: Ordering[String] = (x: String, y: String) => {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
