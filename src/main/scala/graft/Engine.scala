@@ -63,6 +63,7 @@ object Engine {
     llm.Multimodal.releaseMemos(s)
     llm.TextOps.releaseMemos(s)
     llm.VectorOps.releaseMemos(s)
+    llm.Bpe.releaseMemos(s)
   }
 
   /** A temp work directory that is recursively deleted at JVM exit —
