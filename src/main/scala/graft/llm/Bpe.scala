@@ -484,13 +484,19 @@ object Bpe {
     // bucketed cumulative — nothing driver-bound beyond the bounded
     // histogram/model collects.
     "corpus_release" -> ((s, dir) => {
-      val rel = releaseDocs(s, dir)
-      val merges = trainedMerges(s, dir)
-      val toks = rel.select("doc_id", "source")
-        .join(encodeDocs(rel.select("doc_id", "text"), merges), "doc_id")
-        .select(col("source"), col("doc_id"),
-          size(col("bpe")).cast("long").as("n_tokens"),
-          md5(array_join(col("bpe"), " ")).as("h"))
+      // the admitted-set token table is memoized+persisted like
+      // [[exportTokenTable]]: the packing cumulative consumes it twice
+      relTokCache.keySet.removeIf(k0 => k0._1.sparkContext.isStopped)
+      val toks = relTokCache.computeIfAbsent((s, dir), _ => {
+        val rel = releaseDocs(s, dir)
+        val merges = trainedMerges(s, dir)
+        rel.select("doc_id", "source")
+          .join(encodeDocs(rel.select("doc_id", "text"), merges), "doc_id")
+          .select(col("source"), col("doc_id"),
+            size(col("bpe")).cast("long").as("n_tokens"),
+            md5(array_join(col("bpe"), " ")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
       withPackCum(toks)
         .withColumn("shard",
           floor((col("__cum") - col("n_tokens")) / ExportCap).cast("long"))
@@ -671,11 +677,16 @@ object Bpe {
     })
   }
 
+  private val relTokCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[graft] def releaseMemos(s: SparkSession): Unit = {
-    val it = tokTabCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+    Seq(tokTabCache, relTokCache).foreach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+      }
     }
   }
 
