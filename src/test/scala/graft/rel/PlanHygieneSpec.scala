@@ -595,6 +595,20 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("round-17 tokenizer encodes: distinct-word cache joins, no cartesian, pruned scans") {
+    // wordpiece_encode / unigram_encode: the native matcher runs once
+    // per DISTINCT word; occurrences map through a key join (AQE picks
+    // the strategy — the vocab side is corpus-dependent); never a
+    // cartesian; the documents scan reads only (doc_id, text)
+    for (id <- Seq("wordpiece_encode", "unigram_encode")) {
+      val p = planOf(id).split("== Physical Plan ==").last
+      assert(!p.contains("CartesianProduct"), s"$id went cartesian\n$p")
+      val schema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(schema.contains("doc_id") && schema.contains("text") &&
+        !schema.contains("lang") && !schema.contains("n_chars"), s"$id scan not pruned: $schema")
+    }
+  }
+
   test("partitioned writes prune partitions on read") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
