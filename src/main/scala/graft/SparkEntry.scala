@@ -44,6 +44,7 @@ object SparkEntry {
       llm.Bpe.queries,
       llm.WordPiece.queries,
       llm.Unigram.queries,
+      llm.TokenizerCompare.queries,
       llm.QualityModel.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries,
@@ -72,6 +73,7 @@ object SparkEntry {
       llm.Bpe.oracleSql,
       llm.WordPiece.oracleSql,
       llm.Unigram.oracleSql,
+      llm.TokenizerCompare.oracleSql,
       llm.QualityModel.oracleSql,
       sources.AvroCodec.oracleSql,
       sources.JdbcSource.oracleSql,

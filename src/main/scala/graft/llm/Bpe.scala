@@ -791,6 +791,28 @@ object Bpe {
        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
        |  FROM toktab)""".stripMargin
 
+  /** Per-doc BPE token counts as a standalone statement — the fragment
+    * `tokenizer_compare`'s oracle aggregates per family.
+    */
+  private[llm] def encodePerDocSql(ms: Seq[Merge]): String =
+    s"""WITH merges AS (${mergesCte(ms)}),
+       |src AS (SELECT doc_id, text FROM documents),
+       |$encodeCtes
+       |SELECT doc_id, len(flat) AS n_tokens FROM doc_enc""".stripMargin
+
+  /** The live trained merges for `dir` if this JVM trained them (the
+    * dir-keyed dynamic-oracle lookup, shared with [[oracleSql]]).
+    */
+  private[llm] def liveMergesFor(dir: String): Option[Seq[Merge]] = {
+    import scala.jdk.CollectionConverters._
+    mergeCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped && e.getKey._3 == 16 &&
+        e.getKey._2 == dir) match {
+      case e :: Nil => Some(e.getValue)
+      case _        => None
+    }
+  }
+
   def oracleSql: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle

@@ -179,7 +179,7 @@ object Unigram {
     * stages; longer words are '[LONG]' in both engines. Then the
     * standard distinct-word → doc flatten.
     */
-  private def encodeSql(model: Seq[(String, Long, Long)]): String = {
+  private[llm] def encodeSql(model: Seq[(String, Long, Long)]): String = {
     val maxL = graft.functions.UnigramEncode.MaxWordCp
     val rows = model.map { case (p, _, lp) => s"(${sqlStr(p)}, $lp)" }.mkString(", ")
     val nullCell = "CAST(NULL AS STRUCT(c BIGINT, k BIGINT, path VARCHAR))"
@@ -242,14 +242,21 @@ object Unigram {
        |ORDER BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = {
+  /** The live quantized model for `dir` if this JVM trained it. */
+  private[llm] def liveModelFor(dir: String): Option[Seq[(String, Long, Long)]] = {
     import scala.jdk.CollectionConverters._
+    modelCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped && e.getKey._2 == dir) match {
+      case e :: Nil => Some(e.getValue)
+      case _        => None
+    }
+  }
+
+  def oracleSql: Map[String, String] = {
     // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle
-    val dynamic = modelCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped &&
-        graft.Engine.lastFixtureDir.contains(e.getKey._2)) match {
-      case e :: Nil => Map("unigram_encode" -> encodeSql(e.getValue))
-      case _        => Map.empty[String, String]
+    val dynamic = graft.Engine.lastFixtureDir.flatMap(liveModelFor) match {
+      case Some(m) => Map("unigram_encode" -> encodeSql(m))
+      case None    => Map.empty[String, String]
     }
     dynamic + ("unigram_train" -> trainSql)
   }

@@ -340,7 +340,7 @@ object WordPiece {
     * greedy has exactly one successor per position), then the
     * [[Bpe]] encodeCtes order-restoring flatten.
     */
-  private def encodeSql(vocab: Seq[String]): String = {
+  private[llm] def encodeSql(vocab: Seq[String]): String = {
     val rows = vocab.map(p => s"(${sqlStr(p)})").mkString(", ")
     s"""WITH RECURSIVE
        |vocab(p) AS (SELECT * FROM (VALUES $rows) v(p)),
@@ -382,14 +382,21 @@ object WordPiece {
        |FROM doc_enc ORDER BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = {
+  /** The live tagged vocab for `dir` if this JVM trained it. */
+  private[llm] def liveVocabFor(dir: String): Option[Seq[String]] = {
     import scala.jdk.CollectionConverters._
+    modelCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped && e.getKey._2 == dir) match {
+      case e :: Nil => Some(e.getValue._2)
+      case _        => None
+    }
+  }
+
+  def oracleSql: Map[String, String] = {
     // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle
-    val dynamic = modelCache.entrySet().asScala.toList
-      .filter(e => !e.getKey._1.sparkContext.isStopped &&
-        graft.Engine.lastFixtureDir.contains(e.getKey._2)) match {
-      case e :: Nil => Map("wordpiece_encode" -> encodeSql(e.getValue._2))
-      case _        => Map.empty[String, String]
+    val dynamic = graft.Engine.lastFixtureDir.flatMap(liveVocabFor) match {
+      case Some(v) => Map("wordpiece_encode" -> encodeSql(v))
+      case None    => Map.empty[String, String]
     }
     dynamic + ("wordpiece_train" -> trainSql)
   }

@@ -48,7 +48,8 @@ class DriverContractSpec extends AnyFunSuite {
       cdc.CdcQueries.queries, rel.Queries.queries, llm.TextOps.queries,
       llm.Curation.queries, llm.Sampling.queries, llm.NearDedup.queries,
       llm.VectorOps.queries, llm.Multimodal.queries, llm.Bpe.queries,
-      llm.WordPiece.queries, llm.Unigram.queries, llm.QualityModel.queries,
+      llm.WordPiece.queries, llm.Unigram.queries,
+      llm.TokenizerCompare.queries, llm.QualityModel.queries,
       sources.AvroCodec.queries,
       sources.JdbcSource.queries, sources.CsvSpool.queries,
       sources.JsonSpool.queries, sources.OrcSource.queries,
