@@ -97,7 +97,18 @@ object Engine {
     * dump's dir.
     */
   @volatile private var lastDirRef: Option[String] = None
+  @volatile private var dirPinned: Boolean = false
   def lastFixtureDir: Option[String] = lastDirRef
+
+  /** Round-18 ADVICE fix: let the dump entry point (Verify) pin the
+    * fixture dir EXPLICITLY instead of relying on `table()` read side
+    * effects. A fully-memoized query performs no read, so under
+    * inference a dump run after touching another dir would key the
+    * dynamic oracles to the wrong dir (coverage silently shrinks to
+    * rows-only, or a foreign dir's model is embedded — loud downstream,
+    * but wrong either way). Once pinned, reads no longer move the ref;
+    * specs that never call this keep the old inference behavior. */
+  def setDumpDir(dir: String): Unit = { lastDirRef = Some(dir); dirPinned = true }
 
   /** Read one of the fixture tables under `dir` (TESTDATA.md).
     *
@@ -108,7 +119,7 @@ object Engine {
     * when it reads the same file (ns → µs), keeping oracle parity.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    lastDirRef = Some(dir)
+    if (!dirPinned) lastDirRef = Some(dir)
     // Defensive: the DRIVER may call entry()/queries with a session it
     // built itself (without these confs). nanos parquet would throw
     // PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would shift

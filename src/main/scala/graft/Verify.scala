@@ -16,6 +16,10 @@ object Verify {
     // private copy with cpus=16 while Engine/Bench documented 32 as the
     // baseline config — three diverging builders is how that happens)
     val spark = Engine.session("graft-verify")
+    // Pin the fixture dir for dynamic (model-embedding) oracles up
+    // front — memo cache hits perform no table() read, so inference
+    // from read side effects is not reliable here (round-18 ADVICE).
+    Engine.setDumpDir(sfDir)
     new java.io.File(outDir).mkdirs()
     // Normalize any stray TIMESTAMP (LTZ) column to TIMESTAMP_NTZ so the
     // dumped parquet carries naive-UTC timestamps, matching how DuckDB

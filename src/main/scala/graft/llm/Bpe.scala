@@ -630,7 +630,15 @@ object Bpe {
       .withColumn("quality_e6", expr("(qnum * 2 + qden) DIV (qden * 2)"))
     releaseThCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val qStar: Long = releaseThCache.computeIfAbsent((s, dir), _ => {
-      val hist = scored.groupBy("quality_e6").agg(sum(col("n_w")).as("t"))
+      // Bounded collect: quality_e6 ∈ [0, 10⁶] → ≤10⁶+1 distinct levels
+      // → ≤~16 MB of (long, long) rows on the driver, independent of
+      // corpus size (same bound as TextOps.selectBudgetApprox). The
+      // isNotNull guard matches that sibling and the oracle's
+      // WHERE quality_e6 IS NOT NULL: an empty-text survivor has
+      // qden = NULL → quality_e6 = NULL, which would NPE getLong here
+      // (unreachable today only because the Gopher gate excludes it).
+      val hist = scored.filter(col("quality_e6").isNotNull)
+        .groupBy("quality_e6").agg(sum(col("n_w")).as("t"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
       val budget = hist.map(_._2).sum / 2
       var cum = 0L

@@ -1700,12 +1700,33 @@ object Queries {
     // ntile quartiles per segment — the bucketing window the sampling
     // family doesn't cover. Order key carries the unique c_custkey
     // tiebreak so bucket boundaries are total-ordered in both engines.
+    // This id IS the ntile operator test, so engine ntile sits on the
+    // compare path by necessity (verify-skill rule exemption) — and
+    // since round 18 it is SELF-AUDITING: `ntile_parity` recomputes the
+    // SQL-standard remainder placement explicitly (first n mod k buckets
+    // get ceil(n/k) rows, the rest floor(n/k)) and must equal engine
+    // ntile row-by-row IN EACH ENGINE, so a remainder-placement
+    // divergence in either engine flips its own boolean and reds the
+    // hash compare.
     "win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wp = Window.partitionBy(col("c_mktsegment"))
       Tables(s, dir).customer
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).cast("long").as("quartile"))
+          ntile(4).over(w).cast("long").as("quartile"),
+          row_number().over(w).cast("long").as("__rn"),
+          count(lit(1)).over(wp).as("__n"))
+        // greatest(...,1): the ELSE divisor is dead when __n < 4 (the
+        // WHEN arm then covers every row), guarded anyway so a tiny
+        // partition can never divide by zero under eager evaluation.
+        .withColumn("ntile_parity", col("quartile") === expr(
+          """CASE WHEN __rn <= (__n % 4) * (__n DIV 4 + 1)
+            |     THEN (__rn - 1) DIV (__n DIV 4 + 1) + 1
+            |     ELSE (__n % 4) + (__rn - (__n % 4) * (__n DIV 4 + 1) - 1)
+            |          DIV greatest(__n DIV 4, 1L) + 1
+            |END""".stripMargin))
+        .drop("__rn", "__n")
         .orderBy("c_mktsegment", "c_custkey")
     }),
 
@@ -2554,10 +2575,19 @@ object Queries {
         |                        WHERE o_totalprice > 300000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "win_ntile" ->
-      """SELECT c_mktsegment, c_custkey, c_acctbal,
-        |  ntile(4) OVER (PARTITION BY c_mktsegment
-        |                 ORDER BY c_acctbal, c_custkey) AS quartile
-        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+      """WITH t AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ntile(4) OVER w AS quartile,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, c_custkey, c_acctbal, quartile,
+        |  quartile = (CASE WHEN rn <= (n % 4) * (n // 4 + 1)
+        |    THEN (rn - 1) // (n // 4 + 1) + 1
+        |    ELSE (n % 4) + (rn - (n % 4) * (n // 4 + 1) - 1)
+        |         // greatest(n // 4, 1) + 1 END) AS ntile_parity
+        |FROM t ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "topk_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

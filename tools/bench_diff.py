@@ -17,9 +17,10 @@ where OLD/NEW are bench_out.json paths or git:REV (reads
 Flag rule: an id is a finding iff
   |t_new - r*t_old| > max(spread_old, spread_new, 0.05 s)  AND
   t_new / (r*t_old) outside [1/1.3, 1.3]
-with r = geometric mean of control ratios (ambience multiplier). Both
-conditions must hold: the spread bound kills noisy ids, the ratio bound
-kills big-but-cheap absolute jitter on sub-0.1 s ids.
+with r = the MEDIAN per-id new/old ratio over all shared ids (the
+ambience multiplier; the two named controls are printed for context
+only). Both conditions must hold: the spread bound kills noisy ids,
+the ratio bound kills big-but-cheap absolute jitter on sub-0.1 s ids.
 """
 import json
 import math
@@ -80,9 +81,14 @@ def main():
     lines.append(f"# bench diff: {args[0]} -> {args[1]}")
     lines.append(f"ambience multiplier r = {r:.3f} "
                  f"(controls {', '.join(f'{c}: {qo[c]:.3f}->{qn[c]:.3f}' for c in CONTROLS if c in qo and c in qn)})")
+    # Shared ids ONLY on both sides of the normalized ratio — including
+    # newly added ids in the numerator inflated it every time the board
+    # grew (round-18 ADVICE).
+    shared_ratio = (sum(qn[q] for q in shared) /
+                    (r * sum(qo[q] for q in shared))) if shared else 1.0
     lines.append(f"totals: {old.get('value', 0):.1f}s/{len(qo)} ids -> "
                  f"{new.get('value', 0):.1f}s/{len(qn)} ids; "
-                 f"normalized total ratio = {sum(qn.values()) / (r * sum(qo[q] for q in qn if q in qo)):.3f}")
+                 f"normalized total ratio (shared ids) = {shared_ratio:.3f}")
     if added:
         lines.append(f"added ids ({len(added)}): {', '.join(added)}")
     if removed:
