@@ -735,7 +735,7 @@ object Bpe {
     * code points with no trailing empty, matching Spark's `split(w, "")`
     * (pinned by tools/SplitProbe: ASCII, astral, control chars).
     */
-  private def encodeCtes: String =
+  private def wordEncodeCtes: String =
     // NOTE: this text is re-embedded in OUTER .stripMargin templates —
     // no line may start with '|' (a leading '||' operator would lose
     // its first pipe to the outer strip); concatenation operators sit
@@ -758,7 +758,10 @@ object Bpe {
       |        chr(31) || string_split(x, chr(30))[1] ||
       |          string_split(x, chr(30))[2] || chr(31))),
       |    chr(31) || chr(31)), t -> t <> '') AS toks
-      |  FROM vocab),
+      |  FROM vocab)""".stripMargin
+
+  private def encodeCtes: String =
+    s"""$wordEncodeCtes,
       |wp AS (SELECT doc_id, unnest(fw) AS w, unnest(range(len(fw))) AS pos FROM fwt),
       |agg AS (
       |  SELECT wp.doc_id, flatten(list(e.toks ORDER BY wp.pos)) AS flat
@@ -766,6 +769,24 @@ object Bpe {
       |doc_enc AS (
       |  SELECT src.doc_id, coalesce(a.flat, CAST([] AS VARCHAR[])) AS flat
       |  FROM src LEFT JOIN agg a USING (doc_id))""".stripMargin
+
+  /** Corpus-total BPE tokens replayed ENTIRELY at word level — the
+    * `tokenizer_compare` fragment since round 18. Total tokens over a
+    * corpus of independently-encoded words is Σ freq(w)·|toks(w)|, so
+    * the replay never builds per-doc token arrays (the `agg` flatten —
+    * at 25× that per-doc materialization ×3 families was the DuckDB
+    * memory bomb BASELINE.md records; word-level state is bounded by
+    * the DISTINCT-word table instead of the token stream).
+    */
+  private[llm] def totalTokensSql(ms: Seq[Merge]): String =
+    s"""WITH merges AS (${mergesCte(ms)}),
+       |src AS (SELECT doc_id, text FROM documents),
+       |$wordEncodeCtes,
+       |wfreq AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(fw) AS w FROM fwt) GROUP BY w)
+       |SELECT CAST(sum(wfreq.freq * len(e.toks)) AS BIGINT) AS n_tokens
+       |FROM wfreq JOIN enc e USING (w)""".stripMargin
 
   /** The Gopher keep-conjunction, verbatim from the `gopher_rules`
     * oracle (TextOps) — the gate half of [[exportTokenTable]]. */
@@ -798,15 +819,6 @@ object Bpe {
        |  SELECT source, doc_id, n_tokens, h,
        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
        |  FROM toktab)""".stripMargin
-
-  /** Per-doc BPE token counts as a standalone statement — the fragment
-    * `tokenizer_compare`'s oracle aggregates per family.
-    */
-  private[llm] def encodePerDocSql(ms: Seq[Merge]): String =
-    s"""WITH merges AS (${mergesCte(ms)}),
-       |src AS (SELECT doc_id, text FROM documents),
-       |$encodeCtes
-       |SELECT doc_id, len(flat) AS n_tokens FROM doc_enc""".stripMargin
 
   /** The live trained merges for `dir` if this JVM trained them (the
     * dir-keyed dynamic-oracle lookup, shared with [[oracleSql]]).

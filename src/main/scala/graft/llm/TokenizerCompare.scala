@@ -55,24 +55,31 @@ object TokenizerCompare {
       wv <- WordPiece.liveVocabFor(dir)
       um <- Unigram.liveModelFor(dir)
     } yield {
-      // each family's per-doc replay rides as a subquery (its own WITH
-      // scope); word totals replayed once; fertility = the exact
-      // half-up integer identity
-      val bpeSub = Bpe.encodePerDocSql(ms)
-      // the wordpiece/unigram replays emit (doc_id, n_tokens, ...)
-      val wpSub = WordPiece.encodeSql(wv)
-      val uniSub = Unigram.encodeSql(um)
+      // Round-18 restructure (VERDICT task 1): each family's replay is
+      // a WORD-LEVEL total (Σ freq·|toks(w)| — see Bpe.totalTokensSql)
+      // wrapped in its own MATERIALIZED top-level CTE, so DuckDB
+      // evaluates the three pipelines one at a time and releases each
+      // before the next (the dedup_incremental precedent). The previous
+      // shape aggregated three PER-DOC replays as bare subqueries of one
+      // union — at 25× the per-doc token-array materialization ×3
+      // needed a raised DuckDB memory limit; word-level state is
+      // bounded by the distinct-word table regardless of corpus size.
+      val bpeSub = Bpe.totalTokensSql(ms)
+      val wpSub = WordPiece.totalTokensSql(wv)
+      val uniSub = Unigram.totalTokensSql(um)
       Map("tokenizer_compare" ->
-        s"""WITH tw AS (
+        s"""WITH tw AS MATERIALIZED (
            |  SELECT CAST(sum(len(list_filter(string_split(text, ' '),
            |    x -> len(x) > 0))) AS BIGINT) AS w FROM documents),
+           |bpe_t AS MATERIALIZED (SELECT n_tokens FROM ($bpeSub)),
+           |uni_t AS MATERIALIZED (SELECT n_tokens FROM ($uniSub)),
+           |wp_t AS MATERIALIZED (SELECT n_tokens FROM ($wpSub)),
            |fam AS (
-           |  SELECT 'bpe' AS tokenizer, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-           |  FROM ($bpeSub)
+           |  SELECT 'bpe' AS tokenizer, n_tokens AS total_tokens FROM bpe_t
            |  UNION ALL
-           |  SELECT 'unigram', CAST(sum(n_tokens) AS BIGINT) FROM ($uniSub)
+           |  SELECT 'unigram', n_tokens FROM uni_t
            |  UNION ALL
-           |  SELECT 'wordpiece', CAST(sum(n_tokens) AS BIGINT) FROM ($wpSub))
+           |  SELECT 'wordpiece', n_tokens FROM wp_t)
            |SELECT tokenizer, total_tokens,
            |  (SELECT w FROM tw) AS total_words,
            |  CAST((2 * total_tokens * 1000000 + (SELECT w FROM tw))

@@ -179,7 +179,7 @@ object Unigram {
     * stages; longer words are '[LONG]' in both engines. Then the
     * standard distinct-word → doc flatten.
     */
-  private[llm] def encodeSql(model: Seq[(String, Long, Long)]): String = {
+  private def segCtes(model: Seq[(String, Long, Long)]): String = {
     val maxL = graft.functions.UnigramEncode.MaxWordCp
     val rows = model.map { case (p, _, lp) => s"(${sqlStr(p)}, $lp)" }.mkString(", ")
     val nullCell = "CAST(NULL AS STRUCT(c BIGINT, k BIGINT, path VARCHAR))"
@@ -205,7 +205,7 @@ object Unigram {
     val finals = (1 to maxL)
       .map(k => s"SELECT w, a AS dp FROM s$k WHERE len(w) = $k")
       .mkString("\n  UNION ALL ")
-    s"""WITH uvocab(p, lp) AS (SELECT * FROM (VALUES $rows) t(p, lp)),
+    s"""uvocab(p, lp) AS (SELECT * FROM (VALUES $rows) t(p, lp)),
        |src AS (SELECT doc_id, text FROM documents),
        |fwt AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS fw
@@ -226,7 +226,24 @@ object Unigram {
        |  FROM fin
        |  UNION ALL
        |  SELECT w, '[LONG]' AS path, CAST(1 AS BIGINT) AS nk, CAST(0 AS BIGINT) AS cost
-       |  FROM vwords WHERE len(w) > $maxL),
+       |  FROM vwords WHERE len(w) > $maxL)""".stripMargin
+  }
+
+  /** Corpus-total unigram tokens replayed ENTIRELY at word level (the
+    * `tokenizer_compare` fragment since round 18) — Σ freq(w)·nk(w)
+    * over the distinct-word table; no per-doc token streams (see
+    * [[Bpe.totalTokensSql]] for the 25× memory rationale).
+    */
+  private[llm] def totalTokensSql(model: Seq[(String, Long, Long)]): String =
+    s"""WITH ${segCtes(model)},
+       |wfreq AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(fw) AS w FROM fwt) GROUP BY w)
+       |SELECT CAST(sum(wfreq.freq * g.nk) AS BIGINT) AS n_tokens
+       |FROM wfreq JOIN seg g USING (w)""".stripMargin
+
+  private[llm] def encodeSql(model: Seq[(String, Long, Long)]): String =
+    s"""WITH ${segCtes(model)},
        |wp AS (SELECT doc_id, unnest(fw) AS w, unnest(range(len(fw))) AS pos FROM fwt),
        |agg AS (
        |  SELECT wp.doc_id,
@@ -240,7 +257,6 @@ object Unigram {
        |  md5(coalesce(a.stream, '')) AS h
        |FROM src LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** The live quantized model for `dir` if this JVM trained it. */
   private[llm] def liveModelFor(dir: String): Option[Seq[(String, Long, Long)]] = {

@@ -340,10 +340,9 @@ object WordPiece {
     * greedy has exactly one successor per position), then the
     * [[Bpe]] encodeCtes order-restoring flatten.
     */
-  private[llm] def encodeSql(vocab: Seq[String]): String = {
+  private def segCtes(vocab: Seq[String]): String = {
     val rows = vocab.map(p => s"(${sqlStr(p)})").mkString(", ")
-    s"""WITH RECURSIVE
-       |vocab(p) AS (SELECT * FROM (VALUES $rows) v(p)),
+    s"""vocab(p) AS (SELECT * FROM (VALUES $rows) v(p)),
        |src AS (SELECT doc_id, text FROM documents),
        |fwt AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS fw
@@ -368,7 +367,26 @@ object WordPiece {
        |seg AS (
        |  SELECT w, CASE WHEN bool_or(failed) THEN ['[UNK]']
        |      ELSE list(piece ORDER BY i) FILTER (piece IS NOT NULL) END AS toks
-       |  FROM walk GROUP BY w),
+       |  FROM walk GROUP BY w)""".stripMargin
+  }
+
+  /** Corpus-total WordPiece tokens replayed ENTIRELY at word level (the
+    * `tokenizer_compare` fragment since round 18) — Σ freq(w)·|toks(w)|
+    * over the distinct-word table; no per-doc token arrays (see
+    * [[Bpe.totalTokensSql]] for the 25× memory rationale).
+    */
+  private[llm] def totalTokensSql(vocab: Seq[String]): String =
+    s"""WITH RECURSIVE
+       |${segCtes(vocab)},
+       |wfreq AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(fw) AS w FROM fwt) GROUP BY w)
+       |SELECT CAST(sum(wfreq.freq * len(s.toks)) AS BIGINT) AS n_tokens
+       |FROM wfreq JOIN seg s USING (w)""".stripMargin
+
+  private[llm] def encodeSql(vocab: Seq[String]): String = {
+    s"""WITH RECURSIVE
+       |${segCtes(vocab)},
        |wp AS (SELECT doc_id, unnest(fw) AS w, unnest(range(len(fw))) AS pos FROM fwt),
        |agg AS (
        |  SELECT wp.doc_id, flatten(list(s.toks ORDER BY wp.pos)) AS flat
