@@ -87,6 +87,42 @@ object TextOps {
     (w, num, den)
   }
 
+  /** The density_e9 key with the overflow contract ENFORCED in-engine
+    * (round-18 VERDICT task 2). The exact form's binding bound is
+    * 2000·num ≈ 2·10⁹·(w·len) < 2⁶³, so for qden = w·len ≥ 2·10⁹ the
+    * CASE re-bases density on the already-rounded quality_e6
+    * (num ≤ 10⁶·w·len holds to w·len < 4.6·10¹², ~10 MB docs) —
+    * density_e9 = half-up(quality_e6·1000/n_tokens), the re-basing the
+    * contract comment above proposed. Under the guard the whole key is
+    * total for any ≤10 MB doc: no silent wrap, no engine throw (Spark 4
+    * runs ANSI-on and THROWS on BIGINT overflow — tools/OverflowProbe —
+    * so an ungated corpus previously crashed the query in BOTH engines
+    * rather than diverging). In-contract docs take the exact branch
+    * unchanged, so all fixture outputs are bit-identical; both engines
+    * evaluate CASE branches lazily, so the guarded multiply never
+    * executes out-of-contract. Mirrored verbatim in the two density
+    * oracles; planted ~1 MB-doc parity pinned by OverflowContractSpec
+    * and the tools/OverflowFixture differential.
+    */
+  private[llm] val densityE9Expr: org.apache.spark.sql.Column = expr(
+    """CASE WHEN qden < 2000000000L
+      |  THEN (qnum * 2000 + qden * n_tokens) DIV (qden * n_tokens * 2)
+      |  ELSE ((qnum * 2 + qden) DIV (qden * 2) * 2000 + n_tokens) DIV (n_tokens * 2)
+      |END""".stripMargin)
+
+  /** (doc_id, n_tokens, density_e9) over a documents table — the shared
+    * scoring front of `select_budget_density` and the planted-overflow
+    * spec (one definition so the spec exercises the id's own key).
+    */
+  private[llm] def scoreDensity(docs: DataFrame): DataFrame = {
+    val (nWords, num, den) = qualityE6Rational(col("text"))
+    docs
+      .select(col("doc_id"), nWords.as("n_tokens"),
+        num.as("qnum"), den.as("qden"))
+      .withColumn("density_e9", densityE9Expr)
+      .select("doc_id", "n_tokens", "density_e9")
+  }
+
 
   /** The Gopher rule gate (Rae et al. 2021, Appendix A) as named column
     * expressions over `col("text")` — ONE definition shared by the
@@ -132,8 +168,7 @@ object TextOps {
     val budget = 10000L
     val (nWords, num, den) = qualityE6Rational(col("text"))
     val keyName = if (density) "density_e9" else "quality_e6"
-    val keyExpr = if (density)
-      expr("(qnum * 2000 + qden * n_tokens) DIV (qden * n_tokens * 2)")
+    val keyExpr = if (density) densityE9Expr
     else expr("(qnum * 2 + qden) DIV (qden * 2)")
     def scored = Tables(s, dir).documents
       .select(col("doc_id"), nWords.as("n_tokens"),
@@ -999,16 +1034,11 @@ object TextOps {
     // single-global-window exact form and approx-quantile 100 TB twin
     // as `select_budget`.
     "select_budget_density" -> ((s, dir) => {
-      val (nWords, num, den) = qualityE6Rational(col("text"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("density_e9").desc, col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      Tables(s, dir).documents
-        .select(col("doc_id"), nWords.as("n_tokens"),
-          num.as("qnum"), den.as("qden"))
-        .withColumn("density_e9",
-          expr("(qnum * 2000 + qden * n_tokens) DIV (qden * n_tokens * 2)"))
+      scoreDensity(Tables(s, dir).documents)
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 10000)
         .select("doc_id", "n_tokens", "density_e9", "cum_tokens")
@@ -1731,9 +1761,14 @@ object TextOps {
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, w AS n_tokens,
-        |    CAST((2000 * ((w*len) * (5000*least(100, w) + 200000)
+        |    CAST(CASE WHEN w*len < 2000000000
+        |      THEN (2000 * ((w*len) * (5000*least(100, w) + 200000)
         |          + 300000*stop*len - 200000*sym*w) + (w*len)*w)
-        |      // (2 * (w*len) * w) AS BIGINT) AS density_e9
+        |        // (2 * (w*len) * w)
+        |      ELSE ((2 * ((w*len) * (5000*least(100, w) + 200000)
+        |          + 300000*stop*len - 200000*sym*w) + (w*len))
+        |        // (2 * (w*len)) * 2000 + w) // (2 * w)
+        |    END AS BIGINT) AS density_e9
         |  FROM c),
         |hist AS (
         |  SELECT density_e9 AS q, CAST(sum(n_tokens) AS BIGINT) AS t
@@ -1757,9 +1792,14 @@ object TextOps {
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, w AS n_tokens,
-        |    CAST((2000 * ((w*len) * (5000*least(100, w) + 200000)
+        |    CAST(CASE WHEN w*len < 2000000000
+        |      THEN (2000 * ((w*len) * (5000*least(100, w) + 200000)
         |          + 300000*stop*len - 200000*sym*w) + (w*len)*w)
-        |      // (2 * (w*len) * w) AS BIGINT) AS density_e9
+        |        // (2 * (w*len) * w)
+        |      ELSE ((2 * ((w*len) * (5000*least(100, w) + 200000)
+        |          + 300000*stop*len - 200000*sym*w) + (w*len))
+        |        // (2 * (w*len)) * 2000 + w) // (2 * w)
+        |    END AS BIGINT) AS density_e9
         |  FROM c),
         |cum AS (
         |  SELECT doc_id, n_tokens, density_e9,

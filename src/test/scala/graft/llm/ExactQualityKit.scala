@@ -38,9 +38,18 @@ object ExactQualityKit {
   def qualityE6(text: String): Option[Long] =
     rational(text).map { case (_, num, den) => (2L * num + den) / (2L * den) }
 
-  /** round(q/w·1e9) = (2000n + d·w) div (2·d·w), exact. */
+  /** round(q/w·1e9) = (2000n + d·w) div (2·d·w), exact — with the
+    * round-18 overflow guard: for den = w·len ≥ 2·10⁹ the key re-bases
+    * on the rounded quality_e6 (density = half-up(q_e6·1000/w)),
+    * mirroring [[TextOps.densityE9Expr]] and both density oracles.
+    * Scala Long `/` truncates toward zero exactly like Spark DIV.
+    */
   def densityE9(text: String): Option[Long] =
     rational(text).map { case (w, num, den) =>
-      (2000L * num + den * w) / (2L * den * w)
+      if (den < 2000000000L) (2000L * num + den * w) / (2L * den * w)
+      else {
+        val q = (2L * num + den) / (2L * den)
+        (q * 2000L + w) / (2L * w)
+      }
     }
 }
