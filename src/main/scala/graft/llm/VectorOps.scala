@@ -1907,9 +1907,11 @@ object VectorOps {
     // the synthetic embeddings have no true clones (max pair cos 0.51 at
     // sf0.01), so a "real" 0.99 threshold would be vacuous — 0.45 makes
     // the prune non-empty (28 vectors have a >=0.45 neighbor corpus-wide
-    // at sf0.01; the intra-cell subset of those is what drops). Rows-only
-    // like the other ANN ids (the cell assignment is engine-internal
-    // k-means); keeper rule + cross-cell miss + cap semantics pinned in
+    // at sf0.01; the intra-cell subset of those is what drops).
+    // Oracle-checked since round 18 (centroid-embedding replay +
+    // recursive per-cell greedy walk, [[semDedupSql]] — green at all
+    // three SFs AND the 25× replica under its own 24-cell model);
+    // keeper rule + cross-cell miss + cap semantics pinned in
     // SimilaritySpec.
     "dedup_semantic" -> ((s, dir) => {
       // cells scale with the corpus so the per-cell population stays
@@ -1930,6 +1932,7 @@ object VectorOps {
       // not a bigger driver model.
       val n = Tables(s, dir).embeddings.count()
       val cells = math.min(math.max(16, (n / 2048L).toInt), 1024)
+      semCellsUsed.put(dir, cells) // oracle keys its model lookup on THIS
       // __sub = residual ranks 2..3 from the SAME memoized model — the
       // hot-cell split keys (cells over maxCell sub-divide instead of
       // being skipped; see semDedupCore)
@@ -1946,12 +1949,13 @@ object VectorOps {
     // already-admitted keeper state (bootstrapped through the batch
     // core, memoized), odd vec_ids arrive as the new batch and are
     // greedily admitted against state + earlier-admitted keepers in
-    // their (split) cell. Rows-only like dedup_semantic (the cell
-    // assignment is engine-internal k-means); chain/idempotence/
+    // their (split) cell. Oracle-checked since round 18 (two chained
+    // recursive walks, [[semDedupIncrSql]]); chain/idempotence/
     // restart semantics pinned in SemDedupIncrSpec.
     "dedup_semantic_incr" -> ((s, dir) => {
       val n = Tables(s, dir).embeddings.count()
       val cells = math.min(math.max(16, (n / 2048L).toInt), 1024)
+      semCellsUsed.put(dir, cells)
       val centroids = ivfModel(Tables(s, dir).embeddings, cells, datasetKey = dir)
       val state0 = semState(s, dir, cells, centroids, threshold = 0.45)
       val batch = ivfAssigned(s, dir, cells).assigned
@@ -2263,12 +2267,163 @@ object VectorOps {
     // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle
     val live = centroidCache.entrySet().asScala.toList.filter(e =>
       e.getKey._2 == 16 && graft.Engine.lastFixtureDir.contains(e.getKey._1))
-    live match {
+    val ann = live match {
       case e :: Nil => Map("ann_ivf" -> annIvfSql(e.getValue),
         "ann_recall" -> annRecallSql(e.getValue))
-      case _        => Map.empty
+      case _        => Map.empty[String, String]
     }
+    // the SemDeDup ids scale cells with n (≠ 16 past ~33k vectors), so
+    // their replay embeds the model under the cell count the query
+    // RECORDED for this dir — at 25× that is the 24-cell model, not
+    // ann_ivf's fixed 16
+    val sem = (for {
+      dir <- graft.Engine.lastFixtureDir
+      cells <- Option(semCellsUsed.get(dir))
+      cent <- centroidCache.entrySet().asScala.toList
+        .find(e => e.getKey._1 == dir && e.getKey._2 == cells.intValue())
+        .map(_.getValue)
+    } yield Map("dedup_semantic" -> semDedupSql(cent),
+      "dedup_semantic_incr" -> semDedupIncrSql(cent))).getOrElse(Map.empty)
+    ann ++ sem
   }
+
+  /** cells count each fixture dir's SemDeDup ids last ran with — the
+    * oracle's model-lookup key (dir-keyed like every dynamic oracle). */
+  private val semCellsUsed =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Shared CTE prefix of the SemDeDup replays: embedded-centroid cell
+    * assignment (ivfOracle's proven first-max rule), engine-faithful
+    * unit vectors (inv = 1/sqrt(Σx²) then x·inv — the multiply-by-
+    * reciprocal order of semDedupCore's unitVec, not x/sqrt), and the
+    * cell-local threshold-pair table: ALL float math happens here,
+    * outside the recursion, with the proven in-order list_sum fold; the
+    * greedy walk below is pure integer set-membership. Σ|cell|² pair
+    * candidates ≈ n²/cells — trivial at every fixture (≤ ~250k).
+    */
+  private def semDedupCtes(cent: Array[Array[Double]]): String = {
+    val rows = cent.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}], ${c.map(x => x * x).sum / 2})"
+    }.mkString(", ")
+    s"""cent AS (SELECT * FROM (VALUES $rows) t(cid, c, hn)),
+       |cs AS (
+       |  SELECT e.vec_id, e.embedding, t.cid,
+       |    list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * t.c[i])) - t.hn AS s
+       |  FROM embeddings e CROSS JOIN cent t),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS ar
+       |    FROM cs) WHERE ar = 1),
+       |uv AS MATERIALIZED (
+       |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE) * inv) AS u
+       |  FROM (
+       |    SELECT vec_id, cell, embedding,
+       |      1.0 / sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS inv
+       |    FROM assigned)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.cell, a.vec_id AS aid, b.vec_id AS bid
+       |  FROM uv a JOIN uv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(a.u)+1),
+       |    i -> a.u[i] * b.u[i])) >= 0.45),
+       |nbr AS MATERIALIZED (
+       |  SELECT cell, vec_id, list(nb) AS nbrs FROM (
+       |    SELECT cell, bid AS vec_id, aid AS nb FROM pairs
+       |    UNION ALL
+       |    SELECT cell, aid AS vec_id, bid AS nb FROM pairs)
+       |  GROUP BY cell, vec_id)""".stripMargin
+  }
+
+  /** Dynamic oracle for `dedup_semantic` (round 18 — graduated from
+    * rows-only by the cluster_kmeans/dedup_incremental route combined):
+    * fitted centroids embed as literals, and the order-dependent
+    * intra-cell greedy (smaller-id keeper first) replays as a recursive
+    * per-cell walk over the vec_id ranking — iteration k admits each
+    * cell's k-th vector iff no ALREADY-KEPT neighbor sits at cos ≥ 0.45.
+    * The kept-neighbor probe is `list_has_any(kept, nbrs)` over each
+    * vector's precomputed neighbor id list — a pure scalar on the
+    * recursion's own columns (no float math AND no correlated subquery
+    * inside the recursive term: an EXISTS probe against the pair table
+    * mis-evaluated at sf0.1 under DuckDB's recursive planner, silently
+    * keeping rejected ids — caught by the differential). The hot-cell
+    * split never engages at fixture scale (max cell ≪ maxCell=10000); a
+    * fixture that DID split would keep different ids and FAIL the
+    * differential loudly, never wrongly pass.
+    */
+  private def semDedupSql(cent: Array[Array[Double]]): String =
+    s"""WITH RECURSIVE
+       |${semDedupCtes(cent)},
+       |ordv AS MATERIALIZED (
+       |  SELECT o.vec_id, o.cell, coalesce(n.nbrs, CAST([] AS BIGINT[])) AS nbrs,
+       |    CAST(row_number() OVER (PARTITION BY o.cell ORDER BY o.vec_id) AS BIGINT) AS rn
+       |  FROM uv o LEFT JOIN nbr n ON n.cell = o.cell AND n.vec_id = o.vec_id),
+       |walk(cell, k, kept) AS (
+       |  SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+       |  FROM (SELECT DISTINCT cell FROM ordv)
+       |  UNION ALL
+       |  SELECT w.cell, w.k + 1,
+       |    CASE WHEN list_has_any(w.kept, v.nbrs) THEN w.kept
+       |         ELSE list_append(w.kept, v.vec_id) END
+       |  FROM walk w JOIN ordv v ON v.cell = w.cell AND v.rn = w.k + 1)
+       |SELECT vec_id, cell FROM (
+       |  SELECT unnest(f.kept) AS vec_id, f.cell AS cell FROM (
+       |    SELECT w.cell, w.kept FROM walk w
+       |    JOIN (SELECT cell, max(k) AS mk FROM walk GROUP BY cell) m
+       |      ON m.cell = w.cell AND m.mk = w.k) f)
+       |ORDER BY vec_id""".stripMargin
+
+  /** Dynamic oracle for `dedup_semantic_incr` — the even/odd admission
+    * demo replayed as TWO chained walks: walk_e re-derives the
+    * bootstrapped keeper state (the batch greedy over even vec_ids),
+    * then walk_o admits odd vec_ids ascending against state ∪ earlier-
+    * admitted keepers. The neighbor lists carry BOTH pair orientations:
+    * an even state keeper can carry a HIGHER id than the odd newcomer,
+    * so nbrs is built symmetrically from the aid<bid pair table. Output
+    * = admitted odd ids only, exactly [[semDedupAdmit]]'s contract.
+    */
+  private def semDedupIncrSql(cent: Array[Array[Double]]): String =
+    s"""WITH RECURSIVE
+       |${semDedupCtes(cent)},
+       |orde AS MATERIALIZED (
+       |  SELECT o.vec_id, o.cell, coalesce(n.nbrs, CAST([] AS BIGINT[])) AS nbrs,
+       |    CAST(row_number() OVER (PARTITION BY o.cell ORDER BY o.vec_id) AS BIGINT) AS rn
+       |  FROM uv o LEFT JOIN nbr n ON n.cell = o.cell AND n.vec_id = o.vec_id
+       |  WHERE o.vec_id % 2 = 0),
+       |walk_e(cell, k, kept) AS (
+       |  SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+       |  FROM (SELECT DISTINCT cell FROM orde)
+       |  UNION ALL
+       |  SELECT w.cell, w.k + 1,
+       |    CASE WHEN list_has_any(w.kept, v.nbrs) THEN w.kept
+       |         ELSE list_append(w.kept, v.vec_id) END
+       |  FROM walk_e w JOIN orde v ON v.cell = w.cell AND v.rn = w.k + 1),
+       |fin_e AS (
+       |  SELECT w.cell, w.kept FROM walk_e w
+       |  JOIN (SELECT cell, max(k) AS mk FROM walk_e GROUP BY cell) m
+       |    ON m.cell = w.cell AND m.mk = w.k),
+       |ordo AS MATERIALIZED (
+       |  SELECT o.vec_id, o.cell, coalesce(n.nbrs, CAST([] AS BIGINT[])) AS nbrs,
+       |    CAST(row_number() OVER (PARTITION BY o.cell ORDER BY o.vec_id) AS BIGINT) AS rn
+       |  FROM uv o LEFT JOIN nbr n ON n.cell = o.cell AND n.vec_id = o.vec_id
+       |  WHERE o.vec_id % 2 = 1),
+       |walk_o(cell, k, kept, adm) AS (
+       |  SELECT o.cell, CAST(0 AS BIGINT), coalesce(f.kept, CAST([] AS BIGINT[])),
+       |    CAST([] AS BIGINT[])
+       |  FROM (SELECT DISTINCT cell FROM ordo) o LEFT JOIN fin_e f ON f.cell = o.cell
+       |  UNION ALL
+       |  SELECT w.cell, w.k + 1,
+       |    CASE WHEN list_has_any(w.kept, v.nbrs) THEN w.kept
+       |         ELSE list_append(w.kept, v.vec_id) END,
+       |    CASE WHEN list_has_any(w.kept, v.nbrs) THEN w.adm
+       |         ELSE list_append(w.adm, v.vec_id) END
+       |  FROM walk_o w JOIN ordo v ON v.cell = w.cell AND v.rn = w.k + 1)
+       |SELECT vec_id, cell FROM (
+       |  SELECT unnest(f.adm) AS vec_id, f.cell AS cell FROM (
+       |    SELECT w.cell, w.adm FROM walk_o w
+       |    JOIN (SELECT cell, max(k) AS mk FROM walk_o GROUP BY cell) m
+       |      ON m.cell = w.cell AND m.mk = w.k) f)
+       |ORDER BY vec_id""".stripMargin
 
   /** Dynamic oracle for `ann_lsh` — the same graduation path with the
     * captured plane family embedded: per (vec, table) the bucket string
