@@ -120,6 +120,54 @@ object Unigram {
         coalesce(col("cost_e9"), lit(0L)).as("cost_e9"))
   }
 
+  /** One quantized hard-EM (Viterbi-EM) iteration over the seed model
+    * (round 18 — the refinement Unigram.scala's header scoped out, now
+    * in reach by the same integer-replay idiom): E-step = the existing
+    * exact Viterbi under the seed's quantized logp_e9 costs, once per
+    * DISTINCT word; M-step = one counting aggregate — the new weight of
+    * a piece is Σ_words freq(word)·occurrences(piece ∈ viterbi(word)),
+    * an exact integer. Pieces the Viterbi never uses drop out (the EM
+    * prune; closure over the corpus is preserved because every word's
+    * own segmentation survives verbatim). Re-quantization to new
+    * logp_e9 costs happens driver-side at model build exactly like the
+    * seed's ([[trainedModel]]) — no IEEE value on any compare path; the
+    * compare table is all-integer (piece, weight_seed, weight_em,
+    * is_char).
+    */
+  private val emCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Long, Long)]]()
+
+  /** Distributed E-step piece counts under the seed model: (p, weight_em). */
+  private def emCounts(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnigramEncode.ensureRegistered(s)
+    val m0 = trainedModel(s, dir)
+    val packed = typedLit(m0.map { case (p, _, lp) => s"$lp\u001E$p" })
+    wordFreq(Tables(s, dir).documents)
+      .select(col("freq"),
+        graft.functions.UnigramEncode
+          .unigram_encode_word(col("w"), packed).as("seg"))
+      .select(col("freq"), explode(col("seg.toks")).as("p"))
+      .filter(!col("p").isin("[UNK]", "[LONG]"))
+      .groupBy("p").agg(sum(col("freq")).as("weight_em"))
+  }
+
+  /** (piece, weight_em, logp_e9) rows of the EM-refined model — the
+    * [[trainedModel]] contract after one Viterbi-EM step, usable by
+    * [[encodeDocs]] directly (the likelihood-improves spec re-encodes
+    * the corpus under it).
+    */
+  def emModel(s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    emCache.keySet.removeIf(k0 => k0._1.sparkContext.isStopped)
+    emCache.computeIfAbsent((s, dir), _ => {
+      val rows = emCounts(s, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1))) // bounded: ≤ |seed vocab|
+      val total = rows.map(_._2).sum.toDouble
+      rows.map { case (p, f) =>
+        (p, f, math.round(1e9 * math.log(total / f)))
+      }.toSeq.sortBy(_._1)(Bpe.utf8Order)
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the seed-inventory model itself — all-integer, statically
     // replayable (substring weights + char closure + byte-ordered top-K)
@@ -128,6 +176,21 @@ object Unigram {
         .select(col("p").as("piece"),
           col("weight").cast("long").as("weight"), col("is_char"))
         .orderBy("piece")),
+
+    // one quantized Viterbi-EM step: seed weights next to the
+    // re-estimated weights (Σ freq·piece-uses over the corpus's
+    // Viterbi segmentations) — the all-integer refinement table; the
+    // joint plan is two vocab-scale aggregates + a vocab-scale join
+    // (AQE broadcasts), the corpus touched once per side
+    "unigram_train_em" -> ((s, dir) => {
+      val seed = vocabDf(Tables(s, dir).documents)
+        .select(col("p"), col("weight").cast("long").as("weight_seed"),
+          col("is_char"))
+      seed.join(emCounts(s, dir), "p") // inner: EM-pruned pieces drop
+        .select(col("p").as("piece"), col("weight_seed"),
+          col("weight_em").cast("long").as("weight_em"), col("is_char"))
+        .orderBy("piece")
+    }),
 
     // exact-Viterbi corpus encode under the quantized-cost model: per
     // doc, token count, total integer cost, stream md5
@@ -146,11 +209,13 @@ object Unigram {
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
-  /** STATIC oracle for `unigram_train`: substring weights, char
-    * closure, byte-ordered top-K — replayed from the raw corpus.
+  /** Seed-inventory replay CTEs (wt/sub/chars/multi) — shared by the
+    * static `unigram_train` oracle and the `unigram_train_em` composed
+    * oracle (one definition so the EM oracle's seed columns can never
+    * drift from the train oracle on a rule tweak).
     */
-  private val trainSql: String =
-    s"""WITH wt AS (
+  private val seedCtes: String =
+    s"""wt AS (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
        |    FROM documents) GROUP BY w),
@@ -165,9 +230,39 @@ object Unigram {
        |chars AS (SELECT p, weight, true AS is_char FROM sub WHERE len(p) = 1),
        |multi AS (
        |  SELECT p, weight, false AS is_char FROM sub WHERE len(p) >= 2
-       |  ORDER BY weight DESC, p LIMIT $MultiPieces)
+       |  ORDER BY weight DESC, p LIMIT $MultiPieces)""".stripMargin
+
+  /** STATIC oracle for `unigram_train`: substring weights, char
+    * closure, byte-ordered top-K — replayed from the raw corpus.
+    */
+  private val trainSql: String =
+    s"""WITH $seedCtes
        |SELECT p AS piece, weight, is_char FROM (
        |  SELECT * FROM chars UNION ALL SELECT * FROM multi)
+       |ORDER BY piece""".stripMargin
+
+  /** Dynamic oracle for `unigram_train_em` (round 18): the E-step rides
+    * the existing unrolled Viterbi replay ([[segCtes]] under the SEED
+    * model's embedded quantized costs) joined to the word-frequency
+    * table — weight_em(p) = Σ freq·occurrences(p ∈ path), an exact
+    * integer count over the per-word paths ('[UNK]'/'[LONG]'
+    * pseudo-paths excluded like the engine); seed columns replay from
+    * scratch via [[seedCtes]]. Inner join = the EM prune.
+    */
+  private[llm] def emSql(model: Seq[(String, Long, Long)]): String =
+    s"""WITH ${segCtes(model)},
+       |$seedCtes,
+       |em AS (
+       |  SELECT p, CAST(sum(freq) AS BIGINT) AS weight_em FROM (
+       |    SELECT unnest(string_split(g.path, ' ')) AS p, t.freq
+       |    FROM seg g JOIN wt t USING (w)
+       |    WHERE g.path <> '[UNK]' AND g.path <> '[LONG]')
+       |  GROUP BY p),
+       |seedv AS (
+       |  SELECT p, weight AS weight_seed, is_char FROM (
+       |    SELECT * FROM chars UNION ALL SELECT * FROM multi))
+       |SELECT s.p AS piece, s.weight_seed, e.weight_em, s.is_char
+       |FROM seedv s JOIN em e USING (p)
        |ORDER BY piece""".stripMargin
 
   /** Dynamic oracle for `unigram_encode` — the unrolled exact-integer
@@ -271,7 +366,8 @@ object Unigram {
   def oracleSql: Map[String, String] = {
     // dir-keyed lookup (round-17 ADVICE) — see QualityModel.qmsOracle
     val dynamic = graft.Engine.lastFixtureDir.flatMap(liveModelFor) match {
-      case Some(m) => Map("unigram_encode" -> encodeSql(m))
+      case Some(m) => Map("unigram_encode" -> encodeSql(m),
+        "unigram_train_em" -> emSql(m))
       case None    => Map.empty[String, String]
     }
     dynamic + ("unigram_train" -> trainSql)

@@ -98,4 +98,38 @@ class UnigramSpec extends SparkSpec {
     assert(unk == 0L, s"training-corpus encode produced $unk [UNK] words")
     assert(df.count() == 500)
   }
+
+  test("one Viterbi-EM step: likelihood improves, vocab prunes to a seed subset") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val m0 = Unigram.trainedModel(s, dir)
+    val m1 = Unigram.emModel(s, dir)
+    // EM prune: strictly fewer pieces (substring-seeded inventories
+    // always carry Viterbi-unused pieces), all from the seed vocab,
+    // with the char closure's used subset and ≥1 multi-char survivor
+    assert(m1.nonEmpty && m1.size < m0.size, s"${m1.size} vs seed ${m0.size}")
+    val p0 = m0.map(_._1).toSet
+    assert(m1.forall(r => p0.contains(r._1)), "EM vocab ⊄ seed vocab")
+    assert(m1.exists(_._1.length > 1), "no multi-char piece survived")
+    // Hard-EM monotonicity on the corpus negative log-likelihood: the
+    // M-step's ML weights minimize the cross-entropy of the E-step's
+    // segmentation counts (Gibbs), and the next Viterbi only improves
+    // on that segmentation — so total quantized cost must not rise
+    // beyond the per-token ±1 nano-unit rounding slack.
+    val docs = graft.Tables(s, dir).documents
+    val c0 = Unigram.encodeDocs(docs, m0)
+      .agg(sum("cost_e9").as("c")).select(col("c")).as[Long].head()
+    val n0 = Unigram.encodeDocs(docs, m0)
+      .agg(sum("n_tokens").as("n")).select(col("n")).as[Long].head()
+    val c1 = Unigram.encodeDocs(docs, m1)
+      .agg(sum("cost_e9").as("c")).select(col("c")).as[Long].head()
+    assert(c1 <= c0 + n0, s"EM raised total Viterbi cost: $c1 > $c0 (+$n0 slack)")
+    // and the corpus still encodes without [UNK] (closure preserved:
+    // every word's own seed segmentation survives the prune verbatim)
+    val unkEm = Unigram.encodeDocs(docs, m1)
+      .select(sum(size(filter(col("toks"), t => t === lit("[UNK]")))))
+      .collect()(0).getLong(0)
+    assert(unkEm == 0L, s"EM-pruned model produced $unkEm [UNK] words")
+  }
 }
