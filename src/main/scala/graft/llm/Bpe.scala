@@ -483,29 +483,39 @@ object Bpe {
     // broadcast compare, encode the vocab-cached key join, packing the
     // bucketed cumulative — nothing driver-bound beyond the bounded
     // histogram/model collects.
-    "corpus_release" -> ((s, dir) => {
-      // the admitted-set token table is memoized+persisted like
-      // [[exportTokenTable]]: the packing cumulative consumes it twice
-      relTokCache.keySet.removeIf(k0 => k0._1.sparkContext.isStopped)
-      val toks = relTokCache.computeIfAbsent((s, dir), _ => {
-        val rel = releaseDocs(s, dir)
-        val merges = trainedMerges(s, dir)
-        rel.select("doc_id", "source")
-          .join(encodeDocs(rel.select("doc_id", "text"), merges), "doc_id")
-          .select(col("source"), col("doc_id"),
-            size(col("bpe")).cast("long").as("n_tokens"),
-            md5(array_join(col("bpe"), " ")).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-      withPackCum(toks)
-        .withColumn("shard",
-          floor((col("__cum") - col("n_tokens")) / ExportCap).cast("long"))
-        .groupBy("source", "shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          md5(array_join(transform(
-            array_sort(collect_list(struct(col("doc_id"), col("h")))),
-            x => x.getField("h")), "")).as("manifest_sha"))
+    "corpus_release" -> ((s, dir) =>
+      releaseManifest(s, dir).orderBy("source", "shard")),
+
+    // Incremental re-release (round 18, VERDICT growth item a): the
+    // weekly operation a data team actually re-runs — release N (the
+    // corpus as of the last release: even doc_ids, the repo's standard
+    // incremental demo split) vs release N+1 (the grown corpus), with
+    // the EVAL SPLIT and the TOKENIZER frozen across releases and the
+    // curation stages (dedup keepers, half-mass quality threshold)
+    // re-derived per release corpus. The delta is the corpus_diff
+    // digest idiom applied to shard manifests: a full-outer join on
+    // (source, shard) keeping only added / removed / changed shards by
+    // manifest_sha — the set of shards a consumer must re-fetch.
+    // Cost: two manifest builds (each memoized per tag) + one
+    // shard-count-sized join; at 100 TB the manifests are
+    // shards×sources rows, never doc-scale.
+    "corpus_release_delta" -> ((s, dir) => {
+      val o = releaseManifest(s, dir, col("doc_id") % 2 === 0, "even")
+        .withColumnRenamed("manifest_sha", "old_sha")
+        .withColumnRenamed("n_docs", "o_docs")
+        .withColumnRenamed("n_tokens", "o_tokens")
+      val n = releaseManifest(s, dir)
+        .withColumnRenamed("manifest_sha", "new_sha")
+      o.join(n, Seq("source", "shard"), "full_outer")
+        .filter(col("old_sha").isNull || col("new_sha").isNull ||
+          col("old_sha") =!= col("new_sha"))
+        .select(col("source"), col("shard"),
+          when(col("old_sha").isNull, "added")
+            .when(col("new_sha").isNull, "removed")
+            .otherwise("changed").as("status"),
+          col("old_sha"), col("new_sha"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"))
         .orderBy("source", "shard")
     }),
 
@@ -612,11 +622,19 @@ object Bpe {
     * integers, so the oracle re-derives it from scratch in SQL.
     */
   private val releaseThCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Long]()
+    (SparkSession, String, String), java.lang.Long]()
 
-  private def releaseDocs(s: SparkSession, dir: String): DataFrame = {
+  /** `pred`/`tag` (round 18): the release chain parameterized by a
+    * corpus predicate so `corpus_release_delta` can build release N
+    * (even doc_ids) and N+1 (all) through the SAME stages — the eval
+    * split and the tokenizer stay FROZEN across releases (what a
+    * weekly re-release actually holds fixed) while dedup keepers and
+    * the half-mass threshold re-derive from each release's own corpus.
+    */
+  private def releaseDocs(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true), tag: String = "all"): DataFrame = {
     val clean = Curation.decontaminatedTrainFuzzy(s, dir).select("doc_id")
-    val docs = Tables(s, dir).documents.join(clean, "doc_id")
+    val docs = Tables(s, dir).documents.join(clean, "doc_id").filter(pred)
     val gated = docs.filter(TextOps.GopherGate.keep)
     val wDedup = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
     val survivors = gated
@@ -629,7 +647,7 @@ object Bpe {
         nW.cast("long").as("n_w"), num.as("qnum"), den.as("qden"))
       .withColumn("quality_e6", expr("(qnum * 2 + qden) DIV (qden * 2)"))
     releaseThCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val qStar: Long = releaseThCache.computeIfAbsent((s, dir), _ => {
+    val qStar: Long = releaseThCache.computeIfAbsent((s, dir, tag), _ => {
       // Bounded collect: quality_e6 ∈ [0, 10⁶] → ≤10⁶+1 distinct levels
       // → ≤~16 MB of (long, long) rows on the driver, independent of
       // corpus size (same bound as TextOps.selectBudgetApprox). The
@@ -686,16 +704,50 @@ object Bpe {
   }
 
   private val relTokCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** One release's shard manifest (source, shard, n_docs, n_tokens,
+    * manifest_sha) over the `pred`-restricted corpus — the
+    * corpus_release body, shared with `corpus_release_delta`. The
+    * admitted-set token table is memoized+persisted per (session, dir,
+    * tag) like [[exportTokenTable]]: the packing cumulative consumes it
+    * twice.
+    */
+  private[llm] def releaseManifest(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true), tag: String = "all"): DataFrame = {
+    relTokCache.keySet.removeIf(k0 => k0._1.sparkContext.isStopped)
+    val toks = relTokCache.computeIfAbsent((s, dir, tag), _ => {
+      val rel = releaseDocs(s, dir, pred, tag)
+      val merges = trainedMerges(s, dir)
+      rel.select("doc_id", "source")
+        .join(encodeDocs(rel.select("doc_id", "text"), merges), "doc_id")
+        .select(col("source"), col("doc_id"),
+          size(col("bpe")).cast("long").as("n_tokens"),
+          md5(array_join(col("bpe"), " ")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+    withPackCum(toks)
+      .withColumn("shard",
+        floor((col("__cum") - col("n_tokens")) / ExportCap).cast("long"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("h")))),
+          x => x.getField("h")), "")).as("manifest_sha"))
+  }
 
   private[graft] def releaseMemos(s: SparkSession): Unit = {
-    Seq(tokTabCache, relTokCache).foreach { m =>
+    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+        owner: K => SparkSession): Unit = {
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+        if (owner(e.getKey) eq s) { e.getValue.unpersist(false); it.remove() }
       }
     }
+    drop(tokTabCache, (k: (SparkSession, String)) => k._1)
+    drop(relTokCache, (k: (SparkSession, String, String)) => k._1)
   }
 
   // --- DuckDB oracles for the encode/export family (round 15) ---------
@@ -895,6 +947,64 @@ object Bpe {
        |) ORDER BY rank""".stripMargin
   }
 
+  /** One release's shard-manifest replay (the `corpus_release` oracle
+    * body since round 18, parameterized by a `c.doc_id`-scoped corpus
+    * predicate so `corpus_release_delta` replays release N and N+1
+    * through the same stages; no ORDER BY — callers append or wrap).
+    * The predicate lands in gsrc's WHERE, before the dedup window and
+    * the quality histogram — matching the engine's docs-stage filter.
+    */
+  private def releaseManifestSql(ms: Seq[Merge], extraWhere: String): String =
+    s"""WITH merges AS (${mergesCte(ms)}),
+       |${Curation.deconFuzzyCtes},
+       |gsrc AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT c.doc_id, c.source, c.text,
+       |      min(c.doc_id) OVER (PARTITION BY c.text) AS keep
+       |    FROM clean c
+       |    WHERE ($gopherKeepSql)
+       |      AND ($extraWhere))
+       |  WHERE doc_id = keep),
+       |relq AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
+       |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
+       |    CAST(nullif(length(text), 0) AS BIGINT) AS len
+       |  FROM gsrc),
+       |scored AS (
+       |  SELECT doc_id, w AS n_w,
+       |    CAST((2 * ((w*len) * (5000*least(100, w) + 200000)
+       |          + 300000*stop*len - 200000*sym*w) + w*len)
+       |      // (2 * w*len) AS BIGINT) AS q
+       |  FROM relq),
+       |hist AS (SELECT q, CAST(sum(n_w) AS BIGINT) AS t FROM scored GROUP BY 1),
+       |cumq AS (
+       |  SELECT q, CAST(sum(t) OVER (ORDER BY q DESC) AS BIGINT) AS cumt
+       |  FROM hist),
+       |sel AS (
+       |  SELECT s.doc_id FROM scored s JOIN cumq ON s.q = cumq.q
+       |  WHERE cumt <= (SELECT CAST(sum(t) // 2 AS BIGINT) FROM hist)),
+       |src AS (SELECT g.doc_id, g.text FROM gsrc g JOIN sel USING (doc_id)),
+       |$encodeCtes,
+       |toktab AS (
+       |  SELECT g.source, g.doc_id, len(flat) AS n_tokens,
+       |    md5(coalesce(array_to_string(flat, ' '), '')) AS h
+       |  FROM gsrc g JOIN doc_enc USING (doc_id)),
+       |relcum AS (
+       |  SELECT source, doc_id, n_tokens, h,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+       |  FROM toktab),
+       |sh AS (
+       |  SELECT source, doc_id, n_tokens, h,
+       |    CAST((c - n_tokens) // 512 AS BIGINT) AS shard
+       |  FROM relcum)
+       |SELECT source, shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(h, '' ORDER BY doc_id)) AS manifest_sha
+       |FROM sh GROUP BY 1, 2""".stripMargin
+
   private def oraclesFor(ms: Seq[Merge]): Map[String, String] = Map(
     // each truncated prefix replayed as its own WITH-scoped encode —
     // a BPE merge table's prefixes are themselves valid BPE models
@@ -965,55 +1075,29 @@ object Bpe {
     // the composed release chain: decon CTEs (Curation, verbatim) →
     // gate+dedup → half-mass histogram threshold (replayed from
     // scratch, all-integer) → encode → packing cum → manifest
-    "corpus_release" ->
-      s"""WITH merges AS (${mergesCte(ms)}),
-         |${Curation.deconFuzzyCtes},
-         |gsrc AS (
-         |  SELECT doc_id, source, text FROM (
-         |    SELECT c.doc_id, c.source, c.text,
-         |      min(c.doc_id) OVER (PARTITION BY c.text) AS keep
-         |    FROM clean c
-         |    WHERE $gopherKeepSql)
-         |  WHERE doc_id = keep),
-         |relq AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
-         |    CAST(len(list_filter(string_split(text,' '),
-         |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop,
-         |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS sym,
-         |    CAST(nullif(length(text), 0) AS BIGINT) AS len
-         |  FROM gsrc),
-         |scored AS (
-         |  SELECT doc_id, w AS n_w,
-         |    CAST((2 * ((w*len) * (5000*least(100, w) + 200000)
-         |          + 300000*stop*len - 200000*sym*w) + w*len)
-         |      // (2 * w*len) AS BIGINT) AS q
-         |  FROM relq),
-         |hist AS (SELECT q, CAST(sum(n_w) AS BIGINT) AS t FROM scored GROUP BY 1),
-         |cumq AS (
-         |  SELECT q, CAST(sum(t) OVER (ORDER BY q DESC) AS BIGINT) AS cumt
-         |  FROM hist),
-         |sel AS (
-         |  SELECT s.doc_id FROM scored s JOIN cumq ON s.q = cumq.q
-         |  WHERE cumt <= (SELECT CAST(sum(t) // 2 AS BIGINT) FROM hist)),
-         |src AS (SELECT g.doc_id, g.text FROM gsrc g JOIN sel USING (doc_id)),
-         |$encodeCtes,
-         |toktab AS (
-         |  SELECT g.source, g.doc_id, len(flat) AS n_tokens,
-         |    md5(coalesce(array_to_string(flat, ' '), '')) AS h
-         |  FROM gsrc g JOIN doc_enc USING (doc_id)),
-         |relcum AS (
-         |  SELECT source, doc_id, n_tokens, h,
-         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
-         |  FROM toktab),
-         |sh AS (
-         |  SELECT source, doc_id, n_tokens, h,
-         |    CAST((c - n_tokens) // 512 AS BIGINT) AS shard
-         |  FROM relcum)
-         |SELECT source, shard, count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  md5(string_agg(h, '' ORDER BY doc_id)) AS manifest_sha
-         |FROM sh GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+    "corpus_release" -> (releaseManifestSql(ms, "true") +
+      "\nORDER BY source, shard"),
+
+    // release N (even doc_ids) and N+1 (all) replay through the SAME
+    // parameterized chain, each in its own MATERIALIZED scope (the
+    // tokenizer_compare memory discipline), then the digest diff
+    "corpus_release_delta" ->
+      s"""WITH m_old AS MATERIALIZED (
+         |  SELECT * FROM (${releaseManifestSql(ms, "c.doc_id % 2 = 0")})),
+         |m_new AS MATERIALIZED (
+         |  SELECT * FROM (${releaseManifestSql(ms, "true")}))
+         |SELECT coalesce(o.source, n.source) AS source,
+         |  coalesce(o.shard, n.shard) AS shard,
+         |  CASE WHEN o.source IS NULL THEN 'added'
+         |       WHEN n.source IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS status,
+         |  o.manifest_sha AS old_sha, n.manifest_sha AS new_sha,
+         |  n.n_docs AS n_docs, n.n_tokens AS n_tokens
+         |FROM m_old o FULL OUTER JOIN m_new n
+         |  ON o.source = n.source AND o.shard = n.shard
+         |WHERE o.source IS NULL OR n.source IS NULL
+         |   OR o.manifest_sha <> n.manifest_sha
+         |ORDER BY source, shard""".stripMargin,
     "corpus_export_split" ->
       s"""WITH merges AS (${mergesCte(ms)}),
          |$exportTokTabCtes,

@@ -445,7 +445,8 @@ class BpeSpec extends SparkSpec {
     val o = Bpe.oracleSql
     assert(o.keySet == Set("bpe_encode", "bpe_fertility",
       "corpus_export", "corpus_export_split", "pack_efficiency",
-      "bpe_merges", "vocab_prune", "training_manifest", "corpus_release"),
+      "bpe_merges", "vocab_prune", "training_manifest", "corpus_release",
+      "corpus_release_delta"),
       s"ids: ${o.keySet}")
     // each merge pair must appear as a VALUES literal in every
     // model-embedding oracle (one shared merges CTE per statement);
@@ -539,5 +540,47 @@ class BpeSpec extends SparkSpec {
     assert(joined.count() == 0, "two-level cumulative diverged from the direct window")
     assert(rows.map(_._2).max / Bpe.PackBucketWidth >= 5,
       "fixture must actually span several buckets")
+  }
+
+  test("corpus_release_delta: self-delta empty, statuses partition the digest diff") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    // a release diffed against itself must be empty (same pred + tag →
+    // identical manifests; the digest rule can never flag noise)
+    val m = Bpe.releaseManifest(s, dir)
+    val self = m.as("o").join(m.as("n"), Seq("source", "shard"), "full_outer")
+      .filter(col("o.manifest_sha").isNull || col("n.manifest_sha").isNull ||
+        col("o.manifest_sha") =!= col("n.manifest_sha"))
+    assert(self.count() == 0, "self-delta must be empty")
+
+    val delta = graft.SparkEntry.queries("corpus_release_delta")(s, dir)
+      .collect()
+    assert(delta.nonEmpty, "even→full release must change shards at this fixture")
+    delta.foreach { r =>
+      val (st, oldSha, newSha) =
+        (r.getString(2), Option(r.getString(3)), Option(r.getString(4)))
+      st match {
+        case "added"   => assert(oldSha.isEmpty && newSha.nonEmpty, r)
+        case "removed" => assert(oldSha.nonEmpty && newSha.isEmpty, r)
+        case "changed" => assert(oldSha.nonEmpty && newSha.nonEmpty && oldSha != newSha, r)
+        case other     => fail(s"unknown status $other")
+      }
+    }
+    // the delta is exactly the non-identical part of the two manifests:
+    // every N+1 shard NOT in the delta must appear in N with the same sha
+    val old = Bpe.releaseManifest(s, dir, col("doc_id") % 2 === 0, "even")
+      .select(col("source"), col("shard"), col("manifest_sha").as("sha"))
+      .as[(String, Long, String)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val deltaKeys = delta.map(r => (r.getString(0), r.getLong(1))).toSet
+    Bpe.releaseManifest(s, dir)
+      .select(col("source"), col("shard"), col("manifest_sha").as("sha"))
+      .as[(String, Long, String)].collect()
+      .filterNot(t => deltaKeys((t._1, t._2)))
+      .foreach { t =>
+        assert(old.get((t._1, t._2)).contains(t._3),
+          s"unflagged shard ${(t._1, t._2)} must be sha-identical in both releases")
+      }
   }
 }
