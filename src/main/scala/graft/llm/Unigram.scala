@@ -334,7 +334,9 @@ object Unigram {
        |wfreq AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(fw) AS w FROM fwt) GROUP BY w)
-       |SELECT CAST(sum(wfreq.freq * g.nk) AS BIGINT) AS n_tokens
+       |SELECT CAST(sum(wfreq.freq * g.nk) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN g.path IN ('[UNK]', '[LONG]')
+       |    THEN wfreq.freq ELSE 0 END) AS BIGINT) AS unk_words
        |FROM wfreq JOIN seg g USING (w)""".stripMargin
 
   private[llm] def encodeSql(model: Seq[(String, Long, Long)]): String =

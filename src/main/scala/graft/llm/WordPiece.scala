@@ -371,9 +371,12 @@ object WordPiece {
   }
 
   /** Corpus-total WordPiece tokens replayed ENTIRELY at word level (the
-    * `tokenizer_compare` fragment since round 18) — Σ freq(w)·|toks(w)|
-    * over the distinct-word table; no per-doc token arrays (see
-    * [[Bpe.totalTokensSql]] for the 25× memory rationale).
+    * `tokenizer_compare`/`tokenizer_budget` fragment since round 18) —
+    * Σ freq(w)·|toks(w)| over the distinct-word table plus the
+    * freq-weighted [UNK]-word count (coverage); no per-doc token arrays
+    * (see [[Bpe.totalTokensSql]] for the 25× memory rationale). A
+    * '[UNK]' piece cannot be a REAL token (pieces are ≤4 cp), so the
+    * list_contains probe is exact.
     */
   private[llm] def totalTokensSql(vocab: Seq[String]): String =
     s"""WITH RECURSIVE
@@ -381,7 +384,9 @@ object WordPiece {
        |wfreq AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(fw) AS w FROM fwt) GROUP BY w)
-       |SELECT CAST(sum(wfreq.freq * len(s.toks)) AS BIGINT) AS n_tokens
+       |SELECT CAST(sum(wfreq.freq * len(s.toks)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN list_contains(s.toks, '[UNK]')
+       |    THEN wfreq.freq ELSE 0 END) AS BIGINT) AS unk_words
        |FROM wfreq JOIN seg s USING (w)""".stripMargin
 
   private[llm] def encodeSql(vocab: Seq[String]): String = {
@@ -398,6 +403,18 @@ object WordPiece {
        |  CAST(len(list_filter(flat, t -> t = '[UNK]')) AS BIGINT) AS n_unk,
        |  md5(coalesce(array_to_string(flat, ' '), '')) AS h
        |FROM doc_enc ORDER BY doc_id""".stripMargin
+  }
+
+  /** The live (merges, tagged vocab) pair for `dir` if this JVM trained
+    * it — `tokenizer_budget` reconstructs the half-budget vocab from
+    * the merge ORDER, which the vocab alone doesn't carry. */
+  private[llm] def liveFullFor(dir: String): Option[(Seq[Merge], Seq[String])] = {
+    import scala.jdk.CollectionConverters._
+    modelCache.entrySet().asScala.toList
+      .filter(e => !e.getKey._1.sparkContext.isStopped && e.getKey._2 == dir) match {
+      case e :: Nil => Some(e.getValue)
+      case _        => None
+    }
   }
 
   /** The live tagged vocab for `dir` if this JVM trained it. */
