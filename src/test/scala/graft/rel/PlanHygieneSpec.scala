@@ -609,6 +609,46 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("round-18 plans: release delta stays salted + broadcast, budget sweep never cartesian beyond 1-row totals") {
+    // corpus_release_delta builds TWO release manifests — both must
+    // keep the round-17 packing discipline (every doc_id-ordered
+    // window bucket-salted, offset table broadcast), and the final
+    // manifest diff is a tiny (source, shard)-keyed join that must
+    // never be cartesian
+    locally {
+      val p = planOf("corpus_release_delta")
+      val opt = p.split("== Optimized Logical Plan ==").last
+      val docOrdered = "windowspecdefinition\\([^)]*\\)".r.findAllIn(opt)
+        .toList.filter(_.contains("doc_id#"))
+      assert(docOrdered.nonEmpty, s"delta: expected doc_id-ordered packing windows\n$opt")
+      docOrdered.foreach(spec => assert(spec.contains("__bkt#"),
+        s"delta: doc_id-ordered window not bucket-salted: $spec"))
+      val phys = p.split("== Physical Plan ==").last
+      assert(!phys.contains("CartesianProduct"), s"delta went cartesian\n$phys")
+      assert(phys.contains("BroadcastHashJoin"), s"delta: offset join must broadcast\n$phys")
+    }
+    // tokenizer_budget: six word-level arms — the only cross products
+    // allowed are the broadcast 1-row total_words attachments; the
+    // documents scan reads only text (word table needs nothing else)
+    locally {
+      val p = planOf("tokenizer_budget").split("== Physical Plan ==").last
+      val carts = p.linesIterator.count(_.contains("CartesianProduct"))
+      assert(carts == 0, s"budget sweep went cartesian\n$p")
+      val schema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(schema.contains("text") && !schema.contains("lang") &&
+        !schema.contains("n_chars"), s"budget scan not pruned: $schema")
+    }
+    // unigram_train_em: the E-step joins the word-freq table to the
+    // distinct-word Viterbi — key join, never cartesian, pruned scan
+    locally {
+      val p = planOf("unigram_train_em").split("== Physical Plan ==").last
+      assert(!p.contains("CartesianProduct"), s"EM went cartesian\n$p")
+      val schema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(schema.contains("text") && !schema.contains("n_chars"),
+        s"EM scan not pruned: $schema")
+    }
+  }
+
   test("partitioned writes prune partitions on read") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
