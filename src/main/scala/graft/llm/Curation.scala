@@ -296,7 +296,12 @@ object Curation {
       i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))
 
   private def chunkedLines(docs: DataFrame, chunkWords: Int): DataFrame =
-    docs
+    // r18-opt (guide §2.5 input skew): the fixture parquet is ONE row
+    // group, so without the spread the chunk+hash derivation (the whole
+    // per-row cost of the line family) ran in a single task on BOTH
+    // branches of the owner join — the shingleArrays precedent applied
+    // here (plans/r18/dedup_lines_{before,after}.txt).
+    graft.Engine.spread(docs, "doc_id")
       .select(col("doc_id"),
         posexplode(chunkArray(split(col("text"), " "), chunkWords)).as(Seq("pos", "chunk")))
       .withColumn("ck", ngHash(col("chunk")))

@@ -1207,12 +1207,25 @@ object NearDedup {
     // side runs on a document SAMPLE (it is the quadratic-risk side);
     // the fixture corpus is small enough to run it whole.
     "dedup_recall" -> ((s, dir) => {
-      val truth = exactJaccardPairs(s, dir).select("doc1", "doc2")
-      val found = lshJaccardPairs(s, dir).select("doc1", "doc2")
-      val hit = truth.join(found, Seq("doc1", "doc2"))
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(found.agg(count(lit(1)).as("n_found")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      // r18-opt (guide §1.2 "don't compute things twice"): the old form
+      // referenced the truth pipeline twice (its own count + the hit
+      // join) and the found pipeline twice — the executed plan ran the
+      // postings/pair/verify chains 2× each with zero exchange reuse
+      // (plans/r18/dedup_recall_before.txt: 13 scans). One FULL OUTER
+      // join of the two (unique-keyed) pair sets + one aggregate
+      // computes all three counts from a single evaluation of each
+      // side. Counts are identical: both pair sets are distinct on
+      // (doc1, doc2), so |truth|=count(t), |found|=count(f) and the
+      // inner-join cardinality = count(t AND f).
+      val truth = exactJaccardPairs(s, dir)
+        .select(col("doc1"), col("doc2"), lit(1).as("t"))
+      val found = lshJaccardPairs(s, dir)
+        .select(col("doc1"), col("doc2"), lit(1).as("f"))
+      truth.join(found, Seq("doc1", "doc2"), "full_outer")
+        .agg(count(col("t")).as("n_truth"),
+          count(col("f")).as("n_found"),
+          count(when(col("t").isNotNull && col("f").isNotNull, lit(1)))
+            .as("n_hit"))
         .select(col("n_truth"), col("n_found"), col("n_hit"),
           when(col("n_truth") === 0L, lit(1.0))
             .otherwise(round(col("n_hit").cast("double") /

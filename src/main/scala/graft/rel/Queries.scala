@@ -495,6 +495,17 @@ object Queries {
       val hb = conv(substring(md5(concat(lit("pct:"),
           col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string"))), 1, 4), 16, 10).cast("long")
+      // r18-opt note (measured, REJECTED): merging the sample and exact
+      // sides into one aggregate (percentile over `when(in_s, c)` — one
+      // scan, one agg, no join) looked like the guide §2.4 win but
+      // measured 1.47 s → 2.3–3.1 s in the same QTime window. Two
+      // reasons: the exact Percentile buffer's per-row update path
+      // beats its partial-buffer MERGE path (merging 32 ~200k-entry
+      // counts-maps per group is the same single-threaded work the
+      // per-row path already did), and the two independent branches of
+      // the join form run as CONCURRENT stages — the plan-level
+      // parallelism the merged form forfeits. Kept as the two-branch
+      // join by measurement.
       val sample = li.filter(hb < 4260L)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_sample"),
@@ -762,7 +773,13 @@ object Queries {
       val agg = ev.groupBy("user_id", "bucket")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
-      val spans = ev.groupBy("user_id")
+      // r18-opt (guide §1.2/§2.4): spans derived from the ALREADY
+      // aggregated (user_id, bucket) table, not a second full scan of
+      // events — min/max over the per-bucket rows equals min/max over
+      // the raw rows (same bucket set), and the agg subtree is shared
+      // so the events scan + date_trunc run once
+      // (plans/r18/ts_gapfill_{before,after}.txt: 2 scans → 1).
+      val spans = agg.groupBy("user_id")
         .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
         .select(col("user_id"),
           explode(sequence(col("b0"), col("b1"),
