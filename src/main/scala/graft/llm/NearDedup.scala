@@ -500,12 +500,26 @@ object NearDedup {
     // (the [[shingleArrays]] InferFiltersFromGenerate hazard) — a
     // sub-k doc would otherwise walk a DESCENDING sequence into
     // slice(ws, 0, k); docs passing the filter always have stop >= 1.
+    //
+    // r18-opt (guide §1.2 per-task work + §2.3 narrower types): the
+    // window key is xxhash64 over the window's per-token xxhash64
+    // array — each token hashed ONCE, each window then hashing k
+    // longs — replacing the old md5(array_join(slice(ws,i,k))), which
+    // rebuilt and md5'd a ~k-word STRING per position (O(n·k) bytes of
+    // string churn per doc). Ownership only ever compares grams for
+    // EQUALITY (min-owner per gram — never hash ORDER, unlike winnow's
+    // min-in-window fingerprints, which must keep md5), so any
+    // injective window key yields identical output; 64 bits exceeds
+    // the line family's 56-bit ngHash convention. Also halves the
+    // gram-join shuffle width (32-char hex string → one long).
     graft.Engine.spread(tok, "doc_id")
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
+        transform(col("ws"), w => xxhash64(w)).as("hs"))
+      .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("ws")) - (k - 1), lit(1))),
-          i => md5(array_join(slice(col("ws"), i, lit(k)), " "))))).as("g"))
+          sequence(lit(1), greatest(size(col("hs")) - (k - 1), lit(1))),
+          i => xxhash64(slice(col("hs"), i, lit(k)))))).as("g"))
   }
 
   /** Position-keyed k-gram table (doc_id, i, g) — [[substringGrams]]
@@ -517,9 +531,13 @@ object NearDedup {
     graft.Engine.spread(tok, "doc_id")
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
+        // r18-opt: same xxhash64-over-token-hashes window key as
+        // [[substringGrams]] (equality-only use; see the note there)
+        transform(col("ws"), w => xxhash64(w)).as("hs"))
+      .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(1), greatest(size(col("ws")) - (k - 1), lit(1))), // totality, see substringGrams
-          i => md5(array_join(slice(col("ws"), i, lit(k)), " ")))).as(Seq("i0", "g")))
+          sequence(lit(1), greatest(size(col("hs")) - (k - 1), lit(1))), // totality, see substringGrams
+          i => xxhash64(slice(col("hs"), i, lit(k))))).as(Seq("i0", "g")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("g"))
   }
 

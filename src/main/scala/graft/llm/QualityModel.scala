@@ -231,16 +231,42 @@ object QualityModel {
     */
   def perplexity(docs: DataFrame, kSmooth: Double = 0.5): DataFrame = {
     val train = docs.filter(col("doc_id") % 2 === 0)
-    val uni = train.select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("cw"))
+    // r18-opt (guide §1.2, the dsir hashedGrams precedent): BOTH LM
+    // count tables come from ONE scan+explode of the train split — a
+    // combined gram stream where unigrams carry w2 = NULL and bigram
+    // transitions carry both words — instead of separate unigram and
+    // bigram passes (2 scans → 1; the old unigram pass also ran
+    // un-spread, i.e. single-task on the one-row-group fixture). The
+    // groupBy treats the NULL w2 as its own key, so `uni`/`big` are
+    // exact row-filter views of the persisted counts; counts and V are
+    // integers — identical to the two-pass values.
+    val ws = split(col("text"), " ")
+    val lm = graft.Engine.spread(train, "doc_id")
+      .select(explode(concat(
+        transform(filter(ws, w => length(w) > 0),
+          w => struct(w.as("w1"), lit(null).cast("string").as("w2"))),
+        when(size(ws) >= 2,
+          slice(zip_with(ws, slice(ws, lit(2), size(ws)),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+            lit(1), size(ws) - 1))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+        .as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .persist()
-    val big = bigrams(train)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     try {
+      // the LM views are materialized (localCheckpoint, vocab-sized —
+      // the substringSpans discipline) while lm is cached, so the
+      // scoring action below joins finished count tables instead of
+      // re-running the train-split explode per referenced view (the
+      // old persist was released before the action ever ran)
+      val uni = lm.filter(col("w2").isNull)
+        .select(col("w1"), col("c").as("cw")).localCheckpoint()
+      val big = lm.filter(col("w2").isNotNull)
+        .select(col("w1"), col("w2"), col("c").as("cb")).localCheckpoint()
       val v = uni.count().toDouble
       bigrams(docs)
-        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+        .join(uni, Seq("w1"), "left")
         .join(big, Seq("w1", "w2"), "left")
         .select(col("doc_id"),
           log((coalesce(col("cb"), lit(0L)) + lit(kSmooth)) /
@@ -248,7 +274,7 @@ object QualityModel {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_transitions"),
           round(exp(-sum(col("lp")) / count(lit(1))), 6).as("ppl"))
-    } finally { uni.unpersist(); () }
+    } finally { lm.unpersist(); () }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -409,45 +409,66 @@ object Sampling {
     * construct them identically.
     */
   private def hashedGrams(docs: DataFrame): DataFrame = {
+    // r18-opt (guide §1.2): ONE scan + ONE explode — the old union of a
+    // unigram branch and a bigram branch scanned and re-sprayed the
+    // corpus twice per evaluation (plans/r18/dsir_score_before.txt:
+    // every gram-stream evaluation = 2 parquet scans). The concatenated
+    // gram array yields the identical row multiset (empty unigrams
+    // dropped via the filter HOF; bigrams verbatim, absent for
+    // single-word docs exactly as the old size>=2 pre-filter did).
     val base = graft.Engine.spread(docs, "doc_id")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
-    val uni = base
-      .select(col("doc_id"), col("lang"), explode(col("ws")).as("g"))
-      .filter(length(col("g")) > 0)
-    val big = base.filter(size(col("ws")) >= 2)
+    base
       .select(col("doc_id"), col("lang"),
-        explode(slice(
-          zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
-            (a, b) => concat(a, lit(" "), b)),
-          lit(1), size(col("ws")) - 1)).as("g"))
-    uni.unionByName(big)
+        explode(concat(
+          filter(col("ws"), w => length(w) > 0),
+          when(size(col("ws")) >= 2,
+            slice(
+              zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
+                (a, b) => concat(a, lit(" "), b)),
+              lit(1), size(col("ws")) - 1))
+            .otherwise(array().cast("array<string>")))).as("g"))
       .select(col("doc_id"), col("lang"),
         (hashBucket(col("g")) % DsirBuckets).as("b"))
   }
 
   /** DSIR importance log-weight per doc — see the `dsir_score` entry.
-    * The (doc_id, b) count table feeds BOTH the λ derivation and the
-    * score join, so the exploded aggregate evaluates twice per action —
-    * deliberately left UNcached: a checkpoint here would hide the whole
-    * pipeline behind an RDD scan (no pushdown/pruning audit, no AQE),
-    * and the recompute is one narrow map+agg (the perplexity LM makes
-    * the same trade with its train-split tables). A long-lived 100 TB
-    * pipeline persists the count table MEMORY_AND_DISK instead. Docs
-    * with no grams (empty text) carry no features and are absent, as
-    * in `text_perplexity`.
+    * The gram stream feeds BOTH the λ derivation and the score side, so
+    * it evaluates twice per action — deliberately left UNcached: a
+    * checkpoint here would hide the whole pipeline behind an RDD scan
+    * (no pushdown/pruning audit, no AQE), and the recompute is one
+    * narrow map+agg (the perplexity LM makes the same trade with its
+    * train-split tables). A long-lived 100 TB pipeline persists the
+    * gram-count table MEMORY_AND_DISK instead. Docs with no grams
+    * (empty text) carry no features and are absent, as in
+    * `text_perplexity`.
     */
   def dsirScore(docs: DataFrame): DataFrame = {
     val b = DsirBuckets.toDouble
     val docb = hashedGrams(docs)
       .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("cxb"))
-    val counts = docb.groupBy("b").agg(
-      sum(col("cxb")).as("cr"),
-      sum(when(col("lang") === "en", col("cxb")).otherwise(lit(0L))).as("ct"))
-    val tot = counts.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    // r18-opt (guide §1.2/§2.4): the λ side aggregates the gram STREAM
+    // straight to B rows (identical integers: Σ_doc cxb per bucket ≡
+    // count of gram rows per bucket) instead of re-deriving the
+    // (doc_id, b) table first, and the global totals (r, t) come from
+    // a window over the ≤B-row counts table instead of a THIRD full
+    // corpus evaluation (the old `tot` branch). Plan: 6 parquet scans
+    // → 2 (plans/r18/dsir_score_{before,after}.txt); λ values are
+    // bit-identical (integer inputs, same log expression) and the
+    // per-doc Σ cxb·lam float path below is untouched.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val counts = hashedGrams(docs).groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L))).as("ct"))
     // λ is ≤ B rows BY CONSTRUCTION — the explicit broadcast is bounded
-    // (unlike decon_overlap's eval side, which must stay AQE-free)
-    val lam = counts.crossJoin(broadcast(tot))
+    // (unlike decon_overlap's eval side, which must stay AQE-free), and
+    // the single-task totals window runs over the same ≤ B rows
+    val lam = counts
+      .withColumn("r", sum(col("cr")).over(wAll))
+      .withColumn("t", sum(col("ct")).over(wAll))
       .select(col("b"),
         (log((col("ct") + lit(1.0)) / (col("t") + lit(b))) -
           log((col("cr") + lit(1.0)) / (col("r") + lit(b)))).as("lam"))
