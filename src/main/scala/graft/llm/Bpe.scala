@@ -259,6 +259,55 @@ object Bpe {
         coalesce(col("bpe"), array().cast("array<string>")).as("bpe"))
   }
 
+  /** r18-opt (guide §1.2): the per-doc DIGEST view of [[encodeDocs]] —
+    * (doc_id, n_tokens, n_merged, h) — computed without ever
+    * materializing the per-doc token ARRAY. Every query-path consumer
+    * of encodeDocs only reads size(bpe), the merged-token count, or
+    * md5(array_join(bpe, " ")); all three are per-WORD functions of
+    * the segmentation, so the token/merged counts and the word's
+    * joined token string are evaluated ONCE per distinct word on the
+    * vocab side, and the per-doc aggregation sums longs and
+    * concatenates compact pre-joined strings instead of flattening
+    * and re-walking token arrays per occurrence. Identical values by
+    * construction: Σ_w freq·size(toks) = size(flatten), every word
+    * emits ≥ 1 token (the fold appends Eow) so joining per-word token
+    * strings with " " equals array_join of the flattened stream, and
+    * empty docs restore to (0, 0, md5("")) exactly as encodeDocs'
+    * empty segmentation digests.
+    */
+  def encodeDigests(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spreadDocs = graft.Engine.spread(docs, "doc_id")
+    val words = spreadDocs
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0))
+          .as(Seq("pos", "w")))
+    // the fold is STAGED as an attribute before the three digest
+    // projections reference it (the vec_pq/text_diversity
+    // CodegenFallback-no-CSE lesson: CollapseProject keeps a non-cheap
+    // multi-referenced alias staged, so the k-merge fold runs once per
+    // word, not three times)
+    val vocab = words.select("w").distinct()
+      .withColumn("__toks",
+        applyMerges(concat(split(col("w"), ""), array(lit(Eow))), merges))
+      .select(col("w"),
+        size(col("__toks")).cast("long").as("__nt"),
+        size(filter(col("__toks"), t => length(t) > 1 && t =!= lit(Eow)))
+          .cast("long").as("__nm"),
+        array_join(col("__toks"), " ").as("__ts"))
+    val encoded = words.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("__nt")).as("n_tokens"),
+        sum(col("__nm")).as("n_merged"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__ts")))),
+          x => x.getField("__ts")), " ")).as("h"))
+    spreadDocs.select("doc_id").join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+        coalesce(col("h"), md5(lit(""))).as("h"))
+  }
+
   /** Trained merge sequence memoized per (session, dir) — the tokenizer
     * MODEL, trained once per corpus like [[VectorOps.ivfModel]]'s
     * centroids; `bpe_merges` itself stays unmemoized because that id
@@ -293,13 +342,12 @@ object Bpe {
     // longer token is a learned unit), and the md5 of the full token
     // stream (pins the exact segmentation, not just its size).
     "bpe_encode" -> ((s, dir) => {
+      // r18-opt: the digest view — token/merged counts and the stream
+      // md5 assembled from per-DISTINCT-WORD precomputed values instead
+      // of flattening and re-walking the per-doc token array
+      // (see [[encodeDigests]]; identical output by construction)
       val merges = trainedMerges(s, dir)
-      encodeDocs(Tables(s, dir).documents, merges)
-        .select(col("doc_id"),
-          size(col("bpe")).cast("long").as("n_tokens"),
-          size(filter(col("bpe"),
-            t => length(t) > 1 && t =!= lit(Eow))).cast("long").as("n_merged"),
-          md5(array_join(col("bpe"), " ")).as("h"))
+      encodeDigests(Tables(s, dir).documents.select("doc_id", "text"), merges)
         .orderBy("doc_id")
     }),
 
@@ -315,17 +363,32 @@ object Bpe {
     // aggregate — map-side combinable, |langs| output rows.
     "bpe_fertility" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val enc = encodeDocs(docs.select("doc_id", "text"), trainedMerges(s, dir))
-        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_tokens"))
-      docs.select(col("doc_id"), col("lang"),
+      // r18-opt (guide §1.2, the tokenizer_budget precedent): the
+      // per-LANG token totals are Σ freq(lang, w)·tokens-per-word over
+      // the (lang, word) frequency table — the merge fold runs once
+      // per distinct (lang, word), and no per-doc token array is ever
+      // rebuilt (the old form ran the full encodeDocs join +
+      // collect_list reassembly only to immediately sum the sizes).
+      // Identical integers: per-word encode is independent across
+      // words, and docs with zero non-empty words contribute 0.
+      val merges = trainedMerges(s, dir)
+      val toks = applyMerges(concat(split(col("w"), ""), array(lit(Eow))), merges)
+      val tokensByLang = graft.Engine.spread(docs, "doc_id")
+        .select(col("lang"),
+          explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+        .select(col("lang"), (col("freq") * size(toks).cast("long")).as("t"))
+        .groupBy("lang").agg(sum(col("t")).as("total_tokens"))
+      docs.select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_words"),
           octet_length(col("text")).cast("long").as("n_bytes"))
-        .join(enc, "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
           sum(col("n_words")).as("total_words"),
           sum(col("n_bytes")).as("total_bytes"))
+        .join(tokensByLang, Seq("lang"), "left")
+        .withColumn("total_tokens", coalesce(col("total_tokens"), lit(0L)))
+        .select("lang", "n_docs", "total_tokens", "total_words", "total_bytes")
         // round 16: the ratios ship as INTEGER MICRO-UNITS computed in
         // exact BIGINT rational arithmetic — round(a/b·1e6) =
         // (2·a·1e6 + b) div (2·b) — because round(DOUBLE, 6) proved
@@ -694,11 +757,11 @@ object Bpe {
         .filter(col("doc_id") === col("__keep"))
         .select("doc_id", "source", "text")
       val merges = trainedMerges(s, dir)
+      // r18-opt: digest view — counts/md5 from per-word precomputed
+      // values, no per-doc token array (see [[encodeDigests]])
       survivors.select("doc_id", "source")
-        .join(encodeDocs(survivors.select("doc_id", "text"), merges), "doc_id")
-        .select(col("source"), col("doc_id"),
-          size(col("bpe")).cast("long").as("n_tokens"),
-          md5(array_join(col("bpe"), " ")).as("h"))
+        .join(encodeDigests(survivors.select("doc_id", "text"), merges), "doc_id")
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
@@ -719,11 +782,10 @@ object Bpe {
     val toks = relTokCache.computeIfAbsent((s, dir, tag), _ => {
       val rel = releaseDocs(s, dir, pred, tag)
       val merges = trainedMerges(s, dir)
+      // r18-opt: digest view (see [[encodeDigests]])
       rel.select("doc_id", "source")
-        .join(encodeDocs(rel.select("doc_id", "text"), merges), "doc_id")
-        .select(col("source"), col("doc_id"),
-          size(col("bpe")).cast("long").as("n_tokens"),
-          md5(array_join(col("bpe"), " ")).as("h"))
+        .join(encodeDigests(rel.select("doc_id", "text"), merges), "doc_id")
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
     withPackCum(toks)

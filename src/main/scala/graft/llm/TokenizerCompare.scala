@@ -57,24 +57,42 @@ object TokenizerCompare {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_compare" -> ((s, dir) => {
+      // r18-opt (guide §1.2, the tokenizer_budget precedent): corpus
+      // totals are Σ freq(w)·tokens-per-word over ONE word-frequency
+      // aggregate — each family's encode runs once per DISTINCT word
+      // in a single vocab-sized projection, and no per-doc token array
+      // is ever rebuilt (the old form ran all three full encodeDocs
+      // join+collect_list reassemblies only to sum the sizes). Exact:
+      // every family encodes per word independently under the same
+      // length>0 word filter, and total_words = Σ freq by definition.
+      graft.functions.WordPieceEncode.ensureRegistered(s)
+      graft.functions.UnigramEncode.ensureRegistered(s)
       val docs = Tables(s, dir).documents
-      val nWords = docs.select(
-        sum(size(filter(split(col("text"), " "), w => length(w) > 0)))
-          .cast("long").as("total_words"))
-      def fam(name: String, tokens: DataFrame): DataFrame =
-        tokens.agg(sum(col("n")).cast("long").as("total_tokens"))
-          .select(lit(name).as("tokenizer"), col("total_tokens"))
-      val bpe = fam("bpe",
-        Bpe.encodeDocs(docs.select("doc_id", "text"), Bpe.trainedMerges(s, dir))
-          .select(size(col("bpe")).cast("long").as("n")))
-      val wp = fam("wordpiece",
-        WordPiece.encodeDocs(docs, WordPiece.trainedModel(s, dir)._2)
-          .select(size(col("wp")).cast("long").as("n")))
-      val uni = fam("unigram",
-        Unigram.encodeDocs(docs, Unigram.trainedModel(s, dir))
-          .select(col("n_tokens").as("n")))
-      bpe.unionByName(wp).unionByName(uni)
-        .crossJoin(broadcast(nWords))
+      val wf = graft.Engine.spread(docs, "doc_id")
+        .select(explode(filter(split(col("text"), " "),
+          w => length(w) > 0)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val bpeToks = Bpe.applyMerges(
+        concat(split(col("w"), ""), array(lit(Bpe.Eow))),
+        Bpe.trainedMerges(s, dir))
+      val wpToks = graft.functions.WordPieceEncode.wordpiece_encode_word(
+        col("w"), typedLit(WordPiece.trainedModel(s, dir)._2))
+      val uniSeg = graft.functions.UnigramEncode.unigram_encode_word(
+        col("w"), typedLit(Unigram.trainedModel(s, dir)
+          .map { case (p, _, lp) => s"$lp$p" }))
+      val totals = wf
+        .select(col("freq"),
+          (col("freq") * size(bpeToks).cast("long")).as("tb"),
+          (col("freq") * size(wpToks).cast("long")).as("tw"),
+          (col("freq") * uniSeg.getField("n_tokens")).as("tu"))
+        .agg(sum(col("freq")).cast("long").as("total_words"),
+          sum(col("tb")).cast("long").as("tb"),
+          sum(col("tw")).cast("long").as("tw"),
+          sum(col("tu")).cast("long").as("tu"))
+      totals
+        .selectExpr("total_words",
+          "stack(3, 'bpe', tb, 'unigram', tu, 'wordpiece', tw)" +
+            " AS (tokenizer, total_tokens)")
         .withColumn("fertility_e6",
           expr("(2 * total_tokens * 1000000 + total_words) DIV (2 * total_words)"))
         .select("tokenizer", "total_tokens", "total_words", "fertility_e6")
