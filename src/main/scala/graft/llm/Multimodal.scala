@@ -28,6 +28,78 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** r18-opt (guide §1.2 per-task work): `javax.imageio` defaults to a
+    * DISK-backed stream cache — every encode/decode of an in-memory
+    * payload creates and deletes a temp file. All payloads here are
+    * byte arrays; the memory cache is strictly cheaper (measured ~7 ms
+    * → sub-ms per small PNG). Per-JVM, idempotent; called at the top
+    * of every codec task closure so executors on a real cluster set it
+    * too. Output bytes are identical — this only changes where the
+    * codec buffers its stream.
+    */
+  private def imageIoMemCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
+  /** r18-opt (guide §1.2 per-task work): `AudioSystem.getAudioInputStream`
+    * and `AudioSystem.write` re-resolve the SPI providers — a fresh
+    * ServiceLoader iteration behind a class-level lock — on EVERY call,
+    * which serializes 32 concurrent codec tasks in one JVM (measured:
+    * the audio stages ran at ~single-thread throughput). The JDK
+    * providers are stateless; resolve them once per JVM and probe in
+    * order exactly as AudioSystem does — same parse path, same bytes.
+    */
+  @transient private lazy val audioReaders
+      : List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toList
+    // WAVE-accepting readers move to the FRONT of the probe order: the
+    // JDK's SPI order puts SoftMidiAudioFileReader before
+    // WaveFileReader, and its rejection path re-enters the
+    // synchronized MidiSystem provider registry on every call — the
+    // same per-call lock this cache exists to avoid. Probed once with
+    // a 1-sample WAV.
+    val probe = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](0)), fmt, 1L)
+      val baos = new java.io.ByteArrayOutputStream()
+      wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val (wave, rest) = all.partition { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+      catch { case _: Exception => false }
+    }
+    wave ++ rest
+  }
+
+  @transient private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer SPI installed"))
+  }
+
+  private def readAudioStream(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next()
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed AudioFileReader accepts this payload")
+  }
+
+  private def writeWavStream(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    ()
+  }
+
   /** sha-256 of the UPPERCASE-hex encoding of a byte stream — the
     * cross-engine byte-stream fingerprint every mm oracle mirrors. The
     * oracle side cannot reconstruct arbitrary raw bytes as a DuckDB
@@ -87,9 +159,15 @@ object Multimodal {
     // dimensions from md5('') and its pixel-cycle arithmetic divides by
     // len(text) = 0, so the first empty doc would have broken the
     // differential on both sides in different ways.)
-    docs.select(col("doc_id"), col("text"))
-      .filter(length(col("text")) > 0)
+    // r18-opt (guide §2.5 input skew): spread before the codec stage —
+    // the fixture parquet is one row group, so without it the PNG
+    // encode (and every downstream decode over the cached partitions)
+    // ran in a SINGLE task on local[32]
+    graft.Engine.spread(
+        docs.select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0), "doc_id")
       .as[(Long, String)].mapPartitions { it =>
+      imageIoMemCache()
       it.grouped(batchSize).flatMap(_.map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
         val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -125,6 +203,7 @@ object Multimodal {
     val s = media.sparkSession
     import s.implicits._
     media.mapPartitions { it =>
+      imageIoMemCache()
       it.grouped(batchSize).flatMap(decodeImageBatch)
     }
   }
@@ -145,6 +224,7 @@ object Multimodal {
     val s = media.sparkSession
     import s.implicits._
     media.mapPartitions { it =>
+      imageIoMemCache()
       it.grouped(batchSize).flatMap(_.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
@@ -196,8 +276,10 @@ object Multimodal {
   def encodeAudio(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id"), col("text"))
-      .filter(length(col("text")) > 0)
+    // r18-opt: spread before the codec stage (see encodeImages)
+    graft.Engine.spread(
+        docs.select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0), "doc_id")
       .as[(Long, String)].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
@@ -209,8 +291,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(data), fmt, n.toLong)
         val baos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        writeWavStream(ais, baos)
         MediaRecord(id, baos.toByteArray, "audio/wav")
       })
     }
@@ -230,8 +311,7 @@ object Multimodal {
     import s.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
+        val ais = readAudioStream(r.payload)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"doc ${r.doc_id}: unexpected decoded format $fmt")
@@ -287,8 +367,7 @@ object Multimodal {
     import s.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
+        val ais = readAudioStream(r.payload)
         val fp = audioFingerprint(ais.readAllBytes())
         (r.doc_id, (fp >>> 23) & 0xffL, (fp >>> 15) & 0xffL,
           (fp >>> 7) & 0xffL, fp & 0x7fL)
@@ -311,15 +390,13 @@ object Multimodal {
     val s = media.sparkSession
     import s.implicits._
     media.filter(col("doc_id") % stride === 0).as[MediaRecord].map { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
+      val ais = readAudioStream(r.payload)
       val fmt = ais.getFormat
       val pcm = ais.readAllBytes()
       val out = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
       val baos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(out,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      writeWavStream(out, baos)
       MediaRecord(r.doc_id + idOffset, baos.toByteArray, "audio/wav")
     }
   }
@@ -355,8 +432,7 @@ object Multimodal {
     import s.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
+        val ais = readAudioStream(r.payload)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"doc ${r.doc_id}: unexpected decoded format $fmt")
@@ -430,9 +506,12 @@ object Multimodal {
   def encodeAnimations(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id"), col("text"))
-      .filter(length(col("text")) > 0)
+    // r18-opt: spread before the codec stage (see encodeImages)
+    graft.Engine.spread(
+        docs.select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0), "doc_id")
       .as[(Long, String)].mapPartitions { it =>
+        imageIoMemCache()
         val grays = Array.tabulate(256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
         it.grouped(batchSize).flatMap(_.map { case (id, text) =>
@@ -680,7 +759,7 @@ object Multimodal {
     frameCache.computeIfAbsent((s, dir, k), _ => {
       import s.implicits._
       animatedCorpus(s, dir)
-        .mapPartitions(it => it.grouped(64).flatMap(b => decodeBatch(b, k)))
+        .mapPartitions { it => imageIoMemCache(); it.grouped(64).flatMap(b => decodeBatch(b, k)) }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
@@ -824,6 +903,7 @@ object Multimodal {
     val s = media.sparkSession
     import s.implicits._
     media.mapPartitions { it =>
+      imageIoMemCache()
       it.grouped(batchSize).flatMap(_.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
@@ -857,6 +937,7 @@ object Multimodal {
     val s = media.sparkSession
     import s.implicits._
     media.filter(col("doc_id") % stride === 0).as[MediaRecord].mapPartitions { it =>
+      imageIoMemCache()
       val grays = Array.tabulate(256)(_.toByte)
       val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
       it.map { r =>
