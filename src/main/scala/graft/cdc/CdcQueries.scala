@@ -486,7 +486,19 @@ object CdcQueries {
       val feed = F.fromEvents(s, dir)
       val m = feed.agg(max(col("scn"))).collect()(0).getLong(0)
       def part(lo: Long, hi: Long) = feed.filter(col("scn") > lo && col("scn") <= hi)
-      var state = Ops.applyChanges(part(-1L, m / 3), keys = Seq("id"), ordering = Seq("scn"))
+      // r18-opt (guide §1.2): the STATE is MATERIALIZED at each fold
+      // step (localCheckpoint) — that is what the batch boundary of a
+      // real incremental system IS (the state is a durable table
+      // between batches), and without it the final lazy plan
+      // re-evaluated the whole state lineage once per reference
+      // (before/next/after × 2 steps → 13 parquet scans,
+      // plans/r18/apply_verify_incr_before.txt). The bucket-level
+      // summary chain stays lazy — checkpointing it too was measured
+      // SLOWER (two more eager job barriers than the tiny re-eval it
+      // saves). Values unchanged — this only pins evaluation at the
+      // batch boundaries the id is modeling.
+      var state = Ops.applyChanges(part(-1L, m / 3), keys = Seq("id"),
+        ordering = Seq("scn")).localCheckpoint()
       var summary = Ops.bucketChecksum(state, "id", rowStr)
       Seq((m / 3, 2 * m / 3), (2 * m / 3, m)).foreach { case (lo, hi) =>
         val batch = part(lo, hi)
@@ -494,7 +506,7 @@ object CdcQueries {
         val before = state.join(touched, Seq("id"), "left_semi")
         val next = Ops.applyChanges(
           state.unionByName(batch.select(state.columns.map(col): _*)),
-          keys = Seq("id"), ordering = Seq("scn"))
+          keys = Seq("id"), ordering = Seq("scn")).localCheckpoint()
         val after = next.join(touched, Seq("id"), "left_semi")
         summary = Ops.updateChecksum(summary, before, after, "id", rowStr)
         state = next

@@ -684,6 +684,13 @@ object Queries {
     "join_interval" -> ((s, dir) => {
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // r18-opt (guide §1.2): the session table is MATERIALIZED once
+      // (localCheckpoint — session-count-sized, bounded ≪ events) —
+      // it is referenced THREE times below (both bin-join sides + the
+      // zero-overlap restore), and un-materialized each reference
+      // re-ran the events scan + both sessionization windows + the
+      // agg (plans/r18/join_interval_before.txt: 12 Window nodes =
+      // 4 × 3 evaluations; after: 4).
       val sess = Tables(s, dir).events
         .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
         .withColumn("prev_ms", lag(col("ms"), 1).over(byTs))
@@ -693,6 +700,7 @@ object Queries {
         .withColumn("seq", sum(col("brk")).over(cum))
         .groupBy("user_id", "seq")
         .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
+        .localCheckpoint()
       val binned = sess.withColumn("bin",
         explode(sequence(shiftright(col("st"), 20), shiftright(col("en"), 20))))
       val a = binned.select(col("user_id").as("a_user"), col("seq").as("a_seq"),
@@ -1665,25 +1673,32 @@ object Queries {
     // The selective supplier/nation prune still runs FIRST so the final
     // probe carries one nation's suppliers only.
     "q21_waiting" -> ((s, dir) => {
+      // r18-opt (guide §1.2/§2.4): ONE lineitem scan instead of two —
+      // the old form scanned lineitem for the R rows (l1) AND for the
+      // per-(order, supplier) verdict aggregate, then semi-joined them
+      // back on the order key. The single (l_orderkey, l_suppkey)
+      // aggregate carries nr = #R rows per pair; the per-order
+      // supplier counts come from a window over that aggregate
+      // (per-order partitions — bounded by suppliers-per-order), and
+      // numwait = Σ nr over qualifying pairs ≡ the old count of R rows
+      // in qualifying orders (an order with nsupp_r = 1 holds ALL its
+      // R rows on that one supplier). Values identical by construction.
       val t = Tables(s, dir)
-      val l1 = t.lineitem.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+      val wOrd = Window.partitionBy(col("l_orderkey"))
+      val g = t.lineitem
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(count(when(col("l_returnflag") === "R", lit(1))).as("nr"))
+        .withColumn("nsupp", count(lit(1)).over(wOrd))
+        .withColumn("nsupp_r",
+          sum(when(col("nr") > 0, 1L).otherwise(0L)).over(wOrd))
+        .filter(col("nr") > 0 && col("nsupp") >= 2 && col("nsupp_r") === 1)
+      g.join(t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .filter(col("n_name") === "NATION_0")
-      val verdict = t.lineitem
-        .groupBy(col("l_orderkey").as("po_key"), col("l_suppkey").as("po_supp"))
-        .agg(max(when(col("l_returnflag") === "R", lit(1)).otherwise(lit(0)))
-          .as("has_r"))
-        .groupBy(col("po_key"))
-        .agg(count(lit(1)).as("nsupp"), sum(col("has_r")).as("nsupp_r"))
-        .filter(col("nsupp") >= 2 && col("nsupp_r") === 1)
-        .select(col("po_key"))
-      l1.join(verdict, col("l_orderkey") === col("po_key"), "left_semi")
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("nr")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     }),
