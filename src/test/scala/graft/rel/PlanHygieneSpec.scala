@@ -122,16 +122,23 @@ class PlanHygieneSpec extends SparkSpec {
     val q4 = planOf("q4_priority")
     assert(q4.contains("LeftSemi"), q4.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!q4.contains("CartesianProduct"), q4)
-    // q21: the EXISTS/NOT-EXISTS pair is folded into one per-order
-    // supplier census — a single LeftSemi against the aggregated
-    // verdict, NO LeftAnti and no extra fact-table probe; the census
-    // must partial-aggregate before its shuffle
+    // q21 (r18 rewrite): the EXISTS/NOT-EXISTS pair is folded into ONE
+    // lineitem pass — a per-(order,supplier) aggregate + bounded
+    // per-order window replaces the semi/anti probes entirely. Pin:
+    // exactly one lineitem scan, no semi/anti/cartesian probe joins,
+    // the census partial-aggregates before its shuffle, and the window
+    // is keyed per order (never a global window).
     val q21 = planOf("q21_waiting")
-    assert(q21.contains("LeftSemi") && !q21.contains("LeftAnti"),
-      q21.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val q21Phys = q21.split("== Physical Plan ==").last
+    assert(!q21Phys.contains("LeftSemi") && !q21Phys.contains("LeftAnti"),
+      q21Phys.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!q21.contains("CartesianProduct") && !q21.contains("BroadcastNestedLoopJoin"), q21)
+    assert("lineitem\\.parquet".r.findAllIn(q21Phys).size == 1,
+      "q21 must scan lineitem exactly once")
     assert(q21.contains("partial_count") || q21.contains("partial count"),
       "q21 census must map-side combine before the shuffle")
+    assert(q21Phys.contains("windowspecdefinition(l_orderkey"),
+      "q21 census window must stay keyed per order")
     // q19: the OR-of-ANDs references both sides and stays a residual,
     // but the single-side conjunct (returnflag) must still reach the
     // lineitem scan
@@ -456,12 +463,18 @@ class PlanHygieneSpec extends SparkSpec {
     val dsSchema = ds.linesIterator.find(_.contains("ReadSchema")).get
     assert(!dsSchema.contains("source") && !dsSchema.contains("n_chars"), dsSchema)
 
-    // dsir_select_approx: the scale path must have NO global window —
+    // dsir_select_approx: the scale path must have NO doc-scale window —
     // since round 16 the memoized sketch threshold rides in as a plan
-    // LITERAL (one codegen'd compare per doc, no join at all); the λ
-    // attach inside dsirScore stays broadcast
+    // LITERAL; since r18 dsirScore's global (r,t) totals come from an
+    // unpartitioned window over the ≤1024-row bucket-counts table (a
+    // third corpus pass removed). Pin: any Window node's input must be
+    // the bounded counts table (b, cr, ct), never per-doc columns.
     val da = planOf("dsir_select_approx").split("== Physical Plan ==").last
-    assert(!da.contains("Window"), da)
+    val daWindowInputs = da.linesIterator.toSeq.sliding(2).collect {
+      case Seq(a, b) if a.matches("\\(\\d+\\) Window.*") => b
+    }.toSeq
+    assert(daWindowInputs.forall(in => !in.contains("doc_id") && !in.contains("text")),
+      s"dsir_select_approx window must stay on the bounded counts table:\n${daWindowInputs.mkString("\n")}")
     assert(!da.contains("SortMergeJoin") && !da.contains("CartesianProduct"), da)
 
     // select_budget_approx pair (round 16): the 100 TB twins of the
