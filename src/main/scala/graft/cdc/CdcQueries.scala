@@ -174,7 +174,14 @@ object CdcQueries {
       val work = graft.Engine.scratchDir("graft-sws")
       val in = work.resolve("in").toString
       feed.select(cols.map(col): _*).write.mode("append").parquet(in)
-      reads.select(cols.map(col): _*).write.mode("append").parquet(in)
+      // repartition(1): the spool is the fixture's Kafka stand-in, and its
+      // FILE COUNT only slices the demo into micro-batches — it is not a
+      // scale surface (a cluster reads the real channel). r19: the spread
+      // inside chunkStates leaves the reads aggregate at 32 partitions;
+      // written as-is that is 32 spool files → one extra near-empty
+      // micro-batch paying the full ~1.3 s fold fixed cost (measured,
+      // SwsProfile). One file keeps the r18 batch slicing.
+      reads.select(cols.map(col): _*).repartition(1).write.mode("append").parquet(in)
       val wire = s.readStream
         .schema(feed.select(cols.map(col): _*).schema)
         .option("maxFilesPerTrigger", 32)

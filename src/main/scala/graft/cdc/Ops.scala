@@ -418,9 +418,9 @@ object Ops {
     // merge reads with the live stream: highest (arrival, scn, liveness)
     // wins — a post-watermark change supersedes its stale chunk row; a
     // chunk row supersedes the (identical-payload) events it embodies
-    val merged = chunkRows
+    val merged = graft.Engine.spread(chunkRows
       .unionByName(feed.withColumn("__ord", col(scnCol))
-        .select(col(keyCol) +: (payload :+ "__ord").map(col): _*))
+        .select(col(keyCol) +: (payload :+ "__ord").map(col): _*)), keyCol)
       .groupBy(col(keyCol))
       .agg(max_by(struct(payload.map(col): _*),
         struct(col("__ord"), col(scnCol), col(opCol) =!= "r")).as("__st"))
@@ -442,7 +442,15 @@ object Ops {
       nChunks: Int
   ): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
-    val all = base.unionByName(feed)
+    // spread (r19, guide §2.5 input skew): the fixture parquet is
+    // single-row-group, so base ∪ feed arrives as 1–2 scan tasks and the
+    // per-key max_by below would run its per-row work serially (AQE then
+    // coalesces the post-agg exchange to 1 task as well — measured
+    // c8 ≈ c32 on every chunk-snapshot id). Repartitioning BY THE GROUP
+    // KEY replaces the aggregation's own exchange (the groupBy reuses
+    // the partitioning), so the shuffle count is unchanged — the
+    // exchange just moves ahead of the per-row work.
+    val all = graft.Engine.spread(base.unionByName(feed), keyCol)
     val payload = all.columns.toSeq.filterNot(_ == keyCol)
     val bounds = all.agg(
       max(col(scnCol)).as("__maxscn"),

@@ -191,21 +191,34 @@ object Stream {
     repair(fs, root)
     if (fs.exists(root)) checkOrRecordBuckets(fs, root, stateBuckets)
     val bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(stateBuckets)).cast("int")
-    // the batch input is scanned several times (affected-bucket ids, purge
-    // watermark, then the fold) — cache it so JSON parsing is paid once
-    val delta = batch
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the batch input is scanned several times on a steady-state batch
+    // (affected-bucket ids, purge watermark, then the fold) — cache it so
+    // JSON parsing is paid once. A BOOTSTRAP batch (no state root, no
+    // retention) scans the delta exactly once, so the cache write would
+    // be pure overhead (r19).
+    val multiScan = fs.exists(root) || tombstoneRetention.nonEmpty
+    val delta =
+      if (multiScan) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batch
     try {
       // flat legacy/bootstrap layout (top-level parquet files) → fold the
       // whole state once and emerge bucketed; steady state touches only
       // the delta's buckets. The collect is ≤ stateBuckets ints — bounded
       // by configuration, not data.
-      val flat = fs.exists(root) &&
+      val rootExisted = fs.exists(root)
+      val flat = rootExisted &&
         fs.listStatus(root).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      val affected: Seq[Int] =
-        if (flat) 0 until stateBuckets
-        else delta.select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSeq
-      val existing = affected.filter(n => fs.exists(bucketDir(root, n)))
+      // affected-bucket ids. None = the BOOTSTRAP batch (no state root at
+      // all): there is no prev state to prune to, so the distinct+collect
+      // job over the whole batch buys nothing — the rename list is
+      // derived by LISTING the tmp write output instead (r19; the
+      // distinct job was ~30% of a bootstrap batch's addBatch time).
+      spark.sparkContext.setJobDescription("foldBatch: affected buckets")
+      val affected: Option[Seq[Int]] =
+        if (flat) Some(0 until stateBuckets)
+        else if (!rootExisted) None
+        else Some(delta.select(bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSeq)
+      val existing = affected.getOrElse(Nil).filter(n => fs.exists(bucketDir(root, n)))
       // previous state rows are already latest-per-key; union keeps
       // their (scn, op) so ordering vs the new delta stays correct.
       // mergeSchema: bucket files may carry different schema VERSIONS
@@ -248,18 +261,29 @@ object Stream {
               ord < lit(hwm.getLong(0) - ret)))
         case None => folded
       }
-      val next = next0
-        .withColumn(BucketCol, bucketExpr)
-        .filter(col(BucketCol).isin(affected: _*))
+      val next1 = next0.withColumn(BucketCol, bucketExpr)
+      // defensive prune: every folded row's bucket is in the affected set
+      // by construction (prev was read from exactly those buckets and the
+      // delta defined them) — the filter guards the rename loop against
+      // a drifted bucket expression, and is skipped on bootstrap where
+      // the affected set was never computed.
+      val next = affected.fold(next1)(a => next1.filter(col(BucketCol).isin(a: _*)))
       val tmpRoot = new org.apache.hadoop.fs.Path(root, ".delta_tmp")
+      spark.sparkContext.setJobDescription("foldBatch: rewrite buckets")
       next.write.mode("overwrite").partitionBy(BucketCol).parquet(tmpRoot.toString)
+      spark.sparkContext.setJobDescription(null)
       // every rename result is CHECKED: Hadoop FileSystem reports most
       // failures by returning false, not throwing — an unchecked false
       // here would commit the checkpoint with a stale bucket and lose
       // the delta silently
       def mustRename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
         require(fs.rename(src, dst), s"rename $src -> $dst failed; failing the batch")
-      affected.foreach { n =>
+      // bootstrap: the written tmp layout IS the bucket list
+      val renameIds: Seq[Int] = affected.getOrElse(
+        fs.listStatus(tmpRoot).map(_.getPath.getName).toSeq
+          .filter(_.startsWith(s"$BucketCol="))
+          .map(_.stripPrefix(s"$BucketCol=").toInt))
+      renameIds.foreach { n =>
         val src = new org.apache.hadoop.fs.Path(tmpRoot, s"$BucketCol=$n")
         val dst = bucketDir(root, n)
         val old = new org.apache.hadoop.fs.Path(root, s".old_$n")
@@ -284,7 +308,7 @@ object Stream {
       // restart with a different stateBuckets must fail loudly, not
       // re-record)
       checkOrRecordBuckets(fs, root, stateBuckets)
-    } finally { delta.unpersist(); () }
+    } finally { if (multiScan) delta.unpersist(); () }
   }
 
   /** Continuously materialize a change-event stream into a current-state
