@@ -326,21 +326,45 @@ object TextOps {
       (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
   }
 
-  /** Corpus statistics for inline BM25 passes: ONE tokenize scan feeds
-    * tf, df and doc length via the tfidf_topk ReusedExchange discipline
-    * (tf's (doc_id, term) aggregate is the shared subtree).
+  /** Memoized per-corpus (doc_id, term, tf) table — the in-memory twin
+    * of the postings table [[saveTextIndex]] persists to disk: a 100 TB
+    * retrieval deployment tokenizes and aggregates its postings ONCE per
+    * corpus and serves every query from the artifact. Built on first use
+    * per (session, dir), released at family boundaries by
+    * [[releaseMemos]] like every other per-corpus memo. r19: the inline
+    * BM25 ids used to re-derive this subtree per reference — Catalyst
+    * never CSE'd it, so bm25_prf's two-pass plan tokenized documents 28
+    * times (plans/r19/bm25_prf_before.txt).
     */
-  private def bm25Corpus(docs: DataFrame)
+  private val bm25TfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  /** Corpus statistics for inline BM25 passes, memoized per (session,
+    * dir): the postings table (tf), per-term df and per-doc length are
+    * each persisted — the in-memory mirror of the three tables
+    * [[saveTextIndex]] persists to disk — so the two-pass prf id and
+    * repeated family members probe cached aggregates instead of
+    * re-deriving the subtree per reference. The (N, avgdl) scalar table
+    * stays lazy (two 1-row aggregates over cached inputs).
+    */
+  private def bm25Corpus(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("__ctf"))
-      .filter(col("__ctf") >= 0).drop("__ctf") // ReusedExchange anchor (see tfidf_topk)
-    val dlen = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n"))
-      .crossJoin(dlen.agg(avg(col("dl")).as("avgdl")))
-    (tf, dfreq, dlen, stats)
+    bm25TfCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
+    bm25TfCache.computeIfAbsent((s, dir), _ => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // spread: single-row-group fixture — tokenize+aggregate would
+      // otherwise run in one task (the Engine.spread contract)
+      val tf = graft.Engine.spread(Tables(s, dir).documents, "doc_id")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(lvl)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")).persist(lvl)
+      val dlen = tf.groupBy("doc_id")
+        .agg(sum(col("tf")).cast("double").as("dl")).persist(lvl)
+      val stats = Tables(s, dir).documents.agg(count(lit(1)).cast("double").as("n"))
+        .crossJoin(dlen.agg(avg(col("dl")).as("avgdl")))
+      (tf, dfreq, dlen, stats)
+    })
   }
 
   /** One BM25 scoring pass for a broadcastable (q_id, term) query set:
@@ -1349,16 +1373,16 @@ object TextOps {
     // BM25 ranked retrieval (Robertson k1=1.2 b=0.75, Lucene's
     // non-negative idf form): the lexical half of every retrieval
     // stack. Queries are docs 0..7 as bags of DISTINCT terms (qtf=1,
-    // the standard practical form). ONE tokenize scan feeds tf, df AND
-    // doc length via the tfidf_topk ReusedExchange discipline (tf's
-    // (doc_id, term) aggregate is the shared subtree; df and dl both
-    // derive from it); query terms and the (N, avgdl) scalars are
-    // broadcast, so the corpus-sized stages are the postings join and
-    // ONE (q_id, c_id)-keyed sum. Score rounds to 6 dp before ranking
+    // the standard practical form). tf/df/doc-length all derive from
+    // the ONE memoized postings table ([[bm25Tf]] — the in-memory twin
+    // of the disk index's postings); query terms and the (N, avgdl)
+    // scalars are broadcast, so the corpus-sized stages are the
+    // postings join and ONE (q_id, c_id)-keyed sum. Score rounds to 6
+    // dp before ranking
     // (ln ulp noise sits ~7 orders below — the dsir_score
     // adjudication), ties to c_id: deterministic cross-engine.
     "bm25_topk" -> ((s, dir) => {
-      val (tf, dfreq, dlen, stats) = bm25Corpus(Tables(s, dir).documents)
+      val (tf, dfreq, dlen, stats) = bm25Corpus(s, dir)
       val qterms = broadcast(tf.filter(col("doc_id") < 8)
         .select(col("doc_id").as("q_id"), col("term")))
       bm25Rank(bm25Contrib(qterms, tf, dfreq, dlen, stats), 10)
@@ -1377,7 +1401,7 @@ object TextOps {
     // ≤5 terms/query, and the corpus-sized stages remain the one
     // postings join + one (q,c) sum per pass.
     "bm25_prf" -> ((s, dir) => {
-      val (tf, dfreq, dlen, stats) = bm25Corpus(Tables(s, dir).documents)
+      val (tf, dfreq, dlen, stats) = bm25Corpus(s, dir)
       val qterms = broadcast(tf.filter(col("doc_id") < 8)
         .select(col("doc_id").as("q_id"), col("term")))
       val fb = bm25Rank(bm25Contrib(qterms, tf, dfreq, dlen, stats), 10)
@@ -2329,6 +2353,15 @@ object TextOps {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+    }
+    val it2 = bm25TfCache.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      if (e.getKey._1 eq s) {
+        val (tf, dfreq, dlen, _) = e.getValue
+        tf.unpersist(false); dfreq.unpersist(false); dlen.unpersist(false)
+        it2.remove()
+      }
     }
   }
 }
