@@ -274,6 +274,17 @@ object VectorOps {
   private def splitGrp(assigned: DataFrame, maxCell: Int): DataFrame = {
     val withSub = if (assigned.columns.contains("__sub")) assigned
       else assigned.withColumn("__sub", array())
+    // Fast path (r19): when NO cell exceeds the cap — the common case by
+    // construction (the cell count is chosen to keep populations ~2048,
+    // 5× under maxCell) and always true on the fixtures — the three
+    // refinement rounds below are a no-op that still costs three
+    // count-rounds plus three broadcast joins per run. One bounded
+    // (cell, count) aggregate decides; the collect is ≤1 row. The split
+    // machinery runs only when a hot cell actually exists.
+    val maxN = withSub.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).collect()(0)
+    if (maxN.isNullAt(0) || maxN.getLong(0) <= maxCell)
+      return withSub.withColumn("__grp", col("cell").cast("string"))
     var df = withSub.withColumn("__grp", col("cell").cast("string"))
     for (lvl <- 1 to 2) {
       // refine ONLY groups currently over the cap: append the next
