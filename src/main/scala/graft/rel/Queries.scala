@@ -1234,17 +1234,35 @@ object Queries {
     // — no all-pairs stage, aggregation has map-side partials.
     "q5_local" -> ((s, dir) => {
       val t = Tables(s, dir)
-      t.customer
-        .join(t.orders.hint("merge"), col("c_custkey") === col("o_custkey"))
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .join(t.supplier,
-          col("l_suppkey") === col("s_suppkey") &&
+      // r19 join-order rewrite (guide §3): the old shape started from
+      // customer ⋈ orders (a hinted sort-merge — two exchanges) and then
+      // attached the FACT table by broadcasting it (the planner put the
+      // 600k-row lineitem on the build side). Canonical Q5 is
+      // fact-centric: the region='ASIA' prune flows region → nation →
+      // supplier into ONE tiny broadcast that prunes the lineitem scan
+      // to ~1/5 of its rows before anything else touches it; the
+      // date-filtered orders and customer attach as broadcast probes.
+      // One pass over the fact, zero fact-table exchanges before the
+      // 5-row aggregate; the decimal sum is order-independent, so the
+      // reorder is value-identical (same inner-join graph, same
+      // predicates — oracle-checked).
+      val asiaSupp = t.supplier
+        .join(
+          broadcast(t.nation
+            .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "ASIA")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      t.lineitem
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          t.orders.filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer,
+          col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
           .cast("double").as("revenue"))
