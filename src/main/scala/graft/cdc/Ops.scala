@@ -418,9 +418,9 @@ object Ops {
     // merge reads with the live stream: highest (arrival, scn, liveness)
     // wins — a post-watermark change supersedes its stale chunk row; a
     // chunk row supersedes the (identical-payload) events it embodies
-    val merged = graft.Engine.spread(chunkRows
+    val merged = chunkRows
       .unionByName(feed.withColumn("__ord", col(scnCol))
-        .select(col(keyCol) +: (payload :+ "__ord").map(col): _*)), keyCol)
+        .select(col(keyCol) +: (payload :+ "__ord").map(col): _*))
       .groupBy(col(keyCol))
       .agg(max_by(struct(payload.map(col): _*),
         struct(col("__ord"), col(scnCol), col(opCol) =!= "r")).as("__st"))
@@ -442,15 +442,16 @@ object Ops {
       nChunks: Int
   ): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
-    // spread (r19, guide §2.5 input skew): the fixture parquet is
-    // single-row-group, so base ∪ feed arrives as 1–2 scan tasks and the
-    // per-key max_by below would run its per-row work serially (AQE then
-    // coalesces the post-agg exchange to 1 task as well — measured
-    // c8 ≈ c32 on every chunk-snapshot id). Repartitioning BY THE GROUP
-    // KEY replaces the aggregation's own exchange (the groupBy reuses
-    // the partitioning), so the shuffle count is unchanged — the
-    // exchange just moves ahead of the per-row work.
-    val all = graft.Engine.spread(base.unionByName(feed), keyCol)
+    // r19 note (measured, REJECTED): repartitioning base ∪ feed by the
+    // group key before the max_by looked like the §2.5 input-skew fix
+    // for the single-row-group fixture scans, but it (a) leaked the
+    // repartition into the bounds branch (a full extra row shuffle for
+    // a 1-row aggregate) and (b) turned both map-side-partial hash
+    // aggregates into adjacent SortAggregates — shuffling |events| rows
+    // and sorting them instead of shuffling |keys| partials, exactly
+    // the trade applyChanges' scaladoc rejects at 100 TB. Net local
+    // delta was within noise; the partial-agg shape stays.
+    val all = base.unionByName(feed)
     val payload = all.columns.toSeq.filterNot(_ == keyCol)
     val bounds = all.agg(
       max(col(scnCol)).as("__maxscn"),

