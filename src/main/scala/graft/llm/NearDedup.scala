@@ -188,7 +188,16 @@ object NearDedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
       driverEdgeLimit: Int = 100000): DataFrame = {
-    val fwd = pairs.select(col("doc1").as("a"), col("doc2").as("b")).persist()
+    // A rename-only projection of an ALREADY-cached pair list (admitBatch
+    // persists its verified dupEdges before calling here) sameResult-maps
+    // to the caller's cache entry: re-persisting it double-registered the
+    // plan (the CacheManager warning VERDICT r18 #6 flagged) and the
+    // unpersist on exit EVICTED the caller's entry out from under it.
+    // Persist only when the caller has not, release only what was
+    // persisted here (r19).
+    val fwd0 = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+    val callerCached = fwd0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val fwd = if (callerCached) fwd0 else fwd0.persist()
     // The driver fast path packs ids into Long; only integral id columns
     // qualify (a string id would cast to null and NPE in getLong, and the
     // output type would silently differ from the distributed loop's).
@@ -234,14 +243,16 @@ object NearDedup {
           .toDF("doc_id", "cluster_id")
           .select(col("doc_id").cast(idType).as("doc_id"),
             col("cluster_id").cast(idType).as("cluster_id"))
-      } finally fwd.unpersist()
-    } else connectedComponentsLoop(fwd, maxIters)
+      } finally { if (!callerCached) fwd.unpersist(); () }
+    } else connectedComponentsLoop(fwd, maxIters, releaseFwd = !callerCached)
   }
 
   /** The distributed min-label loop ([[connectedComponents]]' large-graph
-    * path). `fwd` arrives persisted and is released here.
+    * path). `fwd` arrives persisted; released here iff `releaseFwd`
+    * (a caller-owned cache is left to its owner).
     */
-  private def connectedComponentsLoop(fwd: DataFrame, maxIters: Int): DataFrame = {
+  private def connectedComponentsLoop(fwd: DataFrame, maxIters: Int,
+      releaseFwd: Boolean = true): DataFrame = {
     // fwd is persisted by the caller (it was counted for the path
     // choice), so the reverse branch replays it from cache.
     // No distinct(): min-aggregation is duplicate-insensitive, so paying
@@ -326,7 +337,7 @@ object NearDedup {
       // inherit orphaned cache entries it has no handle to free
       labels.unpersist()
       edges.unpersist()
-      fwd.unpersist()
+      if (releaseFwd) fwd.unpersist()
     }
   }
 

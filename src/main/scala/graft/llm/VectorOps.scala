@@ -1647,7 +1647,8 @@ object VectorOps {
       // the truth intersection needs no self-join: group the 4·k·|q|
       // top rows by pair, keep pairs present at d=64, and each dim in
       // a kept pair's dim-set is one hit for that dim.
-      val dims = broadcast(Seq(8, 16, 32, 64).toDF("dim"))
+      val dimVals = Seq(8, 16, 32, 64)
+      val dims = broadcast(dimVals.toDF("dim"))
       val q = broadcast(emb.filter(col("vec_id").isin(0L until 8L: _*))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
       val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -1665,8 +1666,13 @@ object VectorOps {
         .filter(array_contains(col("ds"), 64L))
         .select(explode(col("ds")).as("dim"))
         .groupBy("dim").agg(count(lit(1)).as("h"))
-      dims.select(col("dim").cast("long").as("dim"))
-        .join(hits, Seq("dim"), "left")
+      // the 4-row dim axis is the PRESERVED side of this left join, so a
+      // broadcast hint on it is unsupported (build-left for left outer —
+      // the dropped-hint warning VERDICT r18 #10 flagged): use an
+      // UN-hinted dim axis here and hint the 4-row hits side, which IS
+      // buildable
+      dimVals.toDF("dim").select(col("dim").cast("long").as("dim"))
+        .join(broadcast(hits), Seq("dim"), "left")
         .select(col("dim"), coalesce(col("h"), lit(0L)).as("n_hits"),
           round(coalesce(col("h"), lit(0L)).cast("double") / lit(80.0), 6)
             .as("recall_at_10"))

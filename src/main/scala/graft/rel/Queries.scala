@@ -937,14 +937,20 @@ object Queries {
       // codegen); the inner var>0 branch nulls out zero-variance
       // windows (a constant history makes z undefined — emitting ±inf
       // would flag every next value, the classic monitoring bug)
-      val z = when(col("n_prev") >= 10,
+      // nPrev is the same count-over-w expression z's guard needs — kept
+      // as an expression (not a materialized column) so every window
+      // aggregate lands in ONE select and the plan carries a single
+      // Window node (r19; referencing the n_prev COLUMN forced a second
+      // sequential Window pass over every row's frame — same partition
+      // and sort, pure duplicate frame work).
+      val nPrev = count(lit(1)).over(w)
+      val z = when(nPrev >= 10,
         when(varE > 0, round((col("cents") - s1 / n) / sqrt(varE), 6)))
       Tables(s, dir).events
         .withColumn("cents", round(col("value") * 100).cast("long"))
-        .withColumn("n_prev", count(lit(1)).over(w))
-        .withColumn("z", z)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          nPrev.as("n_prev"), z.as("z"))
         .filter(abs(col("z")) > 3)
-        .select("user_id", "event_id", "cents", "n_prev", "z")
         .orderBy("user_id", "event_id")
     }),
 
