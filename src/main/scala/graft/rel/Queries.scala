@@ -301,6 +301,14 @@ object Queries {
           col("l_partkey").cast("long").as("v"))
         .unionByName(li.select(lit("order").as("col_name"),
           col("l_orderkey").cast("long").as("v")))
+      // r19 note (measured, REJECTED): spreading the hashing branch
+      // (Engine.spread before the md5 projection — the §2.5 input-skew
+      // move for the single-row-group fixture) measured FLAT at sf0.1
+      // in both the all-branches and hash-branch-only forms: the scan
+      // task's serialization of 1.2M shuffle rows costs what the
+      // parallel md5 saves, and at scale the extra full-row exchange is
+      // strictly worse than the scan-split parallelism a cluster already
+      // has. Kept as the plain map-side-combine shape.
       val h = md5(concat(lit("hll:"), col("v").cast("string")))
       // b: 6-bit register index from the first hex byte; rest: the next
       // 44 bits; rho: 1 + leading zeros of rest in a 44-bit field
@@ -424,6 +432,15 @@ object Queries {
       // 600k values — measured ~0.2 s off this id at sf0.1 (the per-row
       // map update, not the buffer merge, dominates); the price
       // percentile needs its own buffer (different column)
+      // r19 note (measured, REJECTED — the second rejection after r18's
+      // merged-branch attempt on agg_approx_pct): spreading the scan by
+      // l_orderkey to parallelize the partial Percentile buffers
+      // measured 1.26 -> ~1.5-1.8 s at sf0.1. The price buffer's FINAL
+      // merge re-inserts every partial map's (value, count) entry into
+      // one per-group map — the same single-threaded work the per-row
+      // update path already did — so the spread only added a 600k-row
+      // exchange. The exact form stays as-is; approx_percentile remains
+      // the documented 100 TB swap.
       Tables(s, dir).lineitem
         .groupBy("l_returnflag")
         .agg(
