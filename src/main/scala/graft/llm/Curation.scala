@@ -222,11 +222,22 @@ object Curation {
     * `decon_overlap`). Sub-shingle docs (< 3 words) carry no evidence
     * and are admitted.
     */
-  def admitOverlap(batch: DataFrame, evalIdx: DataFrame, minPct: Int = 20): DataFrame = {
-    val ng = NearDedup.shingleArrays(batch.select("doc_id", "text"))
-      .select(col("doc_id"), explode(col("sh")).as("ng"))
-      .select(col("doc_id"), ngHash(col("ng")).as("h"))
-      .distinct()
+  def admitOverlap(batch: DataFrame, evalIdx: DataFrame, minPct: Int = 20): DataFrame =
+    admitOverlapFrom(batch,
+      NearDedup.shingleArrays(batch.select("doc_id", "text"))
+        .select(col("doc_id"), explode(col("sh")).as("ng"))
+        .select(col("doc_id"), ngHash(col("ng")).as("h"))
+        .distinct(),
+      evalIdx, minPct)
+
+  /** [[admitOverlap]] over a PRECOMPUTED distinct (doc_id, h) shingle-
+    * hash table — the r19 seam that lets `decon_overlap_incr` derive
+    * the batch's shingles from the per-corpus [[NearDedup.shingled]]
+    * memo (shingling is a pure per-row map, so the doc_id filter
+    * commutes) instead of re-shingling the batch text per evaluation.
+    */
+  private[graft] def admitOverlapFrom(batch: DataFrame, ng: DataFrame,
+      evalIdx: DataFrame, minPct: Int = 20): DataFrame = {
     val rejected = ng
       .join(evalIdx.select(col("h"), lit(1).as("hit")), Seq("h"), "left")
       .groupBy("doc_id")
@@ -653,7 +664,16 @@ object Curation {
       val batch = Sampling.splitAssign(Tables(s, dir).documents, "doc_id")
         .filter(col("split") === "train" && col("doc_id") % 2 =!= 0)
         .select("doc_id", "text")
-      admitOverlap(batch, evalNgHashes(s, dir))
+      // r19: the batch's shingle hashes come from the SAME memoized
+      // per-corpus shingle table `decon_overlap` rides (filter by
+      // split/parity commutes with the per-row shingle map), so the
+      // admission no longer re-shingles half the train split per run.
+      val ng = Sampling.splitAssign(NearDedup.shingled(s, dir), "doc_id")
+        .filter(col("split") === "train" && col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("ng"))
+        .select(col("doc_id"), ngHash(col("ng")).as("h"))
+        .distinct()
+      admitOverlapFrom(batch, ng, evalNgHashes(s, dir))
         .select(col("doc_id"), md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),

@@ -925,9 +925,13 @@ object NearDedup {
     * hashes, bucketed-by-`h` co-location at scale like every owned-set
     * state in this family.
     */
-  def admitWinnow(batch: DataFrame, owned: DataFrame, minHits: Int = 2):
-      (DataFrame, DataFrame) = {
-    val fps = TextOps.winnowFingerprints(batch)
+  def admitWinnow(batch: DataFrame, owned: DataFrame, minHits: Int = 2,
+      fps0: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    // fps0 (r19): a caller holding the batch's winnow selection already
+    // (the per-corpus [[TextOps.winnowedFps]] memo filtered to the
+    // batch — the HOF is a pure per-row map, so filter commutes) passes
+    // it instead of re-running the HOF here.
+    val fps = fps0.getOrElse(TextOps.winnowFingerprints(batch))
       .select(col("doc_id"), col("h")).distinct().persist()
     try {
       val intra = fps.groupBy("h").agg(min(col("doc_id")).as("owner")).persist()
@@ -1445,10 +1449,14 @@ object NearDedup {
       val owned = winnowStateCache.computeIfAbsent((s, dir), _ => {
         val evens = docs.filter(col("doc_id") % 2 === 0)
         val (_, owned0) = admitWinnow(evens,
-          TextOps.winnowFingerprints(evens.limit(0)).select("h"))
+          TextOps.winnowFingerprints(evens.limit(0)).select("h"),
+          fps0 = Some(TextOps.winnowedFps(s, dir)
+            .filter(col("doc_id") % 2 === 0)))
         owned0.persist()
       })
-      val (out, _) = admitWinnow(docs.filter(col("doc_id") % 2 =!= 0), owned)
+      val (out, _) = admitWinnow(docs.filter(col("doc_id") % 2 =!= 0), owned,
+        fps0 = Some(TextOps.winnowedFps(s, dir)
+          .filter(col("doc_id") % 2 =!= 0)))
       out.select(col("doc_id"), md5(col("text")).as("h"))
         .orderBy("doc_id")
     })

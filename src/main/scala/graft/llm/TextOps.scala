@@ -267,8 +267,16 @@ object TextOps {
     * n2, containment); n1/n2 ride along so consumers can threshold in
     * INTEGER form (no cross-engine float boundary).
     */
-  private[graft] def winnowPairs(docs: DataFrame, dfCap: Int = 100): DataFrame = {
-    val postingsAll = winnowFingerprints(docs)
+  private[graft] def winnowPairs(docs: DataFrame, dfCap: Int = 100): DataFrame =
+    winnowPairsFrom(winnowFingerprints(docs), dfCap)
+
+  /** [[winnowPairs]] over a PRECOMPUTED fingerprint table — the r19
+    * seam that lets the corpus-path consumers ride the per-corpus
+    * [[winnowedFps]] memo instead of re-running the winnow HOF (the
+    * family's CPU core) once per consumer.
+    */
+  private[graft] def winnowPairsFrom(fps: DataFrame, dfCap: Int = 100): DataFrame = {
+    val postingsAll = fps
       .groupBy("h")
       .agg(sort_array(array_distinct(collect_list(col("doc_id")))).as("ds"))
     val postings = postingsAll.filter(size(col("ds")).between(2, dfCap))
@@ -301,10 +309,31 @@ object TextOps {
   private val winnowClusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Memoized per-corpus winnow fingerprint table (doc_id, pos, h) —
+    * the [[NearDedup.shingled]] cost model applied to the MOSS family:
+    * `fingerprint_winnow`, `dedup_winnow`, the [[winnowClusters]] build
+    * and `dedup_winnow_incr`'s batch/bootstrap all consume the SAME
+    * selection (the winnow HOF is the family's CPU core and its
+    * consumers sit under different exchanges, so Catalyst never shares
+    * it). MEMORY_AND_DISK: ~2/(w+1) of the corpus gram stream at 100 TB
+    * — must spill, not OOM. Released at family boundaries by
+    * [[releaseMemos]]; build cost lands in first-run numbers like every
+    * other per-corpus memo.
+    */
+  private val winnowFpCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def winnowedFps(s: SparkSession, dir: String): DataFrame = {
+    winnowFpCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
+    winnowFpCache.computeIfAbsent((s, dir), _ =>
+      winnowFingerprints(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   private def winnowClusters(s: SparkSession, dir: String): DataFrame = {
     winnowClusterCache.keySet.removeIf(c => c._1.sparkContext.isStopped)
     winnowClusterCache.computeIfAbsent((s, dir), _ => {
-      val edges = winnowPairs(Tables(s, dir).documents)
+      val edges = winnowPairsFrom(winnowedFps(s, dir))
         .filter(col("n_shared") * 5 >= least(col("n1"), col("n2")) * 4)
         .select("doc1", "doc2")
       NearDedup.connectedComponents(edges)
@@ -840,7 +869,7 @@ object TextOps {
     // presentation sort; the selected (pos, hash) table is exactly
     // what a plagiarism/overlap index ingests at scale.
     "fingerprint_winnow" -> ((s, dir) =>
-      winnowFingerprints(Tables(s, dir).documents).orderBy("doc_id", "pos")),
+      winnowedFps(s, dir).orderBy("doc_id", "pos")),
 
     // MOSS pair detection (round 13) — the winnowing index applied:
     // doc pairs sharing >= 2 selected fingerprints, scored by
@@ -852,7 +881,7 @@ object TextOps {
     // Denominators use the UNCAPPED per-doc fingerprint counts, so
     // containment is a true fraction of each doc's selection set.
     "dedup_winnow" -> ((s, dir) =>
-      winnowPairs(Tables(s, dir).documents)
+      winnowPairsFrom(winnowedFps(s, dir))
         .select("doc1", "doc2", "n_shared", "containment")
         .orderBy("doc1", "doc2")),
 
@@ -2357,6 +2386,11 @@ object TextOps {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) { e.getValue.unpersist(false); it.remove() }
+    }
+    val it0 = winnowFpCache.entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(false); it0.remove() }
     }
     val it2 = bm25TfCache.entrySet().iterator()
     while (it2.hasNext) {

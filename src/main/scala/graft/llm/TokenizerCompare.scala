@@ -112,6 +112,14 @@ object TokenizerCompare {
       graft.functions.WordPieceEncode.ensureRegistered(s)
       graft.functions.UnigramEncode.ensureRegistered(s)
       val docs = Tables(s, dir).documents
+      // r19 measured rejection: an Engine.spread before this explode
+      // (the tokenizer_compare precedent) measured flat-to-worse at
+      // sf0.1 (0.79 -> 0.88 s against near-identical ambience controls)
+      // — the explode feeds a map-side PARTIAL aggregate that collapses
+      // the gram stream inside the scan task, and the dominant cost
+      // (six per-word encodes) already runs post-shuffle on the
+      // distinct-word table; the extra full-text exchange bought
+      // nothing.
       val wf = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("freq"))
