@@ -810,22 +810,36 @@ object Queries {
       val agg = ev.groupBy("user_id", "bucket")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
-      // r18-opt (guide §1.2/§2.4): spans derived from the ALREADY
-      // aggregated (user_id, bucket) table, not a second full scan of
-      // events — min/max over the per-bucket rows equals min/max over
-      // the raw rows (same bucket set), and the agg subtree is shared
-      // so the events scan + date_trunc run once
-      // (plans/r18/ts_gapfill_{before,after}.txt: 2 scans → 1).
-      val spans = agg.groupBy("user_id")
-        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-        .select(col("user_id"),
-          explode(sequence(col("b0"), col("b1"),
-            expr("interval 1 hour"))).as("bucket"))
+      // r19 (guide §1.2/§2.4/§6): the r18 "derive spans from agg" share
+      // was silently defeated — Catalyst COLLAPSED the two-level
+      // min/max-over-groupBy into an independent min/max-over-events
+      // branch with its own scan and exchange, so the executed plan
+      // still read events twice and joined back (the r19 ExecPlan dump
+      // showed 2 FileScans + a BroadcastHashJoin). Gap-fill is instead
+      // a pure UNFOLD of the aggregate: each (user, bucket) row emits
+      // the dense hours [bucket, lead(bucket) − 1h] (the last row emits
+      // itself), n/v belong to the generating hour only, and LOCF is
+      // the generating row's own running last(v, ignoreNulls) — for a
+      // PRESENT bucket that is exactly the original window value, and a
+      // generated hour inherits its generating (latest preceding
+      // present) bucket's fill, including the all-NULL-bucket edge.
+      // ONE events scan, no join, no second aggregate; both window
+      // functions share one (user_id, bucket) Window node over the
+      // bucket-scale table.
       val w = Window.partitionBy("user_id").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spans.join(agg, Seq("user_id", "bucket"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
-        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      val filled = agg
+        .withColumn("v_ff", last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nxt", lead(col("bucket"), 1).over(w))
+        .select(col("user_id"), col("bucket"), col("n"), col("v"), col("v_ff"),
+          explode(sequence(col("bucket"),
+            coalesce(col("nxt") - expr("interval 1 hour"), col("bucket")),
+            expr("interval 1 hour"))).as("bkt"))
+      filled.select(
+        col("user_id"), col("bkt").as("bucket"),
+        when(col("bkt") === col("bucket"), col("n")).otherwise(lit(0L)).as("n"),
+        when(col("bkt") === col("bucket"), col("v")).as("v"),
+        col("v_ff").as("v_filled"))
         .orderBy("user_id", "bucket")
     }),
 
