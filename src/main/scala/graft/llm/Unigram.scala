@@ -120,6 +120,51 @@ object Unigram {
         coalesce(col("cost_e9"), lit(0L)).as("cost_e9"))
   }
 
+  /** Per-doc encode DIGESTS (doc_id, n_tokens, cost_e9, h) computed
+    * without ever materializing the per-doc token ARRAY — the
+    * [[Bpe.encodeDigests]] idiom (r19): `unigram_encode` only reads
+    * scalar totals and md5(array_join(toks, " ")), all per-WORD
+    * functions of the segmentation, so the Viterbi's token count, cost
+    * and joined token string are evaluated once per distinct word and
+    * the per-doc aggregation sums longs and concatenates compact
+    * pre-joined strings instead of flattening and re-walking token
+    * arrays per occurrence. Identical values by construction: every
+    * non-empty word segments to ≥ 1 piece ([UNK]/[LONG] fallbacks
+    * included), so joining per-word token strings with " " equals
+    * array_join of the flattened stream, and empty docs restore to
+    * (0, 0, md5("")) exactly as [[encodeDocs]]' empty toks digest.
+    */
+  def encodeDigests(docs: DataFrame, model: Seq[(String, Long, Long)]): DataFrame = {
+    graft.functions.UnigramEncode.ensureRegistered(docs.sparkSession)
+    val packed = typedLit(model.map { case (p, _, lp) => s"$lp\u001E$p" })
+    val spreadDocs = graft.Engine.spread(docs, "doc_id")
+    val words = spreadDocs
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0))
+          .as(Seq("pos", "w")))
+    // the native eval is STAGED before the three digest projections
+    // reference it (the Bpe.encodeDigests/CollapseProject discipline)
+    val cache = words.select("w").distinct()
+      .withColumn("__seg",
+        graft.functions.UnigramEncode.unigram_encode_word(col("w"), packed))
+      .select(col("w"),
+        col("__seg.n_tokens").as("__nt"),
+        col("__seg.cost_e9").as("__ce"),
+        array_join(col("__seg.toks"), " ").as("__ts"))
+    val encoded = words.join(cache, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("__nt")).as("n_tokens"),
+        sum(col("__ce")).as("cost_e9"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__ts")))),
+          x => x.getField("__ts")), " ")).as("h"))
+    spreadDocs.select("doc_id").join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("cost_e9"), lit(0L)).as("cost_e9"),
+        coalesce(col("h"), md5(lit(""))).as("h"))
+  }
+
   /** One quantized hard-EM (Viterbi-EM) iteration over the seed model
     * (round 18 — the refinement Unigram.scala's header scoped out, now
     * in reach by the same integer-replay idiom): E-step = the existing
@@ -196,11 +241,12 @@ object Unigram {
     // doc, token count, total integer cost, stream md5
     "unigram_encode" -> ((s, dir) => {
       val model = trainedModel(s, dir)
-      encodeDocs(Tables(s, dir).documents, model)
+      // r19: digest view — see [[encodeDigests]]
+      encodeDigests(Tables(s, dir).documents, model)
         .select(col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
           col("cost_e9").cast("long").as("cost_e9"),
-          md5(array_join(col("toks"), " ")).as("h"))
+          col("h"))
         .orderBy("doc_id")
     })
   )

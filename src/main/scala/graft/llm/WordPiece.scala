@@ -230,6 +230,49 @@ object WordPiece {
         coalesce(col("wp"), array().cast("array<string>")).as("wp"))
   }
 
+  /** Per-doc encode DIGESTS (doc_id, n_tokens, n_unk, h) without ever
+    * materializing the per-doc token ARRAY — the [[Bpe.encodeDigests]]
+    * idiom (r19): `wordpiece_encode` only reads size(wp), the [UNK]
+    * count and md5(array_join(wp, " ")), all per-WORD functions of the
+    * greedy segmentation, so they are evaluated once per distinct word
+    * and the per-doc aggregation sums longs and concatenates compact
+    * pre-joined strings. Identical values by construction: every
+    * non-empty word emits ≥ 1 token ([UNK] if unmatched), so joining
+    * per-word token strings with " " equals array_join of the
+    * flattened stream, and empty docs restore to (0, 0, md5("")).
+    */
+  def encodeDigests(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    graft.functions.WordPieceEncode.ensureRegistered(docs.sparkSession)
+    val vlit = typedLit(vocab)
+    val spreadDocs = graft.Engine.spread(docs, "doc_id")
+    val words = spreadDocs
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0))
+          .as(Seq("pos", "w")))
+    // the native eval is STAGED before the three digest projections
+    // reference it (the Bpe.encodeDigests/CollapseProject discipline)
+    val cache = words.select("w").distinct()
+      .withColumn("__toks",
+        graft.functions.WordPieceEncode.wordpiece_encode_word(col("w"), vlit))
+      .select(col("w"),
+        size(col("__toks")).cast("long").as("__nt"),
+        size(filter(col("__toks"), t => t === lit("[UNK]")))
+          .cast("long").as("__nu"),
+        array_join(col("__toks"), " ").as("__ts"))
+    val encoded = words.join(cache, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("__nt")).as("n_tokens"),
+        sum(col("__nu")).as("n_unk"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__ts")))),
+          x => x.getField("__ts")), " ")).as("h"))
+    spreadDocs.select("doc_id").join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("h"), md5(lit(""))).as("h"))
+  }
+
   /** Trained model memoized per (session, dir) — the [[Bpe.trainedMerges]]
     * contract. Holds merges AND the tagged vocab (vocabOf's base-symbol
     * collect runs once with it).
@@ -264,11 +307,9 @@ object WordPiece {
     // doc, token count, [UNK] count, md5 of the display token stream
     "wordpiece_encode" -> ((s, dir) => {
       val (_, vocab) = trainedModel(s, dir)
-      encodeDocs(Tables(s, dir).documents, vocab)
-        .select(col("doc_id"),
-          size(col("wp")).cast("long").as("n_tokens"),
-          size(filter(col("wp"), t => t === lit("[UNK]"))).cast("long").as("n_unk"),
-          md5(array_join(col("wp"), " ")).as("h"))
+      // r19: digest view — see [[encodeDigests]]
+      encodeDigests(Tables(s, dir).documents, vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"), col("h"))
         .orderBy("doc_id")
     })
   )
